@@ -1,0 +1,106 @@
+"""Regressor family behind one interface (SURVEY.md §2.11 L2/L5, §7 M6).
+
+- ``random_forest`` : MLlib RandomForestRegressor — the north-star
+  headline (the model the reference repo is *named* for but never calls;
+  randomForest loaded-unused at 04_1_XGB_traintest.R:33).
+- ``gbt``           : MLlib GBTRegressor — closest pure-MLlib analogue
+  of the reference's xgb.train (04_1_XGB_traintest.R:282-289; no DART,
+  no early stopping — documented divergence, SURVEY.md §7 known-hard).
+- ``xgboost``       : SparkXGBRegressor when the optional dep exists
+  (tree_method='hist' + early stopping parity); import-gated.
+- ``ols``           : LinearRegression with the normal-equation solver —
+  replaces the reference's gpuLm (03_LinearRegression.R:73-78) with a
+  distributed least-squares solve.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .features import build_feature_pipeline
+from .metrics import regression_metrics
+
+
+def make_regressor(
+    kind: str,
+    *,
+    label_col: str = "label",
+    features_col: str = "features",
+    seed: int = 123,
+    **params,
+):
+    if kind == "random_forest":
+        from pyspark.ml.regression import RandomForestRegressor
+
+        defaults = dict(numTrees=50, maxDepth=8, subsamplingRate=0.8, maxBins=64)
+        defaults.update(params)
+        return RandomForestRegressor(
+            labelCol=label_col, featuresCol=features_col, seed=seed, **defaults
+        )
+    if kind == "gbt":
+        from pyspark.ml.regression import GBTRegressor
+
+        defaults = dict(maxIter=50, maxDepth=6, stepSize=0.1, subsamplingRate=0.8)
+        defaults.update(params)
+        return GBTRegressor(
+            labelCol=label_col, featuresCol=features_col, seed=seed, **defaults
+        )
+    if kind == "xgboost":
+        try:
+            from xgboost.spark import SparkXGBRegressor  # optional dep
+        except ImportError as e:  # pragma: no cover
+            raise ImportError(
+                "xgboost.spark not available in this environment; "
+                "use kind='gbt' or kind='random_forest'"
+            ) from e
+        defaults = dict(tree_method="hist", n_estimators=200)
+        defaults.update(params)
+        return SparkXGBRegressor(
+            label_col=label_col, features_col=features_col, **defaults
+        )
+    if kind == "ols":
+        from pyspark.ml.regression import LinearRegression
+
+        defaults = dict(regParam=0.0, solver="normal")
+        defaults.update(params)
+        return LinearRegression(
+            labelCol=label_col, featuresCol=features_col, **defaults
+        )
+    raise ValueError(f"unknown regressor kind {kind!r}")
+
+
+def train_and_evaluate(
+    df: DataFrame,
+    *,
+    kind: str,
+    label_col: str,
+    categorical: list[str],
+    numeric: list[str],
+    train_fraction: float = 0.75,
+    seed: int = 123,
+    **params,
+) -> tuple["Pipeline", dict[str, float]]:
+    """na.drop → seeded split (M2, replaces R's positional complement,
+    03_LinearRegression.R:53-64) → feature pipeline → fit → metrics on
+    train and test."""
+    data = df.na.drop(subset=[label_col] + categorical + numeric)
+    train, test = data.randomSplit([train_fraction, 1 - train_fraction], seed=seed)
+    one_hot = kind == "ols"
+    fp = build_feature_pipeline(
+        categorical, numeric, one_hot=one_hot, scale=(kind == "ols")
+    )
+    model = make_regressor(kind, label_col=label_col, seed=seed, **params)
+    pipe = Pipeline(stages=[fp, model])
+    fitted = pipe.fit(train)
+    n_features = len(numeric) + len(categorical)
+    metrics = {}
+    for split_name, split_df in (("train", train), ("test", test)):
+        preds = fitted.transform(split_df)
+        m = regression_metrics(
+            preds, label_col=label_col, n_features=n_features
+        )
+        for k, v in m.items():
+            metrics[f"{split_name}_{k}"] = v
+    return fitted, metrics

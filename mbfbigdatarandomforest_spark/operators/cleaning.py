@@ -1,0 +1,83 @@
+"""Cleaning operators (SURVEY.md §2.2 P1/P5/P9, §2.4 A7/A8, §2.8 F7).
+
+Scale notes: every operator here is a single distributed pass (one
+partial-aggregable agg or a codegen'd projection). Nothing collects row
+data to the driver — only O(#columns) or O(#levels) summaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def empty_to_null(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """P9 — '' → NULL on string columns (02_DataCleaning.R:35).
+    Prefer doing this at the CSV scan via nullValue=''; this operator
+    exists for already-loaded data."""
+    targets = cols or [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]
+    out = df
+    for c in targets:
+        out = out.withColumn(c, F.when(F.col(c) == "", None).otherwise(F.col(c)))
+    return out
+
+
+def na_share(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """A7 — per-column NULL share in ONE pass (02_DataCleaning.R:38-41).
+    Returns a single-row frame, one double column per input column."""
+    targets = cols or df.columns
+    aggs = [
+        (F.sum(F.col(c).isNull().cast("int")) / F.count(F.lit(1))).alias(c)
+        for c in targets
+    ]
+    return df.agg(*aggs)
+
+
+def drop_high_na_columns(
+    df: DataFrame, threshold: float = 0.20, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """P1 — drop columns whose NULL share exceeds ``threshold``, except
+    ``keep`` (02_DataCleaning.R:44-48 keeps DemRepRatio). One agg job to
+    decide, then a plan-level projection (free under column pruning)."""
+    shares = na_share(df).first().asDict()
+    drop = [c for c, s in shares.items() if s is not None and s > threshold and c not in keep]
+    return df.drop(*drop)
+
+
+def null_keeping_filter(df: DataFrame, predicate: Column, col: str) -> DataFrame:
+    """P5 — range predicate that KEEPS NULLs (02_DataCleaning.R:207-214).
+    Spark's 3-valued logic silently drops NULL rows on a bare comparison;
+    the reference ORs is.na explicitly and so do we."""
+    return df.filter(predicate | F.col(col).isNull())
+
+
+def collapse_rare_levels(
+    df: DataFrame,
+    cols: list[str],
+    threshold: float = 0.01,
+    other_label: str = "Other",
+) -> DataFrame:
+    """F7 — replace factor levels with frequency < threshold by 'Other'
+    (02_DataCleaning.R:243-261, addFactorOther).
+
+    Scale design: level cardinality is small even at 100 TB (car makes,
+    body types, ...), so the frequency table per column is a cheap
+    partially-aggregated groupBy; the rare-level list is collected
+    (O(#levels)) and applied as a literal ``isin`` predicate — no second
+    shuffle, no broadcast join, stays in whole-stage codegen. NULLs are
+    left NULL (they are not a level)."""
+    out = df
+    total = df.count()
+    for c in cols:
+        counts = df.groupBy(c).count().collect()
+        rare = [
+            r[c]
+            for r in counts
+            if r[c] is not None and r["count"] / total < threshold
+        ]
+        if rare:
+            out = out.withColumn(
+                c,
+                F.when(F.col(c).isin(rare), F.lit(other_label)).otherwise(F.col(c)),
+            )
+    return out

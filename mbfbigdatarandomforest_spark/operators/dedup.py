@@ -1,0 +1,169 @@
+"""Deduplication operators (north-star extension; BASELINE.json).
+
+Four tiers, in increasing fuzziness:
+
+- exact        : hash-groupBy on a normalized fingerprint. One shuffle on
+                 the 32-hex-char hash (uniform keys → no skew).
+- ngram_jaccard: token-shingle inverted index + pair aggregation; exact
+                 Jaccard on candidate pairs that share ≥1 shingle.
+- minhash_lsh  : pyspark.ml MinHashLSH banding — the 100 TB path (cost
+                 bounded by bucket collisions, not n²).
+- simhash      : 64-bit sign-sum of per-token hashes; near-dups differ in
+                 few bits. Hamming distance on bucketed prefixes.
+
+All shuffles key on hashes/shingles (uniform). The brute-force variants
+exist as correctness oracles for the LSH paths at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups by normalized-text fingerprint; keeps the min id as the
+    canonical representative. Returns (fingerprint, keep_id, n_dups)."""
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def token_shingles(col, n: int = 3):
+    """Sliding token n-grams as an array column (pure codegen)."""
+    toks = F.split(F.trim(F.lower(col if not isinstance(col, str) else F.col(col))), r"\s+")
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle.
+
+    Plan shape: explode distinct shingles → self-join on shingle
+    (inverted index; shuffle keyed on shingle hash) → count shared
+    shingles per pair → Jaccard = shared / (|A| + |B| - shared).
+    Quadratic only within a shingle bucket — at 100 TB, cap bucket width
+    by dropping ultra-common shingles (stopword shingles) first.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(token_shingles(text_col, n)).alias("shingles"),
+    ).withColumn("n_shingles", F.size("shingles"))
+    exploded = shingled.select(
+        "id", "n_shingles", F.explode("shingles").alias("shingle")
+    )
+    a = exploded.select(
+        F.col("id").alias("id_a"),
+        F.col("n_shingles").alias("n_a"),
+        "shingle",
+    )
+    b = exploded.select(
+        F.col("id").alias("id_b"),
+        F.col("n_shingles").alias("n_b"),
+        "shingle",
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return pairs.select("id_a", "id_b", "jaccard")
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates (the scale path).
+
+    Shingles → HashingTF sparse vectors → MinHashLSH
+    ``approxSimilarityJoin`` (banding under the hood). Returns
+    (id_a, id_b, jaccard_dist). Deterministic for a fixed seed.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(token_shingles(text_col, n)).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=seed)
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="jaccard_dist")
+    return (
+        joined.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )
+
+
+def simhash(col, bits: int = 64):
+    """SimHash: sign-sum of per-token xxhash64 bits → 64-bit signature.
+
+    Built entirely from codegen expressions: explode-free — uses
+    higher-order array functions over the token array, so it stays one
+    narrow projection per document.
+    """
+    toks = F.array_distinct(
+        F.split(F.trim(F.lower(col if not isinstance(col, str) else F.col(col))), r"\s+")
+    )
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _bit_sum(i: int):
+        # closure (not default-arg) binding: Spark's lambda bridge maps
+        # every positional parameter to a lambda variable
+        mask = F.lit(1 << i)
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
+    bit_sums = [_bit_sum(i) for i in range(bits)]
+    sig = F.lit(0).cast("long")
+    for i, s in enumerate(bit_sums):
+        sig = sig + F.when(s > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Per-doc SimHash signature (default 16 bits keeps the expression
+    tree small; raise for lower collision rates at scale)."""
+    return df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("simhash"))

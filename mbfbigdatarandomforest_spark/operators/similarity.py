@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (north-star extension).
+
+- ``cosine_topk``      : exact brute-force top-k — the correctness
+                         baseline. Dot products via higher-order array
+                         functions (JVM codegen, no Python). Cost O(n·q);
+                         fine when the query set is small and broadcast.
+- ``lsh_topk``         : BucketedRandomProjectionLSH approximate kNN —
+                         the 100 TB path (probe only colliding buckets).
+
+Embeddings are ``array<float>`` columns; math is done in double on both
+engines so results are oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, one narrow pass computes all similarities, per-query window
+    takes top-k. Returns (query_id, neighbor_id, cosine_sim)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_length: float = 2.0,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate kNN via random-projection LSH (Euclidean buckets).
+    The scale path: candidate generation touches only colliding buckets.
+    Returns (query_id, neighbor_id, eucl_dist, rank)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("id"), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    q = queries.select(
+        F.col(id_col).alias("id"), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_tables,
+        seed=seed,
+    )
+    model = lsh.fit(c)
+    joined = model.approxSimilarityJoin(q, c, float("inf"), distCol="eucl_dist")
+    pairs = joined.filter(F.col("datasetA.id") != F.col("datasetB.id")).select(
+        F.col("datasetA.id").alias("query_id"),
+        F.col("datasetB.id").alias("neighbor_id"),
+        "eucl_dist",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("eucl_dist"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("eucl_dist", 6).alias("eucl_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -1,0 +1,106 @@
+"""Text-analysis operators for LLM-training-data pipelines (north-star
+extension; BASELINE.json). All hot-path expressions are built-in Spark
+functions (JVM, codegen) — no Python UDFs — so they run at 100 TB scan
+speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker vocabularies for the n-gram/stopword heuristic
+# language ID. Deliberately deterministic and SQL-expressible so the
+# DuckDB oracle can replicate the classification exactly.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "with", "from"],
+    "de": ["der", "und", "nicht", "das"],
+    "fr": ["le", "et", "les", "des"],
+    "es": ["el", "los", "por", "como"],
+    "zh": ["的", "是", "了", "在"],
+}
+
+TOKEN_PATTERN = r"\s+"
+# BPE-ish word/punct splitter used for token estimation.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, TOKEN_PATTERN))
+    )
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Counts letter-runs, digit-runs and single punctuation marks — a
+    deterministic proxy for BPE token counts."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return punct / F.greatest(F.length(c), F.lit(1))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Share of whitespace tokens that are (English) stopwords — a
+    quality-score component."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = stopwords or LANG_MARKERS["en"]
+    toks = F.split(F.trim(F.lower(c)), TOKEN_PATTERN)
+    hits = F.size(F.filter(toks, lambda t: t.isin(words)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword quality features per document."""
+    return df.withColumns(
+        {
+            "n_chars_q": F.length(text_col),
+            "n_tokens": whitespace_token_count(text_col),
+            "n_tokens_bpe": bpe_ish_token_count(text_col),
+            "punct_ratio": punct_ratio(text_col),
+            "stopword_ratio": stopword_ratio(text_col),
+        }
+    )
+
+
+def marker_count(col: Column | str, words: list[str]) -> Column:
+    """Occurrences of any marker word (word-boundary matched)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pattern = "(" + "|".join(words) + ")"
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(pattern), 0))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
+    """Marker-vocabulary language ID. Ties broken by language code order
+    (deterministic). Pure codegen expressions — one scan."""
+    scores = [
+        F.struct(
+            marker_count(text_col, words).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    # max over structs: compares score first, then lang; to make the tie
+    # break ascending-by-lang on equal scores we invert via array_max on
+    # (score, reversed-rank) — simpler: reduce with explicit when-chain.
+    arr = F.array(*scores)
+    best = F.aggregate(
+        arr,
+        F.struct(F.lit(-1).alias("score"), F.lit("").alias("lang")),
+        lambda acc, x: F.when(x["score"] > acc["score"], x).otherwise(acc),
+    )
+    return df.withColumn(out_col, best["lang"])
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 over whitespace-normalized, lowercased
+    text (deterministic, SQL-replicable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(normalized)

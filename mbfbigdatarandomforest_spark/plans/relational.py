@@ -1,0 +1,783 @@
+"""Operator-coverage queries over the driver's TPC-H-ish tables.
+
+Each query maps one or more SURVEY.md §2 inventory rows onto the
+synthetic corpus (TESTDATA.md) and carries the equivalent DuckDB SQL for
+the driver's correctness gate. The §2 row(s) covered are named in each
+docstring together with the reference citation, so parity is auditable.
+
+Determinism rules used throughout:
+- every computed column aliased identically in Spark and SQL;
+- NO floating rounding anywhere: double sums go through exact DECIMAL
+  accumulation; quotients are raw IEEE doubles (bit-identical across
+  engines). ROUND itself is engine-divergent on ties — never use it
+  in oracle-compared outputs;
+- every top-k / window ordering carries a unique tiebreaker key.
+
+Scale notes: dimension joins use explicit ``broadcast()`` hints; all
+aggregations are partial-aggregable (map-side combine); filters are
+applied directly on the scan so Catalyst pushes them into Parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..operators.cleaning import na_share
+from ..operators.rollup import threshold_rollup
+from ..registry import query
+from ..sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dsum(col, scale: int = 8):
+    """Exact decimal sum cast back to double.
+
+    Double sums depend on partition/summation order; a last-ULP
+    difference at a rounding boundary would flip the oracle hash. The
+    input data carries ≤2 decimal places (products ≤6), so summing as
+    DECIMAL(28,8) is exact, order-independent, and bit-identical between
+    Spark and DuckDB. The SQL twin is ``_DSUM_SQL``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(28,{scale})")).cast("double")
+
+
+def _dsum_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,8))) AS DOUBLE)"
+
+
+# --------------------------------------------------------------------------
+# Q1 — pricing summary (P4 scalar filter, A1/A2/A3 group aggs, O1 sort)
+# Reference analogues: filter 02_DataCleaning.R:139; group-sum
+# 01_DataMerge.R:69-72; group-mean/count 03_LinearRegression.R:133-143.
+# --------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {_dsum_sql('l_quantity')}                                                 AS sum_qty,
+  {_dsum_sql('l_extendedprice')}                                            AS sum_base_price,
+  {_dsum_sql('l_extendedprice * (1 - l_discount)')}                         AS sum_disc_price,
+  {_dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}           AS sum_charge,
+  {_dsum_sql('l_quantity')} / COUNT(*)                                      AS avg_qty,
+  {_dsum_sql('l_extendedprice')} / COUNT(*)                                 AS avg_price,
+  {_dsum_sql('l_discount')} / COUNT(*)                                      AS avg_disc,
+  COUNT(*)                                                                  AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    tags=("P4", "A1", "A2", "A3", "O1"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            (_dsum("l_quantity") / n).alias("avg_qty"),
+            (_dsum("l_extendedprice") / n).alias("avg_price"),
+            (_dsum("l_discount") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3 — revenue top-k (J1 equi-join, A1 sum, O3 top-k with tiebreak)
+# Reference analogue: left_join 01_DataMerge.R:131-132 + top-15 importance
+# 04_1_XGB_traintest.R:331.
+# --------------------------------------------------------------------------
+@query(
+    "q3_top_revenue_orders",
+    oracle=f"""
+SELECT
+  l.l_orderkey,
+  {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+  STRFTIME(o.o_orderdate, '%Y-%m-%d')                             AS orderdate,
+  o.o_orderpriority
+FROM customer c
+JOIN orders o    ON c.c_custkey = o.o_custkey
+JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
+  AND CAST(l.l_shipdate AS DATE) > DATE '1996-03-15'
+GROUP BY l.l_orderkey, STRFTIME(o.o_orderdate, '%Y-%m-%d'), o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    tags=("J1", "A1", "O3", "P10"),
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") < F.lit("1998-03-15").cast("date")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit("1996-03-15").cast("date")
+    )
+    # orders is fact-scale: shuffle join on the key; only the customer
+    # dimension broadcasts (pre-filtered on segment → small).
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5 — multi-way dimension join (J2 chained equi-joins, broadcast dims)
+# Reference analogue: composite-key joins 03_LinearRegression.R:149-151.
+# --------------------------------------------------------------------------
+@query(
+    "q5_nation_revenue",
+    oracle=f"""
+SELECT
+  n.n_name AS nation,
+  {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM region r
+JOIN nation n    ON n.n_regionkey = r.r_regionkey
+JOIN customer c  ON c.c_nationkey = n.n_nationkey
+JOIN orders o    ON o.o_custkey = c.c_custkey
+JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation
+""",
+    tags=("J2", "A1", "O2"),
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    dims = (
+        cust.join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    # lineitem ⋈ orders is fact⋈fact → shuffle join; the enriched
+    # customer dimension broadcasts (≤ customer cardinality rows).
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot — A4 (01_DataMerge.R:78-79) with explicit value list + P8 NA→0
+# (01_DataMerge.R:82).
+# --------------------------------------------------------------------------
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+SELECT
+  o_orderpriority,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("A4", "P8"),
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])  # explicit levels: deterministic
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Unpivot — A5 melt (04_1_XGB_traintest.R:319 gather of evaluation_log).
+# --------------------------------------------------------------------------
+@query(
+    "unpivot_part_measures",
+    oracle="""
+SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value FROM part
+""",
+    tags=("A5",),
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double"),
+        "p_retailprice",
+    )
+    return part.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+# --------------------------------------------------------------------------
+# Distinct — A6 (03_LinearRegression.R:152,197,246).
+# --------------------------------------------------------------------------
+@query(
+    "distinct_customer_segments",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+    tags=("A6",),
+)
+def distinct_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+# --------------------------------------------------------------------------
+# NA share — A7 (02_DataCleaning.R:38-41), drives the P1 column drop.
+# --------------------------------------------------------------------------
+@query(
+    "na_share_per_column",
+    oracle="""
+SELECT
+  SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS value,
+  SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS props,
+  SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS event_type
+FROM events
+""",
+    tags=("A7", "P1"),
+)
+def na_share_per_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return na_share(ev, ["value", "props", "event_type"])
+
+
+# --------------------------------------------------------------------------
+# Frequency table — A8 (02_DataCleaning.R:243), drives F7.
+# --------------------------------------------------------------------------
+@query(
+    "priority_frequency_table",
+    oracle="""
+SELECT
+  o_orderpriority,
+  COUNT(*) * 1.0 / (SELECT COUNT(*) FROM orders) AS share
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("A8",),
+)
+def priority_frequency_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    total = orders.count()
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg((F.count(F.lit(1)) / F.lit(total)).alias("share"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Global min/max — A9 (range(daysonmarket), 02_DataCleaning.R:142).
+# --------------------------------------------------------------------------
+@query(
+    "quantity_range",
+    oracle="""
+SELECT
+  MIN(l_quantity)                        AS min_qty,
+  MAX(l_quantity)                        AS max_qty,
+  STRFTIME(MIN(l_shipdate), '%Y-%m-%d')  AS min_shipdate,
+  STRFTIME(MAX(l_shipdate), '%Y-%m-%d')  AS max_shipdate
+FROM lineitem
+""",
+    tags=("A9",),
+)
+def quantity_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_shipdate"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_shipdate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Histogram — A10 (hist.ff, 02_DataCleaning.R:202-227). Fixed-width bins
+# as a codegen'd expression — no global sort, scales to any input.
+# --------------------------------------------------------------------------
+@query(
+    "extendedprice_histogram",
+    oracle="""
+SELECT
+  CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS bucket,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY 1
+ORDER BY bucket
+""",
+    tags=("A10",),
+)
+def extendedprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / 5000).cast("bigint").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlation — A12 (cor(actual, predicted)^2, 05_OutcomeAndVisualization.R:49-51).
+# --------------------------------------------------------------------------
+@query(
+    "price_quantity_corr",
+    oracle=f"""
+WITH s AS (
+  SELECT
+    CAST(COUNT(*) AS DOUBLE)                            AS n,
+    {_dsum_sql('l_quantity')}                           AS sx,
+    {_dsum_sql('l_extendedprice')}                      AS sy,
+    {_dsum_sql('l_quantity * l_extendedprice')}         AS sxy,
+    {_dsum_sql('l_quantity * l_quantity')}              AS sxx,
+    {_dsum_sql('l_extendedprice * l_extendedprice')}    AS syy
+  FROM lineitem
+)
+SELECT
+  (n * sxy - sx * sy)
+    / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr_qty_price,
+  POW((n * sxy - sx * sy)
+    / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 2) AS r2
+FROM s
+""",
+    tags=("A12",),
+)
+def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pearson r from exact decimal moment sums (closed form) — the
+    # built-in F.corr is numerically engine-dependent; this is
+    # bit-reproducible and still one partial-aggregable pass.
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    stats = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        _dsum(x).alias("sx"),
+        _dsum(y).alias("sy"),
+        _dsum(x * y).alias("sxy"),
+        _dsum(x * x).alias("sxx"),
+        _dsum(y * y).alias("syy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return stats.select(
+        r.alias("corr_qty_price"),
+        F.pow(r, 2).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Z-score — A13/F9 (scale(), 03_LinearRegression.R:29-34). Expressed with
+# window aggregates so the whole thing is one job; the engine's ML path
+# uses functions.scaling (captured μ,σ) instead.
+# --------------------------------------------------------------------------
+@query(
+    "acctbal_zscore",
+    oracle=f"""
+WITH s AS (
+  SELECT
+    CAST(COUNT(*) AS DOUBLE)                         AS n,
+    {_dsum_sql('c_acctbal')}                         AS sx,
+    {_dsum_sql('c_acctbal * c_acctbal')}             AS sxx
+  FROM customer
+)
+SELECT
+  c_custkey,
+  (c_acctbal - sx / n) / SQRT((sxx - sx * sx / n) / (n - 1)) AS acctbal_z
+FROM customer, s
+""",
+    tags=("A13", "F9"),
+)
+def acctbal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (x-μ)/σ with μ,σ from exact decimal moment sums, mirroring the
+    # engine's zscore_params capture (03_LinearRegression.R:29-34);
+    # bit-reproducible vs the oracle unlike stddev_samp's streaming
+    # accumulation.
+    cust = _t(spark, sf_dir, "customer")
+    x = F.col("c_acctbal")
+    w = Window.partitionBy()
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum(x.cast("decimal(28,8)")).over(w).cast("double")
+    sxx = F.sum((x * x).cast("decimal(28,8)")).over(w).cast("double")
+    z = (x - sx / n) / F.sqrt((sxx - sx * sx / n) / (n - 1))
+    return cust.select("c_custkey", z.alias("acctbal_z"))
+
+
+# --------------------------------------------------------------------------
+# Decile binning — W1 (colorQuantile n=10, 05_OutcomeAndVisualization.R:129).
+# Unique tiebreak key makes ntile deterministic across engines.
+# --------------------------------------------------------------------------
+@query(
+    "order_value_deciles",
+    oracle="""
+SELECT
+  o_orderkey,
+  NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+FROM orders
+""",
+    tags=("W1",),
+)
+def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey", F.ntile(10).over(w).cast("long").alias("decile")
+    )
+
+
+# --------------------------------------------------------------------------
+# Row indexing — W2/J3 (rownames as join key, 04_2_XGB_forecast.R:425-432).
+# Deterministic row_number + self-join on the generated index, replacing
+# the reference's positional cbind (U2) with keyed semantics.
+# --------------------------------------------------------------------------
+@query(
+    "rownum_index_join",
+    oracle="""
+WITH keys AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS idx, o_orderkey
+  FROM orders
+), vals AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS idx, o_totalprice
+  FROM orders
+)
+SELECT k.idx, k.o_orderkey, v.o_totalprice AS totalprice
+FROM keys k JOIN vals v ON k.idx = v.idx
+""",
+    tags=("W2", "J3", "U2"),
+)
+def rownum_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    keys = orders.select(F.row_number().over(w).alias("idx"), "o_orderkey")
+    vals = orders.select(F.row_number().over(w).alias("idx"), "o_totalprice")
+    return keys.join(vals, "idx").select(
+        "idx", "o_orderkey", F.col("o_totalprice").alias("totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# Top-k — O2/O3 (top-15 importance, 04_1_XGB_traintest.R:331).
+# --------------------------------------------------------------------------
+@query(
+    "top15_parts_by_price",
+    oracle="""
+SELECT p_partkey, p_name, p_retailprice AS retailprice
+FROM part
+ORDER BY p_retailprice DESC, p_partkey
+LIMIT 15
+""",
+    tags=("O2", "O3", "P10"),
+)
+def top15_parts_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "part")
+        .orderBy(F.desc("p_retailprice"), "p_partkey")
+        .limit(15)
+        .select("p_partkey", "p_name", F.col("p_retailprice").alias("retailprice"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Union — U1 (rbind observed + forecast, 05_OutcomeAndVisualization.R:183).
+# --------------------------------------------------------------------------
+@query(
+    "union_account_holders",
+    oracle="""
+SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+UNION ALL
+SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind FROM supplier
+""",
+    tags=("U1",),
+)
+def union_account_holders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("kind"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("kind"),
+    )
+    return cust.unionByName(supp)
+
+
+# --------------------------------------------------------------------------
+# String extraction — F1/F2/F3/F4/F12/F13 (02_DataCleaning.R:149-182).
+# element_at out-of-range → NULL replaces the reference's tryCatch.
+# --------------------------------------------------------------------------
+@query(
+    "part_name_extraction",
+    oracle="""
+SELECT
+  p_partkey,
+  LOWER(p_type)                        AS type_lower,
+  SPLIT_PART(p_name, ' ', 1)           AS first_word,
+  CASE WHEN LEN(STRING_SPLIT(p_name, ' ')) >= 3
+       THEN STRING_SPLIT(p_name, ' ')[3] END AS third_word,
+  REPLACE(p_brand, '#', '')            AS brand_clean,
+  CONCAT(LOWER(p_type), ':', p_brand)  AS type_brand
+FROM part
+""",
+    tags=("F1", "F2", "F3", "F4", "F12"),
+)
+def part_name_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.strings import first_token, strip_chars, token_at
+
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower("p_type").alias("type_lower"),
+        first_token("p_name").alias("first_word"),
+        token_at("p_name", 3).alias("third_word"),
+        strip_chars("p_brand", "#").alias("brand_clean"),
+        F.concat(F.lower("p_type"), F.lit(":"), F.col("p_brand")).alias("type_brand"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Rare-level collapse — F7 (addFactorOther, 02_DataCleaning.R:243-261).
+# Threshold 0.166 puts p_type levels on both sides of the line.
+# --------------------------------------------------------------------------
+@query(
+    "rare_type_collapse",
+    oracle="""
+WITH shares AS (
+  SELECT p_type, COUNT(*) * 1.0 / (SELECT COUNT(*) FROM part) AS share
+  FROM part GROUP BY p_type
+), recoded AS (
+  SELECT CASE WHEN s.share < 0.166 THEN 'Other' ELSE p.p_type END AS p_type
+  FROM part p JOIN shares s USING (p_type)
+)
+SELECT p_type, COUNT(*) AS n
+FROM recoded
+GROUP BY p_type
+ORDER BY p_type
+""",
+    tags=("F7", "A8"),
+)
+def rare_type_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cleaning import collapse_rare_levels
+
+    part = _t(spark, sf_dir, "part")
+    recoded = collapse_rare_levels(part, ["p_type"], threshold=0.166)
+    return (
+        recoded.groupBy("p_type").agg(F.count(F.lit(1)).alias("n")).orderBy("p_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Fused threshold roll-up — J5 (03_LinearRegression.R:133-145): one keyed
+# aggregation replaces the reference's two positionally-aligned group-bys.
+# --------------------------------------------------------------------------
+@query(
+    "customer_order_rollup",
+    oracle=f"""
+SELECT
+  o_custkey,
+  {_dsum_sql('o_totalprice')} / COUNT(*)          AS forecast,
+  COUNT(*)                                         AS n_obs
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) > 12
+ORDER BY o_custkey
+""",
+    tags=("J5", "A2", "A3"),
+)
+def customer_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    out = threshold_rollup(
+        orders,
+        ["o_custkey"],
+        "o_totalprice",
+        min_count=12,
+        avg_alias="forecast",
+        exact_decimal=True,
+    )
+    return out.select("o_custkey", "forecast", "n_obs").orderBy("o_custkey")
+
+
+# --------------------------------------------------------------------------
+# NULL-keeping filter — P5 (02_DataCleaning.R:207-214): bare `<` drops
+# NULLs under 3-valued logic; the explicit OR keeps them.
+# --------------------------------------------------------------------------
+@query(
+    "null_keeping_value_filter",
+    oracle="""
+SELECT event_id, value
+FROM events
+WHERE value < 5.0 OR value IS NULL
+""",
+    tags=("P5",),
+)
+def null_keeping_value_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cleaning import null_keeping_filter
+
+    ev = _t(spark, sf_dir, "events")
+    return null_keeping_filter(ev, F.col("value") < 5.0, "value").select(
+        "event_id", "value"
+    )
+
+
+# --------------------------------------------------------------------------
+# Anti join — P6-adjacent extension (split on key existence; the engine
+# uses keyed anti joins where the reference splits frames positionally,
+# 03_LinearRegression.R:37-38).
+# --------------------------------------------------------------------------
+@query(
+    "orders_without_lineitems",
+    oracle="""
+SELECT o.o_orderkey, o.o_orderstatus
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+ORDER BY o.o_orderkey
+""",
+    tags=("P6", "J-anti"),
+)
+def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi join — complement of the above.
+# --------------------------------------------------------------------------
+@query(
+    "customers_with_orders",
+    oracle="""
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c.c_custkey
+""",
+    tags=("J-semi",),
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Left join with NULL-producing side + NULL-existence filter — P6
+# (01_DataMerge.R:139 keeps rows with non-NULL StateDemRepRatio).
+# --------------------------------------------------------------------------
+@query(
+    "orders_left_join_lineitem_agg",
+    oracle=f"""
+WITH li AS (
+  SELECT l_orderkey, {_dsum_sql('l_quantity')} AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderkey, li.total_qty
+FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+WHERE li.total_qty IS NULL
+ORDER BY o.o_orderkey
+""",
+    tags=("J1", "P6"),
+)
+def orders_left_join_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(_dsum("l_quantity").alias("total_qty"))
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+        .filter(F.col("total_qty").isNull())
+        .select("o_orderkey", "total_qty")
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Tumbling time window — batch equivalent of the streaming rollup
+# (§2.12 extension; streaming/ has the readStream variant).
+# --------------------------------------------------------------------------
+@query(
+    "events_hourly_rollup",
+    oracle=f"""
+SELECT
+  STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+  event_type,
+  COUNT(*)                                              AS n_events,
+  {_dsum_sql('value')}                                  AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+""",
+    tags=("streaming-batch", "A1", "A3"),
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum("value").alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )

@@ -1,0 +1,71 @@
+"""Query registry — the contract surface for ``__spark_entry__.py``.
+
+Every implemented operator from SURVEY.md §2 registers a named query
+(callable ``(spark, sf_dir) -> DataFrame``) plus, where SQL-expressible,
+the equivalent ANSI SQL for the driver's DuckDB oracle. Column names are
+aliased identically on both sides (the driver hash-compares values after
+sorting columns by name).
+
+Float convention: aggregate double outputs are rounded (``F.round`` /
+``ROUND``) on BOTH sides so the oracle hash is insensitive to summation
+order (Spark partial aggregation vs DuckDB single-node order).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+# Modules whose import registers queries.
+_QUERY_MODULES = (
+    "mbfbigdatarandomforest_spark.plans.relational",
+    "mbfbigdatarandomforest_spark.plans.election_analog",
+    "mbfbigdatarandomforest_spark.plans.llm_ops",
+    "mbfbigdatarandomforest_spark.plans.ml_queries",
+)
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in load_all().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle
+        for name, spec in load_all().items()
+        if spec.oracle is not None
+    }

@@ -1,0 +1,54 @@
+"""Typed source readers (SURVEY.md §2.1 S1/S2/S3).
+
+The reference ingests a 9.3 GB CSV in 100k-row chunks into a columnar
+store (01_DataMerge.R:42-47) and small CSVs via fread (01_DataMerge.R:61).
+Spark subsumes both with a single declarative scan; the engine rule is:
+**explicit schema always** (SURVEY.md §1.3) — inference is allowed only
+behind an explicit opt-in flag for exploration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    *,
+    header: bool = True,
+    null_value: str = "",
+    mode: str = "DROPMALFORMED",
+    infer: bool = False,
+    **options,
+) -> DataFrame:
+    """CSV scan with imposed schema.
+
+    - ``null_value=''`` replicates the reference's empty-string→NA recode
+      (P9, 02_DataCleaning.R:35) at the scan, where it is free.
+    - ``mode='DROPMALFORMED'`` replaces the reference's hard 3M-row cap
+      that worked around "an issue in the last 40 rows"
+      (01_DataMerge.R:44-46) — drop the malformed tail instead of
+      counting rows.
+    """
+    reader = (
+        spark.read.option("header", header)
+        .option("nullValue", null_value)
+        .option("mode", mode)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        return reader.schema(schema).csv(path)
+    if not infer:
+        raise ValueError(
+            "engine rule: pass an explicit schema (SURVEY.md §1.3); "
+            "set infer=True only for exploration"
+        )
+    return reader.option("inferSchema", True).csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -1,0 +1,31 @@
+"""Sinks (SURVEY.md §2.1 S3/S4).
+
+Parquet is the engine's inter-stage format (replaces save.ffdf,
+01_DataMerge.R:50); CSV export exists only for reference-output parity
+(fwrite, 03_LinearRegression.R:162).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, *, single_file: bool = True) -> None:
+    """CSV export. ``single_file`` coalesces to 1 partition — only for
+    small result tables (the reference's models/*.csv are ≤1.5k rows);
+    never use on fact-scale data."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)

@@ -1,0 +1,45 @@
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+SF_DIR_SMALL = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+
+from mbfbigdatarandomforest_spark.sources.catalog import TABLES  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from mbfbigdatarandomforest_spark.session import get_spark
+
+    s = get_spark(
+        app_name="mbf-rf-tests",
+        master="local[4]",
+        extra_conf={
+            "spark.sql.shuffle.partitions": "8",
+            "spark.driver.memory": "4g",
+        },
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    """DuckDB connection with the oracle tables registered as views,
+    mirroring the driver's harness."""
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR_ORACLE}/{name}.parquet'"
+        )
+    yield con
+    con.close()

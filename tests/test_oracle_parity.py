@@ -1,0 +1,60 @@
+"""Differential tests mirroring the driver's t2 gate: every registered
+query with an oracle must match DuckDB on row count, column names, and
+(sorted, column-name-ordered) values — the strictest local approximation
+of the driver's value-hash comparison.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from mbfbigdatarandomforest_spark.registry import load_all
+
+from conftest import SF_DIR_ORACLE
+
+SPECS = load_all()
+ORACLE_SPECS = [s for s in SPECS.values() if s.oracle is not None]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    out = df[sorted(df.columns)].copy()
+    for c in out.columns:
+        if pd.api.types.is_datetime64_any_dtype(out[c]):
+            out[c] = out[c].astype("datetime64[us]")
+        elif out[c].dtype == object:
+            out[c] = out[c].astype(str)
+        elif pd.api.types.is_integer_dtype(out[c]):
+            out[c] = out[c].astype("int64")
+    out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+    return out
+
+
+def _values_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+@pytest.mark.parametrize("name", [s.name for s in ORACLE_SPECS])
+def test_oracle_parity(name, spark, duck):
+    spec = SPECS[name]
+    got = _canon(spec.fn(spark, SF_DIR_ORACLE).toPandas())
+    want = _canon(duck.sql(spec.oracle).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    mism = []
+    for col in got.columns:
+        ga, wa = got[col].tolist(), want[col].tolist()
+        bad = [
+            (i, x, y) for i, (x, y) in enumerate(zip(ga, wa)) if not _values_equal(x, y)
+        ]
+        if bad:
+            mism.append((col, bad[:5]))
+    assert not mism, f"{name}: value mismatches {mism}"
