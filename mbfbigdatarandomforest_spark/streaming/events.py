@@ -1,0 +1,98 @@
+"""Structured Streaming variants of the batch aggregations
+(SURVEY.md §2.12 — an extension; the reference is pure batch).
+
+The same county-rollup skeleton (group → agg) expressed over an
+unbounded source: tumbling windows + watermark for late data, so state
+is bounded and the job runs forever at any input rate. The batch twin is
+``plans.relational.events_hourly_rollup`` — identical semantics over the
+same table, which the tests exploit (availableNow over the parquet dir
+must equal the batch result).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos-as-long (catalog convention)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-based streaming source over the events parquet directory.
+    In production this would be Kafka/Kinesis; the transformation layer
+    below is source-agnostic."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def windowed_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window count/sum per event_type with a watermark bounding
+    state (late rows beyond the watermark are dropped — the streaming
+    trade-off the batch path doesn't have)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(
+    spark: SparkSession,
+    source_path: str,
+    query_name: str = "events_rollup",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Drain everything currently in the source (availableNow trigger),
+    materialize to a memory sink, return the result as a DataFrame.
+    Used by tests and the bench smoke — a bounded run of the unbounded
+    plan."""
+    stream = windowed_rollup(read_event_stream(spark, source_path), window=window)
+    # complete mode: emit every window on the final trigger too — append
+    # would hold back windows the watermark hasn't passed, which for a
+    # bounded drain means silently missing the newest windows.
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
