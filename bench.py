@@ -42,6 +42,9 @@ def main() -> None:
     spark = get_spark(app_name="mbf-rf-bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()
+    # Untimed warmup: pay JVM/codegen/parquet-footer init once, outside
+    # the per-query timings.
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn

@@ -86,7 +86,14 @@ def train_and_evaluate(
     03_LinearRegression.R:53-64) → feature pipeline → fit → metrics on
     train and test."""
     data = df.na.drop(subset=[label_col] + categorical + numeric)
+    # Tree training makes many passes; a single-file parquet scan yields
+    # 1-3 partitions, starving the executors. Widen to the cluster's
+    # parallelism first (cost: one shuffle, amortized across all passes).
+    parallelism = data.sparkSession.sparkContext.defaultParallelism
+    if data.rdd.getNumPartitions() < parallelism:
+        data = data.repartition(parallelism)
     train, test = data.randomSplit([train_fraction, 1 - train_fraction], seed=seed)
+    train = train.cache()
     one_hot = kind == "ols"
     fp = build_feature_pipeline(
         categorical, numeric, one_hot=one_hot, scale=(kind == "ols")

@@ -99,7 +99,7 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
-    num_hashes: int = 32,
+    num_hashes: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
 ) -> DataFrame:
