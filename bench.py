@@ -29,6 +29,7 @@ HEADLINE = [
     "events_hourly_rollup",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_banded_minhash",
     "similarity_cosine_topk",
     "text_quality_scores",
     "text_lang_id",

@@ -132,6 +132,84 @@ def minhash_dedup_pairs(
     )
 
 
+def banded_minhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Banded MinHash LSH (b bands × r rows) with exact Jaccard verify.
+
+    Spark's MinHashLSH only OR-amplifies (1 row per band), so at loose
+    thresholds nearly every pair collides and candidate generation
+    degenerates to n². Classic banding fixes the selectivity curve:
+    collision probability = 1-(1-s^r)^b, a sharp S around s≈(1/b)^(1/r).
+
+    Fully deterministic (xxhash64 with derived string salts — no fitted
+    model, no RNG) and built from codegen expressions only:
+      shingles → H=b·r minhash values per doc → per-band bucket key →
+      self-join on (band, bucket) → distinct candidate pairs →
+      exact Jaccard via array_intersect on the shingle sets.
+    Shuffles key on (band, bucket-hash): uniform. The verify join
+    carries shingle arrays only for candidate ids, not the corpus.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(token_shingles(text_col, n)).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+
+    n_hashes = bands * rows_per_band
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                "shingles",
+                lambda x, h=h: F.xxhash64(F.concat(F.lit(f"{seed}:{h}:"), x)),
+            )
+        ).alias(f"mh{h}")
+        for h in range(n_hashes)
+    ]
+    sigs = shingled.select("id", *sig_cols)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*cols).alias("bucket"),
+            )
+        )
+    buckets = sigs.select(
+        "id", F.explode(F.array(*band_rows)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
+    right = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sh = shingled
+    verified = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
 def simhash(col, bits: int = 64):
     """SimHash: sign-sum of per-token xxhash64 bits → 64-bit signature.
 

@@ -92,6 +92,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Banded MinHash (custom b×r LSH; deterministic, no fitted model) — the
+# preferred scale path: sharp S-curve selectivity vs MinHashLSH's
+# OR-only amplification. Rows-only (xxhash64 isn't in DuckDB); exact-
+# Jaccard verification happens inside the operator itself.
+# --------------------------------------------------------------------------
+@query("dedup_banded_minhash", tags=("dedup", "lsh", "banded"))
+def dedup_banded_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.banded_minhash_pairs(
+        docs, bands=8, rows_per_band=4, threshold=0.2
+    ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
 # SimHash signatures — deterministic; cross-checked in pytest against a
 # pure-Python reference implementation (rows-only here).
 # --------------------------------------------------------------------------

@@ -96,3 +96,118 @@ def ml_rf_forecast_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolled.select(
         "p_brand", F.round("forecast", 2).alias("forecast"), "n_obs"
     ).orderBy("p_brand")
+
+
+# --------------------------------------------------------------------------
+# A11/L7 in the hash gate: RMSE/R²/adj-R² of a closed-form one-parameter
+# model (pred = β·l_quantity with β = Σprice/Σqty) — the one regression
+# whose training AND scoring are SQL-expressible, so the driver's DuckDB
+# oracle can check the metric math itself (05_OutcomeAndVisualization.R:49-90).
+# All sums go through exact decimals; quotients/sqrt are deterministic
+# IEEE ops (see plans.relational._dsum).
+# --------------------------------------------------------------------------
+_DS = "CAST(SUM(CAST({x} AS DECIMAL(28,8))) AS DOUBLE)"
+
+
+@query(
+    "ml_metrics_closed_form",
+    oracle=f"""
+WITH beta AS (
+  SELECT {_DS.format(x='l_extendedprice')} / {_DS.format(x='l_quantity')} AS b
+  FROM lineitem
+), s AS (
+  SELECT
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    {_DS.format(x='(l_extendedprice - b * l_quantity) * (l_extendedprice - b * l_quantity)')} AS sse,
+    {_DS.format(x='l_extendedprice * l_extendedprice')} AS syy,
+    {_DS.format(x='l_extendedprice')} AS sy
+  FROM lineitem, beta
+)
+SELECT
+  SQRT(sse / n)                                   AS rmse,
+  1.0 - sse / (syy - sy * sy / n)                 AS r2,
+  1.0 - (sse / (syy - sy * sy / n)) * (n - 1) / (n - 2) AS adj_r2,
+  CAST(n AS BIGINT)                               AS n_obs
+FROM s
+""",
+    tags=("A11", "L7"),
+)
+def ml_metrics_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(28,8)")).cast("double")
+
+    b = li.agg(
+        (dsum(F.col("l_extendedprice")) / dsum(F.col("l_quantity"))).alias("b")
+    ).first()["b"]
+    err = F.col("l_extendedprice") - F.lit(b) * F.col("l_quantity")
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(err * err).alias("sse"),
+        dsum(F.col("l_extendedprice") * F.col("l_extendedprice")).alias("syy"),
+        dsum(F.col("l_extendedprice")).alias("sy"),
+    )
+    sst = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    return s.select(
+        F.sqrt(F.col("sse") / F.col("n")).alias("rmse"),
+        (F.lit(1.0) - F.col("sse") / sst).alias("r2"),
+        (
+            F.lit(1.0)
+            - (F.col("sse") / sst) * (F.col("n") - 1) / (F.col("n") - 2)
+        ).alias("adj_r2"),
+        F.col("n").cast("bigint").alias("n_obs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L3 — OLS inference diagnostics (HC0 robust SEs, Breusch-Pagan, VIF);
+# closed-form two-pass Gramian construction, numpy-verified in pytest.
+# Rows-only here (matrix algebra isn't SQL-expressible).
+# --------------------------------------------------------------------------
+@query("ml_ols_inference_stats", tags=("L3",))
+def ml_ols_inference_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.inference import ols_inference
+
+    li = load_table(spark, sf_dir, "lineitem")
+    res = ols_inference(
+        li, ["l_quantity", "l_discount", "l_tax"], "l_extendedprice"
+    )
+    rows = []
+    for name, coef in sorted(res["coefficients"].items()):
+        rows.append(
+            (
+                name,
+                round(coef, 6),
+                round(res["se_classical"][name], 6),
+                round(res["se_hc0"][name], 6),
+                round(res["vif"].get(name, 1.0), 6),
+            )
+        )
+    extra = [
+        ("__breusch_pagan_stat", round(res["breusch_pagan"]["stat"], 4), 0.0, 0.0, 0.0),
+        ("__r2", round(res["r2"], 6), 0.0, 0.0, 0.0),
+    ]
+    return spark.createDataFrame(
+        rows + extra, ["term", "estimate", "se_classical", "se_hc0", "vif"]
+    ).orderBy("term")
+
+
+# --------------------------------------------------------------------------
+# M1/M2 — seeded sampling / split (rows-only: R and Spark RNGs differ by
+# design, SURVEY.md §5.2.3; determinism within Spark is what's checked).
+# --------------------------------------------------------------------------
+@query("sample_and_split_sizes", tags=("M1", "M2"))
+def sample_and_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    tune = orders.sample(fraction=0.10, seed=123)
+    train, test = orders.randomSplit([0.75, 0.25], seed=123)
+    return spark.createDataFrame(
+        [
+            ("total", orders.count()),
+            ("tune_sample_10pct", tune.count()),
+            ("train_75", train.count()),
+            ("test_25", test.count()),
+        ],
+        ["split", "n_rows"],
+    ).orderBy("split")

@@ -196,3 +196,31 @@ def test_lang_id_marker_vote(spark):
     )
     got = {r["doc_id"]: r["pred_lang"] for r in tx.lang_id(df).collect()}
     assert got == {0: "en", 1: "de", 2: "fr"}
+
+
+def test_banded_minhash_covers_exact_pairs(spark):
+    """Banded b×r LSH candidates must include every pair above the
+    S-curve's high-probability region (here sim≥0.5 with b=8, r=2 →
+    collision prob ≥ 1-(1-0.5²)^8 ≈ 0.9)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (0, base),
+        (1, base + " extra"),
+        (2, base.replace("alpha", "omega")),
+        (3, "completely different words nothing shared here at all ok"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.banded_minhash_pairs(
+            df, bands=8, rows_per_band=2, threshold=0.5
+        ).collect()
+    }
+    assert exact and set(exact) <= set(banded)
+    # verified jaccard inside the operator must equal the exact value
+    for k, v in exact.items():
+        assert banded[k] == pytest.approx(v)
