@@ -71,6 +71,44 @@ def make_regressor(
     raise ValueError(f"unknown regressor kind {kind!r}")
 
 
+def learning_curve(
+    fitted_pipeline,
+    train: DataFrame,
+    test: DataFrame | None = None,
+    *,
+    label_col: str = "label",
+    loss: str = "squared",
+) -> DataFrame:
+    """L9 — per-iteration loss curve (evaluation_log analogue,
+    04_1_XGB_traintest.R:319-326). Works for iterative models (GBT)
+    via ``evaluateEachIteration``; RandomForest has no iteration axis.
+    Returns a long frame (iteration, split, loss) ready for A5 unpivot
+    consumers."""
+    *feature_stages, model = fitted_pipeline.stages
+    if not hasattr(model, "evaluateEachIteration"):
+        raise ValueError(
+            f"{type(model).__name__} has no per-iteration evaluation; "
+            "use kind='gbt'"
+        )
+
+    def featurize(df: DataFrame) -> DataFrame:
+        out = df
+        for st in feature_stages:
+            out = st.transform(out)
+        return out
+
+    spark = train.sparkSession
+    rows = []
+    for split_name, df in (("train", train), ("test", test)):
+        if df is None:
+            continue
+        losses = model.evaluateEachIteration(featurize(df), loss)
+        rows += [
+            (i + 1, split_name, float(l)) for i, l in enumerate(losses)
+        ]
+    return spark.createDataFrame(rows, ["iteration", "split", "loss"])
+
+
 def train_and_evaluate(
     df: DataFrame,
     *,

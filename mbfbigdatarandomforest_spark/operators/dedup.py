@@ -245,3 +245,54 @@ def simhash_signatures(
     """Per-doc SimHash signature (default 16 bits keeps the expression
     tree small; raise for lower collision rates at scale)."""
     return df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: with ``bands`` disjoint bit-bands and
+    max_hamming < bands, any qualifying pair agrees EXACTLY on ≥1 band →
+    join on (band_id, band_bits) finds all of them without n² work, then
+    bit_count(xor) verifies the true distance. All codegen expressions;
+    shuffles key on band values (uniform)."""
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole requires max_hamming < bands")
+    band_width = bits // bands
+    sigs = simhash_signatures(df, text_col, id_col, bits).withColumnRenamed(
+        id_col, "id"
+    )
+    mask = (1 << band_width) - 1
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", b * band_width).bitwiseAND(F.lit(mask)).alias("bits"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        "id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
+    left = buckets.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "band", "bits"
+    )
+    right = buckets.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "band", "bits"
+    )
+    return (
+        left.join(right, ["band", "bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -79,6 +79,37 @@ def cosine_topk(
     )
 
 
+def cosine_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline).
+
+    O(n²) dot products — the correctness oracle for LSH-based dedup at
+    test scale. At 100 TB use ``lsh_topk``/bucketed ANN for candidate
+    generation and this only within buckets. Norms are computed once per
+    row before the join (not per pair)."""
+    normed = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    a = normed.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
+    )
+    b = normed.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b")
+    )
+    pairs = a.join(broadcast(b), F.col("id_a") < F.col("id_b"))
+    sim_col = _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    return (
+        pairs.select("id_a", "id_b", F.round(sim_col, 6).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

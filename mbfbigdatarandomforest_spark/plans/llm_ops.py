@@ -168,6 +168,54 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (exact all-pairs baseline; double math
+# mirrored in the oracle).
+# --------------------------------------------------------------------------
+_PAIR_DOT = (
+    "list_sum(list_transform(list_zip(v_a, v_b), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+_PAIR_NORM_A = "sqrt(list_sum(list_transform(v_a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+_PAIR_NORM_B = "sqrt(list_sum(list_transform(v_b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS v_a, b.embedding AS v_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       ROUND({_PAIR_DOT} / ({_PAIR_NORM_A} * {_PAIR_NORM_B}), 6) AS cosine_sim
+FROM pairs
+WHERE ROUND({_PAIR_DOT} / ({_PAIR_NORM_A} * {_PAIR_NORM_B}), 6) >= 0.4
+ORDER BY id_a, id_b
+""",
+    tags=("dedup", "similarity", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_dup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# SimHash hamming near-dup pairs (pigeonhole banding) — rows-only
+# (xxhash64 signatures aren't DuckDB-expressible); pytest holds the
+# pure-Python oracle.
+# --------------------------------------------------------------------------
+@query("dedup_simhash_pairs", tags=("dedup", "simhash"))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # 32-bit signatures: the synthetic corpus shares a small vocabulary,
+    # so 16 bits saturates (most pairs land within hamming 3)
+    return dd.simhash_pairs(docs, bits=32, bands=8, max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# --------------------------------------------------------------------------
 # Text quality scoring.
 # --------------------------------------------------------------------------
 @query(

@@ -1,0 +1,162 @@
+"""ML-layer tests: model persistence (S5), learning curves (L9),
+CrossValidator tuning (L6), CSV sources (S1/S2), CSV sink (S4).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from mbfbigdatarandomforest_spark.ml.features import build_feature_pipeline
+from mbfbigdatarandomforest_spark.ml.regressors import (
+    learning_curve,
+    make_regressor,
+    train_and_evaluate,
+)
+from mbfbigdatarandomforest_spark.sources.readers import read_csv
+from mbfbigdatarandomforest_spark.sources.sinks import write_csv
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (
+            float(x1 := rng.normal()),
+            float(x2 := rng.normal()),
+            str(rng.choice(["a", "b", "c"])),
+            float(3 * x1 - 2 * x2 + rng.normal() * 0.1),
+        )
+        for _ in range(400)
+    ]
+    return spark.createDataFrame(rows, "x1 double, x2 double, cat string, label double")
+
+
+def test_pipeline_model_save_load_roundtrip(spark, toy, tmp_path):
+    """S5 — the reference persists models across scripts
+    (04_1_XGB_traintest.R:402,409-410); MLWritable round-trip must
+    reproduce predictions exactly."""
+    fp = build_feature_pipeline(["cat"], ["x1", "x2"], one_hot=False)
+    rf = make_regressor("random_forest", numTrees=5, maxDepth=3)
+    model = Pipeline(stages=[fp, rf]).fit(toy)
+    path = str(tmp_path / "rf_model")
+    model.write().overwrite().save(path)
+    reloaded = PipelineModel.load(path)
+    a = model.transform(toy).select("prediction").collect()
+    b = reloaded.transform(toy).select("prediction").collect()
+    assert [r["prediction"] for r in a] == [r["prediction"] for r in b]
+
+
+def test_learning_curve_gbt_decreasing(spark, toy):
+    """L9 — GBT training loss must be (weakly) decreasing; curve has one
+    row per iteration per split."""
+    fp = build_feature_pipeline(["cat"], ["x1", "x2"], one_hot=False)
+    gbt = make_regressor("gbt", maxIter=10, maxDepth=3)
+    train, test = toy.randomSplit([0.8, 0.2], seed=1)
+    model = Pipeline(stages=[fp, gbt]).fit(train)
+    curve = learning_curve(model.stages and model, train, test).collect()
+    tr = sorted(
+        [(r["iteration"], r["loss"]) for r in curve if r["split"] == "train"]
+    )
+    te = [r for r in curve if r["split"] == "test"]
+    assert len(tr) == 10 and len(te) == 10
+    assert tr[-1][1] <= tr[0][1]
+
+
+def test_learning_curve_rejects_rf(spark, toy):
+    fp = build_feature_pipeline(["cat"], ["x1", "x2"], one_hot=False)
+    rf = make_regressor("random_forest", numTrees=3, maxDepth=3)
+    model = Pipeline(stages=[fp, rf]).fit(toy)
+    with pytest.raises(ValueError, match="gbt"):
+        learning_curve(model, toy)
+
+
+def test_crossvalidator_tuning_selects_params(spark, toy):
+    """L6 — CV grid search (04_1_XGB_traintest.R:129-167 analogue):
+    folds×grid run under Spark's parallelism; best model beats a
+    deliberately-bad fixed model."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    fp = build_feature_pipeline(["cat"], ["x1", "x2"], one_hot=False)
+    rf = make_regressor("random_forest")
+    pipe = Pipeline(stages=[fp, rf])
+    grid = (
+        ParamGridBuilder()
+        .addGrid(rf.maxDepth, [1, 6])
+        .addGrid(rf.numTrees, [3, 15])
+        .build()
+    )
+    ev = RegressionEvaluator(labelCol="label", metricName="rmse")
+    cv = CrossValidator(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=ev,
+        numFolds=2,
+        parallelism=4,
+        seed=7,
+    )
+    cvm = cv.fit(toy)
+    best = cvm.bestModel.stages[-1]
+    assert best.getMaxDepth() == 6  # depth-1 stumps can't fit a 2-var linear target
+    assert len(cvm.avgMetrics) == 4 and all(m > 0 for m in cvm.avgMetrics)
+
+
+def test_csv_reader_schema_and_nulls(spark, tmp_path):
+    """S1/S2/P9 — imposed schema, '' → NULL at scan, malformed rows
+    dropped (the reference's 3M-row cap workaround)."""
+    p = tmp_path / "in.csv"
+    p.write_text("a,b,c\n1,x,2.5\n2,,3.5\nnotanint,y,oops\n4,z,\n")
+    schema = StructType(
+        [
+            StructField("a", DoubleType()),
+            StructField("b", StringType()),
+            StructField("c", DoubleType()),
+        ]
+    )
+    df = read_csv(spark, str(p), schema)
+    rows = {r["a"]: (r["b"], r["c"]) for r in df.collect()}
+    assert rows[1.0] == ("x", 2.5)
+    assert rows[2.0] == (None, 3.5)  # '' → NULL
+    assert rows[4.0] == ("z", None)
+    assert "notanint" not in [r["b"] for r in df.collect()]
+
+
+def test_csv_reader_requires_schema(spark, tmp_path):
+    p = tmp_path / "in2.csv"
+    p.write_text("a\n1\n")
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_csv(spark, str(p))
+
+
+def test_csv_sink_roundtrip(spark, tmp_path, toy):
+    """S4 — single-file CSV export for small result tables."""
+    out = str(tmp_path / "out_csv")
+    small = toy.limit(10).select("cat", "label")
+    write_csv(small, out)
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 10
+    assert set(back.columns) == {"cat", "label"}
+
+
+def test_train_and_evaluate_metrics_shape(spark, toy):
+    _, metrics = train_and_evaluate(
+        toy,
+        kind="random_forest",
+        label_col="label",
+        categorical=["cat"],
+        numeric=["x1", "x2"],
+        numTrees=5,
+        maxDepth=4,
+    )
+    assert {"train_rmse", "train_r2", "test_rmse", "test_r2"} <= set(metrics)
+    assert metrics["train_r2"] > 0.5
