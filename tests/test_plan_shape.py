@@ -1,0 +1,62 @@
+"""Scale smoke (SURVEY.md §5.2.5): assert the PHYSICAL PLAN shape, not
+just results — broadcast joins chosen where intended, filters pushed to
+the parquet scan, no cartesian products, partial aggregation present.
+A correct-but-badly-planned query is a regression at 100 TB even when
+row-for-row right at sf0.01.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_DIR_ORACLE
+from mbfbigdatarandomforest_spark.plans.relational import (
+    q1_pricing_summary,
+    q3_top_revenue_orders,
+    q5_nation_revenue,
+)
+from mbfbigdatarandomforest_spark.plans.election_analog import nation_status_ratio
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = _plan(q1_pricing_summary(spark, SF_DIR_ORACLE))
+    assert "PushedFilters" in plan
+    assert "LessThan(l_shipdate" in plan
+    # map-side combine present
+    assert "partial_" in plan
+
+
+def test_q1_column_pruning(spark):
+    plan = _plan(q1_pricing_summary(spark, SF_DIR_ORACLE))
+    scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in scan_schema  # unused columns pruned
+    assert "l_quantity" in scan_schema
+
+
+def test_q3_broadcasts_customer_dimension(spark):
+    plan = _plan(q3_top_revenue_orders(spark, SF_DIR_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # dim filter pushed
+
+
+def test_q5_no_cartesian_and_broadcast_dims(spark):
+    plan = _plan(q5_nation_revenue(spark, SF_DIR_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_flagship_two_shuffles_max(spark):
+    """The vote-ratio skeleton: broadcast dim joins mean the only
+    exchanges are the two aggregation shuffles (votes group + pivot
+    group) plus the final sort — the fact table never shuffles for a
+    join."""
+    plan = _plan(nation_status_ratio(spark, SF_DIR_ORACLE))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -40,3 +40,55 @@ def test_streaming_rollup_equals_batch(spark, tmp_path):
     for k in w:
         assert g[k][0] == w[k][0]
         assert g[k][1] == pytest.approx(w[k][1])
+
+
+def test_stateful_sessionization_matches_batch_twin(spark, tmp_path):
+    """applyInPandasWithState sessionizer vs the window-function batch
+    twin. With a single availableNow batch and processing-time timeouts,
+    the stream emits every session EXCEPT each user's trailing open one
+    (still in state when the drain stops) — assert exactly that."""
+    import shutil
+
+    from mbfbigdatarandomforest_spark.streaming.events import read_event_stream
+    from mbfbigdatarandomforest_spark.streaming.sessions import (
+        batch_sessionize,
+        sessionize,
+    )
+
+    src_dir = tmp_path / "events_sessions"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_DIR_SMALL}/events.parquet", src_dir / "part-0.parquet")
+
+    stream = sessionize(
+        read_event_stream(spark, str(src_dir), max_files_per_trigger=10),
+        gap_seconds=1800,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"], round(r["total_value"], 6))
+        for r in spark.table("t_sessions").collect()
+    }
+
+    batch = batch_sessionize(
+        load_table(spark, SF_DIR_SMALL, "events"), gap_seconds=1800
+    ).collect()
+    # drop each user's chronologically-last session (stays open in state)
+    last_start = {}
+    for r in batch:
+        cur = last_start.get(r["user_id"])
+        if cur is None or r["session_start"] > cur:
+            last_start[r["user_id"]] = r["session_start"]
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"], round(r["total_value"], 6))
+        for r in batch
+        if r["session_start"] != last_start[r["user_id"]]
+    }
+    assert got == want
+    assert len(got) > 0
