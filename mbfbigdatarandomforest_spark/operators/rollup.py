@@ -43,6 +43,41 @@ def threshold_rollup(
     )
 
 
+def salted_rollup(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    min_count: int = 100,
+    avg_alias: str = "forecast",
+    count_alias: str = "n_obs",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant variant of ``threshold_rollup``.
+
+    County cardinality is skewed (a few metro counties hold a large
+    share of listings — SURVEY.md §4.2); when one key exceeds a single
+    task's capacity even after AQE, salt it: stage 1 aggregates on
+    (key, salt) — the hot key spreads over ``salt_buckets`` tasks —
+    stage 2 merges the partials per key. sum/count compose exactly, so
+    the result is identical to the unsalted rollup (property-tested).
+    Cost: a second (tiny) shuffle over #keys × salt rows."""
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=7) * salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(
+        F.sum(value_col).alias("__sum"),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    return (
+        partial.groupBy(*keys)
+        .agg(
+            (F.sum("__sum") / F.sum("__cnt")).alias(avg_alias),
+            F.sum("__cnt").alias(count_alias),
+        )
+        .filter(F.col(count_alias) > min_count)
+    )
+
+
 def decile_bins(
     df: DataFrame, col: str, n: int = 10, tiebreak: list[str] | None = None
 ) -> DataFrame:

@@ -110,6 +110,85 @@ def cosine_dup_pairs(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate kNN: KMeans-partition the corpus, probe
+    only the ``n_probe`` nearest centroids per query.
+
+    The 100 TB path for cosine search: candidate generation touches
+    ~n_probe/n_clusters of the corpus. Centroids are tiny and broadcast
+    with the query set; assignment and scoring are codegen'd array
+    expressions. Returns (query_id, neighbor_id, cosine_sim, rank)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    corp = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="features", predictionCol="cluster")
+    model = km.fit(corp)
+    assigned = model.transform(corp).select("neighbor_id", "c_vec", "cluster")
+
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(centroids, ["cluster", "centroid"])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    # rank centroids per query, keep n_probe nearest (by cosine)
+    qc = q.crossJoin(broadcast(cent_df)).select(
+        "query_id",
+        "q_vec",
+        "cluster",
+        (
+            _dot(F.col("q_vec"), F.col("centroid"))
+            / (_norm(F.col("q_vec")) * _norm(F.col("centroid")))
+        ).alias("c_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("cluster"))
+    probes = (
+        qc.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", "q_vec", "cluster")
+    )
+    scored = (
+        assigned.join(broadcast(probes), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -216,6 +216,20 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF approximate kNN (KMeans partitions, probe nearest clusters) —
+# rows-only (KMeans isn't SQL-expressible); recall vs brute force in
+# pytest.
+# --------------------------------------------------------------------------
+@query("similarity_ivf_topk", tags=("similarity", "ivf"))
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return sim.ivf_topk(emb, queries_df, k=10, n_clusters=16, n_probe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+# --------------------------------------------------------------------------
 # Text quality scoring.
 # --------------------------------------------------------------------------
 @query(

@@ -211,3 +211,20 @@ def sample_and_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         ["split", "n_rows"],
     ).orderBy("split")
+
+
+@query("ml_gbt_metrics", tags=("L5", "L7"))
+def ml_gbt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.regressors import train_and_evaluate
+
+    df = _lineitem_features(spark, sf_dir)
+    _, metrics = train_and_evaluate(
+        df,
+        kind="gbt",
+        label_col="label",
+        categorical=["p_brand", "p_type"],
+        numeric=["l_quantity", "l_discount", "l_tax", "p_retailprice"],
+        maxIter=20,
+        maxDepth=5,
+    )
+    return _metrics_row(spark, "gbt", metrics)

@@ -781,3 +781,62 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Batch sessionization (twin of streaming/sessions.py) — gap-based
+# session windows via lag + cumulative sum; the stateful streaming
+# operator is pytest-checked against exactly this.
+# --------------------------------------------------------------------------
+@query(
+    "events_sessionize_batch",
+    oracle=f"""
+WITH gaps AS (
+  SELECT user_id, ts, value,
+    CASE WHEN EPOCH(ts) - LAG(EPOCH(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+)
+SELECT
+  user_id,
+  STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+  STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+  COUNT(*)                                  AS n_events,
+  {_dsum_sql('value')}                      AS total_value
+FROM sess
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+    tags=("streaming-batch", "W-lag", "A1"),
+)
+def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gaps = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+            > 1800,
+            1,
+        ).otherwise(0),
+    ).withColumn("session_id", F.sum("new_session").over(w))
+    return (
+        gaps.groupBy("user_id", "session_id")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum("value").alias("total_value"),
+        )
+        .drop("session_id")
+        .orderBy("user_id", "session_start")
+    )

@@ -224,3 +224,54 @@ def test_banded_minhash_covers_exact_pairs(spark):
     # verified jaccard inside the operator must equal the exact value
     for k, v in exact.items():
         assert banded[k] == pytest.approx(v)
+
+
+def test_salted_rollup_equals_plain_rollup(spark):
+    """Salting must be semantics-preserving: sum/count compose exactly
+    across salt buckets."""
+    import numpy as np
+    from mbfbigdatarandomforest_spark.operators.rollup import (
+        salted_rollup,
+        threshold_rollup,
+    )
+
+    rng = np.random.default_rng(13)
+    # skewed: key 'hot' holds 80% of rows
+    rows = [("hot" if rng.random() < 0.8 else f"k{int(rng.integers(5))}", float(rng.normal()))
+            for _ in range(2000)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    plain = {
+        r["k"]: (r["forecast"], r["n_obs"])
+        for r in threshold_rollup(df, ["k"], "v", min_count=50).collect()
+    }
+    salted = {
+        r["k"]: (r["forecast"], r["n_obs"])
+        for r in salted_rollup(df, ["k"], "v", min_count=50).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert plain[k][1] == salted[k][1]
+        assert salted[k][0] == pytest.approx(plain[k][0], rel=1e-12)
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    # clustered corpus so IVF partitions meaningfully
+    centers = rng.normal(size=(4, 16)) * 4
+    vecs = []
+    for i in range(120):
+        c = centers[i % 4]
+        vecs.append((i, [float(x) for x in c + rng.normal(size=16)]))
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") < 3)
+    exact = sim.cosine_topk(df, q, k=5).collect()
+    approx = sim.ivf_topk(df, q, k=5, n_clusters=4, n_probe=2).collect()
+    es, aps = {}, {}
+    for r in exact:
+        es.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        aps.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(es[qid] & aps.get(qid, set())) / 5 for qid in es]
+    assert sum(recalls) / len(recalls) >= 0.8  # clustered data: high recall
