@@ -414,9 +414,15 @@ def tree_county_forecast(
         [(kind, k, float(v)) for k, v in sorted(metrics.items())],
         ["model", "metric", "value"],
     )
+    # tree-path eval tables use the reference's xgb header names
+    # (state,county,forecast,actual — models/xgb_pred_*_withState.csv)
     return {
-        "eval_in_sample": _county_eval(train_scored, min_obs),
-        "eval_out_of_sample": _county_eval(test_scored, min_obs),
+        "eval_in_sample": _county_eval(train_scored, min_obs).withColumnRenamed(
+            LABEL, "actual"
+        ),
+        "eval_out_of_sample": _county_eval(test_scored, min_obs).withColumnRenamed(
+            LABEL, "actual"
+        ),
         "forecast": forecast,
         "metrics": metrics_df,
         "feature_importances": _importances(spark, model, categorical, numeric),
@@ -463,6 +469,41 @@ def _importances(spark, model, categorical, numeric) -> DataFrame:
     return spark.createDataFrame(rows, ["feature", "importance"]).orderBy(
         F.desc("importance"), "feature"
     )
+
+
+def export_choropleth_geojson(
+    map_table: DataFrame, county_polygons: DataFrame
+) -> dict:
+    """G2 — the engine's export boundary: join the decile-binned county
+    table (``full_map_table``) to the vendored polygons and emit a
+    GeoJSON FeatureCollection (05_OutcomeAndVisualization.R:116-146's
+    leaflet map without the rendering dependency). Driver-side collect
+    is fine: the county table is ≤ ~3k rows at ANY fact scale."""
+    from ..operators.geo import parse_wkt_polygon
+
+    joined = map_table.join(
+        county_polygons.select("state", "county", "geometry"),
+        on=["state", "county"],
+        how="inner",
+    ).collect()
+    features = []
+    for r in joined:
+        polys = parse_wkt_polygon(r["geometry"])
+        coords = [[ring.tolist() for ring in poly] for poly in polys]
+        features.append(
+            {
+                "type": "Feature",
+                "geometry": {"type": "MultiPolygon", "coordinates": coords},
+                "properties": {
+                    "state": r["state"],
+                    "county": r["county"],
+                    "ratio": r["ratio"],
+                    "decile": r["decile"],
+                    "kind": r["kind"],
+                },
+            }
+        )
+    return {"type": "FeatureCollection", "features": features}
 
 
 def full_map_table(observed: DataFrame, forecast: DataFrame) -> DataFrame:

@@ -840,3 +840,153 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("session_id")
         .orderBy("user_id", "session_start")
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join — for each 'error' event, the user's latest 'click' at or
+# before it (trade/quote pattern). Spark side: union + window scan (one
+# shuffle); oracle: DuckDB's native ASOF LEFT JOIN.
+# --------------------------------------------------------------------------
+@query(
+    "events_asof_join",
+    oracle="""
+SELECT
+  e.event_id,
+  e.user_id,
+  STRFTIME(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+  c.value AS value_asof
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+ORDER BY e.event_id
+""",
+    tags=("J-asof", "extension"),
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(errors, clicks, ["user_id"], ts_col="ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "value_asof",
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Range join — (error, click) event pairs of the same user within a
+# 1-hour tolerance. Spark side: time-bucketed join (each row touches ≤3
+# buckets); oracle: plain theta join (fine at oracle scale).
+# --------------------------------------------------------------------------
+@query(
+    "events_range_join",
+    oracle="""
+SELECT
+  e.event_id  AS event_id,
+  c.event_id  AS event_id_r,
+  e.user_id   AS user_id
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id
+ AND ABS(EPOCH(e.ts) - EPOCH(c.ts)) <= 3600
+ORDER BY event_id, event_id_r
+""",
+    tags=("J-range", "extension"),
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = range_join(errors, clicks, ["user_id"], ts_col="ts", tolerance_seconds=3600)
+    return joined.select(
+        "event_id", F.col("event_id_r"), "user_id"
+    ).orderBy("event_id", "event_id_r")
+
+
+# --------------------------------------------------------------------------
+# Correlated-subquery shape via the SQL surface: parts priced above
+# their brand's average. Demonstrates the engine's Spark-SQL view layer
+# (sources.catalog.register_views); decimal-window math keeps it
+# oracle-exact.
+# --------------------------------------------------------------------------
+@query(
+    "parts_above_brand_avg",
+    oracle="""
+WITH stats AS (
+  SELECT p_partkey, p_brand, p_retailprice,
+    CAST(SUM(CAST(p_retailprice AS DECIMAL(28,8))) OVER (PARTITION BY p_brand) AS DOUBLE)
+      / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
+  FROM part
+)
+SELECT p_partkey, p_brand, p_retailprice, brand_avg
+FROM stats
+WHERE p_retailprice > brand_avg
+ORDER BY p_partkey
+""",
+    tags=("SQL-surface", "subquery"),
+)
+def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH stats AS (
+          SELECT p_partkey, p_brand, p_retailprice,
+            CAST(SUM(CAST(p_retailprice AS DECIMAL(28,8))) OVER (PARTITION BY p_brand) AS DOUBLE)
+              / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
+          FROM part
+        )
+        SELECT p_partkey, p_brand, p_retailprice, brand_avg
+        FROM stats
+        WHERE p_retailprice > brand_avg
+        ORDER BY p_partkey
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets (beyond the reference — multi-level rollup in one pass).
+# --------------------------------------------------------------------------
+@query(
+    "order_status_grouping_sets",
+    oracle=f"""
+SELECT
+  COALESCE(o_orderstatus, 'ALL')   AS status,
+  COALESCE(o_orderpriority, 'ALL') AS priority,
+  COUNT(*)                         AS n_orders,
+  {_dsum_sql('o_totalprice')}      AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY status, priority
+""",
+    tags=("A-groupingsets", "extension"),
+)
+def order_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+          COALESCE(o_orderstatus, 'ALL')   AS status,
+          COALESCE(o_orderpriority, 'ALL') AS priority,
+          COUNT(*)                         AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY status, priority
+        """
+    )

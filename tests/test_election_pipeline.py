@@ -155,3 +155,37 @@ def test_full_map_table(clean):
     assert deciles <= set(range(1, 11))
     kinds = {r["kind"] for r in table}
     assert kinds == {"observed", "forecast"}
+
+
+def test_output_schemas_match_reference_headers(clean):
+    """Golden-schema parity: output tables carry exactly the column
+    headers of the reference's committed models/*.csv files."""
+    ols = el.ols_county_forecast(clean, min_obs=20)
+    assert ols["observed"].columns == ["state", "county", "DemRepRatio"]
+    assert ols["eval_out_of_sample"].columns == [
+        "state", "county", "forecast", "DemRepRatio",
+    ]
+    assert ols["forecast"].columns == ["state", "county", "forecast"]
+    rf = el.tree_county_forecast(
+        clean, kind="random_forest", min_obs=20, numTrees=5, maxDepth=4
+    )
+    assert rf["eval_out_of_sample"].columns == [
+        "state", "county", "forecast", "actual",
+    ]
+    assert rf["forecast"].columns == ["state", "county", "forecast"]
+
+
+def test_choropleth_geojson_export(tables, clean):
+    out = el.ols_county_forecast(clean, min_obs=20)
+    table = el.full_map_table(out["observed"], out["forecast"])
+    gj = el.export_choropleth_geojson(table, tables["polygons"])
+    assert gj["type"] == "FeatureCollection"
+    assert len(gj["features"]) == table.count()
+    f = gj["features"][0]
+    assert f["geometry"]["type"] == "MultiPolygon"
+    assert set(f["properties"]) == {"state", "county", "ratio", "decile", "kind"}
+    # geometry closes its rings
+    ring = f["geometry"]["coordinates"][0][0]
+    assert ring[0] == ring[-1]
+    import json
+    json.dumps(gj)  # serializable

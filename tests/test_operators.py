@@ -275,3 +275,46 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
         aps.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recalls = [len(es[qid] & aps.get(qid, set())) / 5 for qid in es]
     assert sum(recalls) / len(recalls) >= 0.8  # clustered data: high recall
+
+
+def test_asof_join_semantics(spark):
+    """As-of: latest right at-or-before left, equal timestamps visible,
+    no prior right → NULL."""
+    from mbfbigdatarandomforest_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10", "L1"), (1, "2024-01-01 00:00:04", "L0"),
+         (2, "2024-01-01 00:00:01", "L2")],
+        "k long, ts string, lbl string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:05", 5.0), (1, "2024-01-01 00:00:10", 7.0),
+         (1, "2024-01-01 00:00:12", 9.0), (2, "2024-01-01 00:00:30", 1.0)],
+        "k long, ts string, w double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["lbl"]: r["w_asof"]
+        for r in asof_join(left, right, ["k"], ts_col="ts").collect()
+    }
+    assert got == {"L1": 7.0, "L0": None, "L2": None}
+
+
+def test_range_join_bucket_boundaries(spark):
+    """Pairs straddling a bucket boundary must still match (neighbor
+    bucket explode), and pairs outside tolerance must not."""
+    from mbfbigdatarandomforest_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:59", 100)], "k long, ts string, lid long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:01", 200),   # 2s away, next bucket
+         (1, "2024-01-01 00:01:58", 201),   # 59s away, next bucket
+         (1, "2024-01-01 00:02:30", 202)],  # 91s away → excluded
+        "k long, ts string, rid long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["rid_r"]
+        for r in range_join(left, right, ["k"], ts_col="ts", tolerance_seconds=60).collect()
+    }
+    assert got == {200, 201}
