@@ -37,6 +37,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer division (no double round-trip — ns-since-epoch
         # exceeds double's 2^53 mantissa).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp_micros() yields a tz-aware TIMESTAMP rendered in the
+        # session timezone; the caller's session (e.g. the driver
+        # harness) may not be UTC, which would shift every formatted/
+        # truncated ts vs the DuckDB oracle's naive values. Pin it here.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
