@@ -990,3 +990,142 @@ def order_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY status, priority
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Q7-ish — nation-pair trade volume: two independent dimension chains
+# (supplier→nation, customer→nation) hang off the same fact join.
+# --------------------------------------------------------------------------
+@query(
+    "q7_nation_pair_volume",
+    oracle=f"""
+SELECT
+  ns.n_name AS supp_nation,
+  nc.n_name AS cust_nation,
+  {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS volume,
+  COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN supplier sp ON l.l_suppkey = sp.s_suppkey
+JOIN nation ns   ON sp.s_nationkey = ns.n_nationkey
+JOIN nation nc   ON c.c_nationkey = nc.n_nationkey
+WHERE ns.n_name <> nc.n_name
+GROUP BY 1, 2
+ORDER BY supp_nation, cust_nation
+""",
+    tags=("J2", "A1", "q7"),
+)
+def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ns = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(ns), F.col("s_nationkey") == F.col("sn_key"))
+        .join(broadcast(nc), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13-ish — customer order-count distribution INCLUDING zero-order
+# customers (left join, count of non-null keys, second grouping).
+# --------------------------------------------------------------------------
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS n_customers
+FROM per_cust
+GROUP BY c_count
+ORDER BY n_customers DESC, c_count DESC
+""",
+    tags=("J1", "A3", "q13"),
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("c_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18-ish — large orders: HAVING over the fact, then join back for
+# detail rows (the aggregate-filter-rejoin shape).
+# --------------------------------------------------------------------------
+@query(
+    "q18_large_orders",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 250
+)
+SELECT
+  o.o_orderkey,
+  o.o_custkey,
+  STRFTIME(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+  o.o_totalprice,
+  {_dsum_sql('l.l_quantity')} AS total_qty
+FROM big
+JOIN orders o   ON big.l_orderkey = o.o_orderkey
+JOIN lineitem l ON l.l_orderkey = big.l_orderkey
+GROUP BY o.o_orderkey, o.o_custkey, STRFTIME(o.o_orderdate, '%Y-%m-%d'), o.o_totalprice
+ORDER BY o.o_orderkey
+""",
+    tags=("A1", "J1", "q18"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,8)")).alias("__q"))
+        .filter(F.col("__q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(li.select(F.col("l_orderkey").alias("lk"), "l_quantity"),
+              F.col("l_orderkey") == F.col("lk"))
+        .groupBy(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+        )
+        .agg(_dsum("l_quantity").alias("total_qty"))
+        .orderBy("o_orderkey")
+    )

@@ -60,3 +60,39 @@ def test_flagship_two_shuffles_max(spark):
     plan = _plan(nation_status_ratio(spark, SF_DIR_ORACLE))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_elides_shuffle(spark, tmp_path):
+    """Fact⋈fact on the bucket key must plan WITHOUT an Exchange on
+    either side — the whole point of bucketing at 100 TB."""
+    from mbfbigdatarandomforest_spark.sources.bucketing import (
+        colocated_join,
+        write_bucketed,
+    )
+    from mbfbigdatarandomforest_spark.sources.catalog import load_table
+
+    # warehouse.dir is a static conf — tables land in the session's
+    # default warehouse (./spark-warehouse, gitignored) and are dropped
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try:
+        li = load_table(spark, SF_DIR_ORACLE, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        orders = load_table(spark, SF_DIR_ORACLE, "orders").select(
+            "o_orderkey", "o_totalprice"
+        ).withColumnRenamed("o_orderkey", "l_orderkey")
+        write_bucketed(li, "b_lineitem", "l_orderkey", 8)
+        write_bucketed(orders, "b_orders", "l_orderkey", 8)
+        joined = colocated_join(spark, "b_lineitem", "b_orders", "l_orderkey")
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
