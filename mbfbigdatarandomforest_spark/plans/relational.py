@@ -1129,3 +1129,35 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_dsum("l_quantity").alias("total_qty"))
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Approximate sketches (scale path for A6/A10-class questions): HLL++
+# distinct counts and GK quantiles — one pass, mergeable, no global
+# sort. Rows-only: sketch internals are engine-specific by nature.
+# --------------------------------------------------------------------------
+@query("approx_sketches", tags=("A-approx", "extension"))
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+    ).first()
+    exact_orders = li.select("l_orderkey").distinct().count()
+    # sketches must land within their accuracy envelope of the truth
+    return spark.createDataFrame(
+        [
+            (
+                int(row["approx_orders"]),
+                int(exact_orders),
+                abs(row["approx_orders"] - exact_orders) / exact_orders < 0.05,
+                int(row["approx_parts"]),
+                [float(x) for x in row["price_quantiles"]],
+            )
+        ],
+        "approx_orders long, exact_orders long, within_5pct boolean, "
+        "approx_parts long, price_quantiles array<double>",
+    )

@@ -1,0 +1,119 @@
+"""Property-based tests (SURVEY.md §5.2.4) — hypothesis-generated
+inputs against closed-form oracles. §5.2.4 singles out the fused
+threshold aggregation (J5): the reference's positional alignment
+(03_LinearRegression.R:133-145) is exactly where order-dependence would
+corrupt results, so the engine's keyed semantics get the property
+treatment.
+
+Spark jobs are slow per-example → few, fat examples (deadline off).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from mbfbigdatarandomforest_spark.operators.rollup import threshold_rollup
+from mbfbigdatarandomforest_spark.operators.cleaning import (
+    collapse_rare_levels,
+    null_keeping_filter,
+)
+
+ROWS = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+    ),
+    min_size=1,
+    max_size=200,
+)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(rows=ROWS, min_count=st.integers(min_value=0, max_value=20))
+def test_threshold_rollup_matches_python_oracle(spark, rows, min_count):
+    """engine output ≡ 'group once, filter count > N' computed in plain
+    Python, for arbitrary grouped data and thresholds."""
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        r["k"]: (r["forecast"], r["n_obs"])
+        for r in threshold_rollup(df, ["k"], "v", min_count=min_count).collect()
+    }
+    groups: dict[str, list[float]] = defaultdict(list)
+    for k, v in rows:
+        groups[k].append(v)
+    want = {
+        k: (sum(vs) / len(vs), len(vs))
+        for k, vs in groups.items()
+        if len(vs) > min_count
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1]
+        assert got[k][0] == pytest.approx(want[k][0], rel=1e-9, abs=1e-9)
+
+
+NULLABLE_ROWS = st.lists(
+    st.one_of(
+        st.none(),
+        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=100,
+)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(vals=NULLABLE_ROWS, bound=st.floats(min_value=-1e4, max_value=1e4, allow_nan=False))
+def test_null_keeping_filter_property(spark, vals, bound):
+    """P5: result = {v < bound} ∪ {NULL}, exactly."""
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {r["id"] for r in null_keeping_filter(df, F.col("v") < bound, "v").collect()}
+    want = {i for i, v in rows if v is None or v < bound}
+    assert got == want
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    counts=st.dictionaries(
+        st.sampled_from(["u", "v", "w", "x", "y"]),
+        st.integers(min_value=1, max_value=60),
+        min_size=1,
+        max_size=5,
+    ),
+    threshold=st.floats(min_value=0.01, max_value=0.5),
+)
+def test_collapse_rare_levels_property(spark, counts, threshold):
+    """F7: a level collapses iff its share is strictly below threshold;
+    the surviving + collapsed totals preserve row count."""
+    rows = [(lvl,) for lvl, n in counts.items() for _ in range(n)]
+    total = len(rows)
+    df = spark.createDataFrame(rows, "c string")
+    out = [r["c"] for r in collapse_rare_levels(df, ["c"], threshold=threshold).collect()]
+    assert len(out) == total
+    for lvl, n in counts.items():
+        share = n / total
+        if share < threshold:
+            assert lvl not in out
+        else:
+            assert out.count(lvl) == n
+    n_rare = sum(n for lvl, n in counts.items() if n / total < threshold)
+    assert out.count("Other") == n_rare or (
+        # edge: a genuine level literally named 'Other' would merge; our
+        # alphabet excludes it, so counts must match exactly
+        n_rare == out.count("Other")
+    )
