@@ -1,13 +1,14 @@
 """Regression metrics (SURVEY.md §2.4 A11, §2.11 L7).
 
-RMSE and R² via RegressionEvaluator (distributed); adjusted R² is the
-driver-side closed form the reference uses
-(05_OutcomeAndVisualization.R:49-59): 1 - (1-R²)(n-1)/(n-k-1).
+RMSE and R² from one moment aggregation; adjusted R² is the driver-side
+closed form the reference uses (05_OutcomeAndVisualization.R:49-59):
+1 - (1-R²)(n-1)/(n-k-1).
 """
 
 from __future__ import annotations
 
-from pyspark.ml.evaluation import RegressionEvaluator
+import math
+
 from pyspark.sql import DataFrame
 
 
@@ -24,12 +25,27 @@ def regression_metrics(
     prediction_col: str = "prediction",
     n_features: int | None = None,
 ) -> dict[str, float]:
-    ev = RegressionEvaluator(labelCol=label_col, predictionCol=prediction_col)
-    rmse = ev.setMetricName("rmse").evaluate(predictions)
-    r2 = ev.setMetricName("r2").evaluate(predictions)
+    """One distributed aggregation computes every metric. The naive
+    RegressionEvaluator route costs one full scoring pass PER metric
+    (plus a count) — 3+ scans of a frame whose lineage includes model
+    inference; this is a single scan."""
+    from pyspark.sql import functions as F
+
+    y = F.col(label_col)
+    e = y - F.col(prediction_col)
+    row = predictions.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(e * e).alias("sse"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+    ).first()
+    n = row["n"]
+    sse = float(row["sse"] or 0.0)
+    sst = float(row["syy"] - row["sy"] * row["sy"] / n) if n else float("nan")
+    rmse = math.sqrt(sse / n) if n else float("nan")
+    r2 = 1.0 - sse / sst if sst > 0 else float("nan")
     out = {"rmse": rmse, "r2": r2}
     if n_features is not None:
-        n = predictions.count()
         out["adj_r2"] = adjusted_r2(r2, n, n_features)
         out["n"] = float(n)
     return out
