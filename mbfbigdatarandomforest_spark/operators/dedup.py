@@ -23,6 +23,17 @@ from pyspark.sql import functions as F
 from .text import fingerprint
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Shingling/hashing is CPU-heavy per row; a single-file scan gives
+    1-3 partitions, serializing it. Widen to cluster parallelism first
+    (tiny shuffle: documents are small rows; the expensive arrays are
+    built AFTER the repartition)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -63,13 +74,14 @@ def ngram_jaccard_pairs(
     Quadratic only within a shingle bucket — at 100 TB, cap bucket width
     by dropping ultra-common shingles (stopword shingles) first.
     """
-    shingled = df.select(
+    shingled = _widen(df).select(
         F.col(id_col).alias("id"),
         F.array_distinct(token_shingles(text_col, n)).alias("shingles"),
     ).withColumn("n_shingles", F.size("shingles"))
+    # both sides of the self-join read this — avoid re-shingling
     exploded = shingled.select(
         "id", "n_shingles", F.explode("shingles").alias("shingle")
-    )
+    ).cache()
     a = exploded.select(
         F.col("id").alias("id_a"),
         F.col("n_shingles").alias("n_a"),
@@ -111,14 +123,14 @@ def minhash_dedup_pairs(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    shingled = df.select(
+    shingled = _widen(df).select(
         F.col(id_col).alias("id"),
         F.array_distinct(token_shingles(text_col, n)).alias("shingles"),
     ).filter(F.size("shingles") > 0)
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )
-    feats = tf.transform(shingled)
+    feats = tf.transform(shingled).cache()  # fit + both approx-join sides
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=seed)
     model = lsh.fit(feats)
     joined = model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="jaccard_dist")
@@ -157,22 +169,37 @@ def banded_minhash_pairs(
     Shuffles key on (band, bucket-hash): uniform. The verify join
     carries shingle arrays only for candidate ids, not the corpus.
     """
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(token_shingles(text_col, n)).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    # shingling is the expensive narrow stage and feeds the signature
+    # build AND both sides of the verify join — cache it once; hash each
+    # shingle to a long ONCE, then derive the H minhash families from
+    # the long (xxhash64(long, salt) is ~10× cheaper than hashing a
+    # fresh string concat per family)
+    shingled = (
+        _widen(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(token_shingles(text_col, n)).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .withColumn("sh_hashes", F.transform("shingles", lambda x: F.xxhash64(x)))
+        .cache()
+    )
+    # materialize eagerly: the signature build and both verify-join
+    # sides consume this concurrently within one action; without the
+    # eager fill they race and each recomputes the expensive shingling
+    shingled.count()
 
     n_hashes = bands * rows_per_band
-    sig_cols = [
-        F.array_min(
-            F.transform(
-                "shingles",
-                lambda x, h=h: F.xxhash64(F.concat(F.lit(f"{seed}:{h}:"), x)),
-            )
+
+    def _minhash(h: int):
+        # closure binding (a default arg would become transform's index
+        # parameter — Spark maps every lambda positional to a variable)
+        salt = F.lit(seed + h)
+        return F.array_min(
+            F.transform("sh_hashes", lambda v: F.xxhash64(v, salt))
         ).alias(f"mh{h}")
-        for h in range(n_hashes)
-    ]
-    sigs = shingled.select("id", *sig_cols)
+
+    sigs = shingled.select("id", *[_minhash(h) for h in range(n_hashes)])
     band_rows = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
