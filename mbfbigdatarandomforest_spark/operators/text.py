@@ -98,6 +98,62 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -
     return df.withColumn(out_col, best["lang"])
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_df: int = 2,
+    vocab_size: int = 1 << 16,
+) -> DataFrame:
+    """TF-IDF top-k terms per document (SURVEY.md §7 M8: Tokenizer →
+    CountVectorizer → IDF). CountVectorizer (not HashingTF) so indices
+    map back to real terms; vocabulary is ordered by corpus frequency —
+    deterministic given the data. Returns (id, term, tfidf, rank)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import CountVectorizer, IDF, RegexTokenizer
+    from pyspark.sql import Window
+
+    tok = RegexTokenizer(
+        inputCol=text_col, outputCol="__toks", pattern=r"\s+", toLowercase=True
+    )
+    cv = CountVectorizer(
+        inputCol="__toks", outputCol="__tf", vocabSize=vocab_size, minDF=float(min_df)
+    )
+    idf = IDF(inputCol="__tf", outputCol="__tfidf")
+    model = Pipeline(stages=[tok, cv, idf]).fit(df)
+    vocab = model.stages[1].vocabulary
+    spark = df.sparkSession
+    vocab_df = spark.createDataFrame(
+        list(enumerate(vocab)), ["term_idx", "term"]
+    )
+
+    scored = model.transform(df).select(
+        F.col(id_col).alias("id"), F.col("__tfidf")
+    )
+    # sparse vector → (index, value) pairs without Python UDFs: indices
+    # and values surface as arrays via the vector's JSON representation
+    # is awkward — use vector_to_array + posexplode on nonzeros instead
+    from pyspark.ml.functions import vector_to_array
+
+    dense = scored.select(
+        "id", F.posexplode(vector_to_array("__tfidf")).alias("term_idx", "tfidf")
+    ).filter(F.col("tfidf") > 0)
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term_idx"))
+    topk = (
+        dense.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .join(F.broadcast(vocab_df), "term_idx")
+        .select(
+            F.col("id").alias(id_col),
+            "term",
+            "tfidf",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+    return topk
+
+
 def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 over whitespace-normalized, lowercased
     text (deterministic, SQL-replicable)."""

@@ -257,6 +257,17 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# TF-IDF top terms per document (Tokenizer → CountVectorizer → IDF) —
+# rows-only (IDF model internals aren't SQL-expressible); per-doc row
+# counts and term sanity asserted in pytest.
+# --------------------------------------------------------------------------
+@query("text_tfidf_top_terms", tags=("text", "tfidf"))
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.tfidf_top_terms(docs, k=3).orderBy("doc_id", "rank")
+
+
+# --------------------------------------------------------------------------
 # Language ID via marker vocabularies.
 # --------------------------------------------------------------------------
 def _lang_score_sql(lang: str, words: list[str]) -> str:

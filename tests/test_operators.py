@@ -318,3 +318,25 @@ def test_range_join_bucket_boundaries(spark):
         for r in range_join(left, right, ["k"], ts_col="ts", tolerance_seconds=60).collect()
     }
     assert got == {200, 201}
+
+
+def test_tfidf_top_terms(spark):
+    """A term unique to one doc must out-score corpus-wide terms for
+    that doc; every doc yields ≤ k ranked rows."""
+    docs = [
+        (0, "common words everywhere common words unique0 unique0 unique0"),
+        (1, "common words everywhere common words"),
+        (2, "common words everywhere zebra zebra"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = tx.tfidf_top_terms(df, k=2, min_df=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["tfidf"]))
+    assert all(len(v) <= 2 for v in by_doc.values())
+    top0 = sorted(by_doc[0])[0][1]
+    top2 = sorted(by_doc[2])[0][1]
+    assert top0 == "unique0" and top2 == "zebra"
+    # 'common'/'words'/'everywhere' appear in all docs → IDF 0 → never top
+    assert all(t not in {"common", "words", "everywhere"}
+               for v in by_doc.values() for _, t, _ in v)
