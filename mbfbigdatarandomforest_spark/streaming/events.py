@@ -73,6 +73,48 @@ def windowed_rollup(
     )
 
 
+def stream_stream_interval_join(
+    errors: DataFrame,
+    clicks: DataFrame,
+    max_gap_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream join: each error event pairs with the same user's
+    click events from the preceding ``max_gap_seconds`` window.
+
+    Both sides carry watermarks so Spark can bound the join state (rows
+    older than watermark+gap are evicted). NOTE: Spark does NOT reject
+    an unbounded inner stream-stream join — it runs and accumulates
+    state forever (verified experimentally); only outer joins demand
+    watermarks. The watermark + range condition here is therefore the
+    difference between bounded state and an eventual OOM, not a
+    convenience."""
+    e = (
+        errors.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("e_ts"),
+        )
+    )
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    return e.join(
+        c,
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("e_ts"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr(f"INTERVAL {max_gap_seconds} SECONDS")),
+    ).select(
+        F.col("e_user").alias("user_id"), "error_id", "click_id", "e_ts", "c_ts"
+    )
+
+
 def run_available_now(
     spark: SparkSession,
     source_path: str,

@@ -96,3 +96,23 @@ def test_bucketed_join_elides_shuffle(spark, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
+    """Hive-style partitioned parquet + a partition-key filter must show
+    PartitionFilters in the scan (files for other partitions are never
+    opened) — the table-layout half of predicate pushdown."""
+    from mbfbigdatarandomforest_spark.sources.catalog import load_table
+    from mbfbigdatarandomforest_spark.sources.sinks import write_parquet
+
+    ev = load_table(spark, SF_DIR_ORACLE, "events")
+    out = str(tmp_path / "events_by_type")
+    write_parquet(ev, out, partition_by=["event_type"])
+    back = spark.read.parquet(out).filter("event_type = 'click'")
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
+    n_click = back.count()
+    assert n_click == ev.filter("event_type = 'click'").count()

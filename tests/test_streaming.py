@@ -92,3 +92,53 @@ def test_stateful_sessionization_matches_batch_twin(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Two watermarked streams joined on (user, time-range) must emit
+    the same pairs as the equivalent batch theta join."""
+    import shutil
+
+    from mbfbigdatarandomforest_spark.streaming.events import (
+        read_event_stream,
+        stream_stream_interval_join,
+    )
+
+    src = tmp_path / "ss_events"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR_SMALL}/events.parquet", src / "part-0.parquet")
+
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=10)
+    errors = stream.filter(F.col("event_type") == "error")
+    clicks = stream.filter(F.col("event_type") == "click")
+    joined = stream_stream_interval_join(errors, clicks, max_gap_seconds=3600)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["error_id"], r["click_id"])
+        for r in spark.table("t_ssjoin").collect()
+    }
+
+    ev = load_table(spark, SF_DIR_SMALL, "events")
+    e = ev.filter("event_type = 'error'").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("eid"), F.col("ts").alias("ets")
+    )
+    c = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"), F.col("ts").alias("cts")
+    )
+    want = {
+        (r["u"], r["eid"], r["cid"])
+        for r in e.join(
+            c,
+            (F.col("u") == F.col("cu"))
+            & (F.col("cts") <= F.col("ets"))
+            & (F.col("cts") >= F.col("ets") - F.expr("INTERVAL 3600 SECONDS")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
