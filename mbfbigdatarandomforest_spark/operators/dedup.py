@@ -237,13 +237,19 @@ def banded_minhash_pairs(
     return verified
 
 
-def simhash(col, bits: int = 64):
-    """SimHash: sign-sum of per-token xxhash64 bits → 64-bit signature.
+def simhash(col, bits: int = 32):
+    """SimHash: sign-sum of per-token xxhash64 bits → LongType signature.
 
     Built entirely from codegen expressions: explode-free — uses
     higher-order array functions over the token array, so it stays one
     narrow projection per document.
+
+    ``bits`` is capped at 63: the signature is assembled from Python-int
+    ``1 << i`` literals in a signed LongType column, and ``1 << 63``
+    overflows LongType at expression-build time.
     """
+    if not 1 <= bits <= 63:
+        raise ValueError(f"simhash bits must be in [1, 63], got {bits}")
     toks = F.array_distinct(
         F.split(F.trim(F.lower(col if not isinstance(col, str) else F.col(col))), r"\s+")
     )

@@ -54,18 +54,27 @@ def asof_join(
 
     unioned = l_tag.unionByName(r_tag)
     # right rows sort BEFORE left rows at equal ts (side 0 < 1) so an
-    # exactly-simultaneous right row is visible to the left row
+    # exactly-simultaneous right row is visible to the left row.
     w = (
         Window.partitionBy(*on_keys)
         .orderBy(ts_col, "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = unioned
+    # Pack the whole right payload into ONE struct and carry it forward
+    # with a single last(ignorenulls): every payload value then comes
+    # from the SAME (latest) right row. Per-column last() would mix
+    # columns from different right rows whenever the latest right row
+    # holds a NULL in one of them.
+    packed = F.when(
+        F.col("__side") == 0,
+        F.struct(*[F.col(f"{c}{suffix}").alias(c) for c in payload]),
+    )
+    out = unioned.withColumn(
+        "__asof", F.last(packed, ignorenulls=True).over(w)
+    )
     for c in payload:
-        out = out.withColumn(
-            f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w)
-        )
-    return out.filter(F.col("__side") == 1).drop("__side")
+        out = out.withColumn(f"{c}{suffix}", F.col("__asof")[c])
+    return out.filter(F.col("__side") == 1).drop("__side", "__asof")
 
 
 def range_join(
@@ -100,4 +109,8 @@ def range_join(
     exact = (
         F.abs(F.col(ts_col).cast("double") - F.col(ts_r).cast("double")) <= tol
     )
-    return joined.filter(exact).drop("__bucket").distinct()
+    # No distinct needed: the left row lives in exactly one bucket, so a
+    # (left, right) pair can match in at most one bucket. A trailing
+    # distinct would also silently collapse legitimate duplicate input
+    # rows into one output pair.
+    return joined.filter(exact).drop("__bucket")

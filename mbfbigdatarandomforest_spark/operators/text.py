@@ -69,11 +69,22 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def marker_pattern(words: list[str]) -> str:
+    """Regex for any marker word. Space-delimited (ASCII) vocabularies
+    get ``\\b`` anchors so 'the' does not match inside 'other'; CJK
+    markers stay boundary-free (regex \\b is ASCII-word based, so it
+    would never match between two CJK characters)."""
+    alternation = "(" + "|".join(words) + ")"
+    if all(w.isascii() for w in words):
+        return r"\b" + alternation + r"\b"
+    return alternation
+
+
 def marker_count(col: Column | str, words: list[str]) -> Column:
-    """Occurrences of any marker word (word-boundary matched)."""
+    """Occurrences of any marker word (word-boundary matched for ASCII
+    vocabularies)."""
     c = F.col(col) if isinstance(col, str) else col
-    pattern = "(" + "|".join(words) + ")"
-    return F.size(F.regexp_extract_all(F.lower(c), F.lit(pattern), 0))
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(marker_pattern(words)), 0))
 
 
 def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:

@@ -271,7 +271,9 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Language ID via marker vocabularies.
 # --------------------------------------------------------------------------
 def _lang_score_sql(lang: str, words: list[str]) -> str:
-    pattern = "(" + "|".join(words) + ")"
+    # mirrors operators.text.marker_pattern: \b anchors for ASCII
+    # vocabularies so markers only match whole words
+    pattern = tx.marker_pattern(words)
     return (
         f"SELECT doc_id, '{lang}' AS lang, "
         f"len(regexp_extract_all(lower(text), '{pattern}')) AS score FROM documents"

@@ -1147,7 +1147,10 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).first()
     exact_orders = li.select("l_orderkey").distinct().count()
-    # sketches must land within their accuracy envelope of the truth
+    # sketches must land within their accuracy envelope of the truth.
+    # Quantiles are flattened to scalar columns (not array<double>) so
+    # every output cell is hashable/sortable by the driver canonicalizer.
+    q50, q90, q99 = (float(x) for x in row["price_quantiles"])
     return spark.createDataFrame(
         [
             (
@@ -1155,9 +1158,12 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
                 int(exact_orders),
                 abs(row["approx_orders"] - exact_orders) / exact_orders < 0.05,
                 int(row["approx_parts"]),
-                [float(x) for x in row["price_quantiles"]],
+                q50,
+                q90,
+                q99,
             )
         ],
         "approx_orders long, exact_orders long, within_5pct boolean, "
-        "approx_parts long, price_quantiles array<double>",
+        "approx_parts long, price_p50 double, price_p90 double, "
+        "price_p99 double",
     )

@@ -299,6 +299,26 @@ def test_asof_join_semantics(spark):
     assert got == {"L1": 7.0, "L0": None, "L2": None}
 
 
+def test_asof_join_payload_rows_stay_together(spark):
+    """All payload columns must come from the SAME latest right row —
+    a NULL in the latest row must surface as NULL, not be backfilled
+    from an older right row's non-null value."""
+    from mbfbigdatarandomforest_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10", "L")], "k long, ts string, lbl string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # older right row: (a=1.0, b=2.0); latest right row: (a=3.0, b=NULL)
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:01", 1.0, 2.0),
+         (1, "2024-01-01 00:00:05", 3.0, None)],
+        "k long, ts string, a double, b double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row = asof_join(left, right, ["k"], ts_col="ts").collect()[0]
+    assert row["a_asof"] == 3.0
+    assert row["b_asof"] is None  # NOT 2.0 from the older row
+
+
 def test_range_join_bucket_boundaries(spark):
     """Pairs straddling a bucket boundary must still match (neighbor
     bucket explode), and pairs outside tolerance must not."""
