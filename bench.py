@@ -28,11 +28,11 @@ HEADLINE = [
     "customer_order_rollup",
     "events_hourly_rollup",
     "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_banded_minhash",
+    "dedup_minhash_pairs",      # both LSH scale paths, exact-verified
+    "dedup_embedding_ann",      # IVF candidates + exact cosine verify
     "similarity_cosine_topk",
-    "text_quality_scores",
-    "text_lang_id",
+    "text_enrich_per_doc",      # quality+lang-id+fingerprint, one scan
+    "ml_ols_metrics",           # tracked rival of the reference's 1.9s GPU OLS
     "ml_random_forest_metrics",
 ]
 

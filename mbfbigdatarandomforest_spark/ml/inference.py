@@ -173,6 +173,21 @@ def ols_inference(
 
     z_cl = beta / se_classical
     z_hc0 = beta / se_hc0
+
+    # L3 tail — part (semi-partial) and partial correlations per
+    # predictor (03_LinearRegression.R:116). Closed-form from the
+    # classical t statistics: with df = n - k,
+    #   partial r   = t / sqrt(t² + df)
+    #   part r      = t · sqrt(1 - R²) / sqrt(df)
+    # — no additional distributed pass needed.
+    df_resid = n - k
+    part_corr, partial_corr = {}, {}
+    if df_resid > 0:
+        for j, c in enumerate(feature_cols, start=1):
+            t = float(z_cl[j])
+            partial_corr[c] = t / math.sqrt(t * t + df_resid)
+            part_corr[c] = t * math.sqrt(max(1.0 - r2, 0.0)) / math.sqrt(df_resid)
+
     return {
         "n": int(n),
         "coefficients": dict(zip(names, map(float, beta))),
@@ -188,4 +203,6 @@ def ols_inference(
         "breusch_pagan": {"stat": float(bp_stat), "df": bp_df, "p_value": float(bp_p)},
         "vif": vif,
         "tolerance": {c: 1.0 / v for c, v in vif.items()},
+        "part_corr": part_corr,
+        "partial_corr": partial_corr,
     }

@@ -109,6 +109,80 @@ def learning_curve(
     return spark.createDataFrame(rows, ["iteration", "split", "loss"])
 
 
+def train_gbt_with_early_stopping(
+    df: DataFrame,
+    *,
+    label_col: str,
+    categorical: list[str],
+    numeric: list[str],
+    max_iter: int = 40,
+    patience: int = 5,
+    seed: int = 123,
+    **params,
+) -> tuple["Pipeline", dict[str, float], dict[str, int]]:
+    """GBT with early stopping — the engine's analogue of the
+    reference's ``xgb.train(..., early_stopping_rounds=50, watchlist)``
+    (04_1_XGB_traintest.R:282-289). MLlib GBT has no warm start, so the
+    xgboost semantics are reproduced in two fits:
+
+    1. train to ``max_iter`` on the train split;
+    2. ONE ``evaluateEachIteration`` pass scores every iteration on a
+       held-out validation split (the watchlist);
+    3. ``best_iter`` = argmin validation RMSE; ``stopped_iter`` = the
+       round training would have stopped (best_iter + patience, capped)
+       — parity with ``early_stopping_rounds``;
+    4. refit at ``maxIter=best_iter`` (same final model as xgboost's
+       best_ntree_limit truncation).
+
+    Returns (fitted_pipeline, metrics, stop_info) where stop_info has
+    best_iter / stopped_iter / max_iter.
+    """
+    data = df.na.drop(subset=[label_col] + categorical + numeric)
+    parallelism = data.sparkSession.sparkContext.defaultParallelism
+    if data.rdd.getNumPartitions() < parallelism:
+        data = data.repartition(parallelism)
+    train, val, test = data.randomSplit([0.6, 0.2, 0.2], seed=seed)
+    train = train.cache()
+    fp = build_feature_pipeline(categorical, numeric, one_hot=False)
+    probe = Pipeline(
+        stages=[
+            fp,
+            make_regressor(
+                "gbt", label_col=label_col, seed=seed, maxIter=max_iter, **params
+            ),
+        ]
+    ).fit(train)
+    *feature_stages, gbt_full = probe.stages
+    val_feat = val
+    for st in feature_stages:
+        val_feat = st.transform(val_feat)
+    losses = [float(l) for l in gbt_full.evaluateEachIteration(val_feat, "squared")]
+    best_iter = min(range(len(losses)), key=losses.__getitem__) + 1
+    stopped_iter = min(best_iter + patience, max_iter)
+
+    final = Pipeline(
+        stages=[
+            fp,
+            make_regressor(
+                "gbt", label_col=label_col, seed=seed, maxIter=best_iter, **params
+            ),
+        ]
+    ).fit(train)
+    n_features = len(numeric) + len(categorical)
+    metrics = {}
+    for split_name, split_df in (("train", train), ("test", test)):
+        preds = final.transform(split_df)
+        for k, v in regression_metrics(
+            preds, label_col=label_col, n_features=n_features
+        ).items():
+            metrics[f"{split_name}_{k}"] = v
+    return final, metrics, {
+        "best_iter": best_iter,
+        "stopped_iter": stopped_iter,
+        "max_iter": max_iter,
+    }
+
+
 def train_and_evaluate(
     df: DataFrame,
     *,

@@ -61,23 +61,46 @@ def collapse_rare_levels(
     (02_DataCleaning.R:243-261, addFactorOther).
 
     Scale design: level cardinality is small even at 100 TB (car makes,
-    body types, ...), so the frequency table per column is a cheap
-    partially-aggregated groupBy; the rare-level list is collected
-    (O(#levels)) and applied as a literal ``isin`` predicate — no second
-    shuffle, no broadcast join, stays in whole-stage codegen. NULLs are
-    left NULL (they are not a level)."""
+    body types, ...), so level frequencies are a cheap partially-
+    aggregated groupBy; the rare-level lists are collected (O(#levels))
+    and applied as literal ``isin`` predicates — no second shuffle, no
+    broadcast join, stays in whole-stage codegen. NULLs are left NULL
+    (they are not a level).
+
+    ALL columns are profiled in ONE job: the frame is melted to
+    (column, level) pairs and grouped once, and the row total rides
+    along as a grouping-free aggregate via the same scan (grouping
+    sets), instead of 1 + #cols separate jobs."""
+    # grouping sets: one grouped row-set per target column plus the
+    # global () group for the total — a single scan, one shuffle
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"), F.col(c).cast("string").alias("level")
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("cl")
+    ).select("cl.col", "cl.level")
+    counts = melted.groupBy("col", "level").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()
+    # every input row contributes exactly one melted row per column
+    total = sum(r["n"] for r in counts) // len(cols) if counts else 0
+    rare_by_col: dict[str, list] = {c: [] for c in cols}
+    for r in counts:
+        if r["level"] is not None and total and r["n"] / total < threshold:
+            rare_by_col[r["col"]].append(r["level"])
     out = df
-    total = df.count()
-    for c in cols:
-        counts = df.groupBy(c).count().collect()
-        rare = [
-            r[c]
-            for r in counts
-            if r[c] is not None and r["count"] / total < threshold
-        ]
+    for c, rare in rare_by_col.items():
         if rare:
             out = out.withColumn(
                 c,
-                F.when(F.col(c).isin(rare), F.lit(other_label)).otherwise(F.col(c)),
+                F.when(
+                    F.col(c).cast("string").isin(rare), F.lit(other_label)
+                ).otherwise(F.col(c)),
             )
     return out

@@ -106,6 +106,48 @@ def ngram_jaccard_pairs(
     return pairs.select("id_a", "id_b", "jaccard")
 
 
+def _shingle_frame(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, shingles) with distinct token n-grams; widened first so the
+    CPU-heavy shingling parallelizes."""
+    return (
+        _widen(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(token_shingles(text_col, n)).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+    )
+
+
+def exact_jaccard_verify(
+    cand: DataFrame, shingled: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on candidate (id_a, id_b) pairs: join the shingle
+    sets back (only for candidate ids, not the corpus) and keep pairs
+    at or above ``threshold``. |A∩B| / |A∪B| over exact integer sizes —
+    bit-identical to the shared/(|A|+|B|-shared) formulation."""
+    sh = shingled
+    return (
+        cand.join(
+            sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -123,10 +165,7 @@ def minhash_dedup_pairs(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    shingled = _widen(df).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(token_shingles(text_col, n)).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    shingled = _shingle_frame(df, text_col, id_col, n)
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )
@@ -142,6 +181,47 @@ def minhash_dedup_pairs(
             F.round("jaccard_dist", 6).alias("jaccard_dist"),
         )
     )
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MLlib MinHashLSH candidate generation + exact-Jaccard verify —
+    the production shape (candidates approximate, emitted pairs exact).
+    HashingTF bucket collisions can perturb the LSH-internal distance,
+    so the verify recomputes Jaccard on the TRUE shingle sets; output
+    values are identical to ``ngram_jaccard_pairs`` on any pair both
+    plans surface. Returns (id_a, id_b, jaccard)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shingled = _shingle_frame(df, text_col, id_col, n).cache()
+    shingled.count()  # eager: candidate gen + both verify sides fan out
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=seed
+    )
+    model = lsh.fit(feats)
+    # slack on the LSH-internal distance cut (hashed-set jaccard ≠ true
+    # jaccard under bucket collisions); the exact verify re-tightens
+    slack = min(1.0, 1.0 - threshold + 0.05)
+    joined = model.approxSimilarityJoin(feats, feats, slack, distCol="__d")
+    cand = (
+        joined.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+        )
+    )
+    return exact_jaccard_verify(cand, shingled, threshold)
 
 
 def banded_minhash_pairs(
@@ -222,19 +302,7 @@ def banded_minhash_pairs(
         .distinct()
     )
 
-    sh = shingled
-    verified = (
-        cand.join(sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    return verified
+    return exact_jaccard_verify(cand, shingled, threshold)
 
 
 def simhash(col, bits: int = 32):

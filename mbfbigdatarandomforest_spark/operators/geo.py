@@ -78,6 +78,21 @@ def _ring_contains(ring: np.ndarray, x: float, y: float) -> bool:
     return bool(np.count_nonzero(crossings) & 1)
 
 
+def _ring_contains_many(ring: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Even-odd ray casting for MANY points against one ring: a
+    (points × edges) boolean matrix per ring, vectorized in numpy.
+    Candidate sets per polygon are small (bbox-pruned), so the matrix
+    stays tiny even for detailed rings."""
+    x1, y1 = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    yc = y[:, None]
+    straddles = (y1[None, :] > yc) != (y2[None, :] > yc)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xs = x1[None, :] + (yc - y1[None, :]) * (x2 - x1)[None, :] / (y2 - y1)[None, :]
+    crossings = straddles & (x[:, None] < xs)
+    return (np.count_nonzero(crossings, axis=1) & 1).astype(bool)
+
+
 class PolygonIndex:
     """Broadcastable bbox-pruned polygon lookup."""
 
@@ -105,6 +120,45 @@ class PolygonIndex:
                     if not any(_ring_contains(h, x, y) for h in rings[1:]):
                         return self.attrs[i]
         return None
+
+    def locate_many(self, xs: np.ndarray, ys: np.ndarray) -> list[dict | None]:
+        """Batch lookup: ONE (points × polygons) bbox comparison for the
+        whole Arrow batch, then ray-casting vectorized over each
+        polygon's candidate points (loop length = polygons with ≥1
+        candidate, not points). Semantics identical to ``locate`` row by
+        row, including first-candidate-wins on boundary ties."""
+        m = len(xs)
+        out: list[dict | None] = [None] * m
+        valid = ~(np.isnan(xs) | np.isnan(ys))
+        if not valid.any():
+            return out
+        b = self.boxes
+        # (points × polygons) candidate matrix in one shot
+        cand = (
+            (b[None, :, 0] <= xs[:, None])
+            & (xs[:, None] <= b[None, :, 2])
+            & (b[None, :, 1] <= ys[:, None])
+            & (ys[:, None] <= b[None, :, 3])
+            & valid[:, None]
+        )
+        assigned = np.zeros(m, dtype=bool)
+        # polygon-major: lower polygon index wins, matching locate()'s
+        # iteration over candidates in index order
+        for poly_i in np.nonzero(cand.any(axis=0))[0]:
+            pts = np.nonzero(cand[:, poly_i] & ~assigned)[0]
+            if pts.size == 0:
+                continue
+            px, py = xs[pts], ys[pts]
+            hit = np.zeros(pts.size, dtype=bool)
+            for rings in self.polys[poly_i]:
+                inside = _ring_contains_many(rings[0], px, py)
+                for hole in rings[1:]:
+                    inside &= ~_ring_contains_many(hole, px, py)
+                hit |= inside
+            for j in pts[hit]:
+                out[j] = self.attrs[poly_i]
+            assigned[pts[hit]] = True
+        return out
 
 
 def build_polygon_index(
@@ -144,13 +198,10 @@ def point_in_polygon_join(
     def enrich(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = bc.value
         for pdf in batches:
-            attrs: list[dict | None] = [
-                idx.locate(x, y)
-                for x, y in zip(
-                    pdf[lon_col].astype(float).fillna(np.nan),
-                    pdf[lat_col].astype(float).fillna(np.nan),
-                )
-            ]
+            attrs = idx.locate_many(
+                pdf[lon_col].astype(float).to_numpy(na_value=np.nan),
+                pdf[lat_col].astype(float).to_numpy(na_value=np.nan),
+            )
             for c in attr_cols:
                 pdf[c] = [a[c] if a is not None else None for a in attrs]
             yield pdf

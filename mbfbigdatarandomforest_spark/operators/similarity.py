@@ -110,6 +110,80 @@ def cosine_dup_pairs(
     )
 
 
+def ann_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via IVF candidates + exact
+    verify — the 100 TB path (the all-pairs ``cosine_dup_pairs`` is the
+    test-scale oracle only).
+
+    Each vector is multi-probe assigned to its ``n_probe`` nearest
+    KMeans centroids; candidate pairs co-occur in ≥1 probe cell, so the
+    quadratic term is bounded per cell (≈(n·p/k)² per cluster), not n².
+    Candidates then get the exact cosine test, making emitted pairs
+    exact; only recall is approximate (pairs whose members share no
+    probe cell are missed — raise ``n_probe`` to trade cost for
+    recall). Centroids are tiny and broadcast. Output matches
+    ``cosine_dup_pairs``: (id_a, id_b, cosine_sim ≥ threshold)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corp = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="features", predictionCol="__c")
+    model = km.fit(corp)
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = corpus.sparkSession.createDataFrame(centroids, ["cluster", "centroid"])
+
+    normed = corp.select("id", "v", _norm(F.col("v")).alias("nrm"))
+    probed = (
+        normed.crossJoin(broadcast(cent_df))
+        .select(
+            "id",
+            "v",
+            "nrm",
+            "cluster",
+            (_dot(F.col("v"), F.col("centroid")) / (F.col("nrm") * _norm(F.col("centroid")))).alias("__sim"),
+        )
+    )
+    wp = Window.partitionBy("id").orderBy(F.desc("__sim"), F.asc("cluster"))
+    cells = (
+        probed.withColumn("__r", F.row_number().over(wp))
+        .filter(F.col("__r") <= n_probe)
+        .select("id", "v", "nrm", "cluster")
+    )
+    a = cells.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+        F.col("nrm").alias("n_a"), "cluster",
+    )
+    b = cells.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+        F.col("nrm").alias("n_b"), "cluster",
+    )
+    sim_col = _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # a pair can share several probe cells — dedupe on ids before
+        # the (possibly expensive) exact dot product
+        .select("id_a", "id_b", "v_a", "v_b", "n_a", "n_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", F.round(sim_col, 6).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

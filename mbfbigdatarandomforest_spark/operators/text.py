@@ -150,15 +150,19 @@ def tfidf_top_terms(
     dense = scored.select(
         "id", F.posexplode(vector_to_array("__tfidf")).alias("term_idx", "tfidf")
     ).filter(F.col("tfidf") > 0)
-    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term_idx"))
+    # tie-break on the term STRING (not the vocabulary index): vocab
+    # order is a corpus-frequency artifact of CountVectorizer, while
+    # the term itself is engine-independent — this keeps the ranking
+    # reproducible by any SQL engine computing the same tf·idf
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
     topk = (
-        dense.withColumn("rank", F.row_number().over(w))
+        dense.join(F.broadcast(vocab_df), "term_idx")
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .join(F.broadcast(vocab_df), "term_idx")
         .select(
             F.col("id").alias(id_col),
             "term",
-            "tfidf",
+            F.round("tfidf", 6).alias("tfidf"),
             F.col("rank").cast("long").alias("rank"),
         )
     )

@@ -83,36 +83,59 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# MinHash LSH near-dup (scale path) — seeded, rows-only check.
+# MinHash LSH near-dup, BOTH scale paths in one query: MLlib MinHashLSH
+# candidates and the custom banded b×r LSH (sharp S-curve selectivity
+# vs MinHashLSH's OR-only amplification), each with exact-Jaccard
+# verify on the true shingle sets. Because emitted pairs are exactly
+# verified, the DuckDB oracle is the exact n-gram-Jaccard pair set
+# (cross-joined per method) — LSH candidate generation must reach
+# recall 1.0 on this corpus for the hash to stay green, which pytest
+# asserts at both test scales.
 # --------------------------------------------------------------------------
-@query("dedup_minhash_lsh", tags=("dedup", "lsh"))
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query(
+    "dedup_minhash_pairs",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len({_TOKS}) - 1),
+           i -> array_to_string(({_TOKS})[i:i+2], ' ')
+         )) AS shingles
+  FROM documents
+), sized AS (
+  SELECT doc_id, shingles, len(shingles) AS n_sh FROM docs
+), inv AS (
+  SELECT doc_id, n_sh, UNNEST(shingles) AS shingle FROM sized
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         COUNT(*) AS shared
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), kept AS (
+  SELECT id_a, id_b,
+         shared * 1.0 / (n_a + n_b - shared) AS jaccard
+  FROM pairs
+  WHERE shared * 1.0 / (n_a + n_b - shared) >= 0.2
+)
+SELECT m.method, k.id_a, k.id_b, k.jaccard
+FROM kept k CROSS JOIN (VALUES ('banded'), ('mllib_lsh')) m(method)
+ORDER BY m.method, k.id_a, k.id_b
+""",
+    tags=("dedup", "lsh", "banded"),
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dd.minhash_dedup_pairs(docs, threshold=0.2).orderBy("id_a", "id_b")
-
-
-# --------------------------------------------------------------------------
-# Banded MinHash (custom b×r LSH; deterministic, no fitted model) — the
-# preferred scale path: sharp S-curve selectivity vs MinHashLSH's
-# OR-only amplification. Rows-only (xxhash64 isn't in DuckDB); exact-
-# Jaccard verification happens inside the operator itself.
-# --------------------------------------------------------------------------
-@query("dedup_banded_minhash", tags=("dedup", "lsh", "banded"))
-def dedup_banded_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dd.banded_minhash_pairs(
+    banded = dd.banded_minhash_pairs(
         docs, bands=8, rows_per_band=4, threshold=0.2
-    ).orderBy("id_a", "id_b")
-
-
-# --------------------------------------------------------------------------
-# SimHash signatures — deterministic; cross-checked in pytest against a
-# pure-Python reference implementation (rows-only here).
-# --------------------------------------------------------------------------
-@query("dedup_simhash_signatures", tags=("dedup", "simhash"))
-def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dd.simhash_signatures(docs).orderBy("doc_id")
+    ).withColumn("method", F.lit("banded"))
+    mllib = dd.minhash_verified_pairs(docs, threshold=0.2).withColumn(
+        "method", F.lit("mllib_lsh")
+    )
+    return (
+        banded.unionByName(mllib)
+        .select("method", "id_a", "id_b", "jaccard")
+        .orderBy("method", "id_a", "id_b")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -179,8 +202,15 @@ _PAIR_NORM_A = "sqrt(list_sum(list_transform(v_a, x -> CAST(x AS DOUBLE) * CAST(
 _PAIR_NORM_B = "sqrt(list_sum(list_transform(v_b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
 
+# The REGISTERED embedding-dedup entry is the scale path: IVF
+# multi-probe candidates + exact cosine verify (operators.similarity.
+# ann_dup_pairs). The all-pairs ``cosine_dup_pairs`` is the pytest
+# oracle only — an O(n²) cross join must never be the production-named
+# query. The DuckDB oracle below IS the brute force (fine at oracle
+# scale); the hash staying green means ANN recall is 1.0 on this
+# corpus, which pytest asserts independently at both test scales.
 @query(
-    "dedup_embedding_cosine",
+    "dedup_embedding_ann",
     oracle=f"""
 WITH pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -193,11 +223,13 @@ FROM pairs
 WHERE ROUND({_PAIR_DOT} / ({_PAIR_NORM_A} * {_PAIR_NORM_B}), 6) >= 0.4
 ORDER BY id_a, id_b
 """,
-    tags=("dedup", "similarity", "embedding"),
+    tags=("dedup", "similarity", "embedding", "ann"),
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.cosine_dup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+    return sim.ann_dup_pairs(
+        emb, threshold=0.4, n_clusters=16, n_probe=6
+    ).orderBy("id_a", "id_b")
 
 
 # --------------------------------------------------------------------------
@@ -230,45 +262,11 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Text quality scoring.
-# --------------------------------------------------------------------------
-@query(
-    "text_quality_scores",
-    oracle=f"""
-SELECT
-  doc_id,
-  LENGTH(text) AS n_chars_q,
-  CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-       ELSE len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
-  END AS n_tokens,
-  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_tokens_bpe,
-  (LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')))
-        * 1.0 / GREATEST(LENGTH(text), 1) AS punct_ratio,
-  len(list_filter({_TOKS}, t -> t IN ('the', 'and', 'with', 'from')))
-        * 1.0 / GREATEST(len({_TOKS}), 1) AS stopword_ratio
-FROM documents
-ORDER BY doc_id
-""",
-    tags=("text", "quality"),
-)
-def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return tx.quality_score(docs).drop("text").orderBy("doc_id")
-
-
-# --------------------------------------------------------------------------
-# TF-IDF top terms per document (Tokenizer → CountVectorizer → IDF) —
-# rows-only (IDF model internals aren't SQL-expressible); per-doc row
-# counts and term sanity asserted in pytest.
-# --------------------------------------------------------------------------
-@query("text_tfidf_top_terms", tags=("text", "tfidf"))
-def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return tx.tfidf_top_terms(docs, k=3).orderBy("doc_id", "rank")
-
-
-# --------------------------------------------------------------------------
-# Language ID via marker vocabularies.
+# Per-document text enrichment — quality scoring, language ID and
+# fingerprinting FUSED into one scan. At 100 TB you never run three
+# passes over the corpus for three per-doc features: every expression
+# here is a codegen'd projection, so the fused query reads each
+# document exactly once and computes all of them in the same stage.
 # --------------------------------------------------------------------------
 def _lang_score_sql(lang: str, words: list[str]) -> str:
     # mirrors operators.text.marker_pattern: \b anchors for ASCII
@@ -286,7 +284,7 @@ _LANG_UNION = "\nUNION ALL\n".join(
 
 
 @query(
-    "text_lang_id",
+    "text_enrich_per_doc",
     oracle=f"""
 WITH scores AS (
 {_LANG_UNION}
@@ -294,38 +292,90 @@ WITH scores AS (
   SELECT doc_id, lang,
          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
   FROM scores
+), best AS (
+  SELECT doc_id, lang AS pred_lang FROM ranked WHERE rn = 1
 )
-SELECT d.doc_id, r.lang AS pred_lang, d.lang AS true_lang
-FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
-WHERE r.rn = 1
+SELECT
+  d.doc_id,
+  LENGTH(d.text) AS n_chars_q,
+  CASE WHEN LENGTH(TRIM(d.text)) = 0 THEN 0
+       ELSE len(string_split(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'), ' '))
+  END AS n_tokens,
+  len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_tokens_bpe,
+  (LENGTH(d.text) - LENGTH(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))
+        * 1.0 / GREATEST(LENGTH(d.text), 1) AS punct_ratio,
+  len(list_filter(string_split(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'), ' '),
+                  t -> t IN ('the', 'and', 'with', 'from')))
+        * 1.0 / GREATEST(len(string_split(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'), ' ')), 1)
+        AS stopword_ratio,
+  b.pred_lang,
+  d.lang AS true_lang,
+  md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp
+FROM documents d JOIN best b ON b.doc_id = d.doc_id
 ORDER BY d.doc_id
 """,
-    tags=("text", "lang-id"),
+    tags=("text", "quality", "lang-id", "fingerprint"),
 )
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def text_enrich_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    enriched = tx.quality_score(docs)
+    enriched = tx.lang_id(enriched)
     return (
-        tx.lang_id(docs)
-        .select("doc_id", "pred_lang", F.col("lang").alias("true_lang"))
+        enriched.select(
+            "doc_id",
+            "n_chars_q",
+            "n_tokens",
+            "n_tokens_bpe",
+            "punct_ratio",
+            "stopword_ratio",
+            "pred_lang",
+            F.col("lang").alias("true_lang"),
+            tx.fingerprint("text").alias("fp"),
+        )
         .orderBy("doc_id")
     )
 
 
 # --------------------------------------------------------------------------
-# Document fingerprints.
+# TF-IDF top terms per document (Tokenizer → CountVectorizer → IDF).
+# MLlib's tf·idf IS SQL-expressible: tf = per-doc term count, idf =
+# ln((m+1)/(df+1)), vocabulary = terms with df ≥ minDF (the 65536
+# vocabSize cap is not binding at oracle scale — documented limit).
+# Ranking tie-breaks on the term string so both engines agree.
 # --------------------------------------------------------------------------
 @query(
-    "text_fingerprints",
-    oracle=f"""
-SELECT doc_id, md5({_NORM}) AS fp
-FROM documents
-ORDER BY doc_id
-""",
-    tags=("text", "fingerprint"),
+    "text_tfidf_top_terms",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t(tok)
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM documents
+), scored AS (
+  SELECT t.doc_id, t.term,
+         t.tf * ln((m.m + 1.0) / (d.df + 1.0)) AS tfidf
+  FROM tf t JOIN df d USING (term) CROSS JOIN m
+  WHERE d.df >= 2
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+  WHERE tfidf > 0
 )
-def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+SELECT doc_id, term, ROUND(tfidf, 6) AS tfidf, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+""",
+    tags=("text", "tfidf"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", tx.fingerprint("text").alias("fp")).orderBy("doc_id")
+    return tx.tfidf_top_terms(docs, k=3).orderBy("doc_id", "rank")
 
 
 # --------------------------------------------------------------------------

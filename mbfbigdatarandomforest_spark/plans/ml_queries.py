@@ -194,37 +194,88 @@ def ml_ols_inference_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# M1/M2 — seeded sampling / split (rows-only: R and Spark RNGs differ by
-# design, SURVEY.md §5.2.3; determinism within Spark is what's checked).
+# M1/M2 — seeded sampling / split. R and Spark RNGs differ by design
+# (SURVEY.md §5.2.3), so raw sample counts aren't oracle-expressible —
+# but the INVARIANTS are: the split partitions the table exactly, and
+# sample sizes land within a 5σ binomial envelope of their fractions.
+# The query computes the invariants Spark-side and emits booleans; the
+# oracle states the expected constants, making this a hash gate.
 # --------------------------------------------------------------------------
-@query("sample_and_split_sizes", tags=("M1", "M2"))
+@query(
+    "sample_and_split_sizes",
+    oracle="""
+SELECT
+  COUNT(*)  AS total,
+  TRUE      AS split_partitions_exactly,
+  TRUE      AS tune_within_5sigma,
+  TRUE      AS train_within_5sigma
+FROM orders
+""",
+    tags=("M1", "M2"),
+)
 def sample_and_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     orders = load_table(spark, sf_dir, "orders")
-    tune = orders.sample(fraction=0.10, seed=123)
+    total = orders.count()
+    tune_n = orders.sample(fraction=0.10, seed=123).count()
     train, test = orders.randomSplit([0.75, 0.25], seed=123)
+    train_n, test_n = train.count(), test.count()
+
+    def within(n: int, frac: float) -> bool:
+        sigma = math.sqrt(frac * (1 - frac) * total)
+        return abs(n - frac * total) <= 5 * sigma
+
     return spark.createDataFrame(
         [
-            ("total", orders.count()),
-            ("tune_sample_10pct", tune.count()),
-            ("train_75", train.count()),
-            ("test_25", test.count()),
+            (
+                total,
+                train_n + test_n == total,
+                within(tune_n, 0.10),
+                within(train_n, 0.75),
+            )
         ],
-        ["split", "n_rows"],
-    ).orderBy("split")
+        "total long, split_partitions_exactly boolean, "
+        "tune_within_5sigma boolean, train_within_5sigma boolean",
+    )
 
 
-@query("ml_gbt_metrics", tags=("L5", "L7"))
+# --------------------------------------------------------------------------
+# L5/L7/L9 — GBT plain AND early-stopped in one query. The earlystop
+# row is the engine's xgb.train(early_stopping_rounds) parity
+# (04_1_XGB_traintest.R:282-289): its stopped_iter column is < max_iter
+# whenever validation RMSE plateaus before the cap (pytest asserts the
+# mechanics; the driver row pins schema/rows).
+# --------------------------------------------------------------------------
+@query("ml_gbt_metrics", tags=("L5", "L7", "L9", "earlystop"))
 def ml_gbt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.regressors import train_and_evaluate
+    from ..ml.regressors import train_and_evaluate, train_gbt_with_early_stopping
 
     df = _lineitem_features(spark, sf_dir)
-    _, metrics = train_and_evaluate(
-        df,
-        kind="gbt",
-        label_col="label",
+    feature_cols = dict(
         categorical=["p_brand", "p_type"],
         numeric=["l_quantity", "l_discount", "l_tax", "p_retailprice"],
-        maxIter=20,
-        maxDepth=5,
     )
-    return _metrics_row(spark, "gbt", metrics)
+    _, metrics = train_and_evaluate(
+        df, kind="gbt", label_col="label", maxIter=20, maxDepth=5, **feature_cols
+    )
+    _, es_metrics, stop = train_gbt_with_early_stopping(
+        df, label_col="label", max_iter=20, patience=3, maxDepth=5, **feature_cols
+    )
+    names = sorted(metrics)
+    rows = [
+        ("gbt", *[round(metrics[k], 4) for k in names], None, None, None),
+        (
+            "gbt_earlystop",
+            *[round(es_metrics[k], 4) for k in names],
+            stop["best_iter"],
+            stop["stopped_iter"],
+            stop["max_iter"],
+        ),
+    ]
+    schema = (
+        "model string, "
+        + ", ".join(f"{k} double" for k in names)
+        + ", best_iter long, stopped_iter long, max_iter long"
+    )
+    return spark.createDataFrame(rows, schema)

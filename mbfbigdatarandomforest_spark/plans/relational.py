@@ -303,37 +303,87 @@ ORDER BY o_orderpriority
     tags=("A8",),
 )
 def priority_frequency_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single Spark job: the total rides as a broadcast 1-row aggregate
+    # (mirrors the oracle's scalar subquery) instead of a separate
+    # .count() action scanning the table twice
     orders = _t(spark, sf_dir, "orders")
-    total = orders.count()
+    total = orders.agg(F.count(F.lit(1)).alias("__total"))
     return (
         orders.groupBy("o_orderpriority")
-        .agg((F.count(F.lit(1)) / F.lit(total)).alias("share"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "o_orderpriority",
+            (F.col("__n") / F.col("__total")).alias("share"),
+        )
         .orderBy("o_orderpriority")
     )
 
 
 # --------------------------------------------------------------------------
-# Global min/max — A9 (range(daysonmarket), 02_DataCleaning.R:142).
+# Table profile — A9 global min/max (range(daysonmarket),
+# 02_DataCleaning.R:142) fused with A12 Pearson correlation
+# (cor(actual, predicted)^2, 05_OutcomeAndVisualization.R:49-51) into
+# ONE aggregation pass over lineitem: at 100 TB a profile that scans the
+# fact table once per statistic is wrong — every moment here partial-
+# aggregates map-side in the same job.
 # --------------------------------------------------------------------------
 @query(
-    "quantity_range",
-    oracle="""
-SELECT
-  MIN(l_quantity)                        AS min_qty,
-  MAX(l_quantity)                        AS max_qty,
-  STRFTIME(MIN(l_shipdate), '%Y-%m-%d')  AS min_shipdate,
-  STRFTIME(MAX(l_shipdate), '%Y-%m-%d')  AS max_shipdate
-FROM lineitem
-""",
-    tags=("A9",),
+    "lineitem_profile",
+    oracle=f"""
+WITH s AS (
+  SELECT
+    MIN(l_quantity)                        AS min_qty,
+    MAX(l_quantity)                        AS max_qty,
+    STRFTIME(MIN(l_shipdate), '%Y-%m-%d')  AS min_shipdate,
+    STRFTIME(MAX(l_shipdate), '%Y-%m-%d')  AS max_shipdate,
+    CAST(COUNT(*) AS DOUBLE)                            AS n,
+    {_dsum_sql('l_quantity')}                           AS sx,
+    {_dsum_sql('l_extendedprice')}                      AS sy,
+    {_dsum_sql('l_quantity * l_extendedprice')}         AS sxy,
+    {_dsum_sql('l_quantity * l_quantity')}              AS sxx,
+    {_dsum_sql('l_extendedprice * l_extendedprice')}    AS syy
+  FROM lineitem
 )
-def quantity_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+SELECT
+  min_qty, max_qty, min_shipdate, max_shipdate,
+  (n * sxy - sx * sy)
+    / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr_qty_price,
+  POW((n * sxy - sx * sy)
+    / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 2) AS r2
+FROM s
+""",
+    tags=("A9", "A12"),
+)
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pearson r from exact decimal moment sums (closed form) — the
+    # built-in F.corr is numerically engine-dependent; this is
+    # bit-reproducible and still one partial-aggregable pass.
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    stats = li.agg(
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
         F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_shipdate"),
         F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_shipdate"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        _dsum(x).alias("sx"),
+        _dsum(y).alias("sy"),
+        _dsum(x * y).alias("sxy"),
+        _dsum(x * x).alias("sxx"),
+        _dsum(y * y).alias("syy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return stats.select(
+        "min_qty",
+        "max_qty",
+        "min_shipdate",
+        "max_shipdate",
+        r.alias("corr_qty_price"),
+        F.pow(r, 2).alias("r2"),
     )
 
 
@@ -365,55 +415,6 @@ def extendedprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Correlation — A12 (cor(actual, predicted)^2, 05_OutcomeAndVisualization.R:49-51).
-# --------------------------------------------------------------------------
-@query(
-    "price_quantity_corr",
-    oracle=f"""
-WITH s AS (
-  SELECT
-    CAST(COUNT(*) AS DOUBLE)                            AS n,
-    {_dsum_sql('l_quantity')}                           AS sx,
-    {_dsum_sql('l_extendedprice')}                      AS sy,
-    {_dsum_sql('l_quantity * l_extendedprice')}         AS sxy,
-    {_dsum_sql('l_quantity * l_quantity')}              AS sxx,
-    {_dsum_sql('l_extendedprice * l_extendedprice')}    AS syy
-  FROM lineitem
-)
-SELECT
-  (n * sxy - sx * sy)
-    / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr_qty_price,
-  POW((n * sxy - sx * sy)
-    / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 2) AS r2
-FROM s
-""",
-    tags=("A12",),
-)
-def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Pearson r from exact decimal moment sums (closed form) — the
-    # built-in F.corr is numerically engine-dependent; this is
-    # bit-reproducible and still one partial-aggregable pass.
-    li = _t(spark, sf_dir, "lineitem")
-    x, y = F.col("l_quantity"), F.col("l_extendedprice")
-    stats = li.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        _dsum(x).alias("sx"),
-        _dsum(y).alias("sy"),
-        _dsum(x * y).alias("sxy"),
-        _dsum(x * x).alias("sxx"),
-        _dsum(y * y).alias("syy"),
-    )
-    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
-    )
-    return stats.select(
-        r.alias("corr_qty_price"),
-        F.pow(r, 2).alias("r2"),
-    )
-
-
-# --------------------------------------------------------------------------
 # Z-score — A13/F9 (scale(), 03_LinearRegression.R:29-34). Expressed with
 # window aggregates so the whole thing is one job; the engine's ML path
 # uses functions.scaling (captured μ,σ) instead.
@@ -439,46 +440,36 @@ def acctbal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (x-μ)/σ with μ,σ from exact decimal moment sums, mirroring the
     # engine's zscore_params capture (03_LinearRegression.R:29-34);
     # bit-reproducible vs the oracle unlike stddev_samp's streaming
-    # accumulation.
+    # accumulation. The moments come from ONE partial-aggregable pass
+    # broadcast back as a 1-row cross join (exactly the oracle's shape)
+    # — a whole-table Window.partitionBy() would funnel every row
+    # through a single task at scale.
     cust = _t(spark, sf_dir, "customer")
     x = F.col("c_acctbal")
-    w = Window.partitionBy()
-    n = F.count(F.lit(1)).over(w).cast("double")
-    sx = F.sum(x.cast("decimal(28,8)")).over(w).cast("double")
-    sxx = F.sum((x * x).cast("decimal(28,8)")).over(w).cast("double")
-    z = (x - sx / n) / F.sqrt((sxx - sx * sx / n) / (n - 1))
-    return cust.select("c_custkey", z.alias("acctbal_z"))
-
-
-# --------------------------------------------------------------------------
-# Decile binning — W1 (colorQuantile n=10, 05_OutcomeAndVisualization.R:129).
-# Unique tiebreak key makes ntile deterministic across engines.
-# --------------------------------------------------------------------------
-@query(
-    "order_value_deciles",
-    oracle="""
-SELECT
-  o_orderkey,
-  NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
-FROM orders
-""",
-    tags=("W1",),
-)
-def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return orders.select(
-        "o_orderkey", F.ntile(10).over(w).cast("long").alias("decile")
+    s = cust.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        _dsum(x).alias("__sx"),
+        _dsum(x * x).alias("__sxx"),
     )
+    n, sx, sxx = F.col("__n"), F.col("__sx"), F.col("__sxx")
+    z = (x - sx / n) / F.sqrt((sxx - sx * sx / n) / (n - 1))
+    return cust.crossJoin(F.broadcast(s)).select("c_custkey", z.alias("acctbal_z"))
 
 
 # --------------------------------------------------------------------------
-# Row indexing — W2/J3 (rownames as join key, 04_2_XGB_forecast.R:425-432).
-# Deterministic row_number + self-join on the generated index, replacing
-# the reference's positional cbind (U2) with keyed semantics.
+# Global window features — W1 decile binning (colorQuantile n=10,
+# 05_OutcomeAndVisualization.R:129), W2 row indexing + J3 row-index join
+# (rownames as join key, 04_2_XGB_forecast.R:425-432; replaces the
+# reference's positional cbind (U2) with keyed semantics).
+#
+# Scale posture: NO un-partitioned Window anywhere. Row numbers come
+# from operators.windows.global_row_number (range repartition + local
+# window + broadcast partition offsets) and NTILE(10) is recomputed
+# exactly from (row_number, count) — bounded per-task state at any
+# scale. Unique (value, key) tiebreaks make both deterministic.
 # --------------------------------------------------------------------------
 @query(
-    "rownum_index_join",
+    "order_window_features",
     oracle="""
 WITH keys AS (
   SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS idx, o_orderkey
@@ -486,19 +477,47 @@ WITH keys AS (
 ), vals AS (
   SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS idx, o_totalprice
   FROM orders
+), dec AS (
+  SELECT o_orderkey,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
 )
-SELECT k.idx, k.o_orderkey, v.o_totalprice AS totalprice
-FROM keys k JOIN vals v ON k.idx = v.idx
+SELECT k.idx, k.o_orderkey, v.o_totalprice AS totalprice, d.decile
+FROM keys k
+JOIN vals v ON k.idx = v.idx
+JOIN dec d  ON d.o_orderkey = k.o_orderkey
 """,
-    tags=("W2", "J3", "U2"),
+    tags=("W1", "W2", "J3", "U2"),
 )
-def rownum_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def order_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import global_row_number, ntile_from_rn
+
     orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
-    keys = orders.select(F.row_number().over(w).alias("idx"), "o_orderkey")
-    vals = orders.select(F.row_number().over(w).alias("idx"), "o_totalprice")
-    return keys.join(vals, "idx").select(
+    keys = global_row_number(
+        orders.select("o_orderkey"), ["o_orderkey"], idx_col="idx"
+    )
+    vals = global_row_number(
+        orders.select("o_orderkey", "o_totalprice"), ["o_orderkey"], idx_col="idx"
+    ).select("idx", "o_totalprice")
+    indexed = keys.join(vals, "idx").select(
         "idx", "o_orderkey", F.col("o_totalprice").alias("totalprice")
+    )
+
+    ranked = global_row_number(
+        orders.select("o_orderkey", "o_totalprice"),
+        ["o_totalprice", "o_orderkey"],
+        idx_col="__rnk",
+    )
+    n_row = orders.agg(F.count(F.lit(1)).alias("__n"))
+    deciles = (
+        ranked.crossJoin(F.broadcast(n_row))
+        .select(
+            "o_orderkey",
+            ntile_from_rn(F.col("__rnk"), F.col("__n"), 10).alias("decile"),
+        )
+    )
+    return indexed.join(deciles, "o_orderkey").select(
+        "idx", "o_orderkey", "totalprice", "decile"
     )
 
 

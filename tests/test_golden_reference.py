@@ -1,0 +1,107 @@
+"""Real-data golden test (SURVEY.md §5; VERDICT r01 missing #4).
+
+The reference repo commits its actual county-forecast outputs
+(``models/OLS_DemRepRatiosForecast.csv`` — 342 counties, and the
+xgboost variant ``models/xgb_forecast.csv``). Comparing the engine's
+forecasts against them value-for-value requires the reference's real
+input data: the ~9.3 GB used-cars listings CSV plus the precinct/state
+vote tables, none of which are present in this container (FIXTURES.md
+documents the schemas). Until a host provides them via
+``SPARK_GRAFT_REAL_DATA_DIR``, this test SKIPS with an explicit reason
+rather than silently not existing.
+
+When the data IS present the test runs the full pipeline (01→05
+analogue) and asserts a tolerance join: every reference county matched,
+mean absolute forecast deviation below 0.05 — a loose envelope because
+R's RNG, xgboost's histogram binning and MLlib's trees legitimately
+differ; the join itself (same counties, same scale of values) is the
+real regression guard.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import pytest
+
+REAL_DATA_DIR = os.environ.get("SPARK_GRAFT_REAL_DATA_DIR", "")
+REFERENCE_MODELS = Path(
+    os.environ.get("SPARK_GRAFT_REFERENCE_MODELS", "/root/reference/models")
+)
+
+needs_real_data = pytest.mark.skipif(
+    not (REAL_DATA_DIR and Path(REAL_DATA_DIR).is_dir()),
+    reason=(
+        "golden comparison needs the reference's real inputs (~9.3 GB "
+        "used-cars listings CSV + vote tables) — set "
+        "SPARK_GRAFT_REAL_DATA_DIR to a directory with listings.csv, "
+        "votes_precinct.csv, votes_state.csv, county_polygons.csv "
+        "(schemas: FIXTURES.md §1)"
+    ),
+)
+
+
+@needs_real_data
+def test_ols_forecast_matches_reference_golden(spark):
+    import pyspark.sql.functions as F
+
+    from mbfbigdatarandomforest_spark.plans import election as el
+    from mbfbigdatarandomforest_spark.sources import synthetic as syn
+    from mbfbigdatarandomforest_spark.sources.readers import read_csv
+
+    golden_path = REFERENCE_MODELS / "OLS_DemRepRatiosForecast.csv"
+    if not golden_path.is_file():
+        pytest.skip(f"reference golden file absent: {golden_path}")
+
+    # impose the schemas the synthetic generators document (FIXTURES.md
+    # §1) — the engine rule is "explicit schema always", and the
+    # generator rows are the canonical in-repo statement of those schemas
+    def schema_of(rows):
+        return spark.createDataFrame(rows).schema
+
+    d = Path(REAL_DATA_DIR)
+    listings = read_csv(
+        spark, str(d / "listings.csv"), schema_of(syn.listings(8))
+    )
+    votes_p = read_csv(
+        spark, str(d / "votes_precinct.csv"), schema_of(syn.votes_precinct())
+    )
+    votes_s = read_csv(
+        spark, str(d / "votes_state.csv"), schema_of(syn.votes_state())
+    )
+    polygons = read_csv(
+        spark, str(d / "county_polygons.csv"), schema_of(syn.county_polygons())
+    )
+
+    enriched = el.enrich_listings(
+        listings, polygons, el.county_ratios(votes_p), el.state_ratios(votes_s)
+    )
+    clean = el.clean_listings(enriched, rare_threshold=0.02).cache()
+    result = el.ols_county_forecast(clean, min_obs=20)
+
+    golden = (
+        spark.read.option("header", True)
+        .csv(str(golden_path))
+        .select(
+            F.lower("state").alias("state"),
+            F.lower("county").alias("county"),
+            F.col("forecast").cast("double").alias("forecast_ref"),
+        )
+    )
+    joined = (
+        result["forecast"]
+        .select(
+            F.lower("state").alias("state"),
+            F.lower("county").alias("county"),
+            F.col("forecast").cast("double").alias("forecast_eng"),
+        )
+        .join(golden, ["state", "county"], "right")
+    )
+    n_ref = golden.count()
+    matched = joined.filter(F.col("forecast_eng").isNotNull())
+    assert matched.count() == n_ref, "every golden county must be forecast"
+    mad = matched.agg(
+        F.avg(F.abs(F.col("forecast_eng") - F.col("forecast_ref")))
+    ).first()[0]
+    assert mad < 0.05

@@ -89,6 +89,33 @@ def test_vif_matches_pairwise_formula(result, xy):
     assert result["tolerance"]["x1"] == pytest.approx(1 / vif, rel=1e-9)
 
 
+def test_part_and_partial_correlations(result, xy):
+    """Part (semi-partial) and partial correlations vs the direct
+    residual-correlation construction: partial r(x_j, y | rest) is the
+    correlation of the two residual vectors after regressing each on
+    the remaining predictors; part r uses the raw y instead."""
+    x1, x2, y = xy
+    n = len(y)
+
+    def resid(v, Z):
+        Z = np.column_stack([np.ones(n), Z])
+        return v - Z @ (np.linalg.lstsq(Z, v, rcond=None)[0])
+
+    for target, other in (("x1", x2), ("x2", x1)):
+        xv = x1 if target == "x1" else x2
+        rx = resid(xv, other)
+        ry = resid(y, other)
+        partial_want = np.corrcoef(rx, ry)[0, 1]
+        # semi-partial: corr(y, x residualized on the other predictors)
+        part_want = (y - y.mean()) @ rx / (
+            np.sqrt(((y - y.mean()) ** 2).sum()) * np.sqrt((rx**2).sum())
+        )
+        assert result["partial_corr"][target] == pytest.approx(
+            partial_want, rel=1e-6
+        )
+        assert result["part_corr"][target] == pytest.approx(part_want, rel=1e-6)
+
+
 def test_chi2_sf_known_values():
     # χ²(df=2): sf(x) = exp(-x/2)
     for x in (0.5, 2.0, 5.0, 10.0):

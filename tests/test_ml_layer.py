@@ -41,6 +41,31 @@ def toy(spark):
     return spark.createDataFrame(rows, "x1 double, x2 double, cat string, label double")
 
 
+def test_gbt_early_stopping_mechanics(spark, toy):
+    """Early stopping (xgb.train early_stopping_rounds parity): the
+    chosen iteration comes from validation RMSE, the stop round is
+    best+patience (capped), and the refit model carries exactly
+    best_iter trees."""
+    from mbfbigdatarandomforest_spark.ml.regressors import (
+        train_gbt_with_early_stopping,
+    )
+
+    fitted, metrics, stop = train_gbt_with_early_stopping(
+        toy,
+        label_col="label",
+        categorical=["cat"],
+        numeric=["x1", "x2"],
+        max_iter=15,
+        patience=3,
+        maxDepth=3,
+    )
+    assert 1 <= stop["best_iter"] <= stop["max_iter"] == 15
+    assert stop["stopped_iter"] == min(stop["best_iter"] + 3, 15)
+    gbt = fitted.stages[-1]
+    assert gbt.getNumTrees == stop["best_iter"]
+    assert metrics["test_rmse"] > 0
+
+
 def test_pipeline_model_save_load_roundtrip(spark, toy, tmp_path):
     """S5 — the reference persists models across scripts
     (04_1_XGB_traintest.R:402,409-410); MLWritable round-trip must

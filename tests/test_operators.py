@@ -132,6 +132,47 @@ def test_minhash_finds_exact_jaccard_pairs(spark):
     assert exact <= approx
 
 
+def test_lsh_verified_paths_equal_exact_pairs(spark):
+    """The registered dedup_minhash_pairs query carries the exact
+    n-gram-Jaccard oracle — valid ONLY while both LSH candidate paths
+    reach recall 1.0 on the synthetic corpus. This test is the guard:
+    if it starts failing, the query must drop back to rows-only."""
+    from conftest import SF_DIR_SMALL
+    from mbfbigdatarandomforest_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents")
+    ng = {(r.id_a, r.id_b, r.jaccard)
+          for r in dd.ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    mh = {(r.id_a, r.id_b, r.jaccard)
+          for r in dd.minhash_verified_pairs(docs, threshold=0.2).collect()}
+    bd = {(r.id_a, r.id_b, r.jaccard)
+          for r in dd.banded_minhash_pairs(
+              docs, bands=8, rows_per_band=4, threshold=0.2).collect()}
+    assert ng, "fixture corpus should contain near-dup pairs"
+    assert mh == ng
+    assert bd == ng
+
+
+def test_ann_dup_pairs_equal_exact(spark):
+    """Same guard for dedup_embedding_ann: IVF multi-probe candidates +
+    exact verify must reproduce the all-pairs result on the synthetic
+    embeddings (recall 1.0 at the registered n_clusters/n_probe)."""
+    from conftest import SF_DIR_SMALL
+    from mbfbigdatarandomforest_spark.operators import similarity as sim
+    from mbfbigdatarandomforest_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR_SMALL, "embeddings")
+    exact = {(r.id_a, r.id_b, r.cosine_sim)
+             for r in sim.cosine_dup_pairs(emb, threshold=0.4).collect()}
+    ann = {(r.id_a, r.id_b, r.cosine_sim)
+           for r in sim.ann_dup_pairs(
+               emb, threshold=0.4, n_clusters=16, n_probe=6).collect()}
+    assert exact
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.95
+    assert ann == exact  # oracle-parity guard (stronger than recall)
+
+
 def test_simhash_matches_pure_python(spark):
     df = spark.createDataFrame(
         [(0, "aa bb cc"), (1, "aa bb cc"), (2, "xx yy zz")], ["doc_id", "text"]
@@ -175,6 +216,12 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     assert sum(recalls) / len(recalls) >= 0.4
 
 
+def test_simhash_rejects_overflowing_bits():
+    """bits=64 would build a 1<<63 literal that overflows LongType."""
+    with pytest.raises(ValueError, match="63"):
+        dd.simhash(F.col("text"), bits=64)
+
+
 def test_wkt_multipolygon_and_holes():
     wkt = "MULTIPOLYGON(((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1)), ((10 10, 12 10, 12 12, 10 12, 10 10)))"
     polys = parse_wkt_polygon(wkt)
@@ -183,6 +230,28 @@ def test_wkt_multipolygon_and_holes():
     assert idx.locate(1.5, 1.5) is None  # inside the hole
     assert idx.locate(11.0, 11.0) == {"name": "m"}
     assert idx.locate(6.0, 6.0) is None
+
+
+def test_locate_many_matches_locate():
+    """The batch-vectorized lookup must agree with the per-point path
+    on every point, including NaNs, holes and multipolygon parts."""
+    import numpy as np
+
+    wkt_a = "MULTIPOLYGON(((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1)), ((10 10, 12 10, 12 12, 10 12, 10 10)))"
+    wkt_b = "POLYGON((3 3, 7 3, 7 7, 3 7, 3 3))"
+    idx = PolygonIndex(
+        [
+            ({"name": "a"}, parse_wkt_polygon(wkt_a)),
+            ({"name": "b"}, parse_wkt_polygon(wkt_b)),
+        ]
+    )
+    rng = np.random.default_rng(11)
+    xs = rng.uniform(-1, 13, size=500)
+    ys = rng.uniform(-1, 13, size=500)
+    xs[::50] = np.nan  # sprinkle invalid coords
+    got = idx.locate_many(xs, ys)
+    want = [idx.locate(float(x), float(y)) for x, y in zip(xs, ys)]
+    assert got == want
 
 
 def test_lang_id_marker_vote(spark):

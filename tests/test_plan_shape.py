@@ -62,6 +62,64 @@ def test_flagship_two_shuffles_max(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_zscore_has_no_window_funnel(spark):
+    """acctbal_zscore must compute μ,σ as a broadcast 1-row aggregate —
+    a whole-table Window.partitionBy() funnels every row through one
+    task at scale."""
+    from mbfbigdatarandomforest_spark.plans.relational import acctbal_zscore
+
+    plan = _plan(acctbal_zscore(spark, SF_DIR_ORACLE))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row moments cross join
+
+
+def test_order_window_features_no_global_window(spark):
+    """Every row_number window must be partitioned (by the quantile
+    bucket); the only unpartitioned windows allowed are the per-bucket
+    offset cumulative sums, whose input is an aggregate of ≤ p rows."""
+    from mbfbigdatarandomforest_spark.plans.relational import (
+        order_window_features,
+    )
+
+    plan = _plan(order_window_features(spark, SF_DIR_ORACLE))
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            # formatted-plan window spec: windowspecdefinition(part_col,
+            # order..., frame) — a global window has no partition column
+            assert "windowspecdefinition(__bkt" in line, line
+
+
+def test_global_row_number_matches_window(spark):
+    """Distributed row number == ROW_NUMBER() OVER (ORDER BY ...) for a
+    unique key, regardless of bucket boundaries."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from mbfbigdatarandomforest_spark.operators.windows import (
+        global_row_number,
+        ntile_from_rn,
+    )
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 2654435761 % 1_000_003).alias("v"), "id"
+    )
+    got = global_row_number(df, ["v", "id"], idx_col="idx")
+    want = df.withColumn(
+        "idx", F.row_number().over(Window.orderBy("v", "id")).cast("long")
+    )
+    assert got.join(want, ["v", "id", "idx"]).count() == 10_000
+    # ntile parity on an awkward n (not divisible by k)
+    n = df.count()
+    got_t = (
+        got.withColumn("t", ntile_from_rn(F.col("idx"), F.lit(n), 7))
+        .select("v", "id", "t")
+    )
+    want_t = df.withColumn(
+        "t", F.ntile(7).over(Window.orderBy("v", "id")).cast("long")
+    ).select("v", "id", "t")
+    assert got_t.join(want_t, ["v", "id", "t"]).count() == 10_000
+
+
 def test_bucketed_join_elides_shuffle(spark, tmp_path):
     """Fact⋈fact on the bucket key must plan WITHOUT an Exchange on
     either side — the whole point of bucketing at 100 TB."""
