@@ -15,7 +15,7 @@
 
 from __future__ import annotations
 
-from pyspark.ml import Pipeline
+from pyspark.ml import Pipeline, PipelineModel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -142,40 +142,36 @@ def train_gbt_with_early_stopping(
     if data.rdd.getNumPartitions() < parallelism:
         data = data.repartition(parallelism)
     train, val, test = data.randomSplit([0.6, 0.2, 0.2], seed=seed)
-    train = train.cache()
-    fp = build_feature_pipeline(categorical, numeric, one_hot=False)
-    probe = Pipeline(
-        stages=[
-            fp,
-            make_regressor(
-                "gbt", label_col=label_col, seed=seed, maxIter=max_iter, **params
-            ),
-        ]
-    ).fit(train)
-    *feature_stages, gbt_full = probe.stages
-    val_feat = val
-    for st in feature_stages:
-        val_feat = st.transform(val_feat)
-    losses = [float(l) for l in gbt_full.evaluateEachIteration(val_feat, "squared")]
+    train = train.cache()  # read by each fitting stage
+    # featurize once; BOTH fits (probe at max_iter, final at best_iter)
+    # and all evaluation passes read the cached slim vectors
+    fp_model = build_feature_pipeline(categorical, numeric, one_hot=False).fit(train)
+    feat_train = fp_model.transform(train).select("features", label_col).cache()
+    feat_val = fp_model.transform(val).select("features", label_col).cache()
+    feat_test = fp_model.transform(test).select("features", label_col)
+
+    gbt_full = make_regressor(
+        "gbt", label_col=label_col, seed=seed, maxIter=max_iter, **params
+    ).fit(feat_train)
+    losses = [float(l) for l in gbt_full.evaluateEachIteration(feat_val, "squared")]
     best_iter = min(range(len(losses)), key=losses.__getitem__) + 1
     stopped_iter = min(best_iter + patience, max_iter)
 
-    final = Pipeline(
-        stages=[
-            fp,
-            make_regressor(
-                "gbt", label_col=label_col, seed=seed, maxIter=best_iter, **params
-            ),
-        ]
-    ).fit(train)
+    gbt_best = make_regressor(
+        "gbt", label_col=label_col, seed=seed, maxIter=best_iter, **params
+    ).fit(feat_train)
+    final = PipelineModel(stages=[fp_model, gbt_best])
     n_features = len(numeric) + len(categorical)
     metrics = {}
-    for split_name, split_df in (("train", train), ("test", test)):
-        preds = final.transform(split_df)
+    for split_name, split_df in (("train", feat_train), ("test", feat_test)):
+        preds = gbt_best.transform(split_df)
         for k, v in regression_metrics(
             preds, label_col=label_col, n_features=n_features
         ).items():
             metrics[f"{split_name}_{k}"] = v
+    feat_train.unpersist()
+    feat_val.unpersist()
+    train.unpersist()
     return final, metrics, {
         "best_iter": best_iter,
         "stopped_iter": stopped_iter,
@@ -205,21 +201,31 @@ def train_and_evaluate(
     if data.rdd.getNumPartitions() < parallelism:
         data = data.repartition(parallelism)
     train, test = data.randomSplit([train_fraction, 1 - train_fraction], seed=seed)
+    # raw train is read once per fitting stage (indexers, scaler) —
+    # cache it so each fit pass skips scan+join+split recomputation
     train = train.cache()
     one_hot = kind == "ols"
     fp = build_feature_pipeline(
         categorical, numeric, one_hot=one_hot, scale=(kind == "ols")
     )
+    # Featurize ONCE and cache the slim (features, label) projection:
+    # model fitting and both metric passes then read the cached vectors
+    # instead of re-running indexers/encoder/scaler per consumer.
+    fp_model = fp.fit(train)
+    feat_train = fp_model.transform(train).select("features", label_col).cache()
+    feat_test = fp_model.transform(test).select("features", label_col)
     model = make_regressor(kind, label_col=label_col, seed=seed, **params)
-    pipe = Pipeline(stages=[fp, model])
-    fitted = pipe.fit(train)
+    model_fitted = model.fit(feat_train)
+    fitted = PipelineModel(stages=[fp_model, model_fitted])
     n_features = len(numeric) + len(categorical)
     metrics = {}
-    for split_name, split_df in (("train", train), ("test", test)):
-        preds = fitted.transform(split_df)
+    for split_name, split_df in (("train", feat_train), ("test", feat_test)):
+        preds = model_fitted.transform(split_df)
         m = regression_metrics(
             preds, label_col=label_col, n_features=n_features
         )
         for k, v in m.items():
             metrics[f"{split_name}_{k}"] = v
+    feat_train.unpersist()
+    train.unpersist()
     return fitted, metrics

@@ -191,17 +191,23 @@ def minhash_verified_pairs(
     num_hashes: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """MLlib MinHashLSH candidate generation + exact-Jaccard verify —
     the production shape (candidates approximate, emitted pairs exact).
     HashingTF bucket collisions can perturb the LSH-internal distance,
     so the verify recomputes Jaccard on the TRUE shingle sets; output
     values are identical to ``ngram_jaccard_pairs`` on any pair both
-    plans surface. Returns (id_a, id_b, jaccard)."""
+    plans surface. Returns (id_a, id_b, jaccard).
+
+    ``shingled`` may pass a pre-built, already-cached (id, shingles)
+    frame so callers running several LSH variants shingle the corpus
+    once."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    shingled = _shingle_frame(df, text_col, id_col, n).cache()
-    shingled.count()  # eager: candidate gen + both verify sides fan out
+    if shingled is None:
+        shingled = _shingle_frame(df, text_col, id_col, n).cache()
+        shingled.count()  # eager: candidate gen + both verify sides fan out
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )
@@ -233,6 +239,7 @@ def banded_minhash_pairs(
     rows_per_band: int = 4,
     threshold: float = 0.5,
     seed: int = 42,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Banded MinHash LSH (b bands × r rows) with exact Jaccard verify.
 
@@ -250,24 +257,20 @@ def banded_minhash_pairs(
     carries shingle arrays only for candidate ids, not the corpus.
     """
     # shingling is the expensive narrow stage and feeds the signature
-    # build AND both sides of the verify join — cache it once; hash each
-    # shingle to a long ONCE, then derive the H minhash families from
-    # the long (xxhash64(long, salt) is ~10× cheaper than hashing a
-    # fresh string concat per family)
-    shingled = (
-        _widen(df)
-        .select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(token_shingles(text_col, n)).alias("shingles"),
-        )
-        .filter(F.size("shingles") > 0)
-        .withColumn("sh_hashes", F.transform("shingles", lambda x: F.xxhash64(x)))
-        .cache()
+    # build AND both sides of the verify join — cache it once (or reuse
+    # a caller-provided cached frame); hash each shingle to a long
+    # ONCE, then derive the H minhash families from the long
+    # (xxhash64(long, salt) is ~10× cheaper than hashing a fresh
+    # string concat per family)
+    if shingled is None:
+        shingled = _shingle_frame(df, text_col, id_col, n).cache()
+        # materialize eagerly: the signature build and both verify-join
+        # sides consume this concurrently within one action; without the
+        # eager fill they race and each recomputes the expensive shingling
+        shingled.count()
+    hashed = shingled.withColumn(
+        "sh_hashes", F.transform("shingles", lambda x: F.xxhash64(x))
     )
-    # materialize eagerly: the signature build and both verify-join
-    # sides consume this concurrently within one action; without the
-    # eager fill they race and each recomputes the expensive shingling
-    shingled.count()
 
     n_hashes = bands * rows_per_band
 
@@ -279,7 +282,7 @@ def banded_minhash_pairs(
             F.transform("sh_hashes", lambda v: F.xxhash64(v, salt))
         ).alias(f"mh{h}")
 
-    sigs = shingled.select("id", *[_minhash(h) for h in range(n_hashes)])
+    sigs = hashed.select("id", *[_minhash(h) for h in range(n_hashes)])
     band_rows = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]

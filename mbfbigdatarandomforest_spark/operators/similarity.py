@@ -114,71 +114,106 @@ def ann_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,
     n_clusters: int = 16,
-    n_probe: int = 4,
+    n_probe: int = 6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    kmeans_max_iter: int = 20,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via IVF candidates + exact
     verify — the 100 TB path (the all-pairs ``cosine_dup_pairs`` is the
     test-scale oracle only).
 
-    Each vector is multi-probe assigned to its ``n_probe`` nearest
-    KMeans centroids; candidate pairs co-occur in ≥1 probe cell, so the
-    quadratic term is bounded per cell (≈(n·p/k)² per cluster), not n².
-    Candidates then get the exact cosine test, making emitted pairs
-    exact; only recall is approximate (pairs whose members share no
-    probe cell are missed — raise ``n_probe`` to trade cost for
-    recall). Centroids are tiny and broadcast. Output matches
-    ``cosine_dup_pairs``: (id_a, id_b, cosine_sim ≥ threshold)."""
+    Candidate generation is ASYMMETRIC multi-probe: the index side
+    holds each vector in its single home cell; the probe side visits
+    the ``n_probe`` nearest centroids. A pair is a candidate when
+    either member's probe list covers the other's home cell, so the
+    candidate count is ≈(n_probe/n_clusters)·n²/2 — linear in n_probe,
+    unlike symmetric co-probing whose cost grows with n_probe² and can
+    exceed brute force. Candidates are deduplicated as bare id pairs
+    BEFORE the vectors are joined back for the exact cosine test (the
+    wide arrays never ride through the candidate shuffle). Emitted
+    pairs are exact; only recall is approximate — raise ``n_probe`` to
+    trade cost for recall. Centroids are tiny and broadcast. Output
+    matches ``cosine_dup_pairs``: (id_a, id_b, cosine_sim ≥ threshold)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # single-file parquet yields 1-3 partitions — widen so the dot
+    # products and KMeans passes parallelize. FIXED partition count,
+    # NOT defaultParallelism: k-means|| initialization samples by
+    # partition, so the centroid set (and therefore candidate recall)
+    # must not depend on how many cores the session happens to have.
+    if corpus.rdd.getNumPartitions() < 16:
+        corpus = corpus.repartition(16)
     corp = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         array_to_vector(F.col(vec_col)).alias("features"),
     )
-    km = KMeans(k=n_clusters, seed=seed, featuresCol="features", predictionCol="__c")
+    # candidate cells don't need fully-converged centroids — callers
+    # may cap the iteration count (each KMeans iteration is a scheduled
+    # job; at test scale scheduling dominates, at 100 TB the passes do),
+    # at the price of re-checking recall for their corpus
+    km = KMeans(
+        k=n_clusters, seed=seed, maxIter=kmeans_max_iter,
+        featuresCol="features", predictionCol="__c",
+    )
     model = km.fit(corp)
     centroids = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
     cent_df = corpus.sparkSession.createDataFrame(centroids, ["cluster", "centroid"])
 
+    # one centroid-similarity pass feeds BOTH the home assignment
+    # (rank 1) and the probe lists (rank ≤ n_probe); cached because the
+    # candidate join consumes it twice
     normed = corp.select("id", "v", _norm(F.col("v")).alias("nrm"))
-    probed = (
-        normed.crossJoin(broadcast(cent_df))
+    ranked = (
+        normed.select("id", "v", "nrm")
+        .crossJoin(broadcast(cent_df))
         .select(
             "id",
-            "v",
-            "nrm",
             "cluster",
-            (_dot(F.col("v"), F.col("centroid")) / (F.col("nrm") * _norm(F.col("centroid")))).alias("__sim"),
+            (
+                _dot(F.col("v"), F.col("centroid"))
+                / (F.col("nrm") * _norm(F.col("centroid")))
+            ).alias("__sim"),
         )
-    )
-    wp = Window.partitionBy("id").orderBy(F.desc("__sim"), F.asc("cluster"))
-    cells = (
-        probed.withColumn("__r", F.row_number().over(wp))
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.desc("__sim"), F.asc("cluster"))
+            ),
+        )
         .filter(F.col("__r") <= n_probe)
-        .select("id", "v", "nrm", "cluster")
+        .select("id", "cluster", "__r")
+        .cache()
     )
-    a = cells.select(
-        F.col("id").alias("id_a"), F.col("v").alias("v_a"),
-        F.col("nrm").alias("n_a"), "cluster",
+    home = ranked.filter(F.col("__r") == 1).select(
+        F.col("id").alias("id_h"), "cluster"
     )
-    b = cells.select(
-        F.col("id").alias("id_b"), F.col("v").alias("v_b"),
-        F.col("nrm").alias("n_b"), "cluster",
+    probes = ranked.select(F.col("id").alias("id_p"), "cluster")
+    # unordered candidate ids only — wide vector columns join AFTER dedupe
+    cand = (
+        probes.join(home, "cluster")
+        .filter(F.col("id_p") != F.col("id_h"))
+        .select(
+            F.least("id_p", "id_h").alias("id_a"),
+            F.greatest("id_p", "id_h").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = normed.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
+    )
+    vb = normed.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b")
     )
     sim_col = _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
     return (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        # a pair can share several probe cells — dedupe on ids before
-        # the (possibly expensive) exact dot product
-        .select("id_a", "id_b", "v_a", "v_b", "n_a", "n_b")
-        .dropDuplicates(["id_a", "id_b"])
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", F.round(sim_col, 6).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )

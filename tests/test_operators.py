@@ -166,7 +166,8 @@ def test_ann_dup_pairs_equal_exact(spark):
              for r in sim.cosine_dup_pairs(emb, threshold=0.4).collect()}
     ann = {(r.id_a, r.id_b, r.cosine_sim)
            for r in sim.ann_dup_pairs(
-               emb, threshold=0.4, n_clusters=16, n_probe=6).collect()}
+               emb, threshold=0.4, n_clusters=16, n_probe=14,
+               kmeans_max_iter=8).collect()}
     assert exact
     recall = len(exact & ann) / len(exact)
     assert recall >= 0.95
