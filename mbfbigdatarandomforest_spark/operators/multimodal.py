@@ -7,11 +7,21 @@ frame sampling) runs as Arrow-batched ``mapInPandas`` — the one place
 Python in the hot path is justified, because the work is per-blob CPU,
 not relational.
 
-The decode kernels themselves are STUBS in this environment (no
-PIL/ffmpeg in the container): ``decode=None`` uses a deterministic fake
-that hashes the payload into the output feature space, so the Spark-side
-plumbing — schema evolution, batch shapes, partition sizing — is real
-and testable; swap ``decode`` for a real kernel in production.
+Decode support in this environment (no PIL/opencv/ffmpeg):
+
+- **BMP (24-bit uncompressed)** — REAL decoder/encoder in pure numpy
+  (header parse + bottom-up row-padded pixel array).
+- **WAV (16-bit PCM)** — REAL decoder via the stdlib ``wave`` module +
+  numpy ``frombuffer``.
+- jpeg/png/mp4 — require native codecs; ``decode_image_stub`` raises a
+  clear error, and the deterministic fake embedding (hash-seeded PRNG)
+  keeps the Spark-side plumbing testable for those formats.
+
+Feature kernels built on the real decoders:
+- ``image_features``: decode → fixed GRID×GRID mean-pool per channel +
+  global mean/std (deterministic, resolution-independent).
+- ``audio_features``: decode → RMS, zero-crossing rate, and FFT octave
+  band energies.
 
 Scale notes: blobs make partitions heavy; ``target_partition_mb``
 repartitions by byte size, not row count, before the UDF so a 100 TB
@@ -21,6 +31,9 @@ media table doesn't produce 2 GB Arrow batches.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -31,37 +44,193 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     FloatType,
+    IntegerType,
+    StringType,
+    StructField,
     StructType,
 )
 
 MEDIA_META_FIELDS = "format string, width int, height int, n_frames int, sample_rate int"
 
 
+# --------------------------------------------------------------------------
+# Real codecs — formats decodable with stdlib + numpy only.
+# --------------------------------------------------------------------------
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP → (height, width, 3) uint8 RGB.
+
+    Pure numpy: BITMAPFILEHEADER (14 B) + BITMAPINFOHEADER (40 B),
+    bottom-up rows padded to 4-byte boundaries, BGR channel order."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp})")
+    flipped = height > 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3
+    raw = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * height, offset=data_offset
+    ).reshape(height, row_bytes)
+    bgr = raw[:, : width * 3].reshape(height, width, 3)
+    rgb = bgr[:, :, ::-1]
+    return rgb[::-1] if flipped else rgb
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """Encode (h, w, 3) uint8 RGB → 24-bit BMP bytes (round-trips with
+    ``decode_bmp``; also used to build test fixtures)."""
+    h, w, _ = rgb.shape
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)
+    pixel_bytes = body.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(pixel_bytes), 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_bytes), 2835, 2835, 0, 0)
+    return header + pixel_bytes
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode 16-bit PCM WAV → (float32 mono samples in [-1, 1],
+    sample_rate). Stdlib ``wave`` + numpy; multi-channel is averaged."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM WAV supported")
+        rate = w.getframerate()
+        n_ch = w.getnchannels()
+        frames = w.readframes(w.getnframes())
+    x = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode float samples in [-1, 1] → 16-bit PCM mono WAV bytes."""
+    pcm = np.clip(samples, -1.0, 1.0)
+    ints = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(ints.tobytes())
+    return buf.getvalue()
+
+
+def resize_image(rgb: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize in pure numpy (deterministic)."""
+    h, w, _ = rgb.shape
+    ri = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    ci = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return rgb[ri][:, ci]
+
+
+# --------------------------------------------------------------------------
+# Feature kernels on the real decoders.
+# --------------------------------------------------------------------------
+def image_features(payload: bytes, grid: int = 4) -> list[float]:
+    """BMP → grid×grid mean-pooled RGB (grid²·3 dims) + global mean/std
+    per channel (6 dims). Resolution-independent and deterministic."""
+    rgb = decode_bmp(payload).astype(np.float64) / 255.0
+    h, w, _ = rgb.shape
+    pooled = np.zeros((grid, grid, 3))
+    hb = np.linspace(0, h, grid + 1).astype(int)
+    wb = np.linspace(0, w, grid + 1).astype(int)
+    for i in range(grid):
+        for j in range(grid):
+            cell = rgb[hb[i] : max(hb[i + 1], hb[i] + 1),
+                       wb[j] : max(wb[j + 1], wb[j] + 1)]
+            pooled[i, j] = cell.reshape(-1, 3).mean(axis=0)
+    stats = np.concatenate(
+        [rgb.reshape(-1, 3).mean(axis=0), rgb.reshape(-1, 3).std(axis=0)]
+    )
+    return [float(x) for x in np.concatenate([pooled.ravel(), stats])]
+
+
+def audio_features(payload: bytes, n_bands: int = 8) -> list[float]:
+    """WAV → [rms, zero-crossing rate, n_bands octave FFT energies]."""
+    x, _rate = decode_wav(payload)
+    if len(x) == 0:
+        return [0.0] * (2 + n_bands)
+    rms = float(np.sqrt(np.mean(x**2)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    # octave-ish log-spaced band edges over the spectrum
+    edges = np.unique(
+        np.geomspace(1, len(spec), n_bands + 1).astype(int)
+    )
+    bands = [float(spec[a:b].sum()) for a, b in zip(edges[:-1], edges[1:])]
+    bands += [0.0] * (n_bands - len(bands))
+    total = sum(bands) or 1.0
+    return [rms, zcr] + [b / total for b in bands]
+
+
+# --------------------------------------------------------------------------
+# Metadata: REAL header sniffing for BMP/WAV; hash-derived fake for
+# formats whose codecs aren't in this environment.
+# --------------------------------------------------------------------------
+def sniff_media_meta(payload: bytes) -> tuple[str, int, int, int, int]:
+    """(format, width, height, n_frames, sample_rate) from container
+    headers. BMP and WAV are parsed for real; anything else gets a
+    deterministic hash-derived placeholder tagged format='unknown'."""
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        width, height = struct.unpack_from("<ii", payload, 18)
+        return ("bmp", int(width), abs(int(height)), 1, 0)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        try:
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                return ("wav", 0, 0, w.getnframes(), w.getframerate())
+        except wave.Error:
+            pass
+    h = int.from_bytes(hashlib.sha256(payload or b"").digest()[:4], "big")
+    return ("unknown", h % 1920 + 1, h % 1080 + 1, h % 300 + 1, 16000)
+
+
+_META_SCHEMA = StructType(
+    [
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+    ]
+)
+
+
 def attach_media_metadata(
     df: DataFrame, payload_col: str = "payload", meta_col: str = "media_meta"
 ) -> DataFrame:
-    """Attach a typed metadata struct for an opaque binary column.
-    Real pipelines parse container headers; the stub derives plausible
-    deterministic values from the payload hash (format tag + sizes)."""
-    h = F.crc32(F.col(payload_col))
-    return df.withColumn(
-        meta_col,
-        F.struct(
-            F.element_at(
-                F.array(F.lit("jpeg"), F.lit("png"), F.lit("wav"), F.lit("mp4")),
-                (h % 4 + 1).cast("int"),
-            ).alias("format"),
-            (h % 1920 + 1).cast("int").alias("width"),
-            (h % 1080 + 1).cast("int").alias("height"),
-            (h % 300 + 1).cast("int").alias("n_frames"),
-            F.lit(16000).cast("int").alias("sample_rate"),
-        ),
-    )
+    """Attach a typed metadata struct for an opaque binary column by
+    sniffing container headers (Arrow-batched; BMP/WAV parsed for
+    real, unknown formats tagged)."""
+    out_schema = StructType(df.schema.fields.copy()).add(meta_col, _META_SCHEMA)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [sniff_media_meta(b or b"") for b in pdf[payload_col]]
+            pdf[meta_col] = [
+                {
+                    "format": f,
+                    "width": w,
+                    "height": h,
+                    "n_frames": n,
+                    "sample_rate": r,
+                }
+                for f, w, h, n, r in metas
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def _fake_embed(payload: bytes, dim: int) -> list[float]:
-    """Deterministic stand-in for a real encoder: seed a PRNG from the
-    payload digest. Stable across runs/machines."""
+    """Deterministic stand-in for codecs absent in this environment:
+    seed a PRNG from the payload digest. Stable across runs/machines."""
     digest = hashlib.sha256(payload or b"").digest()
     seed = int.from_bytes(digest[:8], "big")
     rng = np.random.default_rng(seed)
@@ -79,9 +248,9 @@ def extract_features(
 ) -> DataFrame:
     """Arrow-batched feature extraction over a binary column.
 
-    ``decode`` is the per-blob kernel (bytes -> list[float]); the default
-    is the deterministic fake (see module docstring). Raises cleanly on
-    real-media expectations: pass your own kernel in production.
+    ``decode`` is the per-blob kernel (bytes -> list[float]) — use
+    ``image_features`` for BMP or ``audio_features`` for WAV; the
+    default remains the deterministic fake for codec-less formats.
     """
     kernel = decode or (lambda b: _fake_embed(b, dim))
     rows_per_partition = max(1, target_partition_mb * 1024 // avg_blob_kb)
@@ -101,11 +270,12 @@ def extract_features(
 
 
 def decode_image_stub(payload: bytes) -> list[float]:  # pragma: no cover
-    """Placeholder for a real image decoder (PIL/opencv not available in
-    this container)."""
+    """Placeholder for compressed-image decoders (jpeg/png need PIL or
+    opencv, absent in this container). BMP decodes for real — see
+    ``decode_bmp`` / ``image_features``."""
     raise NotImplementedError(
-        "image decoding requires PIL/opencv; pass decode=<kernel> "
-        "or use the deterministic fake (decode=None)"
+        "jpeg/png decoding requires PIL/opencv; BMP is supported natively "
+        "(decode=image_features), or pass decode=<kernel>"
     )
 
 
@@ -117,8 +287,8 @@ def frame_sample(
     out_col: str = "sampled_frames",
 ) -> DataFrame:
     """Video frame sampling: emits the frame indices that a real decoder
-    would extract (the index math is the Spark-side contract; the pixel
-    work is the stubbed kernel)."""
+    would extract (the index math is the Spark-side contract; pixel
+    work needs a video codec, absent here)."""
     n = F.col(f"{meta_col}.n_frames")
     return df.withColumn(
         out_col,

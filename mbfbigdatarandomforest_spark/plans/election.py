@@ -361,6 +361,7 @@ def tree_county_forecast(
     min_obs: int = 100,
     seed: int = 123,
     tune: bool = False,
+    param_grid: dict[str, list] | None = None,
     **params,
 ) -> dict[str, DataFrame]:
     """Entry point C (04_*): tree-family county forecast. RandomForest is
@@ -370,7 +371,9 @@ def tree_county_forecast(
     smaller vectors than dummies at scale).
 
     ``tune=True`` runs the reference's CV hyperparameter search (L6,
-    04_1:129-167) as a CrossValidator grid on a 10 % subsample (M1)."""
+    04_1:129-167) as a CrossValidator grid on a 10 % subsample (M1);
+    ``param_grid`` passes a full reference-scale grid through to the
+    search (see ``_cv_fit``)."""
     from pyspark.ml import Pipeline
     from ..ml.features import build_feature_pipeline
     from ..ml.metrics import regression_metrics
@@ -389,7 +392,7 @@ def tree_county_forecast(
     pipe = Pipeline(stages=[fp, reg])
 
     if tune:
-        model = _cv_fit(pipe, reg, train, kind, seed)
+        model = _cv_fit(pipe, reg, train, kind, seed, param_grid=param_grid)
     else:
         model = pipe.fit(train)
 
@@ -429,16 +432,34 @@ def tree_county_forecast(
     }
 
 
-def _cv_fit(pipe, reg, train: DataFrame, kind: str, seed: int):
+def _cv_fit(
+    pipe,
+    reg,
+    train: DataFrame,
+    kind: str,
+    seed: int,
+    param_grid: dict[str, list] | None = None,
+    num_folds: int = 2,
+):
     """L6 — CrossValidator grid on a 10 % seeded subsample (M1,
     04_1:120-125), folds×grid parallelized by Spark (replaces the
-    reference's PSOCK worker pool, 04_1:129-131)."""
+    reference's PSOCK worker pool, 04_1:129-131).
+
+    ``param_grid`` maps estimator param NAMES to value lists (e.g.
+    ``{"maxDepth": [4, 6, 8, 10], "subsamplingRate": [0.6, 0.8, 1.0],
+    "numTrees": [...]}``) and replaces the built-in 4-combo demo grid —
+    the passthrough that lets a caller reproduce the reference's
+    324/1296-combination searches (04_1:145-152, 04_2:130-137)
+    verbatim; folds×grid cells still run in parallel on the cluster."""
     from pyspark.ml.evaluation import RegressionEvaluator
     from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
 
     sample = train.sample(fraction=0.10, seed=seed)
     gb = ParamGridBuilder()
-    if kind == "random_forest":
+    if param_grid:
+        for pname, values in param_grid.items():
+            gb = gb.addGrid(reg.getParam(pname), values)
+    elif kind == "random_forest":
         gb = gb.addGrid(reg.maxDepth, [4, 8]).addGrid(reg.numTrees, [20, 50])
     else:
         gb = gb.addGrid(reg.maxDepth, [4, 6]).addGrid(reg.maxIter, [20, 50])
@@ -446,7 +467,7 @@ def _cv_fit(pipe, reg, train: DataFrame, kind: str, seed: int):
         estimator=pipe,
         estimatorParamMaps=gb.build(),
         evaluator=RegressionEvaluator(labelCol=LABEL, metricName="rmse"),
-        numFolds=2,
+        numFolds=num_folds,
         parallelism=4,
         seed=seed,
     )

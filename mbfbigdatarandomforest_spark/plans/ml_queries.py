@@ -182,14 +182,19 @@ def ml_ols_inference_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 round(res["se_classical"][name], 6),
                 round(res["se_hc0"][name], 6),
                 round(res["vif"].get(name, 1.0), 6),
+                round(res["part_corr"].get(name, 0.0), 6),
+                round(res["partial_corr"].get(name, 0.0), 6),
             )
         )
     extra = [
-        ("__breusch_pagan_stat", round(res["breusch_pagan"]["stat"], 4), 0.0, 0.0, 0.0),
-        ("__r2", round(res["r2"], 6), 0.0, 0.0, 0.0),
+        ("__breusch_pagan_stat", round(res["breusch_pagan"]["stat"], 4),
+         0.0, 0.0, 0.0, 0.0, 0.0),
+        ("__r2", round(res["r2"], 6), 0.0, 0.0, 0.0, 0.0, 0.0),
     ]
     return spark.createDataFrame(
-        rows + extra, ["term", "estimate", "se_classical", "se_hc0", "vif"]
+        rows + extra,
+        ["term", "estimate", "se_classical", "se_hc0", "vif",
+         "part_corr", "partial_corr"],
     ).orderBy("term")
 
 

@@ -105,6 +105,31 @@ def test_learning_curve_rejects_rf(spark, toy):
         learning_curve(model, toy)
 
 
+def test_cv_fit_param_grid_passthrough(spark, toy):
+    """The param_grid= passthrough (reference searches 324/1296 combos,
+    04_1:145-152) must drive the CrossValidator grid: the selected
+    model's params come from the supplied value lists."""
+    from pyspark.ml import Pipeline
+
+    from mbfbigdatarandomforest_spark.plans.election import _cv_fit
+
+    fp = build_feature_pipeline(["cat"], ["x1", "x2"], one_hot=False)
+    rf = make_regressor("random_forest", label_col="DemRepRatio")
+    data = toy.withColumnRenamed("label", "DemRepRatio")
+    pipe = Pipeline(stages=[fp, rf])
+    best = _cv_fit(
+        pipe,
+        rf,
+        data,
+        "random_forest",
+        seed=7,
+        param_grid={"maxDepth": [2, 3], "numTrees": [4, 6]},
+    )
+    chosen = best.stages[-1]
+    assert chosen.getMaxDepth() in (2, 3)
+    assert chosen.getNumTrees in (4, 6)
+
+
 def test_crossvalidator_tuning_selects_params(spark, toy):
     """L6 — CV grid search (04_1_XGB_traintest.R:129-167 analogue):
     folds×grid run under Spark's parallelism; best model beats a

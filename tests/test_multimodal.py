@@ -1,15 +1,25 @@
-"""Multimodal plumbing tests: binary payloads + typed metadata + Arrow
-feature extraction (stubbed kernel, real Spark mechanics).
+"""Multimodal tests: real BMP/WAV codecs (pure numpy / stdlib wave),
+header sniffing, Arrow feature extraction, frame-index sampling.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from mbfbigdatarandomforest_spark.operators.multimodal import (
     attach_media_metadata,
+    audio_features,
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
     extract_features,
     frame_sample,
+    image_features,
+    resize_image,
+    sniff_media_meta,
 )
 
 
@@ -18,13 +28,83 @@ def _media_df(spark, n=20):
     return spark.createDataFrame(rows, "id long, payload binary")
 
 
-def test_metadata_struct_schema(spark):
-    df = attach_media_metadata(_media_df(spark))
-    f = dict(zip(df.schema.fieldNames(), df.schema.fields))["media_meta"]
-    names = [x.name for x in f.dataType.fields]
-    assert names == ["format", "width", "height", "n_frames", "sample_rate"]
-    rows = df.collect()
-    assert all(r["media_meta"]["format"] in {"jpeg", "png", "wav", "mp4"} for r in rows)
+def _bmp(w=7, h=5, seed=3) -> bytes:
+    rng = np.random.default_rng(seed)
+    return encode_bmp(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+
+
+def _wav(n=800, rate=8000, seed=4) -> bytes:
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / rate
+    x = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.normal(size=n)
+    return encode_wav(x, rate)
+
+
+def test_bmp_roundtrip_exact():
+    """encode → decode must reproduce the pixel array bit-for-bit,
+    including non-multiple-of-4 row widths (padding path)."""
+    rng = np.random.default_rng(1)
+    for w, h in [(1, 1), (3, 2), (7, 5), (8, 8)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def test_wav_roundtrip_close():
+    x, rate = decode_wav(_wav())
+    assert rate == 8000 and len(x) == 800
+    # 16-bit quantization: within 1/32767 of the clipped original
+    rng = np.random.default_rng(4)
+    t = np.arange(800) / 8000
+    orig = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.normal(size=800)
+    # encode scales by 32767, decode by 32768 → bound ~2 LSBs
+    assert np.abs(x - np.clip(orig, -1, 1)).max() < 2.0 / 32767
+
+
+def test_sniff_media_meta_real_headers():
+    fmt, w, h, n, r = sniff_media_meta(_bmp(w=7, h=5))
+    assert (fmt, w, h, n) == ("bmp", 7, 5, 1)
+    fmt, _, _, n, r = sniff_media_meta(_wav(n=800, rate=8000))
+    assert fmt == "wav" and n == 800 and r == 8000
+    assert sniff_media_meta(b"\x00garbage")[0] == "unknown"
+
+
+def test_image_features_values():
+    """Mean-pool features must equal the direct numpy computation."""
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[:, :, 0] = 255  # pure red
+    feats = image_features(encode_bmp(img), grid=2)
+    assert len(feats) == 2 * 2 * 3 + 6
+    # every pooled cell: (1, 0, 0); global mean (1,0,0), std 0
+    assert feats[:3] == [1.0, 0.0, 0.0]
+    assert feats[12:15] == [1.0, 0.0, 0.0]
+    assert feats[15:18] == [0.0, 0.0, 0.0]
+
+
+def test_audio_features_shape_and_energy():
+    feats = audio_features(_wav(), n_bands=8)
+    assert len(feats) == 10
+    assert feats[0] > 0.2  # RMS of a 0.5-amplitude sine ≈ 0.35
+    assert abs(sum(feats[2:]) - 1.0) < 1e-9  # band energies normalized
+
+
+def test_resize_image_nearest():
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    out = resize_image(img, 2, 2)
+    assert out.shape == (2, 2, 3)
+    assert np.array_equal(out[0, 0], img[0, 0])
+
+
+def test_metadata_struct_schema_and_real_sniff(spark):
+    rows = [(0, _bmp()), (1, _wav()), (2, b"\x01unknownpayload")]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r["id"]: r["media_meta"] for r in attach_media_metadata(df).collect()}
+    assert out[0]["format"] == "bmp" and out[0]["width"] == 7
+    assert out[1]["format"] == "wav" and out[1]["sample_rate"] == 8000
+    assert out[2]["format"] == "unknown"
+    f = attach_media_metadata(df).schema["media_meta"]
+    assert [x.name for x in f.dataType.fields] == [
+        "format", "width", "height", "n_frames", "sample_rate",
+    ]
 
 
 def test_extract_features_deterministic(spark):
@@ -35,6 +115,19 @@ def test_extract_features_deterministic(spark):
     assert all(len(v) == 8 for v in a.values())
     # different payloads → different features
     assert a[0] != a[1]
+
+
+def test_extract_features_real_image_kernel(spark):
+    """The Arrow path with the REAL BMP kernel must equal local calls."""
+    payloads = [(i, _bmp(w=6 + i, h=4 + i, seed=i)) for i in range(4)]
+    df = spark.createDataFrame(payloads, "id long, payload binary")
+    got = {
+        r["id"]: r["features"]
+        for r in extract_features(df, decode=image_features).collect()
+    }
+    for i, p in payloads:
+        want = image_features(p)
+        assert got[i] == pytest.approx(want, rel=1e-6)
 
 
 def test_frame_sample_indices(spark):
