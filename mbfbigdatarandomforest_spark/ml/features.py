@@ -32,10 +32,15 @@ def build_feature_pipeline(
     """
     stages = []
     cat_out = []
-    for c in categorical:
+    if categorical:
+        # ONE multi-column StringIndexer: all level dictionaries are
+        # fitted in a single pass over the data instead of one
+        # countByValue job per column
         stages.append(
             StringIndexer(
-                inputCol=c, outputCol=f"{c}_idx", handleInvalid="keep"
+                inputCols=categorical,
+                outputCols=[f"{c}_idx" for c in categorical],
+                handleInvalid="keep",
             )
         )
     if one_hot and categorical:

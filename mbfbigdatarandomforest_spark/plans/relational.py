@@ -493,12 +493,14 @@ def order_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import global_row_number, ntile_from_rn
 
     orders = _t(spark, sf_dir, "orders")
-    keys = global_row_number(
-        orders.select("o_orderkey"), ["o_orderkey"], idx_col="idx"
-    )
-    vals = global_row_number(
+    # ONE scalable row-number pass feeds both sides of the J3
+    # index-join demonstration (the keys and vals projections split
+    # from the same indexed frame)
+    by_key = global_row_number(
         orders.select("o_orderkey", "o_totalprice"), ["o_orderkey"], idx_col="idx"
-    ).select("idx", "o_totalprice")
+    )
+    keys = by_key.select("idx", "o_orderkey")
+    vals = by_key.select("idx", "o_totalprice")
     indexed = keys.join(vals, "idx").select(
         "idx", "o_orderkey", F.col("o_totalprice").alias("totalprice")
     )

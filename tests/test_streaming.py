@@ -142,3 +142,30 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark dedup drained with availableNow
+    must keep exactly one row per fingerprint — the same key set the
+    batch exact_dedup operator produces."""
+    from mbfbigdatarandomforest_spark.operators.dedup import exact_dedup
+    from mbfbigdatarandomforest_spark.streaming.dedup import (
+        run_dedup_available_now,
+    )
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").withColumn(
+        "ts",
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("doc_id").cast("double"))),
+    )
+    src = tmp_path / "docs_stream"
+    docs.coalesce(1).write.parquet(str(src))
+
+    got = run_dedup_available_now(
+        spark, str(src), docs.schema, query_name="t_dedup_stream"
+    )
+    rows = got.collect()
+    want = exact_dedup(load_table(spark, SF_DIR_SMALL, "documents")).collect()
+    # one surviving row per fingerprint, same fingerprint universe
+    assert len(rows) == len(want) > 0
+    assert {r["fp"] for r in rows} == {r["fp"] for r in want}
