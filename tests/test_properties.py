@@ -117,3 +117,47 @@ def test_collapse_rare_levels_property(spark, counts, threshold):
         # alphabet excludes it, so counts must match exactly
         n_rare == out.count("Other")
     )
+
+
+IDX_ROWS = st.lists(
+    st.integers(min_value=-1_000_000, max_value=1_000_000),
+    min_size=1,
+    max_size=300,
+    unique=True,
+)
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(vals=IDX_ROWS, k=st.integers(min_value=1, max_value=12))
+def test_global_row_number_and_ntile_property(spark, vals, k):
+    """For ANY unique-key data and bucket count, the distributed row
+    number must equal rank order, and ntile_from_rn must reproduce
+    NTILE's first-buckets-get-the-remainder sizing exactly."""
+    from mbfbigdatarandomforest_spark.operators.windows import (
+        global_row_number,
+        ntile_from_rn,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    out = global_row_number(df, ["v"], idx_col="idx")
+    got = {
+        r["v"]: (r["idx"], r["t"])
+        for r in out.withColumn(
+            "t", ntile_from_rn(F.col("idx"), F.lit(len(vals)), k)
+        ).collect()
+    }
+    n = len(vals)
+    small, rem = divmod(n, k)
+    want_tile = {}
+    for rank, v in enumerate(sorted(vals), start=1):
+        assert got[v][0] == rank
+        # NTILE: first `rem` buckets hold small+1 rows
+        boundary = rem * (small + 1)
+        tile = (
+            (rank - 1) // (small + 1) + 1
+            if rank <= boundary
+            else rem + (rank - boundary - 1) // small + 1
+        )
+        assert got[v][1] == tile, (v, rank, n, k)
