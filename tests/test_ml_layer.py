@@ -210,3 +210,35 @@ def test_train_and_evaluate_metrics_shape(spark, toy):
     )
     assert {"train_rmse", "train_r2", "test_rmse", "test_r2"} <= set(metrics)
     assert metrics["train_r2"] > 0.5
+
+
+def test_rare_level_collapser_pipeline_persistence(spark, tmp_path):
+    """F7 as a pipeline stage (SURVEY §7 M4): fitted rare-level lists
+    must match the standalone operator and survive Pipeline save/load."""
+    from mbfbigdatarandomforest_spark.ml.transformers import RareLevelCollapser
+    from mbfbigdatarandomforest_spark.operators.cleaning import (
+        collapse_rare_levels,
+    )
+
+    rows = [("common", "x")] * 60 + [("common2", "y")] * 35 + [
+        ("rare1", "x"), ("rare2", "y"), (None, "x"),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    est = RareLevelCollapser(inputCols=["a"], threshold=0.05)
+    model = est.fit(df)
+    want = {
+        (r["a"], r["b"]) for r in collapse_rare_levels(df, ["a"], 0.05).collect()
+    }
+    got = {(r["a"], r["b"]) for r in model.transform(df).collect()}
+    assert got == want
+    assert set(model.getRareLevels()["a"]) == {"rare1", "rare2"}
+
+    from pyspark.ml import Pipeline, PipelineModel
+
+    pm = Pipeline(stages=[est]).fit(df)
+    path = str(tmp_path / "rare_pipe")
+    pm.write().overwrite().save(path)
+    reloaded = PipelineModel.load(path)
+    got2 = {(r["a"], r["b"]) for r in reloaded.transform(df).collect()}
+    assert got2 == want
+    assert reloaded.stages[0].getRareLevels() == model.getRareLevels()
