@@ -163,12 +163,14 @@ def train_gbt_with_early_stopping(
     final = PipelineModel(stages=[fp_model, gbt_best])
     n_features = len(numeric) + len(categorical)
     metrics = {}
+    full_metrics = {}  # the max_iter probe IS plain (non-stopped) GBT
     for split_name, split_df in (("train", feat_train), ("test", feat_test)):
-        preds = gbt_best.transform(split_df)
-        for k, v in regression_metrics(
-            preds, label_col=label_col, n_features=n_features
-        ).items():
-            metrics[f"{split_name}_{k}"] = v
+        for model_obj, sink in ((gbt_best, metrics), (gbt_full, full_metrics)):
+            preds = model_obj.transform(split_df)
+            for k, v in regression_metrics(
+                preds, label_col=label_col, n_features=n_features
+            ).items():
+                sink[f"{split_name}_{k}"] = v
     feat_train.unpersist()
     feat_val.unpersist()
     train.unpersist()
@@ -176,6 +178,7 @@ def train_gbt_with_early_stopping(
         "best_iter": best_iter,
         "stopped_iter": stopped_iter,
         "max_iter": max_iter,
+        "full_metrics": full_metrics,
     }
 
 

@@ -254,19 +254,19 @@ def sample_and_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query("ml_gbt_metrics", tags=("L5", "L7", "L9", "earlystop"))
 def ml_gbt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.regressors import train_and_evaluate, train_gbt_with_early_stopping
+    from ..ml.regressors import train_gbt_with_early_stopping
 
     df = _lineitem_features(spark, sf_dir)
     feature_cols = dict(
         categorical=["p_brand", "p_type"],
         numeric=["l_quantity", "l_discount", "l_tax", "p_retailprice"],
     )
-    _, metrics = train_and_evaluate(
-        df, kind="gbt", label_col="label", maxIter=20, maxDepth=5, **feature_cols
-    )
+    # ONE early-stopping run yields both rows: the max_iter probe model
+    # IS plain (non-stopped) GBT, so no separate plain fit is needed
     _, es_metrics, stop = train_gbt_with_early_stopping(
         df, label_col="label", max_iter=20, patience=3, maxDepth=5, **feature_cols
     )
+    metrics = stop["full_metrics"]
     names = sorted(metrics)
     rows = [
         ("gbt", *[round(metrics[k], 4) for k in names], None, None, None),

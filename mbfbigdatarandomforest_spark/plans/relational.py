@@ -1160,6 +1160,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("approx_sketches", tags=("A-approx", "extension"))
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    # Two deliberate jobs: folding the exact countDistinct into the
+    # sketch aggregation forces Spark's Expand-based distinct plan,
+    # which re-evaluates the percentile sketch over the expanded rows
+    # (measured 10× slower). The exact count is only the self-check.
     row = li.agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
