@@ -110,6 +110,67 @@ def cosine_dup_pairs(
     )
 
 
+def _seq_norm(vecs):
+    """L2 norms with dimension-sequential float64 accumulation — the
+    same IEEE operation order as the ``_norm`` SQL expression and the
+    DuckDB oracle's left-to-right sum, so sqrt results are bit-exact."""
+    import numpy as np
+
+    acc = np.zeros(vecs.shape[0], dtype=np.float64)
+    for d in range(vecs.shape[1]):
+        acc += vecs[:, d] * vecs[:, d]
+    return np.sqrt(acc)
+
+
+def _fit_centroids_sampled(
+    corpus: DataFrame,
+    *,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    seed: int,
+    max_iter: int,
+    sample_cap: int = 65536,
+):
+    """Train IVF centroids on a bounded, deterministic sample with
+    driver-side Lloyd iterations (numpy).
+
+    This is the standard IVF construction (FAISS trains coarse
+    quantizers on a sample, not the corpus): centroid quality needs
+    only a representative sample, while the ASSIGNMENT stays fully
+    distributed. Replacing the distributed KMeans fit removes ~10
+    scheduled jobs (k-means|| init + one job per iteration) whose
+    latency dominates at small scale and whose full-corpus passes are
+    wasted work at large scale. The sample is the first ``sample_cap``
+    rows by id (TakeOrdered — no full sort), so centroids are
+    deterministic across sessions and partitionings."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(sample_cap)
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    n = x.shape[0]
+    k = min(k, n)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(max_iter):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = np.empty_like(cent)
+        for c in range(k):
+            members = x[assign == c]
+            new[c] = members.mean(axis=0) if len(members) else x[rng.integers(n)]
+        if np.allclose(new, cent):
+            cent = new
+            break
+        cent = new
+    return cent
+
+
 def ann_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,
@@ -124,97 +185,110 @@ def ann_dup_pairs(
     verify — the 100 TB path (the all-pairs ``cosine_dup_pairs`` is the
     test-scale oracle only).
 
-    Candidate generation is ASYMMETRIC multi-probe: the index side
-    holds each vector in its single home cell; the probe side visits
-    the ``n_probe`` nearest centroids. A pair is a candidate when
-    either member's probe list covers the other's home cell, so the
-    candidate count is ≈(n_probe/n_clusters)·n²/2 — linear in n_probe,
-    unlike symmetric co-probing whose cost grows with n_probe² and can
-    exceed brute force. Candidates are deduplicated as bare id pairs
-    BEFORE the vectors are joined back for the exact cosine test (the
-    wide arrays never ride through the candidate shuffle). Emitted
-    pairs are exact; only recall is approximate — raise ``n_probe`` to
-    trade cost for recall. Centroids are tiny and broadcast. Output
-    matches ``cosine_dup_pairs``: (id_a, id_b, cosine_sim ≥ threshold)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    Shape: centroids are trained on a bounded sample driver-side
+    (``_fit_centroids_sampled`` — FAISS-style), then ONE narrow
+    ``mapInPandas`` pass routes each vector to its home cell and its
+    ``n_probe`` nearest probe cells, and ONE shuffle on the cell id
+    feeds a cell-local vectorized verify (``applyInPandas``). A pair is
+    a candidate when either member's probe list covers the other's home
+    cell — candidate count ≈(n_probe/n_clusters)·n²/2, linear in
+    n_probe, unlike symmetric co-probing whose cost grows with
+    n_probe². Per-cell work is bounded by cell size (salt oversized
+    cells or raise n_clusters at larger corpora). Emitted cosines are
+    bit-exact vs the sequential-sum SQL baseline (see ``_verify``);
+    only recall is approximate — raise ``n_probe`` to trade cost for
+    recall. Output matches ``cosine_dup_pairs``:
+    (id_a, id_b, cosine_sim ≥ threshold)."""
+    import numpy as np
+    import pandas as pd
 
-    # single-file parquet yields 1-3 partitions — widen so the dot
-    # products and KMeans passes parallelize. FIXED partition count,
-    # NOT defaultParallelism: k-means|| initialization samples by
-    # partition, so the centroid set (and therefore candidate recall)
-    # must not depend on how many cores the session happens to have.
-    if corpus.rdd.getNumPartitions() < 16:
-        corpus = corpus.repartition(16)
-    corp = corpus.select(
+    centroids = _fit_centroids_sampled(
+        corpus, vec_col=vec_col, id_col=id_col, k=n_clusters,
+        seed=seed, max_iter=kmeans_max_iter,
+    )
+    k = centroids.shape[0]
+    n_probe = min(n_probe, k)
+    thr = float(threshold)
+
+    # ---- pass 1 (narrow, no shuffle): per-row home cell + probe cells.
+    # Centroids are tiny (k × dim floats) and ride into the UDF closure —
+    # the moral equivalent of a broadcast join against a k-row dim table.
+    route_schema = (
+        "cell int, is_home boolean, id long, v array<double>, nrm double"
+    )
+
+    def _route(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(pdf["v"].tolist(), dtype=np.float64)
+            nrm = _seq_norm(vecs)
+            sims = (vecs @ centroids.T) / (
+                np.maximum(nrm[:, None], 1e-300)
+                * np.linalg.norm(centroids, axis=1)[None, :]
+            )
+            # top-n_probe cells per row, nearest first; stable sort
+            # breaks similarity ties toward the lower cell id (matching
+            # the SQL row_number tiebreak this replaced)
+            order = np.argsort(-sims, axis=1, kind="stable")
+            probe = order[:, :n_probe]
+            ids = pdf["id"].to_numpy()
+            n = len(pdf)
+            out_cell = probe.ravel()
+            out_id = np.repeat(ids, n_probe)
+            out_home = (probe == probe[:, :1]).ravel()  # rank-1 cell IS home
+            yield pd.DataFrame(
+                {
+                    "cell": out_cell.astype("int32"),
+                    "is_home": out_home,
+                    "id": out_id,
+                    "v": np.repeat(pdf["v"].to_numpy(), n_probe),
+                    "nrm": np.repeat(nrm, n_probe),
+                }
+            )
+
+    routed = corpus.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        array_to_vector(F.col(vec_col)).alias("features"),
-    )
-    # candidate cells don't need fully-converged centroids — callers
-    # may cap the iteration count (each KMeans iteration is a scheduled
-    # job; at test scale scheduling dominates, at 100 TB the passes do),
-    # at the price of re-checking recall for their corpus
-    km = KMeans(
-        k=n_clusters, seed=seed, maxIter=kmeans_max_iter,
-        featuresCol="features", predictionCol="__c",
-    )
-    model = km.fit(corp)
-    centroids = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    cent_df = corpus.sparkSession.createDataFrame(centroids, ["cluster", "centroid"])
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).mapInPandas(_route, schema=route_schema)
 
-    # one centroid-similarity pass feeds BOTH the home assignment
-    # (rank 1) and the probe lists (rank ≤ n_probe); cached because the
-    # candidate join consumes it twice
-    normed = corp.select("id", "v", _norm(F.col("v")).alias("nrm"))
-    ranked = (
-        normed.select("id", "v", "nrm")
-        .crossJoin(broadcast(cent_df))
-        .select(
-            "id",
-            "cluster",
-            (
-                _dot(F.col("v"), F.col("centroid"))
-                / (F.col("nrm") * _norm(F.col("centroid")))
-            ).alias("__sim"),
-        )
-        .withColumn(
-            "__r",
-            F.row_number().over(
-                Window.partitionBy("id").orderBy(F.desc("__sim"), F.asc("cluster"))
-            ),
-        )
-        .filter(F.col("__r") <= n_probe)
-        .select("id", "cluster", "__r")
-        .cache()
-    )
-    home = ranked.filter(F.col("__r") == 1).select(
-        F.col("id").alias("id_h"), "cluster"
-    )
-    probes = ranked.select(F.col("id").alias("id_p"), "cluster")
-    # unordered candidate ids only — wide vector columns join AFTER dedupe
-    cand = (
-        probes.join(home, "cluster")
-        .filter(F.col("id_p") != F.col("id_h"))
-        .select(
-            F.least("id_p", "id_h").alias("id_a"),
-            F.greatest("id_p", "id_h").alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    va = normed.select(
-        F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
-    )
-    vb = normed.select(
-        F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b")
-    )
-    sim_col = _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    # ---- pass 2 (one shuffle on the cell id): cell-local verify via
+    # vectorized dot products. A pair is a candidate when either
+    # member's probe list covers the other's home cell, so every true
+    # pair is seen in ≥1 cell (≤2 → dropDuplicates below). The loop
+    # accumulates dimension-by-dimension so float64 summation order is
+    # IDENTICAL to the sequential F.aggregate/DuckDB oracle sum — the
+    # emitted cosines are bit-exact vs the all-pairs baseline.
+    pair_schema = "id_a long, id_b long, cosine_sim double"
+
+    def _verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        home = pdf[pdf["is_home"].to_numpy()]
+        if not len(home) or len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"}
+            )
+        pv = np.array(pdf["v"].tolist(), dtype=np.float64)
+        hv = np.array(home["v"].tolist(), dtype=np.float64)
+        pid, hid = pdf["id"].to_numpy(), home["id"].to_numpy()
+        pn, hn = pdf["nrm"].to_numpy(), home["nrm"].to_numpy()
+        dots = np.zeros((len(pdf), len(home)), dtype=np.float64)
+        for d in range(pv.shape[1]):  # sequential over dims = exact order
+            dots += pv[:, d][:, None] * hv[:, d][None, :]
+        sims = dots / (pn[:, None] * hn[None, :])
+        # rounding happens Spark-side (HALF_UP parity with the oracle);
+        # prefilter with a 5e-7 guard so borderline values survive
+        ii, jj = np.nonzero(sims >= thr - 5e-7)
+        keep = pid[ii] != hid[jj]
+        ii, jj = ii[keep], jj[keep]
+        a = np.minimum(pid[ii], hid[jj])
+        b = np.maximum(pid[ii], hid[jj])
+        out = pd.DataFrame({"id_a": a, "id_b": b, "cosine_sim": sims[ii, jj]})
+        return out.drop_duplicates(["id_a", "id_b"])
+
+    pairs = routed.groupBy("cell").applyInPandas(_verify, schema=pair_schema)
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", F.round(sim_col, 6).alias("cosine_sim"))
+        pairs.dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
 
@@ -233,26 +307,45 @@ def ivf_topk(
     only the ``n_probe`` nearest centroids per query.
 
     The 100 TB path for cosine search: candidate generation touches
-    ~n_probe/n_clusters of the corpus. Centroids are tiny and broadcast
-    with the query set; assignment and scoring are codegen'd array
-    expressions. Returns (query_id, neighbor_id, cosine_sim, rank)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    ~n_probe/n_clusters of the corpus. Centroids are trained on a
+    bounded sample driver-side (FAISS-style, see
+    ``_fit_centroids_sampled``) and broadcast; assignment is one narrow
+    vectorized pass; scoring is codegen'd array expressions.
+    Returns (query_id, neighbor_id, cosine_sim, rank)."""
+    import numpy as np
+    import pandas as pd
 
-    corp = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        array_to_vector(F.col(vec_col)).alias("features"),
+    cent = _fit_centroids_sampled(
+        corpus, vec_col=vec_col, id_col=id_col, k=n_clusters,
+        seed=seed, max_iter=20,
     )
-    km = KMeans(k=n_clusters, seed=seed, featuresCol="features", predictionCol="cluster")
-    model = km.fit(corp)
-    assigned = model.transform(corp).select("neighbor_id", "c_vec", "cluster")
 
-    centroids = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(pdf["c_vec"].tolist(), dtype=np.float64)
+            d2 = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "c_vec": pdf["c_vec"].to_numpy(),
+                    "cluster": d2.argmin(axis=1).astype("int32"),
+                }
+            )
+
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("c_vec"),
+    ).mapInPandas(
+        _assign, schema="neighbor_id long, c_vec array<double>, cluster int"
+    )
+
     spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(centroids, ["cluster", "centroid"])
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
+        ["cluster", "centroid"],
+    )
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
