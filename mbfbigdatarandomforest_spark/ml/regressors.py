@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .features import build_feature_pipeline
-from .metrics import regression_metrics
+from .metrics import regression_metrics_tagged
 
 
 def make_regressor(
@@ -141,8 +141,10 @@ def train_gbt_with_early_stopping(
     parallelism = data.sparkSession.sparkContext.defaultParallelism
     if data.rdd.getNumPartitions() < parallelism:
         data = data.repartition(parallelism)
+    # cache the slim post-drop frame once — train/val/test branches all
+    # re-derive their split from the cached rows (see train_and_evaluate)
+    data = data.cache()
     train, val, test = data.randomSplit([0.6, 0.2, 0.2], seed=seed)
-    train = train.cache()  # read by each fitting stage
     # featurize once; BOTH fits (probe at max_iter, final at best_iter)
     # and all evaluation passes read the cached slim vectors
     fp_model = build_feature_pipeline(categorical, numeric, one_hot=False).fit(train)
@@ -162,18 +164,25 @@ def train_gbt_with_early_stopping(
     ).fit(feat_train)
     final = PipelineModel(stages=[fp_model, gbt_best])
     n_features = len(numeric) + len(categorical)
+    # all four (model × split) evaluations reduce in ONE tagged job
+    tagged = regression_metrics_tagged(
+        {
+            f"{m}:{s}": model_obj.transform(split_df)
+            for m, model_obj in (("best", gbt_best), ("full", gbt_full))
+            for s, split_df in (("train", feat_train), ("test", feat_test))
+        },
+        label_col=label_col,
+        n_features=n_features,
+    )
     metrics = {}
     full_metrics = {}  # the max_iter probe IS plain (non-stopped) GBT
-    for split_name, split_df in (("train", feat_train), ("test", feat_test)):
-        for model_obj, sink in ((gbt_best, metrics), (gbt_full, full_metrics)):
-            preds = model_obj.transform(split_df)
-            for k, v in regression_metrics(
-                preds, label_col=label_col, n_features=n_features
-            ).items():
-                sink[f"{split_name}_{k}"] = v
+    for key, v in tagged.items():
+        tag, metric = key.split("_", 1)
+        m, s = tag.split(":")
+        (metrics if m == "best" else full_metrics)[f"{s}_{metric}"] = v
     feat_train.unpersist()
     feat_val.unpersist()
-    train.unpersist()
+    data.unpersist()
     return final, metrics, {
         "best_iter": best_iter,
         "stopped_iter": stopped_iter,
@@ -191,11 +200,19 @@ def train_and_evaluate(
     numeric: list[str],
     train_fraction: float = 0.75,
     seed: int = 123,
+    scale: bool = False,
     **params,
 ) -> tuple["Pipeline", dict[str, float]]:
     """na.drop → seeded split (M2, replaces R's positional complement,
     03_LinearRegression.R:53-64) → feature pipeline → fit → metrics on
-    train and test."""
+    train and test.
+
+    ``scale=True`` reproduces R's ``scale()`` preprocessing
+    (03_LinearRegression.R:29-34) for standardized coefficients; OLS
+    predictions and metrics are scale-invariant, so the default keeps
+    one-hot vectors SPARSE end-to-end (StandardScaler withMean
+    densifies them — at 181 one-hot features that is a ~45x blowup of
+    every cached/aggregated row for identical metric output)."""
     data = df.na.drop(subset=[label_col] + categorical + numeric)
     # Tree training makes many passes; a single-file parquet scan yields
     # 1-3 partitions, starving the executors. Widen to the cluster's
@@ -203,14 +220,14 @@ def train_and_evaluate(
     parallelism = data.sparkSession.sparkContext.defaultParallelism
     if data.rdd.getNumPartitions() < parallelism:
         data = data.repartition(parallelism)
+    # cache the slim post-join frame ONCE: every consumer below — the
+    # indexer fit and featurize pass on train AND the test-split metric
+    # pass — re-derives its split by filtering the cached rows instead
+    # of re-running scan+join+na.drop per branch
+    data = data.cache()
     train, test = data.randomSplit([train_fraction, 1 - train_fraction], seed=seed)
-    # raw train is read once per fitting stage (indexers, scaler) —
-    # cache it so each fit pass skips scan+join+split recomputation
-    train = train.cache()
     one_hot = kind == "ols"
-    fp = build_feature_pipeline(
-        categorical, numeric, one_hot=one_hot, scale=(kind == "ols")
-    )
+    fp = build_feature_pipeline(categorical, numeric, one_hot=one_hot, scale=scale)
     # Featurize ONCE and cache the slim (features, label) projection:
     # model fitting and both metric passes then read the cached vectors
     # instead of re-running indexers/encoder/scaler per consumer.
@@ -221,14 +238,14 @@ def train_and_evaluate(
     model_fitted = model.fit(feat_train)
     fitted = PipelineModel(stages=[fp_model, model_fitted])
     n_features = len(numeric) + len(categorical)
-    metrics = {}
-    for split_name, split_df in (("train", feat_train), ("test", feat_test)):
-        preds = model_fitted.transform(split_df)
-        m = regression_metrics(
-            preds, label_col=label_col, n_features=n_features
-        )
-        for k, v in m.items():
-            metrics[f"{split_name}_{k}"] = v
+    metrics = regression_metrics_tagged(
+        {
+            "train": model_fitted.transform(feat_train),
+            "test": model_fitted.transform(feat_test),
+        },
+        label_col=label_col,
+        n_features=n_features,
+    )
     feat_train.unpersist()
-    train.unpersist()
+    data.unpersist()
     return fitted, metrics
