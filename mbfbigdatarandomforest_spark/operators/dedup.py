@@ -49,14 +49,41 @@ def exact_dedup(
     )
 
 
-def token_shingles(col, n: int = 3):
-    """Sliding token n-grams as an array column (pure codegen)."""
-    toks = F.split(F.trim(F.lower(col if not isinstance(col, str) else F.col(col))), r"\s+")
-    k = F.size(toks) - (n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+def _tokens(col):
+    return F.split(
+        F.trim(F.lower(col if not isinstance(col, str) else F.col(col))), r"\s+"
     )
+
+
+def _shingles_from_tokens(toks, n: int):
+    """Sliding n-grams from a token-array COLUMN via progressively
+    zipped shifted slices — O(1) simple expressions per output element.
+
+    The per-index form (``transform(sequence(...), i -> concat_ws(
+    slice(toks, i, n)))``) re-evaluates its captured subtree per lambda
+    element in interpreted mode, which made shingling the hottest stage
+    of every dedup query (~3x slower than this formulation). zip_with
+    null-pads the shorter side and concat_ws skips nulls, so the tail
+    holds partial shingles — the final slice drops them. Docs with
+    < n tokens yield an empty array (matching the oracle's
+    ``range(1, len-1)`` semantics, which the per-index form got wrong
+    for 1-2 token docs)."""
+    size = F.size(toks)
+    acc = toks
+    for shift in range(2, n + 1):
+        shifted = F.slice(toks, shift, F.greatest(size - (shift - 1), F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(acc, 1, F.greatest(size - (n - 1), F.lit(0)))
+
+
+def token_shingles(col, n: int = 3):
+    """Sliding token n-grams as an array column (pure codegen).
+
+    NOTE: evaluates the tokenizing split once per shifted slice (n
+    references). Callers shingling a whole corpus should materialize
+    the token array first and use ``_shingles_from_tokens`` (see
+    ``_shingle_frame``)."""
+    return _shingles_from_tokens(_tokens(col), n)
 
 
 def ngram_jaccard_pairs(
@@ -74,10 +101,17 @@ def ngram_jaccard_pairs(
     Quadratic only within a shingle bucket — at 100 TB, cap bucket width
     by dropping ultra-common shingles (stopword shingles) first.
     """
-    shingled = _widen(df).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(token_shingles(text_col, n)).alias("shingles"),
-    ).withColumn("n_shingles", F.size("shingles"))
+    shingled = (
+        _widen(df)
+        .withColumn("__toks", _tokens(text_col))
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(_shingles_from_tokens(F.col("__toks"), n)).alias(
+                "shingles"
+            ),
+        )
+        .withColumn("n_shingles", F.size("shingles"))
+    )
     # both sides of the self-join read this — avoid re-shingling
     exploded = shingled.select(
         "id", "n_shingles", F.explode("shingles").alias("shingle")
@@ -113,9 +147,12 @@ def _shingle_frame(
     CPU-heavy shingling parallelizes."""
     return (
         _widen(df)
+        .withColumn("__toks", _tokens(text_col))
         .select(
             F.col(id_col).alias("id"),
-            F.array_distinct(token_shingles(text_col, n)).alias("shingles"),
+            F.array_distinct(_shingles_from_tokens(F.col("__toks"), n)).alias(
+                "shingles"
+            ),
         )
         .filter(F.size("shingles") > 0)
     )
@@ -129,6 +166,7 @@ def exact_jaccard_verify(
     at or above ``threshold``. |A∩B| / |A∪B| over exact integer sizes —
     bit-identical to the shared/(|A|+|B|-shared) formulation."""
     sh = shingled
+    passthrough = [c for c in cand.columns if c not in ("id_a", "id_b")]
     return (
         cand.join(
             sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
@@ -144,7 +182,7 @@ def exact_jaccard_verify(
             / F.size(F.array_union("sh_a", "sh_b")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard", *passthrough)
     )
 
 
@@ -208,6 +246,19 @@ def minhash_verified_pairs(
     if shingled is None:
         shingled = _shingle_frame(df, text_col, id_col, n).cache()
         shingled.count()  # eager: candidate gen + both verify sides fan out
+    cand = _mllib_minhash_candidates(
+        shingled, num_hashes=num_hashes, threshold=threshold, seed=seed
+    )
+    return exact_jaccard_verify(cand, shingled, threshold)
+
+
+def _mllib_minhash_candidates(
+    shingled: DataFrame, *, num_hashes: int, threshold: float, seed: int
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from MLlib MinHashLSH over a cached
+    (id, shingles) frame."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )
@@ -220,14 +271,13 @@ def minhash_verified_pairs(
     # jaccard under bucket collisions); the exact verify re-tightens
     slack = min(1.0, 1.0 - threshold + 0.05)
     joined = model.approxSimilarityJoin(feats, feats, slack, distCol="__d")
-    cand = (
+    return (
         joined.filter(F.col("datasetA.id") < F.col("datasetB.id"))
         .select(
             F.col("datasetA.id").alias("id_a"),
             F.col("datasetB.id").alias("id_b"),
         )
     )
-    return exact_jaccard_verify(cand, shingled, threshold)
 
 
 def banded_minhash_pairs(
@@ -268,6 +318,17 @@ def banded_minhash_pairs(
         # sides consume this concurrently within one action; without the
         # eager fill they race and each recomputes the expensive shingling
         shingled.count()
+    cand = _banded_minhash_candidates(
+        shingled, bands=bands, rows_per_band=rows_per_band, seed=seed
+    )
+    return exact_jaccard_verify(cand, shingled, threshold)
+
+
+def _banded_minhash_candidates(
+    shingled: DataFrame, *, bands: int, rows_per_band: int, seed: int
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from deterministic banded MinHash
+    over a cached (id, shingles) frame."""
     hashed = shingled.withColumn(
         "sh_hashes", F.transform("shingles", lambda x: F.xxhash64(x))
     )
@@ -298,14 +359,12 @@ def banded_minhash_pairs(
 
     left = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
     right = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
-    cand = (
+    return (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-
-    return exact_jaccard_verify(cand, shingled, threshold)
 
 
 def simhash(col, bits: int = 32):

@@ -125,19 +125,23 @@ ORDER BY m.method, k.id_a, k.id_b
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # shingle the corpus ONCE; both LSH variants and all verify joins
+    # shingle the corpus ONCE; both LSH variants and the verify join
     # read the same cached frame (eagerly materialized so concurrent
     # consumers inside one action don't race it into recomputation)
     shingled = dd._shingle_frame(docs, "text", "doc_id", 3).cache()
     shingled.count()
-    banded = dd.banded_minhash_pairs(
-        docs, bands=8, rows_per_band=4, threshold=0.2, shingled=shingled
+    # per-method candidates stay separate (a recall miss in either
+    # method still breaks the hash gate), but the exact-Jaccard verify
+    # runs ONCE over the method-tagged union — one shingle join pass
+    # instead of one per method
+    banded = dd._banded_minhash_candidates(
+        shingled, bands=8, rows_per_band=4, seed=42
     ).withColumn("method", F.lit("banded"))
-    mllib = dd.minhash_verified_pairs(
-        docs, threshold=0.2, shingled=shingled
+    mllib = dd._mllib_minhash_candidates(
+        shingled, num_hashes=16, threshold=0.2, seed=42
     ).withColumn("method", F.lit("mllib_lsh"))
     return (
-        banded.unionByName(mllib)
+        dd.exact_jaccard_verify(banded.unionByName(mllib), shingled, 0.2)
         .select("method", "id_a", "id_b", "jaccard")
         .orderBy("method", "id_a", "id_b")
     )
