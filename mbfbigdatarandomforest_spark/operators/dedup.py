@@ -51,8 +51,15 @@ def exact_dedup(
 
 
 def _tokens(col):
-    return F.split(
-        F.trim(F.lower(col if not isinstance(col, str) else F.col(col))), r"\s+"
+    # Spark `trim` strips spaces only, so tab/newline-padded text yields
+    # empty boundary tokens from the split — filter them (the DuckDB
+    # oracle mirrors this with list_filter)
+    return F.filter(
+        F.split(
+            F.trim(F.lower(col if not isinstance(col, str) else F.col(col))),
+            r"\s+",
+        ),
+        lambda t: t != "",
     )
 
 

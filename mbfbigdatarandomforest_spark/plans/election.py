@@ -253,7 +253,7 @@ def ols_county_forecast(
     sample county evals, calibrated forecasts, metrics."""
     from pyspark.ml import Pipeline
     from ..ml.features import build_feature_pipeline
-    from ..ml.metrics import regression_metrics
+    from ..ml.metrics import regression_metrics_tagged
     from ..ml.regressors import make_regressor
 
     labeled, unlabeled = _split_label(clean)
@@ -287,13 +287,11 @@ def ols_county_forecast(
     train_scored = score(train)
     test_scored = score(test)
     n_features = len(numeric) + len(categorical)
-    metrics = {
-        f"{split}_{k}": v
-        for split, scored in (("train", train_scored), ("test", test_scored))
-        for k, v in regression_metrics(
-            scored, label_col=LABEL, n_features=n_features
-        ).items()
-    }
+    metrics = regression_metrics_tagged(
+        {"train": train_scored, "test": test_scored},
+        label_col=LABEL,
+        n_features=n_features,
+    )
 
     # County roll-ups (J5 fused agg, 03:133-145) for eval and forecast.
     eval_in = _county_eval(train_scored, min_obs)
@@ -376,7 +374,7 @@ def tree_county_forecast(
     search (see ``_cv_fit``)."""
     from pyspark.ml import Pipeline
     from ..ml.features import build_feature_pipeline
-    from ..ml.metrics import regression_metrics
+    from ..ml.metrics import regression_metrics_tagged
     from ..ml.regressors import make_regressor
 
     labeled, unlabeled = _split_label(clean)
@@ -399,13 +397,11 @@ def tree_county_forecast(
     train_scored = model.transform(train)
     test_scored = model.transform(test)
     n_features = len(numeric) + len(categorical)
-    metrics = {
-        f"{split}_{k}": v
-        for split, scored in (("train", train_scored), ("test", test_scored))
-        for k, v in regression_metrics(
-            scored, label_col=LABEL, n_features=n_features
-        ).items()
-    }
+    metrics = regression_metrics_tagged(
+        {"train": train_scored, "test": test_scored},
+        label_col=LABEL,
+        n_features=n_features,
+    )
 
     unl_scored = model.transform(unlabeled)
     forecast = threshold_rollup(

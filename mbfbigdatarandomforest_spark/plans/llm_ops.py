@@ -22,7 +22,9 @@ from ..sources.catalog import load_table
 
 # Shared normalization sub-SQL (must mirror operators.text exactly).
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
-_TOKS = f"string_split({_NORM}, ' ')"
+# empty boundary tokens (tab/newline-padded text) are filtered on both
+# engines — see operators.dedup._tokens
+_TOKS = f"list_filter(string_split({_NORM}, ' '), t -> t != '')"
 
 
 # --------------------------------------------------------------------------

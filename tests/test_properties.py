@@ -161,3 +161,42 @@ def test_global_row_number_and_ntile_property(spark, vals, k):
             else rem + (rank - boundary - 1) // small + 1
         )
         assert got[v][1] == tile, (v, rank, n, k)
+
+
+TEXTS = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab c\tx 1.")),
+        min_size=0,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(texts=TEXTS, n=st.integers(min_value=2, max_value=4))
+def test_token_shingles_property(spark, texts, n):
+    """The zipped-shifted-slice shingle formulation ≡ the obvious Python
+    sliding window, for arbitrary whitespace-mangled text and n-gram
+    sizes — including docs with fewer than n tokens (empty result)."""
+    from mbfbigdatarandomforest_spark.operators.dedup import token_shingles
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", token_shingles("text", n).alias("sh")
+        ).collect()
+    }
+
+    def oracle(t: str) -> list[str]:
+        toks = t.strip().lower().split()
+        return [" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))]
+
+    for i, t in enumerate(texts):
+        assert got[i] == oracle(t), (t, n, got[i], oracle(t))
