@@ -438,3 +438,149 @@ def lsh_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_col: str = "q_vec",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization (storage/IO tier for
+    embedding corpora): ``q = round(v / s)`` with ``s = max|v| / 127``.
+
+    4x smaller than float32 on disk and over every shuffle; cosine of
+    the int vectors approximates cosine of the originals because the
+    per-vector scales cancel in the ratio. The scale column rides along
+    so originals can be approximately reconstructed (error ≤ s/2 per
+    element). Pure codegen; the scale is materialized as a column FIRST
+    so the quantizing lambda doesn't re-evaluate the array_max per
+    element (interpreted-HOF rule, see SCALE.md §5)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    s = (
+        F.greatest(
+            F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-30)
+        )
+        / F.lit(127.0)
+    )
+    return (
+        df.withColumn(scale_col, s.cast("float"))
+        .withColumn(
+            q_col,
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(
+                    x.cast("double") / F.col(scale_col)
+                ).cast("tinyint"),
+            ),
+        )
+        .select(F.col(id_col).alias("id"), q_col, scale_col)
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    oversample: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quantized: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k via int8-quantized scoring + exact rescore —
+    the memory-bound scale path (complements the compute-bound IVF
+    path): the full-precision corpus is read ONLY for the ~k·oversample
+    survivors per query; the scan-side scoring touches 1/4 the bytes.
+
+    Stages: (1) score every corpus row against the broadcast quantized
+    query set with a vectorized int32 GEMM per Arrow batch, keeping the
+    per-batch top k·oversample per query; (2) one small shuffle ranks
+    the surviving (query, neighbor, approx) triples globally; (3) the
+    survivors join back their float vectors for an exact cosine rescore
+    (same sequential-sum semantics as ``cosine_topk``). Recall is
+    governed by ``oversample``; emitted similarities are exact.
+    ``quantized`` accepts a pre-quantized (id, q_vec, q_scale) frame —
+    the production case where int8 is the stored format."""
+    import numpy as np
+    import pandas as pd
+
+    q_corp = (
+        quantized
+        if quantized is not None
+        else quantize_embeddings(corpus, vec_col, id_col)
+    )
+    q_rows = quantize_embeddings(queries, vec_col, id_col).collect()
+    q_ids = np.array([r["id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["q_vec"] for r in q_rows], dtype=np.int32)
+    q_norm = np.maximum(np.sqrt((q_mat.astype(np.float64) ** 2).sum(axis=1)), 1e-30)
+    m = k * oversample
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_mat = np.array(pdf["q_vec"].tolist(), dtype=np.int32)
+            c_norm = np.maximum(
+                np.sqrt((c_mat.astype(np.float64) ** 2).sum(axis=1)), 1e-30
+            )
+            sims = (c_mat @ q_mat.T) / (c_norm[:, None] * q_norm[None, :])
+            ids = pdf["id"].to_numpy()
+            out = []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                keep = np.argsort(-col, kind="stable")[: m + 1]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[keep],
+                            "approx_sim": col[keep],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    scored = q_corp.mapInPandas(
+        _score, schema="query_id long, neighbor_id long, approx_sim double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.asc("neighbor_id")
+    )
+    survivors = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= m)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rescore: float vectors join back for survivors only
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    rescored = (
+        survivors.join(c, "neighbor_id")
+        .join(broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
+            ).alias("cosine_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -463,3 +463,53 @@ def test_tfidf_top_terms(spark):
     # 'common'/'words'/'everywhere' appear in all docs → IDF 0 → never top
     assert all(t not in {"common", "words", "everywhere"}
                for v in by_doc.values() for _, t, _ in v)
+
+
+def test_quantized_topk_recall_and_exact_values(spark):
+    """int8-quantized scoring + exact rescore: high recall vs the exact
+    brute force, and every emitted cosine must be EXACTLY the value
+    cosine_topk computes for the same (query, neighbor) pair (the
+    rescore is full-precision; only candidate selection is approximate)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(5, 24)) * 3
+    vecs = []
+    for i in range(150):
+        c = centers[i % 5]
+        vecs.append((i, [float(x) for x in c + rng.normal(size=24)]))
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") < 4)
+
+    exact = sim.cosine_topk(df, q, k=5).collect()
+    approx = sim.quantized_topk(df, q, k=5, oversample=4).collect()
+
+    exact_vals = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in exact}
+    es, aps = {}, {}
+    for r in exact:
+        es.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        aps.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        if (r["query_id"], r["neighbor_id"]) in exact_vals:
+            assert r["cosine_sim"] == exact_vals[(r["query_id"], r["neighbor_id"])]
+    recalls = [len(es[qid] & aps.get(qid, set())) / 5 for qid in es]
+    assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_quantize_embeddings_roundtrip_error(spark):
+    """Per-element dequantization error is bounded by s/2 and the scale
+    is max|v|/127."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = [(i, [float(x) for x in rng.normal(size=16) * (i + 1)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    rows = sim.quantize_embeddings(df).collect()
+    orig = dict(vecs)
+    for r in rows:
+        v = np.array(orig[r["id"]])
+        s = r["q_scale"]
+        assert s == pytest.approx(np.abs(v).max() / 127.0, rel=1e-6)
+        deq = np.array(r["q_vec"], dtype=np.float64) * s
+        assert np.abs(deq - v).max() <= s / 2 + 1e-9
+        assert all(-127 <= x <= 127 for x in r["q_vec"])
