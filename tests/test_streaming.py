@@ -169,3 +169,55 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
     # one surviving row per fingerprint, same fingerprint universe
     assert len(rows) == len(want) > 0
     assert {r["fp"] for r in rows} == {r["fp"] for r in want}
+
+
+def test_exactly_once_sink_idempotent_on_replay(spark, tmp_path):
+    """The idempotent foreachBatch sink: (1) an availableNow drain lands
+    exactly the source rows; (2) re-writing the SAME batch id (the
+    post-failure replay case) replaces its partition instead of
+    appending — row counts must not change."""
+    import shutil
+
+    from mbfbigdatarandomforest_spark.streaming.sinks import (
+        exactly_once_parquet_sink,
+        write_batch_idempotent,
+    )
+
+    src_dir = tmp_path / "docs_stream"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_DIR_SMALL}/documents.parquet", src_dir / "part-0.parquet")
+    batch = spark.read.parquet(str(src_dir))
+    out = str(tmp_path / "sink_out")
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    q = exactly_once_parquet_sink(
+        stream, out, str(tmp_path / "ckpt"), query_name="t_sink"
+    )
+    q.awaitTermination(120)
+
+    first = spark.read.parquet(out)
+    n_src = batch.count()
+    assert first.count() == n_src
+    assert set(r["doc_id"] for r in first.select("doc_id").collect()) == set(
+        r["doc_id"] for r in batch.select("doc_id").collect()
+    )
+    replayed_ids = [
+        r["__batch_id"] for r in first.select("__batch_id").distinct().collect()
+    ]
+
+    # simulate the failure replay: write every batch id again, each now
+    # carrying the FULL source content — the sink must replace each
+    # partition, so the total is n_src per batch id, not appended rows
+    for bid in replayed_ids:
+        write_batch_idempotent(batch, bid, out)
+    spark.catalog.refreshByPath(out)
+    count_after_replay = spark.read.parquet(out).count()
+    assert count_after_replay == n_src * len(replayed_ids)
+    # and a second replay of one id still doesn't grow the table
+    write_batch_idempotent(batch, replayed_ids[0], out)
+    spark.catalog.refreshByPath(out)
+    assert spark.read.parquet(out).count() == count_after_replay
