@@ -136,3 +136,74 @@ def test_frame_sample_indices(spark):
     for r in out:
         n = r["media_meta"]["n_frames"]
         assert list(r["sampled_frames"]) == list(range(0, n, 30))
+
+
+def test_video_container_roundtrip_and_random_access():
+    import numpy as np
+
+    from mbfbigdatarandomforest_spark.operators.multimodal import (
+        decode_video_frame,
+        encode_video,
+        video_meta,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = [
+        (rng.integers(0, 256, size=(8, 6, 3))).astype(np.uint8) for _ in range(7)
+    ]
+    blob = encode_video(frames)
+    n, flen = video_meta(blob)
+    assert n == 7 and flen > 0
+    for i in (0, 3, 6):
+        np.testing.assert_array_equal(decode_video_frame(blob, i), frames[i])
+    with __import__("pytest").raises(IndexError):
+        decode_video_frame(blob, 7)
+
+
+def test_frame_sample_features_matches_direct(spark):
+    """The Spark fan-out must emit exactly the sampled frame indices,
+    with features equal to computing image_features on each sampled
+    frame directly."""
+    import numpy as np
+
+    from mbfbigdatarandomforest_spark.operators.multimodal import (
+        encode_bmp,
+        encode_video,
+        frame_sample_features,
+        image_features,
+    )
+
+    rng = np.random.default_rng(9)
+    vids = []
+    for mid in range(3):
+        frames = [
+            (rng.integers(0, 256, size=(6, 4, 3))).astype(np.uint8)
+            for _ in range(5 + mid)
+        ]
+        vids.append((mid, encode_video(frames), frames))
+    df = spark.createDataFrame(
+        [(m, b) for m, b, _ in vids], ["media_id", "payload"]
+    )
+    got = frame_sample_features(df, id_col="media_id", every_nth=2, grid=2).collect()
+    by_key = {(r["media_id"], r["frame_idx"]): r["features"] for r in got}
+    want_keys = {
+        (m, i) for m, _, fr in vids for i in range(0, len(fr), 2)
+    }
+    assert set(by_key) == want_keys
+    for m, _, fr in vids:
+        for i in range(0, len(fr), 2):
+            direct = image_features(encode_bmp(fr[i]), grid=2)
+            assert by_key[(m, i)] == [__import__("pytest").approx(x, abs=1e-6) for x in direct]
+
+
+def test_sniff_recognizes_video_container():
+    import numpy as np
+
+    from mbfbigdatarandomforest_spark.operators.multimodal import (
+        encode_video,
+        sniff_media_meta,
+    )
+
+    frames = [np.zeros((4, 3, 3), dtype=np.uint8)] * 2
+    fmt, w, h, n, rate = sniff_media_meta(encode_video(frames))
+    assert (fmt, w, h, n, rate) == ("mbfv", 3, 4, 2, 0)
