@@ -59,12 +59,15 @@ def ml_random_forest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ml_ols_metrics", tags=("L2", "L7"))
 def ml_ols_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.regressors import train_and_evaluate
+    # single-pass sufficient-statistics OLS (ml/ols_gram.py) — the scale
+    # shape for the reference's gpuLm (03_LinearRegression.R:73-78);
+    # pytest asserts metric agreement with the MLlib pipeline route
+    # (regressors.train_and_evaluate(kind="ols"), the persistable path)
+    from ..ml.ols_gram import ols_sufficient_stats_metrics
 
     df = _lineitem_features(spark, sf_dir)
-    _, metrics = train_and_evaluate(
+    metrics = ols_sufficient_stats_metrics(
         df,
-        kind="ols",
         label_col="label",
         categorical=["p_brand", "p_type"],
         numeric=["l_quantity", "l_discount", "l_tax", "p_retailprice"],

@@ -242,3 +242,27 @@ def test_rare_level_collapser_pipeline_persistence(spark, tmp_path):
     got2 = {(r["a"], r["b"]) for r in reloaded.transform(df).collect()}
     assert got2 == want
     assert reloaded.stages[0].getRareLevels() == model.getRareLevels()
+
+
+def test_ols_sufficient_stats_matches_mllib_path(spark):
+    """The single-pass Gramian OLS must reproduce the MLlib pipeline's
+    metrics: same na.drop, same seeded split, same least-squares
+    minimum — rmse/r2/adj_r2/n agree to float tolerance even though the
+    singular (dummy-trap) system admits many coefficient vectors."""
+    from conftest import SF_DIR_SMALL
+    from mbfbigdatarandomforest_spark.ml.ols_gram import (
+        ols_sufficient_stats_metrics,
+    )
+    from mbfbigdatarandomforest_spark.plans.ml_queries import _lineitem_features
+
+    df = _lineitem_features(spark, SF_DIR_SMALL)
+    kw = dict(
+        label_col="label",
+        categorical=["p_brand", "p_type"],
+        numeric=["l_quantity", "l_discount", "l_tax", "p_retailprice"],
+    )
+    _, mllib = train_and_evaluate(df, kind="ols", **kw)
+    gram = ols_sufficient_stats_metrics(df, **kw)
+    assert set(gram) == set(mllib)
+    for key in mllib:
+        assert gram[key] == pytest.approx(mllib[key], rel=1e-6, abs=1e-7), key
