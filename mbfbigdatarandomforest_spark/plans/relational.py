@@ -776,29 +776,54 @@ def orders_left_join_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame
 @query(
     "events_hourly_rollup",
     oracle=f"""
-SELECT
-  STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-  event_type,
-  COUNT(*)                                              AS n_events,
-  {_dsum_sql('value')}                                  AS total_value
-FROM events
-GROUP BY 1, 2
+WITH hourly AS (
+  SELECT
+    STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+    event_type,
+    COUNT(*)                                              AS n_events,
+    {_dsum_sql('value')}                                  AS total_value
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT hour, event_type, n_events, total_value,
+  CAST(LAG(total_value) OVER w AS DOUBLE)                 AS prev_hour_value,
+  CAST(SUM(total_value) OVER (
+    PARTITION BY event_type ORDER BY hour
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)  AS value_3h
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY hour)
 ORDER BY hour, event_type
 """,
-    tags=("streaming-batch", "A1", "A3"),
+    tags=("streaming-batch", "A1", "A3", "W-lag", "W-moving"),
 )
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour rollup + per-type time-series features (lag and
+    3-hour moving sum). The analytic window partitions on event_type
+    and orders by hour — per-partition row count is (hours in range),
+    bounded by calendar time, not data volume, so the second stage
+    stays safe at any fact scale. Window arithmetic runs on the exact
+    DECIMAL totals; only the final values cast to double (deterministic
+    on both engines)."""
     ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum("value").alias("total_value"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    w3 = w.rowsBetween(-2, Window.currentRow)
     return (
-        ev.groupBy(
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
-                "hour"
-            ),
+        hourly.select(
+            "hour",
             "event_type",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            _dsum("value").alias("total_value"),
+            "n_events",
+            "total_value",
+            F.lag("total_value").over(w).cast("double").alias("prev_hour_value"),
+            F.sum("total_value").over(w3).cast("double").alias("value_3h"),
         )
         .orderBy("hour", "event_type")
     )
