@@ -479,15 +479,19 @@ WITH keys AS (
   FROM orders
 ), dec AS (
   SELECT o_orderkey,
-         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+         NTILE(10)      OVER w AS decile,
+         PERCENT_RANK() OVER w AS pct_rank,
+         CUME_DIST()    OVER w AS cume_dist
   FROM orders
+  WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
 )
-SELECT k.idx, k.o_orderkey, v.o_totalprice AS totalprice, d.decile
+SELECT k.idx, k.o_orderkey, v.o_totalprice AS totalprice,
+       d.decile, d.pct_rank, d.cume_dist
 FROM keys k
 JOIN vals v ON k.idx = v.idx
 JOIN dec d  ON d.o_orderkey = k.o_orderkey
 """,
-    tags=("W1", "W2", "J3", "U2"),
+    tags=("W1", "W2", "J3", "U2", "W-pctrank"),
 )
 def order_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import global_row_number, ntile_from_rn
@@ -511,15 +515,26 @@ def order_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx_col="__rnk",
     )
     n_row = orders.agg(F.count(F.lit(1)).alias("__n"))
+    # the (totalprice, orderkey) ordering is a total order (no ties),
+    # so rank == row_number and PERCENT_RANK/CUME_DIST reduce to their
+    # closed forms over the same scale-safe global row number — no
+    # additional window pass, identical IEEE divisions on both engines
     deciles = (
         ranked.crossJoin(F.broadcast(n_row))
         .select(
             "o_orderkey",
             ntile_from_rn(F.col("__rnk"), F.col("__n"), 10).alias("decile"),
+            (
+                (F.col("__rnk") - 1).cast("double")
+                / (F.col("__n") - 1).cast("double")
+            ).alias("pct_rank"),
+            (
+                F.col("__rnk").cast("double") / F.col("__n").cast("double")
+            ).alias("cume_dist"),
         )
     )
     return indexed.join(deciles, "o_orderkey").select(
-        "idx", "o_orderkey", "totalprice", "decile"
+        "idx", "o_orderkey", "totalprice", "decile", "pct_rank", "cume_dist"
     )
 
 
