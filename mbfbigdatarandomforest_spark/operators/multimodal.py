@@ -251,12 +251,20 @@ def extract_features(
     decode: Callable[[bytes], list[float]] | None = None,
     target_partition_mb: int = 64,
     avg_blob_kb: int = 256,
+    safe: bool = False,
+    error_col: str = "decode_error",
 ) -> DataFrame:
     """Arrow-batched feature extraction over a binary column.
 
     ``decode`` is the per-blob kernel (bytes -> list[float]) — use
     ``image_features`` for BMP or ``audio_features`` for WAV; the
     default remains the deterministic fake for codec-less formats.
+
+    ``safe=True`` is the production posture for web-scale media: a
+    blob the kernel cannot decode yields NULL features plus the error
+    message in ``error_col`` instead of killing the task (and with it
+    the stage's other ten thousand blobs). Filter
+    ``error_col IS NOT NULL`` downstream for the quarantine table.
     """
     kernel = decode or (lambda b: _fake_embed(b, dim))
     rows_per_partition = max(1, target_partition_mb * 1024 // avg_blob_kb)
@@ -266,10 +274,25 @@ def extract_features(
     out_schema = StructType(df.schema.fields.copy()).add(
         out_col, ArrayType(FloatType())
     )
+    if safe:
+        out_schema = out_schema.add(error_col, StringType())
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pdf[out_col] = [kernel(b) for b in pdf[payload_col]]
+            if not safe:
+                pdf[out_col] = [kernel(b) for b in pdf[payload_col]]
+                yield pdf
+                continue
+            feats, errs = [], []
+            for b in pdf[payload_col]:
+                try:
+                    feats.append(kernel(b))
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — quarantine, don't kill the stage
+                    feats.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            pdf[out_col] = feats
+            pdf[error_col] = errs
             yield pdf
 
     return df.repartition(n_parts).mapInPandas(run, schema=out_schema)

@@ -207,3 +207,35 @@ def test_sniff_recognizes_video_container():
     frames = [np.zeros((4, 3, 3), dtype=np.uint8)] * 2
     fmt, w, h, n, rate = sniff_media_meta(encode_video(frames))
     assert (fmt, w, h, n, rate) == ("mbfv", 3, 4, 2, 0)
+
+
+def test_extract_features_safe_mode_quarantines_bad_blobs(spark):
+    """safe=True: corrupt payloads yield NULL features + the error
+    string; good payloads in the same batch still decode — the stage
+    must not die (the 100 TB posture: one bad blob never costs the
+    partition)."""
+    import numpy as np
+
+    from mbfbigdatarandomforest_spark.operators.multimodal import (
+        encode_bmp,
+        extract_features,
+        image_features,
+    )
+
+    good = encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))
+    rows = [(0, good), (1, b"not a bmp at all"), (2, good)]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    out = extract_features(
+        df, decode=image_features, safe=True, avg_blob_kb=1
+    ).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert by_id[0]["decode_error"] is None and by_id[0]["features"] is not None
+    assert by_id[2]["decode_error"] is None
+    assert by_id[1]["features"] is None
+    assert by_id[1]["decode_error"]  # carries the exception text
+
+    # unsafe mode on the same data must raise (the strict default)
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        extract_features(df, decode=image_features, avg_blob_kb=1).collect()

@@ -221,3 +221,60 @@ def test_exactly_once_sink_idempotent_on_replay(spark, tmp_path):
     write_batch_idempotent(batch, replayed_ids[0], out)
     spark.catalog.refreshByPath(out)
     assert spark.read.parquet(out).count() == count_after_replay
+
+
+def test_windowed_rollup_through_exactly_once_sink(spark, tmp_path):
+    """Composition: streaming windowed rollup (complete mode) through
+    the idempotent foreachBatch sink. Each batch's partition is a full
+    snapshot; the LATEST batch partition must equal the batch rollup
+    twin exactly."""
+    import shutil
+
+    from mbfbigdatarandomforest_spark.streaming.events import (
+        read_event_stream,
+        windowed_rollup,
+    )
+    from mbfbigdatarandomforest_spark.streaming.sinks import (
+        write_batch_idempotent,
+    )
+
+    src_dir = tmp_path / "ev_stream"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_DIR_SMALL}/events.parquet", src_dir / "part-0.parquet")
+    out = str(tmp_path / "rollup_out")
+
+    rolled = windowed_rollup(read_event_stream(spark, str(src_dir)))
+    q = (
+        rolled.writeStream.queryName("t_rollup_sink")
+        .outputMode("complete")
+        .foreachBatch(lambda df, bid: write_batch_idempotent(df, bid, out))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    sunk = spark.read.parquet(out)
+    last = sunk.agg(F.max("__batch_id").alias("m")).first()["m"]
+    snapshot = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in sunk.filter(F.col("__batch_id") == last).collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in (
+            load_table(spark, SF_DIR_SMALL, "events")
+            .groupBy(
+                F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("total_value"),
+            )
+            .collect()
+        )
+    }
+    assert set(snapshot) == set(want)
+    for key in want:
+        assert snapshot[key][0] == want[key][0]
+        assert snapshot[key][1] == pytest.approx(want[key][1])
