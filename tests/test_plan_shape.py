@@ -174,3 +174,17 @@ def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
     assert "event_type" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
     n_click = back.count()
     assert n_click == ev.filter("event_type = 'click'").count()
+
+
+def test_hourly_rollup_window_partitioned_by_event_type(spark):
+    """The lag/moving-sum stage must partition its window on event_type
+    (bounded per-partition rows = hours in range) — never a global
+    unpartitioned window over the aggregated frame."""
+    from mbfbigdatarandomforest_spark.plans.relational import (
+        events_hourly_rollup,
+    )
+
+    plan = _plan(events_hourly_rollup(spark, SF_DIR_ORACLE))
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "windowspecdefinition(event_type" in line, line
