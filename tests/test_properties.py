@@ -200,3 +200,83 @@ def test_token_shingles_property(spark, texts, n):
 
     for i, t in enumerate(texts):
         assert got[i] == oracle(t), (t, n, got[i], oracle(t))
+
+
+ASOF_LEFT = st.lists(
+    st.tuples(
+        st.sampled_from(["u1", "u2"]),
+        st.integers(min_value=0, max_value=50),
+    ),
+    min_size=1,
+    max_size=20,
+)
+ASOF_RIGHT = st.lists(
+    st.tuples(
+        st.sampled_from(["u1", "u2"]),
+        st.integers(min_value=0, max_value=50),
+        st.one_of(st.none(), st.floats(min_value=-100, max_value=100,
+                                       allow_nan=False)),
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(lrows=ASOF_LEFT, rrows=ASOF_RIGHT)
+def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows):
+    """asof_join ≡ pandas merge_asof(by=key, direction='backward') for
+    arbitrary key/timestamp/NULL-payload data — including duplicate
+    timestamps and NULL payload values in the latest right row (the
+    round-1 advice defect class)."""
+    import pandas as pd
+
+    from mbfbigdatarandomforest_spark.operators.temporal import asof_join
+
+    base = pd.Timestamp("2024-01-01")
+    lpdf = pd.DataFrame(
+        {
+            "k": [k for k, _ in lrows],
+            "ts": [base + pd.Timedelta(seconds=s) for _, s in lrows],
+            "lval": range(len(lrows)),
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "k": [k for k, _, _ in rrows],
+            "ts": [base + pd.Timedelta(seconds=s) for _, s, _ in rrows],
+            "pay": [p for _, _, p in rrows],
+        }
+    )
+    ldf = spark.createDataFrame(lpdf)
+    rdf = (
+        spark.createDataFrame(rpdf)
+        if len(rpdf)
+        else spark.createDataFrame([], "k string, ts timestamp, pay double")
+    )
+    got = asof_join(ldf, rdf, ["k"]).toPandas()
+
+    # pandas oracle: merge_asof requires sorted inputs; ties broken by
+    # LAST matching right row = our "latest right at-or-before" with
+    # right-before-left visibility at equal ts
+    if len(rpdf):
+        want = pd.merge_asof(
+            lpdf.sort_values(["ts", "lval"], kind="mergesort"),
+            rpdf.sort_values(["ts"], kind="mergesort"),
+            on="ts",
+            by="k",
+            direction="backward",
+        )
+    else:
+        want = lpdf.assign(pay=float("nan"))
+    got_map = {int(r["lval"]): r["pay_asof"] for _, r in got.iterrows()}
+    want_map = {int(r["lval"]): r["pay"] for _, r in want.iterrows()}
+    assert set(got_map) == set(want_map)
+    for lv in want_map:
+        g, w = got_map[lv], want_map[lv]
+        if pd.isna(w):
+            assert g is None or pd.isna(g), (lv, g, w)
+        else:
+            assert g == pytest.approx(w), (lv, g, w)
