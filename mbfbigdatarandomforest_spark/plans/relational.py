@@ -988,15 +988,17 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH stats AS (
   SELECT p_partkey, p_brand, p_retailprice,
     CAST(SUM(CAST(p_retailprice AS DECIMAL(28,8))) OVER (PARTITION BY p_brand) AS DOUBLE)
-      / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
+      / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg,
+    RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+      AS brand_rank
   FROM part
 )
-SELECT p_partkey, p_brand, p_retailprice, brand_avg
+SELECT p_partkey, p_brand, p_retailprice, brand_avg, brand_rank
 FROM stats
 WHERE p_retailprice > brand_avg
 ORDER BY p_partkey
 """,
-    tags=("SQL-surface", "subquery"),
+    tags=("SQL-surface", "subquery", "W-rank"),
 )
 def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.catalog import register_views
@@ -1007,10 +1009,12 @@ def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH stats AS (
           SELECT p_partkey, p_brand, p_retailprice,
             CAST(SUM(CAST(p_retailprice AS DECIMAL(28,8))) OVER (PARTITION BY p_brand) AS DOUBLE)
-              / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
+              / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg,
+            RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+              AS brand_rank
           FROM part
         )
-        SELECT p_partkey, p_brand, p_retailprice, brand_avg
+        SELECT p_partkey, p_brand, p_retailprice, brand_avg, brand_rank
         FROM stats
         WHERE p_retailprice > brand_avg
         ORDER BY p_partkey
