@@ -175,3 +175,59 @@ def fingerprint(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
     return F.md5(normalized)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    min_tokens: int = 1,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    standard pre-tokenization step of an LLM training-data pipeline.
+
+    Chunk i covers tokens [i·stride, i·stride + chunk_tokens) with
+    stride = chunk_tokens − overlap; the last chunk is the tail
+    remainder (kept when ≥ ``min_tokens`` tokens). Pure codegen: the
+    token array is materialized once per row, chunk starts come from a
+    ``sequence`` (few per document), and each chunk is one slice+concat
+    — per-row cost is O(tokens · chunks/doc ≈ tokens/(1−overlap ratio)),
+    and rows fan out via ``posexplode`` so downstream operators see one
+    row per chunk. Output: (id, chunk_id, n_chunks, chunk_text,
+    n_tokens)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.filter(toks, lambda t: t != "")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__toks")).withColumn(
+        "__n", F.size("__toks")
+    )
+    # chunk start indices (1-based for slice): 1, 1+stride, 1+2·stride …
+    # while start <= n (ensures the tail is covered exactly once)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.col("__n") - F.lit(chunk_tokens) + F.lit(stride), F.lit(1)),
+        F.lit(stride),
+    )
+    chunks = F.transform(
+        starts, lambda s: F.slice(F.col("__toks"), s, chunk_tokens)
+    )
+    exploded = base.select(
+        "id",
+        F.size(chunks).alias("n_chunks"),
+        F.posexplode(chunks).alias("chunk_id", "__chunk"),
+    )
+    return (
+        exploded.withColumn("n_tokens", F.size("__chunk"))
+        .filter(F.col("n_tokens") >= min_tokens)
+        .select(
+            "id",
+            "chunk_id",
+            "n_chunks",
+            F.concat_ws(" ", "__chunk").alias("chunk_text"),
+            "n_tokens",
+        )
+    )

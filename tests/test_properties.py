@@ -280,3 +280,46 @@ def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows):
             assert g is None or pd.isna(g), (lv, g, w)
         else:
             assert g == pytest.approx(w), (lv, g, w)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    texts=TEXTS,
+    chunk=st.integers(min_value=2, max_value=8),
+    overlap=st.integers(min_value=0, max_value=3),
+)
+def test_chunk_documents_property(spark, texts, chunk, overlap):
+    """chunk_documents ≡ the plain Python sliding chunker: full
+    coverage, correct overlap, tail remainder kept, short/empty docs
+    handled."""
+    from mbfbigdatarandomforest_spark.operators.text import chunk_documents
+
+    overlap = min(overlap, chunk - 1)
+    stride = chunk - overlap
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {}
+    for r in chunk_documents(
+        df, chunk_tokens=chunk, overlap=overlap, min_tokens=1
+    ).collect():
+        got[(r["id"], r["chunk_id"])] = (r["chunk_text"], r["n_tokens"], r["n_chunks"])
+
+    for i, t in enumerate(texts):
+        toks = t.strip().split()
+        toks = [x for x in toks if x]
+        if not toks:
+            assert not any(k[0] == i for k in got)
+            continue
+        starts = list(range(0, max(len(toks) - chunk, 0) + stride, stride))
+        starts = [s for s in starts if s < len(toks)]
+        want = [" ".join(toks[s : s + chunk]) for s in starts]
+        mine = [got[(i, j)][0] for j in range(len(want))]
+        assert mine == want, (t, chunk, overlap, mine, want)
+        # every token is covered by at least one chunk
+        covered = set()
+        for s in starts:
+            covered |= set(range(s, min(s + chunk, len(toks))))
+        assert covered == set(range(len(toks)))
