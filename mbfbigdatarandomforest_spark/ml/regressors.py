@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from pyspark.ml import Pipeline, PipelineModel
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from .features import build_feature_pipeline
 from .metrics import regression_metrics_tagged

@@ -281,8 +281,6 @@ def minhash_verified_pairs(
     ``shingled`` may pass a pre-built, already-cached (id, shingles)
     frame so callers running several LSH variants shingle the corpus
     once."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
     if shingled is None:
         shingled = _shingle_frame(df, text_col, id_col, n).cache()
         shingled.count()  # eager: candidate gen + both verify sides fan out

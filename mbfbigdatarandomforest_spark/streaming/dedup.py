@@ -17,7 +17,6 @@ Deduplication" (dropDuplicates / dropDuplicatesWithinWatermark).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from ..operators.text import fingerprint
 
