@@ -58,3 +58,37 @@ def exactly_once_parquet_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_batch_partitions(
+    spark,
+    path: str,
+    out_path: str,
+    target_file_mb: int = 128,
+    drop_batch_col: bool = True,
+) -> int:
+    """The periodic batch job that compacts an append-mode sink's many
+    small per-batch partitions into right-sized parquet files.
+
+    Streaming sinks trade file size for latency (one partition dir per
+    micro-batch); this job restores scan efficiency: read everything,
+    coalesce to ~``target_file_mb`` files (estimated from input bytes),
+    write ONE plain parquet dataset. Run it on a schedule; readers
+    switch to ``out_path`` atomically (or the caller swaps directories).
+    Returns the number of output files requested. Do NOT run it against
+    a complete-mode snapshot sink — there, only the latest batch
+    partition is current. (File sizes come from the local filesystem;
+    on an object store, size the coalesce from the catalog's table
+    stats instead.)"""
+    import math
+    import pathlib
+
+    df = spark.read.parquet(path)
+    if drop_batch_col and "__batch_id" in df.columns:
+        df = df.drop("__batch_id")
+    total_bytes = sum(
+        f.stat().st_size for f in pathlib.Path(path).rglob("*.parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files

@@ -278,3 +278,29 @@ def test_windowed_rollup_through_exactly_once_sink(spark, tmp_path):
     for key in want:
         assert snapshot[key][0] == want[key][0]
         assert snapshot[key][1] == pytest.approx(want[key][1])
+
+
+def test_compact_batch_partitions(spark, tmp_path):
+    """Compaction rewrites the per-batch partition zoo into one plain
+    dataset with identical rows and no __batch_id column."""
+    from mbfbigdatarandomforest_spark.streaming.sinks import (
+        compact_batch_partitions,
+        write_batch_idempotent,
+    )
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents")
+    out = str(tmp_path / "sinked")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    other = docs.filter(F.col("doc_id") % 2 == 1)
+    write_batch_idempotent(half, 0, out)
+    write_batch_idempotent(other, 1, out)
+
+    compacted = str(tmp_path / "compacted")
+    n_files = compact_batch_partitions(spark, out, compacted)
+    assert n_files >= 1
+    got = spark.read.parquet(compacted)
+    assert "__batch_id" not in got.columns
+    assert got.count() == docs.count()
+    assert {r["doc_id"] for r in got.select("doc_id").collect()} == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
