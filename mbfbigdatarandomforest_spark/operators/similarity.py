@@ -157,8 +157,14 @@ def _fit_centroids_sampled(
     k = min(k, n)
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(n, size=k, replace=False)].copy()
+    x_sq = (x * x).sum(axis=1)
     for _ in range(max_iter):
-        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        # ||x−c||² = ||x||² − 2x·c + ||c||² keeps the distance matrix at
+        # (n, k) — the broadcasted (n, k, dim) difference tensor would be
+        # ~500 MB at the default sample cap
+        d2 = (
+            x_sq[:, None] - 2.0 * (x @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+        )
         assign = d2.argmin(axis=1)
         new = np.empty_like(cent)
         for c in range(k):
@@ -321,11 +327,18 @@ def ivf_topk(
     )
 
     def _assign(batches):
+        cent_sq = (cent * cent).sum(axis=1)
         for pdf in batches:
             if not len(pdf):
                 continue
             vecs = np.array(pdf["c_vec"].tolist(), dtype=np.float64)
-            d2 = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            # quadratic expansion keeps the distance matrix at
+            # (batch, k) instead of a (batch, k, dim) tensor
+            d2 = (
+                (vecs * vecs).sum(axis=1)[:, None]
+                - 2.0 * (vecs @ cent.T)
+                + cent_sq[None, :]
+            )
             yield pd.DataFrame(
                 {
                     "neighbor_id": pdf["neighbor_id"].to_numpy(),
