@@ -405,6 +405,167 @@ def _banded_minhash_candidates(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label connected components over an undirected pair list.
+
+    Alternating large-star / small-star rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — converges
+    in O(log n) rounds even on path graphs, where naive neighbor-min
+    propagation needs O(diameter). Built from aggregations and joins
+    only (no per-node ``collect_list``): a hot node's neighborhood is
+    never materialized as one in-memory array, so celebrity nodes —
+    boilerplate documents duplicated millions of times — can't OOM a
+    task. Every shuffle keys on node ids.
+
+    Per round:
+      large-star: every node links its LARGER neighbors to the minimum
+        of its neighborhood (incl. itself);
+      small-star: every node links its smaller-or-equal neighbors and
+        itself to that minimum.
+    Fixpoint: the edge set is a union of stars rooted at component
+    minima. Convergence is detected with a 2-value aggregate (edge
+    count + order-insensitive checksum), one tiny job per round.
+
+    Each round ends in ``localCheckpoint()``: iterative DataFrame
+    algorithms grow the logical plan geometrically (union+distinct+join
+    per round), and caching alone does NOT truncate lineage — without
+    the checkpoint, plan analysis itself OOMs the driver after ~10
+    rounds.
+
+    Returns (node, component) for every node that appears in ``pairs``;
+    ``component`` is the smallest node id in the connected component.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).filter(
+            F.col("u") != F.col("v")
+        ).distinct()
+
+    def _fingerprint(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("chk"),
+        ).collect()[0]
+        return int(row["n"]), int(row["chk"])
+
+    cur = edges.localCheckpoint()
+    prev_fp = _fingerprint(cur)
+    for _ in range(max_iter):
+        sym = _sym(cur)
+        # large-star: m(u) = min(N(u) ∪ {u}); emit (v, m) for v > u
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        large_sym = _sym(large)
+        # small-star over edges oriented high→low: m(u) = min(N≤(u) ∪ {u});
+        # emit (v, m) for the small neighbors and (u, m) for u itself
+        lo = large_sym.filter(F.col("v") <= F.col("u"))
+        lo_mins = (
+            lo.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        linked = lo.join(lo_mins, "u")
+        nxt = (
+            linked.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(linked.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        fp = _fingerprint(nxt)
+        cur = nxt
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # at the fixpoint every edge is (node, component-min); nodes that ARE
+    # the min only appear on the right side → recover them via the union
+    labels = (
+        _sym(cur)
+        .groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select(
+            F.col("u").alias("node"),
+            F.least("mv", "u").alias("component"),
+        )
+    )
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-duplicate clusters from a pair list: transitive closure via
+    :func:`connected_components`, min-id canonical representative, and
+    per-cluster sizes. This is the step a training-data pipeline runs
+    AFTER pair generation — pairs alone can't answer "which rows do I
+    drop"; clusters can (keep ``is_canonical``, drop the rest).
+
+    Returns one row per input document:
+      (doc_id, cluster_id, is_canonical, cluster_size)
+    Singletons (docs in no pair) are their own cluster of size 1. The
+    cluster_size window partitions by cluster_id — bounded by the
+    largest dup cluster, never a global single-partition window.
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    labeled = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
+def dedup_filter(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus minus near-duplicates: keeps exactly one representative
+    (the min id) per duplicate cluster. A broadcast-able anti-join when
+    the non-canonical set is small relative to the corpus; Spark plans
+    the general case as a shuffled left-anti on uniform ids."""
+    drop = dedup_clusters(df, pairs, id_col=id_col).filter(
+        ~F.col("is_canonical")
+    ).select(F.col("doc_id").alias(id_col))
+    return df.join(drop, id_col, "left_anti")
+
+
 def simhash(col, bits: int = 32):
     """SimHash: sign-sum of per-token xxhash64 bits → LongType signature.
 

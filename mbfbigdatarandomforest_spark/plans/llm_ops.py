@@ -191,14 +191,39 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# LSH approximate kNN (scale path) — seeded, rows-only check; recall vs
-# the brute-force oracle asserted in pytest.
+# Approximate kNN, BOTH scale paths in one query (mirrors the
+# dedup_minhash_pairs fusion): random-projection LSH buckets and IVF
+# multi-probe, method-tagged. Seeded-deterministic but not
+# SQL-expressible → rows-only check; recall vs the brute-force oracle
+# asserted per method in pytest.
 # --------------------------------------------------------------------------
-@query("similarity_lsh_topk", tags=("similarity", "lsh"))
-def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("similarity_ann_topk", tags=("similarity", "lsh", "ivf"))
+def similarity_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # each method ranks by its own metric (lsh: euclidean distance,
+    # ivf: cosine) — `score` carries whichever the method optimizes
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    return sim.lsh_topk(emb, queries_df, k=10).orderBy("query_id", "rank")
+    lsh = (
+        sim.lsh_topk(emb, queries_df, k=10)
+        .select(
+            F.lit("lsh").alias("method"),
+            "query_id",
+            "neighbor_id",
+            F.col("eucl_dist").alias("score"),
+            "rank",
+        )
+    )
+    ivf = (
+        sim.ivf_topk(emb, queries_df, k=10, n_clusters=16, n_probe=4)
+        .select(
+            F.lit("ivf").alias("method"),
+            "query_id",
+            "neighbor_id",
+            F.col("cosine_sim").alias("score"),
+            "rank",
+        )
+    )
+    return lsh.unionByName(ivf).orderBy("method", "query_id", "rank")
 
 
 # --------------------------------------------------------------------------
@@ -264,17 +289,69 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# IVF approximate kNN (KMeans partitions, probe nearest clusters) —
-# rows-only (KMeans isn't SQL-expressible); recall vs brute force in
-# pytest.
+# Near-dup CLUSTERS: pair list → transitive closure (alternating
+# large-star/small-star connected components) → min-id canonical per
+# cluster. The step that answers "which rows do I drop" at 100 TB —
+# pairs alone don't. Spark generates pairs via banded MinHash with
+# exact-Jaccard verify (recall 1.0 on this corpus, guarded by the
+# dedup_minhash_pairs hash gate + pytest); the DuckDB oracle computes
+# the same pair set exactly, then walks the transitive closure with a
+# recursive CTE and labels each node with its minimum reachable id.
 # --------------------------------------------------------------------------
-@query("similarity_ivf_topk", tags=("similarity", "ivf"))
-def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 5)
-    return sim.ivf_topk(emb, queries_df, k=10, n_clusters=16, n_probe=4).orderBy(
-        "query_id", "rank"
+@query(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len({_TOKS}) - 1),
+           i -> array_to_string(({_TOKS})[i:i+2], ' ')
+         )) AS shingles
+  FROM documents
+), sized AS (
+  SELECT doc_id, shingles, len(shingles) AS n_sh FROM docs
+), inv AS (
+  SELECT doc_id, n_sh, UNNEST(shingles) AS shingle FROM sized
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         COUNT(*) AS shared
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), pairs AS (
+  SELECT id_a, id_b
+  FROM cand
+  WHERE shared * 1.0 / (n_a + n_b - shared) >= 0.2
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), walk(node, reach) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach
+), labels AS (
+  SELECT node AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY node
+), labeled AS (
+  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       doc_id = cluster_id AS is_canonical,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labeled
+ORDER BY doc_id
+""",
+    tags=("dedup", "clusters", "connected-components"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = dd._shingle_frame(docs, "text", "doc_id", 3).cache()
+    shingled.count()
+    cand = dd._banded_minhash_candidates(
+        shingled, bands=8, rows_per_band=4, seed=42
     )
+    pairs = dd.exact_jaccard_verify(cand, shingled, 0.2)
+    return dd.dedup_clusters(docs, pairs).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------

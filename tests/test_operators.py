@@ -513,3 +513,83 @@ def test_quantize_embeddings_roundtrip_error(spark):
         deq = np.array(r["q_vec"], dtype=np.float64) * s
         assert np.abs(deq - v).max() <= s / 2 + 1e-9
         assert all(-127 <= x <= 127 for x in r["q_vec"])
+
+
+def _union_find_components(edges, nodes):
+    """Pure-Python oracle: min-id label per connected component."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_connected_components_path_graph(spark):
+    """A 12-node path chain is the worst case for naive min-propagation
+    (diameter = n); the star algorithm must still converge and label
+    every node with the chain minimum."""
+    edges = [(i, i + 1) for i in range(1, 12)]  # 1-2-3-...-12
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["node"]: r["component"]
+        for r in dd.connected_components(pairs).collect()
+    }
+    assert got == {n: 1 for n in range(1, 13)}
+
+
+def test_connected_components_multi_cluster(spark):
+    edges = [(2, 1), (3, 2), (7, 9), (20, 11), (11, 15), (15, 20)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    nodes = sorted({x for e in edges for x in e})
+    want = _union_find_components(edges, nodes)
+    got = {
+        r["node"]: r["component"]
+        for r in dd.connected_components(pairs).collect()
+    }
+    assert got == want
+
+
+def test_dedup_clusters_vs_union_find_oracle(spark):
+    """dedup_clusters on real corpus pairs (exact n-gram Jaccard at
+    sf0.001) must agree with a pure-Python union-find, including
+    singleton handling, canonical flags, and cluster sizes."""
+    from conftest import SF_DIR_SMALL
+
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.2)
+    edge_list = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    doc_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    want_labels = _union_find_components(edge_list, doc_ids)
+    want_sizes: dict[int, int] = {}
+    for n in doc_ids:
+        want_sizes[want_labels[n]] = want_sizes.get(want_labels[n], 0) + 1
+    assert edge_list, "fixture corpus must contain near-dup pairs"
+
+    got = dd.dedup_clusters(docs, pairs).collect()
+    assert len(got) == len(doc_ids)
+    for r in got:
+        assert r["cluster_id"] == want_labels[r["doc_id"]]
+        assert r["is_canonical"] == (r["doc_id"] == r["cluster_id"])
+        assert r["cluster_size"] == want_sizes[r["cluster_id"]]
+
+
+def test_dedup_filter_keeps_one_per_cluster(spark):
+    from conftest import SF_DIR_SMALL
+
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.2)
+    edge_list = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    doc_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    want_labels = _union_find_components(edge_list, doc_ids)
+    want_keep = {m for m in want_labels.values()}
+
+    kept = {r["doc_id"] for r in dd.dedup_filter(docs, pairs).select("doc_id").collect()}
+    assert kept == want_keep
