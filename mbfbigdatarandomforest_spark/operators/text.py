@@ -169,6 +169,83 @@ def tfidf_top_terms(
     return topk
 
 
+# PII patterns — shared by the Spark expressions and the DuckDB oracle
+# SQL, so they are restricted to the regex subset Java and RE2 agree on
+# (no backreferences, no lookaround).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_PATTERN = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+
+
+def pii_count(col: Column | str, pattern: str) -> Column:
+    """Occurrences of one PII pattern — a per-document risk signal a
+    training-data pipeline filters or redacts on."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    """Replace emails / IPv4 addresses / phone numbers with typed
+    placeholder tokens and count what was redacted. Pure
+    ``regexp_replace`` chain — codegen, scan-speed; the counts let the
+    pipeline route high-PII documents to review instead of silently
+    rewriting them."""
+    c = F.col(text_col)
+    redacted = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
+    redacted = F.regexp_replace(redacted, IPV4_PATTERN, "<IP>")
+    redacted = F.regexp_replace(redacted, PHONE_PATTERN, "<PHONE>")
+    return df.withColumns(
+        {
+            "n_emails": pii_count(c, EMAIL_PATTERN),
+            "n_ipv4": pii_count(c, IPV4_PATTERN),
+            "n_phones": pii_count(c, PHONE_PATTERN),
+            out_col: redacted,
+        }
+    )
+
+
+def _lines(col: Column | str) -> Column:
+    """Non-empty trimmed lines of a document as an array column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.transform(F.split(c, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Line-level repetition / layout signals (C4- and Gopher-style
+    quality heuristics): duplicate-line fraction, longest line, bullet-
+    and ellipsis-line fractions. Boilerplate (navigation menus, cookie
+    banners, scraped templates) shows up as high duplicate-line
+    fractions long before model-based quality scoring is affordable.
+    All higher-order array expressions over one split — single scan, no
+    shuffle, no Python."""
+    lines = _lines(text_col)
+    n = F.size(lines)
+    safe_n = F.greatest(n, F.lit(1))
+    return df.withColumns(
+        {
+            "n_lines": n,
+            "dup_line_frac": (n - F.size(F.array_distinct(lines)))
+            / safe_n.cast("double"),
+            "max_line_len": F.coalesce(
+                F.array_max(F.transform(lines, F.length)), F.lit(0)
+            ),
+            "bullet_line_frac": F.size(
+                F.filter(lines, lambda l: l.rlike("^[-*•]"))
+            )
+            / safe_n.cast("double"),
+            "ellipsis_line_frac": F.size(
+                F.filter(lines, lambda l: l.endswith("..."))
+            )
+            / safe_n.cast("double"),
+        }
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 over whitespace-normalized, lowercased
     text (deterministic, SQL-replicable)."""

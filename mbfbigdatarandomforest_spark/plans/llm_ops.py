@@ -355,12 +355,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Per-document text enrichment — quality scoring, language ID and
-# fingerprinting FUSED into one scan. At 100 TB you never run three
-# passes over the corpus for three per-doc features: every expression
-# here is a codegen'd projection, so the fused query reads each
-# document exactly once and computes all of them in the same stage.
+# Per-document text enrichment — quality scoring, language ID,
+# fingerprinting, line-repetition signals (C4/Gopher-style boilerplate
+# heuristics) and PII counts FUSED into one scan. At 100 TB you never
+# run separate passes over the corpus for per-doc features: every
+# expression here is a codegen'd projection, so the fused query reads
+# each document exactly once and computes all of them in the same
+# stage.
 # --------------------------------------------------------------------------
+# non-empty trimmed lines (DuckDB twin of operators.text._lines)
+_LINES = (
+    "list_filter(list_transform(string_split(d.text, chr(10)), x -> trim(x)), "
+    "x -> x <> '')"
+)
 def _lang_score_sql(lang: str, words: list[str]) -> str:
     # mirrors operators.text.marker_pattern: \b anchors for ASCII
     # vocabularies so markers only match whole words
@@ -403,16 +410,28 @@ SELECT
         AS stopword_ratio,
   b.pred_lang,
   d.lang AS true_lang,
-  md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp
+  md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp,
+  len({_LINES}) AS n_lines,
+  (len({_LINES}) - len(list_distinct({_LINES}))) * 1.0
+        / GREATEST(len({_LINES}), 1) AS dup_line_frac,
+  COALESCE(list_max(list_transform({_LINES}, x -> length(x))), 0) AS max_line_len,
+  len(list_filter({_LINES}, x -> regexp_matches(x, '^[-*•]'))) * 1.0
+        / GREATEST(len({_LINES}), 1) AS bullet_line_frac,
+  len(list_filter({_LINES}, x -> ends_with(x, '...'))) * 1.0
+        / GREATEST(len({_LINES}), 1) AS ellipsis_line_frac,
+  len(regexp_extract_all(d.text, '{tx.EMAIL_PATTERN}')) AS n_emails,
+  len(regexp_extract_all(d.text, '{tx.IPV4_PATTERN}')) AS n_ipv4,
+  len(regexp_extract_all(d.text, '{tx.PHONE_PATTERN}')) AS n_phones
 FROM documents d JOIN best b ON b.doc_id = d.doc_id
 ORDER BY d.doc_id
 """,
-    tags=("text", "quality", "lang-id", "fingerprint"),
+    tags=("text", "quality", "lang-id", "fingerprint", "repetition", "pii"),
 )
 def text_enrich_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     enriched = tx.quality_score(docs)
     enriched = tx.lang_id(enriched)
+    enriched = tx.repetition_signals(enriched)
     return (
         enriched.select(
             "doc_id",
@@ -424,6 +443,14 @@ def text_enrich_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pred_lang",
             F.col("lang").alias("true_lang"),
             tx.fingerprint("text").alias("fp"),
+            "n_lines",
+            "dup_line_frac",
+            "max_line_len",
+            "bullet_line_frac",
+            "ellipsis_line_frac",
+            tx.pii_count("text", tx.EMAIL_PATTERN).alias("n_emails"),
+            tx.pii_count("text", tx.IPV4_PATTERN).alias("n_ipv4"),
+            tx.pii_count("text", tx.PHONE_PATTERN).alias("n_phones"),
         )
         .orderBy("doc_id")
     )

@@ -593,3 +593,45 @@ def test_dedup_filter_keeps_one_per_cluster(spark):
 
     kept = {r["doc_id"] for r in dd.dedup_filter(docs, pairs).select("doc_id").collect()}
     assert kept == want_keep
+
+
+def test_redact_pii_matches_python_re(spark):
+    texts = [
+        "contact bob.smith+x@example.co.uk or 10.0.255.1 now",
+        "call 555-123-4567 x2 or mail a@b.io; server 192.168.0.1",
+        "no pii here, just 1.2 numbers and an @ sign",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "text"])
+    got = {r["id"]: r for r in tx.redact_pii(df).collect()}
+    for i, t in enumerate(texts):
+        emails = re.findall(tx.EMAIL_PATTERN, t)
+        ips = re.findall(tx.IPV4_PATTERN, t)
+        phones = re.findall(tx.PHONE_PATTERN, t)
+        want = re.sub(tx.EMAIL_PATTERN, "<EMAIL>", t)
+        want = re.sub(tx.IPV4_PATTERN, "<IP>", want)
+        want = re.sub(tx.PHONE_PATTERN, "<PHONE>", want)
+        r = got[i]
+        assert r["n_emails"] == len(emails), t
+        assert r["n_ipv4"] == len(ips), t
+        assert r["n_phones"] == len(phones), t
+        assert r["text_redacted"] == want, t
+    assert got[0]["n_emails"] == 1 and got[0]["n_ipv4"] == 1
+    assert got[1]["n_phones"] == 1 and got[1]["n_emails"] == 1
+
+
+def test_repetition_signals_line_heuristics(spark):
+    boiler = "menu\nmenu\nmenu\n- item one\n- item two\nread more..."
+    clean = "a single line of honest prose"
+    df = spark.createDataFrame([(1, boiler), (2, clean), (3, "")], ["id", "text"])
+    got = {r["id"]: r for r in tx.repetition_signals(df).collect()}
+    b = got[1]
+    assert b["n_lines"] == 6
+    assert b["dup_line_frac"] == pytest.approx(2 / 6)  # 'menu' repeated twice extra
+    assert b["max_line_len"] == len("read more...")
+    assert b["bullet_line_frac"] == pytest.approx(2 / 6)
+    assert b["ellipsis_line_frac"] == pytest.approx(1 / 6)
+    c = got[2]
+    assert c["dup_line_frac"] == 0.0 and c["n_lines"] == 1
+    e = got[3]
+    assert e["n_lines"] == 0 and e["max_line_len"] == 0 and e["dup_line_frac"] == 0.0
