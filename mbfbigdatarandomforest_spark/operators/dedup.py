@@ -566,6 +566,54 @@ def dedup_filter(
     return df.join(drop, id_col, "left_anti")
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: flag every corpus document that shares
+    at least one token n-gram with a held-out benchmark/eval set — the
+    n-gram-overlap construction used to scrub pretraining corpora of
+    test-set leakage (13-grams being the published convention).
+
+    Scale shape: eval sets are thousands of documents, not billions, so
+    the benchmark's distinct n-gram set is the small side of a BROADCAST
+    hash join — the corpus side is a single scan + explode with no
+    shuffle of corpus rows, and the only aggregation keys on doc ids
+    (uniform). A corpus doc shorter than ``n`` tokens has no n-grams and
+    is trivially clean.
+
+    Returns one row per corpus document:
+      (doc_id, n_hit_ngrams, contaminated)
+    where ``n_hit_ngrams`` counts the doc's DISTINCT n-grams that appear
+    anywhere in the benchmark.
+    """
+    bench_grams = (
+        _shingle_frame(benchmark, text_col, id_col, n)
+        .select(F.explode("shingles").alias("gram"))
+        .distinct()
+    )
+    corpus_grams = _shingle_frame(corpus, text_col, id_col, n).select(
+        "id", F.explode("shingles").alias("gram")
+    )
+    hits = (
+        corpus_grams.join(broadcast(bench_grams), "gram")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(hits, F.col("doc_id") == F.col("id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"),
+            (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def simhash(col, bits: int = 32):
     """SimHash: sign-sum of per-token xxhash64 bits → LongType signature.
 
