@@ -47,51 +47,71 @@ def main() -> None:
     # timings — parquet footer reads for every input table, whole-stage
     # codegen for the decimal-sum aggregate shape, and the Python
     # worker daemon pool (first pandas UDF pays the fork+import).
-    from pyspark.sql import functions as F
+    # Best-effort: a warmup failure only costs timing accuracy, never
+    # the bench record itself.
+    try:
+        from pyspark.sql import functions as F
 
-    for t in ("nation", "lineitem", "orders", "documents", "embeddings"):
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy("l_returnflag").agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(38,12)")),
-        F.avg("l_quantity"),
-    ).collect()
-    spark.range(32).repartition(32).mapInPandas(
-        lambda it: it, schema="id long"
-    ).count()
-    # MLlib class-loading + fit codegen (WLS solver, tree learner,
-    # StringIndexer) — one-time JVM costs, not per-query work
-    from pyspark.ml.feature import StringIndexer, VectorAssembler
-    from pyspark.ml.regression import LinearRegression, RandomForestRegressor
+        for t in ("nation", "lineitem", "orders", "documents", "embeddings"):
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy("l_returnflag").agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,12)")),
+            F.avg("l_quantity"),
+        ).collect()
+        spark.range(32).repartition(32).mapInPandas(
+            lambda it: it, schema="id long"
+        ).count()
+        # MLlib class-loading + fit codegen (WLS solver, tree learner,
+        # StringIndexer) — one-time JVM costs, not per-query work
+        from pyspark.ml.feature import StringIndexer, VectorAssembler
+        from pyspark.ml.regression import LinearRegression, RandomForestRegressor
 
-    tiny = spark.range(64).select(
-        (F.col("id") % 4).cast("string").alias("c"),
-        F.rand(7).alias("x"),
-        (F.col("id") % 5).cast("double").alias("label"),
-    )
-    tiny = StringIndexer(inputCol="c", outputCol="ci").fit(tiny).transform(tiny)
-    tiny = VectorAssembler(inputCols=["x", "ci"], outputCol="features").transform(tiny)
-    LinearRegression(solver="normal").fit(tiny)
-    RandomForestRegressor(numTrees=2, maxDepth=2).fit(tiny)
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = specs[name].fn
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+        tiny = spark.range(64).select(
+            (F.col("id") % 4).cast("string").alias("c"),
+            F.rand(7).alias("x"),
+            (F.col("id") % 5).cast("double").alias("label"),
         )
-    )
-    spark.stop()
+        tiny = StringIndexer(inputCol="c", outputCol="ci").fit(tiny).transform(tiny)
+        tiny = VectorAssembler(inputCols=["x", "ci"], outputCol="features").transform(
+            tiny
+        )
+        LinearRegression(solver="normal").fit(tiny)
+        RandomForestRegressor(numTrees=2, maxDepth=2).fit(tiny)
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: warmup failed (continuing): {exc}", file=sys.stderr)
+    # Per-query fault isolation: one broken query must never erase the
+    # round's whole performance record (round-3 lesson — a single loader
+    # regression left BENCH_r03.json with rc=1 and no timings at all).
+    # Failures are reported as {"error": ...}; total sums the successes.
+    timings: dict[str, object] = {}
+    errors = 0
+    for name in HEADLINE:
+        try:
+            fn = specs[name].fn
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — survive anything, keep timing the rest
+            errors += 1
+            msg = f"{type(exc).__name__}: {exc}"
+            timings[name] = {"error": msg.splitlines()[0][:300]}
+            print(f"bench: {name} FAILED: {msg.splitlines()[0][:300]}", file=sys.stderr)
+    total = round(sum(t for t in timings.values() if isinstance(t, (int, float))), 3)
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    try:
+        spark.stop()
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":

@@ -1003,7 +1003,7 @@ ORDER BY p_partkey
 def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("part",))
     return spark.sql(
         """
         WITH stats AS (
@@ -1042,7 +1042,7 @@ ORDER BY status, priority
 def order_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("orders",))
     return spark.sql(
         """
         SELECT

@@ -22,16 +22,17 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanos-as-long (catalog convention)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def read_event_stream(
@@ -39,14 +40,28 @@ def read_event_stream(
 ) -> DataFrame:
     """File-based streaming source over the events parquet directory.
     In production this would be Kafka/Kinesis; the transformation layer
-    below is source-agnostic."""
+    below is source-agnostic.
+
+    Streaming sources need an explicit schema, and the generator has
+    shipped ``ts`` as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across
+    testdata regenerations — so probe the on-disk type with one batch
+    footer read at stream setup (a one-time cost), then normalize to
+    tz-aware TIMESTAMP exactly like ``sources.catalog._load_events``."""
+    from pyspark.sql.types import TimestampNTZType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    stream = (
+        spark.readStream.schema(_events_schema(ts_type))
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
+    if isinstance(ts_type, LongType):
+        return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(ts_type, TimestampNTZType):
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def windowed_rollup(

@@ -1,0 +1,115 @@
+"""Schema-drift guard for the test-data catalog.
+
+Round-3 lesson: the driver regenerated the testdata and ``events.ts``
+flipped from parquet TIMESTAMP(NANOS) to TIMESTAMP(MICROS); the loader
+assumed NANOS unconditionally and every consumer of the ``events`` table
+broke. These tests pin the contract: every table in ``catalog.TABLES``
+must load with its expected column set at the small tier, and the
+``events`` loader must survive all three physical encodings of ``ts``
+(nanos-as-long, micros-NTZ, micros-LTZ) and normalize them to identical
+tz-aware microsecond timestamps.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql.types import TimestampType
+
+from mbfbigdatarandomforest_spark.sources.catalog import TABLES, load_table
+
+from conftest import SF_DIR_SMALL
+
+# The columns every registered query/oracle depends on, per TESTDATA.md's
+# generated (TPC-H-ish, trimmed) tables. A driver regeneration that drops
+# any of these must fail HERE, loudly, not inside 8 downstream gates.
+EXPECTED_COLUMNS = {
+    "region": {"r_regionkey", "r_name"},
+    "nation": {"n_nationkey", "n_name", "n_regionkey"},
+    "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"},
+    "supplier": {"s_suppkey", "s_name", "s_nationkey", "s_acctbal"},
+    "part": {"p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"},
+    "orders": {
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    },
+    "lineitem": {
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    },
+    "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+    "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+    "embeddings": {"vec_id", "embedding", "label"},
+}
+
+
+@pytest.mark.parametrize("name", TABLES)
+def test_every_table_loads_with_expected_columns(spark, name):
+    df = load_table(spark, SF_DIR_SMALL, name)
+    assert set(df.columns) >= EXPECTED_COLUMNS[name], (
+        f"{name}: missing columns {EXPECTED_COLUMNS[name] - set(df.columns)}"
+    )
+    # Loading must also actually execute, not just resolve a schema.
+    assert df.limit(1).count() >= 0
+
+
+def test_events_ts_is_tz_aware_timestamp(spark):
+    df = load_table(spark, SF_DIR_SMALL, "events")
+    assert isinstance(df.schema["ts"].dataType, TimestampType)
+
+
+_TS_VALUES = [
+    datetime.datetime(2024, 3, 1, 10, 30, 15, 123456),
+    datetime.datetime(2024, 3, 2, 23, 59, 59, 999999),
+    datetime.datetime(2024, 7, 4, 0, 0, 0, 0),
+]
+
+
+def _write_events_fixture(tmpdir: str, ts_array: pa.Array) -> str:
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array([10, 20, 30], pa.int64()),
+            "event_type": pa.array(["a", "b", "a"], pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": pa.array(["{}", "{}", "{}"], pa.string()),
+        }
+    )
+    pq.write_table(table, f"{tmpdir}/events.parquet", store_schema=False)
+    return tmpdir
+
+
+@pytest.mark.parametrize(
+    "arrow_type",
+    [
+        pa.timestamp("ns"),  # parquet TIMESTAMP(NANOS) → Spark LongType branch
+        pa.timestamp("us"),  # TIMESTAMP(MICROS, adjusted=false) → NTZ branch
+        pa.timestamp("us", tz="UTC"),  # TIMESTAMP(MICROS, adjusted=true) → LTZ
+    ],
+    ids=["nanos_as_long", "micros_ntz", "micros_ltz"],
+)
+def test_events_loader_survives_all_ts_encodings(spark, tmp_path, arrow_type):
+    ts = pa.array(_TS_VALUES, pa.timestamp("us")).cast(arrow_type)
+    fixture_dir = _write_events_fixture(str(tmp_path), ts)
+    df = load_table(spark, fixture_dir, "events")
+    assert isinstance(df.schema["ts"].dataType, TimestampType)
+    got = sorted(r["ts"] for r in df.select("ts").collect())
+    # UTC session pin → collected naive datetimes equal the written values.
+    assert got == sorted(_TS_VALUES)
