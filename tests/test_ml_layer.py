@@ -266,3 +266,28 @@ def test_ols_sufficient_stats_matches_mllib_path(spark):
     assert set(gram) == set(mllib)
     for key in mllib:
         assert gram[key] == pytest.approx(mllib[key], rel=1e-6, abs=1e-7), key
+
+
+def test_ols_gram_strategies_agree(spark):
+    """Both physical Gramian strategies — the JVM grouped aggregate and
+    the Arrow mapInPandas fallback — must produce identical metrics,
+    and the auto path must fall back (not truncate) when the observed
+    group count exceeds max_groups."""
+    from conftest import SF_DIR_SMALL
+    from mbfbigdatarandomforest_spark.ml.ols_gram import (
+        ols_sufficient_stats_metrics,
+    )
+    from mbfbigdatarandomforest_spark.plans.ml_queries import _lineitem_features
+
+    df = _lineitem_features(spark, SF_DIR_SMALL)
+    kw = dict(
+        label_col="label",
+        categorical=["p_brand", "p_type"],
+        numeric=["l_quantity", "l_discount", "l_tax", "p_retailprice"],
+    )
+    grouped = ols_sufficient_stats_metrics(df, strategy="grouped", **kw)
+    arrow = ols_sufficient_stats_metrics(df, strategy="arrow", **kw)
+    fallback = ols_sufficient_stats_metrics(df, strategy="auto", max_groups=3, **kw)
+    for key in grouped:
+        assert arrow[key] == pytest.approx(grouped[key], rel=1e-9), key
+        assert fallback[key] == pytest.approx(grouped[key], rel=1e-9), key
