@@ -614,12 +614,21 @@ def decontaminate(
     )
 
 
-def simhash(col, bits: int = 32):
-    """SimHash: sign-sum of per-token xxhash64 bits → LongType signature.
+def simhash(col, bits: int = 32, ngram: int | None = None):
+    """SimHash: sign-sum of per-feature xxhash64 bits → LongType signature.
 
     Built entirely from codegen expressions: explode-free — uses
-    higher-order array functions over the token array, so it stays one
+    higher-order array functions over the feature array, so it stays one
     narrow projection per document.
+
+    ``ngram``: feature space. None hashes distinct whitespace tokens
+    (classic SimHash over the vocabulary); an integer n hashes distinct
+    token n-gram shingles. For near-dup detection against a
+    shingle-Jaccard ground truth, use the SAME shingle features —
+    unigram signatures measure vocabulary overlap, which on a
+    shared-vocabulary corpus marks ~9% of all pairs as near-dups
+    (measured precision 0.002 at sf0.001); shingle signatures measure
+    phrase overlap (precision 1.0, recall 0.93 on the same corpus).
 
     ``bits`` is capped at 63: the signature is assembled from Python-int
     ``1 << i`` literals in a signed LongType column, and ``1 << 63``
@@ -627,10 +636,12 @@ def simhash(col, bits: int = 32):
     """
     if not 1 <= bits <= 63:
         raise ValueError(f"simhash bits must be in [1, 63], got {bits}")
-    toks = F.array_distinct(
-        F.split(F.trim(F.lower(col if not isinstance(col, str) else F.col(col))), r"\s+")
-    )
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    base = col if not isinstance(col, str) else F.col(col)
+    if ngram is None:
+        feats = F.array_distinct(F.split(F.trim(F.lower(base)), r"\s+"))
+    else:
+        feats = F.array_distinct(token_shingles(base, ngram))
+    hashes = F.transform(feats, lambda t: F.xxhash64(t))
 
     def _bit_sum(i: int):
         # closure (not default-arg) binding: Spark's lambda bridge maps
@@ -650,11 +661,17 @@ def simhash(col, bits: int = 32):
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    ngram: int | None = None,
 ) -> DataFrame:
     """Per-doc SimHash signature (default 16 bits keeps the expression
     tree small; raise for lower collision rates at scale)."""
-    return df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("simhash"))
+    return df.select(
+        F.col(id_col), simhash(F.col(text_col), bits, ngram=ngram).alias("simhash")
+    )
 
 
 def simhash_pairs(
@@ -664,6 +681,7 @@ def simhash_pairs(
     bits: int = 16,
     bands: int = 4,
     max_hamming: int = 3,
+    ngram: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: Hamming distance ≤ max_hamming.
 
@@ -675,7 +693,7 @@ def simhash_pairs(
     if max_hamming >= bands:
         raise ValueError("pigeonhole requires max_hamming < bands")
     band_width = bits // bands
-    sigs = simhash_signatures(df, text_col, id_col, bits).withColumnRenamed(
+    sigs = simhash_signatures(df, text_col, id_col, bits, ngram=ngram).withColumnRenamed(
         id_col, "id"
     )
     mask = (1 << band_width) - 1

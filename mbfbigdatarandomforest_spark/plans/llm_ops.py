@@ -267,11 +267,14 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_simhash_pairs", tags=("dedup", "simhash"))
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # 32-bit signatures: the synthetic corpus shares a small vocabulary,
-    # so 16 bits saturates (most pairs land within hamming 3)
-    return dd.simhash_pairs(docs, bits=32, bands=8, max_hamming=3).orderBy(
-        "id_a", "id_b"
-    )
+    # ngram=3: signatures over the SAME shingle features as the
+    # Jaccard ground truth — unigram-token signatures on this
+    # shared-vocabulary corpus flagged ~9% of all pairs (precision
+    # 0.002); shingle signatures reach precision 1.0 / recall 0.93,
+    # floors pinned by tests/test_operators.py::test_simhash_precision_recall_floor
+    return dd.simhash_pairs(
+        docs, bits=32, bands=8, max_hamming=3, ngram=3
+    ).orderBy("id_a", "id_b")
 
 
 # --------------------------------------------------------------------------

@@ -329,6 +329,34 @@ def test_banded_minhash_covers_exact_pairs(spark):
         assert banded[k] == pytest.approx(v)
 
 
+def test_simhash_precision_recall_floor(spark):
+    """The registered dedup_simhash_pairs parameters (bits=32, bands=8,
+    hamming≤3, shingle features) must stay selective against the exact
+    shingle-Jaccard≥0.2 pair set on the sf0.001 corpus: precision ≥ 0.9
+    and recall ≥ 0.8 (measured 1.0 / 0.93 — SimHash is an angular
+    sketch, so a handful of genuine Jaccard pairs legitimately land
+    past the hamming cut). A failure here means either the corpus or
+    the parameters drifted; re-tune before trusting the rows-only gate."""
+    from conftest import SF_DIR_SMALL
+    from mbfbigdatarandomforest_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dd.simhash_pairs(
+            docs, bits=32, bands=8, max_hamming=3, ngram=3
+        ).collect()
+    }
+    assert exact, "fixture corpus should contain near-dup pairs"
+    tp = len(got & exact)
+    assert tp / max(len(got), 1) >= 0.9, f"precision {tp}/{len(got)}"
+    assert tp / len(exact) >= 0.8, f"recall {tp}/{len(exact)}"
+
+
 def test_salted_rollup_equals_plain_rollup(spark):
     """Salting must be semantics-preserving: sum/count compose exactly
     across salt buckets."""
