@@ -1,0 +1,79 @@
+"""Deterministic, engine-portable sampling for training-data pipelines.
+
+The reference's sampling (02_1_Sampling.R — seeded ``sample()`` rows)
+reproduces only under one RNG on one machine. A 100 TB data-mixing
+pipeline needs sampling that is (a) reproducible across engines, runs,
+and partitionings, (b) stateless where possible, and (c) quota-capable
+per stratum (the "N docs per source/language at temperature t" shape of
+LLM corpus mixing). Keying decisions on a cryptographic digest of the
+row's stable id gives all three: md5 is identical in Spark and DuckDB,
+so these operators carry full value-hash oracles — unlike RNG sampling,
+which can only gate on size invariants (see ``sample_and_split_sizes``).
+
+Both operators stay entirely in JVM codegen expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_key(key_col: str, salt: str):
+    """Lowercase hex md5 of (salt || key) — byte-identical in Spark and
+    DuckDB (``md5(s || CAST(key AS VARCHAR))``)."""
+    return F.md5(
+        F.concat(F.lit(salt), F.col(key_col).cast("string")).cast("binary")
+    )
+
+
+def hash_fraction_sample(
+    df: DataFrame, p: float, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic ~p-fraction: rows whose md5(salt||key) hex
+    prefix falls under the threshold.
+
+    The stateless scale path — a pure filter, no shuffle, no state, no
+    RNG; composes with partition pruning and pushes to the scan. The
+    same (p, salt) selects the same rows on any engine, any cluster
+    size, any partitioning. Different salts give independent samples
+    (re-rolling without touching p).
+
+    The first 8 hex chars (32 bits) bound quantization of p to 2^-32 —
+    indistinguishable from exact at any corpus size worth sampling.
+    """
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {p}")
+    threshold = format(int(p * (1 << 32)), "08x")
+    return df.filter(F.substring(_hash_key(key_col, salt), 1, 8) < F.lit(threshold))
+
+
+def stratified_quota_sample(
+    df: DataFrame,
+    strata: list[str],
+    k: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen by md5 order —
+    the per-source/per-language quota shape of corpus mixing.
+
+    Ranks inside each stratum by (md5(salt||key), key) — the digest
+    randomizes uniformly, the key breaks ties deterministically — and
+    keeps rank ≤ k, exposed as ``sample_rank``.
+
+    Scale: one shuffle keyed on the strata (mixing strata are
+    source/language/domain — thousands of values, so tasks parallelize
+    across strata; a single pathologically hot stratum would serialize
+    its own sort, in which case pre-filter with
+    ``hash_fraction_sample(k·fudge/|stratum|)`` before ranking).
+    """
+    if k < 1:
+        raise ValueError(f"quota k must be >= 1, got {k}")
+    w = Window.partitionBy(*strata).orderBy(
+        _hash_key(key_col, salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -344,6 +344,107 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Benchmark decontamination — the n-gram-overlap scrub used on
+# pretraining corpora before training (published convention: 13-grams;
+# here n=5, the smallest n that discriminates on the shared-vocabulary
+# synthetic corpus — n=3 marks 400/475 docs contaminated, n=5 marks 2).
+# ``source = 'src0'`` plays the held-out benchmark; the rest is the
+# training corpus. Scale shape (operators/dedup.py:decontaminate): the
+# benchmark's distinct n-gram set broadcasts, the corpus side is one
+# scan + explode with no corpus-row shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "decontaminate_ngram",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           range(1, len({_TOKS}) - 3),
+           i -> array_to_string(({_TOKS})[i:i+4], ' ')
+         )) AS grams
+  FROM documents
+), bench AS (
+  SELECT DISTINCT UNNEST(grams) AS gram FROM sh WHERE source = 'src0'
+), corpus AS (
+  SELECT doc_id, UNNEST(grams) AS gram FROM sh WHERE source <> 'src0'
+), hits AS (
+  SELECT c.doc_id, COUNT(*) AS n_hit_ngrams
+  FROM corpus c JOIN bench b USING (gram)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_hit_ngrams, 0) AS BIGINT) AS n_hit_ngrams,
+       COALESCE(h.n_hit_ngrams, 0) > 0             AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.source <> 'src0'
+ORDER BY d.doc_id
+""",
+    tags=("dedup", "decontamination"),
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return dd.decontaminate(corpus, bench, n=5).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Deterministic corpus sampling (operators/sampling.py) — the
+# data-mixing primitives of a training pipeline. Unlike RNG sampling
+# (gated on size invariants only — R RNG ≠ Spark RNG), md5-keyed
+# selection is byte-identical across engines, so BOTH carry full
+# value-hash oracles.
+# --------------------------------------------------------------------------
+@query(
+    "sample_hash_fraction",
+    oracle="""
+SELECT doc_id, source
+FROM documents
+WHERE substring(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+ORDER BY doc_id
+""",
+    tags=("sampling", "deterministic", "stateless"),
+)
+def sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_fraction_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_fraction_sample(docs, 0.25, "doc_id", salt="mix1")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "sample_stratified_quota",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('mix1' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, source, sample_rank
+FROM ranked WHERE sample_rank <= 5
+ORDER BY source, sample_rank
+""",
+    tags=("sampling", "deterministic", "stratified"),
+)
+def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_quota_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_quota_sample(docs, ["source"], 5, "doc_id", salt="mix1")
+        .select("doc_id", "source", F.col("sample_rank").cast("long").alias("sample_rank"))
+        .orderBy("source", "sample_rank")
+    )
+
+
+# --------------------------------------------------------------------------
 # Per-document text enrichment — quality scoring, language ID,
 # fingerprinting, line-repetition signals (C4/Gopher-style boilerplate
 # heuristics) and PII counts FUSED into one scan. At 100 TB you never

@@ -329,6 +329,68 @@ def test_banded_minhash_covers_exact_pairs(spark):
         assert banded[k] == pytest.approx(v)
 
 
+def test_hash_sampling_deterministic_and_quota(spark):
+    """md5-keyed sampling must be invariant to partitioning (same rows
+    at any parallelism), respect the per-stratum quota exactly, track
+    the requested fraction, and decorrelate across salts."""
+    from mbfbigdatarandomforest_spark.operators.sampling import (
+        hash_fraction_sample,
+        stratified_quota_sample,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("source"),
+    )
+    frac = {r["doc_id"] for r in hash_fraction_sample(df, 0.25, "doc_id").collect()}
+    frac_repart = {
+        r["doc_id"]
+        for r in hash_fraction_sample(df.repartition(13), 0.25, "doc_id").collect()
+    }
+    assert frac == frac_repart
+    assert 0.25 * 2000 * 0.8 <= len(frac) <= 0.25 * 2000 * 1.2
+    other_salt = {
+        r["doc_id"] for r in hash_fraction_sample(df, 0.25, "doc_id", salt="x").collect()
+    }
+    assert other_salt != frac  # independent draw
+    quota = stratified_quota_sample(df, ["source"], 5, "doc_id").collect()
+    per = {}
+    for r in quota:
+        per.setdefault(r["source"], []).append(r["sample_rank"])
+    assert set(per) == {str(i) for i in range(7)}
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per.values())
+    quota2 = stratified_quota_sample(df.repartition(17), ["source"], 5, "doc_id").collect()
+    assert {(r["doc_id"], r["sample_rank"]) for r in quota} == {
+        (r["doc_id"], r["sample_rank"]) for r in quota2
+    }
+
+
+def test_decontaminate_ngram_overlap(spark):
+    """A corpus doc sharing any token n-gram with the benchmark is
+    flagged with the count of its DISTINCT hit n-grams; docs with no
+    shared n-gram — including docs shorter than n tokens — are clean."""
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares two distinct 5-grams with the benchmark
+            (0, "alpha beta gamma delta epsilon zeta eta"),
+            # same vocabulary, different order → no shared 5-gram
+            (1, "zeta epsilon delta gamma beta alpha"),
+            # shorter than n tokens → trivially clean
+            (2, "alpha beta"),
+            (3, "totally different words entirely here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_hit_ngrams"], r["contaminated"])
+        for r in dd.decontaminate(corpus, bench, n=5).collect()
+    }
+    assert got == {0: (2, True), 1: (0, False), 2: (0, False), 3: (0, False)}
+
+
 def test_simhash_precision_recall_floor(spark):
     """The registered dedup_simhash_pairs parameters (bits=32, bands=8,
     hamming≤3, shingle features) must stay selective against the exact
