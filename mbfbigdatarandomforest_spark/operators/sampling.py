@@ -48,6 +48,68 @@ def hash_fraction_sample(
     return df.filter(F.substring(_hash_key(key_col, salt), 1, 8) < F.lit(threshold))
 
 
+def temperature_mixture_sample(
+    df: DataFrame,
+    strata: list[str],
+    target_total: int,
+    key_col: str,
+    temperature: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-weighted corpus mixing: per-stratum quotas
+    ∝ |stratum|^temperature, rows chosen deterministically by md5 order.
+
+    The standard LLM-pretraining mixing shape: t=1 keeps natural
+    proportions, t→0 flattens toward uniform (upweighting small
+    sources), intermediate t (0.3–0.7 in published recipes) trades
+    between them. Quotas use ceil, so the sample can exceed
+    ``target_total`` by at most one row per stratum, and a stratum
+    smaller than its quota contributes all its rows.
+
+    For t=1 the quota arithmetic stays in exact BIGINT
+    (``(target·n + total−1) div total``) — bit-identical across
+    engines, so the t=1 path carries a full value-hash oracle;
+    fractional t goes through IEEE ``pow`` (deterministic per engine,
+    pytest-checked against a Python oracle).
+
+    Scale: stratum counts are a map-side-combined aggregate to
+    |strata| rows; quotas broadcast back; ranking shuffles once on the
+    strata (see ``stratified_quota_sample`` for the hot-stratum note).
+    """
+    if target_total < 1:
+        raise ValueError(f"target_total must be >= 1, got {target_total}")
+    counts = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("__n"))
+    if temperature == 1.0:
+        # ceil(target·n / total) as floor((target·n + total − 1)/total).
+        # Both engines evaluate the same double divide + FLOOR (DuckDB's
+        # CAST(double AS BIGINT) ROUNDS, so floor must be explicit); the
+        # operands stay below 2^52, where IEEE division cannot cross an
+        # integer boundary, so the result is exact.
+        total = F.sum("__n").over(Window.partitionBy())
+        quota = F.floor(
+            (F.lit(target_total) * F.col("__n") + total - F.lit(1)) / total
+        )
+    else:
+        w = F.pow(F.col("__n").cast("double"), F.lit(float(temperature)))
+        quota = F.ceil(F.lit(target_total) * w / F.sum(w).over(Window.partitionBy()))
+    # the unpartitioned window runs over the |strata|-row aggregate,
+    # never the corpus
+    quotas = counts.select(*strata, quota.alias("__quota"))
+    ranked = df.withColumn(
+        "sample_rank",
+        F.row_number().over(
+            Window.partitionBy(*strata).orderBy(
+                _hash_key(key_col, salt), F.col(key_col)
+            )
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(quotas), strata)
+        .filter(F.col("sample_rank") <= F.col("__quota"))
+        .drop("__quota")
+    )
+
+
 def stratified_quota_sample(
     df: DataFrame,
     strata: list[str],

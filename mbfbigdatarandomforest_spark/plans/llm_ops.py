@@ -444,6 +444,51 @@ def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sample_temperature_mixture",
+    oracle="""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY 1
+), tot AS (
+  SELECT SUM(n) AS t FROM counts
+), quotas AS (
+  SELECT source,
+         CAST(FLOOR((200 * n + t - 1) * 1.0 / t) AS BIGINT) AS quota
+  FROM counts, tot
+), ranked AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('mix1' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS sample_rank
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.sample_rank
+FROM ranked r JOIN quotas q USING (source)
+WHERE r.sample_rank <= q.quota
+ORDER BY source, sample_rank
+""",
+    tags=("sampling", "mixture", "deterministic"),
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # t=1 (natural proportions) — the exact-BIGINT quota path, so the
+    # gate is a value hash; fractional temperatures are pytest-covered
+    # against a Python oracle (IEEE pow is per-engine deterministic but
+    # not worth a cross-engine bit-equality bet inside ceil)
+    from ..operators.sampling import temperature_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        temperature_mixture_sample(
+            docs, ["source"], 200, "doc_id", temperature=1.0, salt="mix1"
+        )
+        .select(
+            "doc_id", "source", F.col("sample_rank").cast("long").alias("sample_rank")
+        )
+        .orderBy("source", "sample_rank")
+    )
+
+
 # --------------------------------------------------------------------------
 # Per-document text enrichment — quality scoring, language ID,
 # fingerprinting, line-repetition signals (C4/Gopher-style boilerplate

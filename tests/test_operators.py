@@ -365,6 +365,43 @@ def test_hash_sampling_deterministic_and_quota(spark):
     }
 
 
+def test_temperature_mixture_quotas(spark):
+    """t=1 reproduces natural proportions (ceil'd); t=0.5 flattens —
+    every stratum's quota matches the Python-computed ceil(target·n^t /
+    Σn^t), small strata gain share vs t=1, and the selected rows are the
+    md5-order prefix of each stratum."""
+    import math
+
+    from mbfbigdatarandomforest_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    sizes = {"big": 900, "mid": 90, "small": 10}
+    rows = []
+    i = 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, src))
+            i += 1
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    target = 100
+    for t in (1.0, 0.5):
+        got = temperature_mixture_sample(
+            df, ["source"], target, "doc_id", temperature=t
+        ).collect()
+        per = {}
+        for r in got:
+            per[r["source"]] = max(per.get(r["source"], 0), r["sample_rank"])
+        tot = sum(n**t for n in sizes.values())
+        want = {
+            s: min(math.ceil(target * (n**t) / tot), n) for s, n in sizes.items()
+        }
+        assert per == want, (t, per, want)
+    # flattening: small stratum's share strictly grows as t drops
+    assert math.ceil(target * 10**0.5 / sum(n**0.5 for n in sizes.values())) > \
+        math.ceil(target * 10 / 1000)
+
+
 def test_decontaminate_ngram_overlap(spark):
     """A corpus doc sharing any token n-gram with the benchmark is
     flagged with the count of its DISTINCT hit n-grams; docs with no

@@ -188,3 +188,48 @@ def test_hourly_rollup_window_partitioned_by_event_type(spark):
     for line in plan.splitlines():
         if "windowspecdefinition(" in line:
             assert "windowspecdefinition(event_type" in line, line
+
+
+def test_hash_fraction_sample_is_pure_filter(spark):
+    """The stateless sampler must stay a scan+filter: no Exchange, no
+    Window, no join — it composes with any downstream plan for free."""
+    from mbfbigdatarandomforest_spark.operators.sampling import (
+        hash_fraction_sample,
+    )
+    from mbfbigdatarandomforest_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    plan = _plan(hash_fraction_sample(docs, 0.25, "doc_id"))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_stratified_quota_window_partitioned_by_strata(spark):
+    """Quota sampling must rank inside strata only — an unpartitioned
+    row_number would funnel the corpus through one task."""
+    from mbfbigdatarandomforest_spark.operators.sampling import (
+        stratified_quota_sample,
+    )
+    from mbfbigdatarandomforest_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    plan = _plan(stratified_quota_sample(docs, ["source"], 5, "doc_id"))
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "windowspecdefinition(source" in line, line
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The benchmark n-gram set must be the broadcast side; the corpus
+    must never shuffle for the contamination join."""
+    from mbfbigdatarandomforest_spark.operators import dedup as dd
+    from mbfbigdatarandomforest_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    plan = _plan(dd.decontaminate(corpus, bench, n=5))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
