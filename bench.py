@@ -32,6 +32,8 @@ HEADLINE = [
     "dedup_embedding_ann",      # IVF candidates + exact cosine verify
     "similarity_cosine_topk",
     "text_enrich_per_doc",      # quality+lang-id+fingerprint, one scan
+    "decontaminate_ngram",      # benchmark n-gram scrub (broadcast gram set)
+    "sample_temperature_mixture",  # corpus mixing (r4)
     "ml_ols_metrics",           # tracked rival of the reference's 1.9s GPU OLS
     "ml_random_forest_metrics",
 ]
@@ -97,6 +99,12 @@ def main() -> None:
             msg = f"{type(exc).__name__}: {exc}"
             timings[name] = {"error": msg.splitlines()[0][:300]}
             print(f"bench: {name} FAILED: {msg.splitlines()[0][:300]}", file=sys.stderr)
+        finally:
+            # queries that cache intermediates (LSH shingle frames, ANN
+            # centroids) would otherwise leak storage memory into every
+            # LATER query's timing — each headline entry times a cold,
+            # standalone run
+            spark.catalog.clearCache()
     total = round(sum(t for t in timings.values() if isinstance(t, (int, float))), 3)
     out = {
         "metric": "headline_queries_total_wall",

@@ -594,22 +594,34 @@ def decontaminate(
         _shingle_frame(benchmark, text_col, id_col, n)
         .select(F.explode("shingles").alias("gram"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    corpus_grams = _shingle_frame(corpus, text_col, id_col, n).select(
-        "id", F.explode("shingles").alias("gram")
-    )
-    hits = (
-        corpus_grams.join(broadcast(bench_grams), "gram")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
-    )
-    return (
-        corpus.select(F.col(id_col).alias("doc_id"))
-        .join(hits, F.col("doc_id") == F.col("id"), "left")
+    # ONE pass over the corpus: explode_outer keeps docs with no
+    # n-grams (shorter than n tokens) as a null-gram row — so the
+    # shingle frame is built WITHOUT _shingle_frame's empty-set filter —
+    # the left broadcast join marks benchmark grams, and the id-keyed
+    # count aggregates back to one row per doc: the corpus text is read
+    # and shingled exactly once, and corpus rows never shuffle for a
+    # join (only doc_id/flag pairs reach the aggregation exchange).
+    corpus_sh = (
+        _widen(corpus)
+        .withColumn("__toks", _tokens(text_col))
         .select(
-            "doc_id",
-            F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"),
-            (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                _shingles_from_tokens(F.col("__toks"), n)
+            ).alias("shingles"),
+        )
+    )
+    exploded = corpus_sh.select("id", F.explode_outer("shingles").alias("gram"))
+    return (
+        exploded.join(broadcast(bench_grams), "gram", "left")
+        .groupBy("id")
+        .agg(F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hit_ngrams"))
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_hit_ngrams",
+            (F.col("n_hit_ngrams") > 0).alias("contaminated"),
         )
     )
 
