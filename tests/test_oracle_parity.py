@@ -43,7 +43,15 @@ def _values_equal(a, b) -> bool:
 @pytest.mark.parametrize("name", [s.name for s in ORACLE_SPECS])
 def test_oracle_parity(name, spark, duck):
     spec = SPECS[name]
-    got = _canon(spec.fn(spark, SF_DIR_ORACLE).toPandas())
+    df = spec.fn(spark, SF_DIR_ORACLE)
+    # blanket scale hygiene over every gated query: a cartesian product
+    # is never the right plan at 100 TB (1-row moment/total cross joins
+    # plan as BroadcastNestedLoopJoin, which this does not match)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    got = _canon(df.toPandas())
     want = _canon(duck.sql(spec.oracle).df())
     assert list(got.columns) == list(want.columns), (
         f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"

@@ -304,3 +304,40 @@ def test_compact_batch_partitions(spark, tmp_path):
     assert {r["doc_id"] for r in got.select("doc_id").collect()} == {
         r["doc_id"] for r in docs.select("doc_id").collect()
     }
+
+
+def test_streaming_decontaminate_matches_batch(spark, tmp_path):
+    """Stream drained through the foreachBatch decontamination filter
+    must keep exactly the docs the batch operator marks clean — across
+    multiple micro-batches (maxFilesPerTrigger-style split via two
+    source files)."""
+    from mbfbigdatarandomforest_spark.operators.dedup import decontaminate
+    from mbfbigdatarandomforest_spark.streaming.decontam import (
+        run_decontaminate_available_now,
+    )
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    src = tmp_path / "corpus_stream"
+    # two files → at least two micro-batches under availableNow
+    corpus.repartition(2).write.parquet(str(src))
+
+    got = run_decontaminate_available_now(
+        spark,
+        str(src),
+        corpus.schema,
+        bench,
+        str(tmp_path / "clean_out"),
+        query_name="t_decontam_stream",
+    )
+    want_clean = {
+        r["doc_id"]
+        for r in decontaminate(corpus, bench, n=5)
+        .filter(~F.col("contaminated"))
+        .collect()
+    }
+    got_ids = [r["doc_id"] for r in got.select("doc_id").collect()]
+    assert len(got_ids) == len(set(got_ids))  # no duplicate emission
+    assert set(got_ids) == want_clean
+    assert len(want_clean) < corpus.count()  # fixture really drops docs
