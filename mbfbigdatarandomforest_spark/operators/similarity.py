@@ -597,3 +597,68 @@ def quantized_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def embedding_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    as_array: bool = False,
+    bits: int = 20,
+) -> DataFrame:
+    """Per-label centroid (elementwise mean) of an embedding column —
+    class prototypes / cluster summaries over array<float>.
+
+    Scale shape: posexplode to (label, idx, val) and aggregate on
+    (label, idx) — partial aggregation map-side-combines each
+    dimension, the shuffle carries |labels|·dim tiny rows, and no
+    executor ever holds more than one dimension of one label.
+
+    Exactness: values are fixed-point quantized to ``bits`` fractional
+    bits before summing — multiplying by 2^bits only shifts the IEEE
+    exponent (exact for every float), floor is unambiguous, and integer
+    sums are order-independent. The result is therefore bit-identical
+    regardless of partitioning AND across engines (decimal casts are
+    not: float→decimal rounding of shortest-repr ties differs between
+    engines — observed 1 row in 6400 on the test corpus). At bits=20
+    the quantization error of the mean is < 2^-20 ≈ 1e-6, below
+    float32's own noise floor for unit-scale embeddings.
+
+    Long format (label, idx, n, mean_val) by default — scalar columns
+    hash cleanly across engines. ``as_array=True`` reassembles
+    (label, centroid array) via a bounded collect_list (dim elements).
+    """
+    scale = float(1 << bits)
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("idx0", "val"),
+    )
+    long = (
+        ex.groupBy("label", (F.col("idx0") + 1).alias("idx"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("val").cast("double") * F.lit(scale))
+            ).alias("__s"),
+        )
+        .select(
+            "label",
+            "idx",
+            "n",
+            (F.col("__s").cast("double") / F.col("n") / F.lit(scale)).alias(
+                "mean_val"
+            ),
+        )
+    )
+    if not as_array:
+        return long
+    return (
+        long.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "mean_val"))),
+                lambda s: s["mean_val"],
+            ).alias("centroid"),
+            F.max("n").alias("n"),
+        )
+    )

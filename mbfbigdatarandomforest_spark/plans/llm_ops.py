@@ -634,6 +634,89 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Per-label embedding centroids — elementwise array aggregation in long
+# format. Values are fixed-point quantized (20 fractional bits) before
+# summing: power-of-two scaling + floor + integer sums are exact and
+# order-independent in BOTH engines, where decimal casts of floats are
+# not (shortest-repr tie rounding differs — see operators.similarity.
+# embedding_centroids).
+# --------------------------------------------------------------------------
+@query(
+    "embedding_centroids_per_label",
+    oracle="""
+WITH ex AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS idx,
+         UNNEST(embedding) AS val
+  FROM embeddings
+)
+SELECT label,
+       CAST(idx AS BIGINT) AS idx,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1048576) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 1048576 AS mean_val
+FROM ex
+GROUP BY label, idx
+ORDER BY label, idx
+""",
+    tags=("similarity", "centroids", "array-agg"),
+)
+def embedding_centroids_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_centroids(emb, "label", "embedding").orderBy("label", "idx")
+
+
+# --------------------------------------------------------------------------
+# Document chunking — overlapping token windows (chunk 32, overlap 8),
+# the pre-tokenization fan-out of a training pipeline. Chunk starts are
+# 1 + k·stride while start ≤ n−chunk+stride, the tail remainder is its
+# own (shorter) chunk — both engines compute the same windows, so the
+# gate hashes chunk text verbatim.
+# --------------------------------------------------------------------------
+@query(
+    "text_chunk_documents",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS toks
+  FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         range(1, greatest(n - 8, 1) + 1, 24) AS starts
+  FROM tk
+), exploded AS (
+  SELECT doc_id, toks,
+         CAST(len(starts) AS BIGINT) AS n_chunks,
+         UNNEST(starts) AS s
+  FROM sized
+)
+SELECT doc_id,
+       (s - 1) // 24                            AS chunk_id,
+       n_chunks,
+       array_to_string(toks[s:s + 31], ' ')     AS chunk_text,
+       CAST(len(toks[s:s + 31]) AS BIGINT)      AS n_tokens
+FROM exploded
+WHERE len(toks[s:s + 31]) >= 1
+ORDER BY doc_id, chunk_id
+""",
+    tags=("text", "chunking"),
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        tx.chunk_documents(docs, chunk_tokens=32, overlap=8)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            "chunk_text",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Corpus-level token statistics per (lang, source).
 # --------------------------------------------------------------------------
 @query(

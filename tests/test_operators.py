@@ -186,6 +186,38 @@ def test_lsh_verified_paths_equal_exact_pairs(spark):
     assert bd == ng
 
 
+def test_embedding_centroids_accuracy_and_array_form(spark):
+    """Quantized centroid means must sit within 2^-20 of the true
+    float64 mean, be invariant to repartitioning, and the array form
+    must equal the long form dimension-by-dimension."""
+    import numpy as np
+    from mbfbigdatarandomforest_spark.operators.similarity import (
+        embedding_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i % 3), [float(x) for x in rng.uniform(-1, 1, 8).astype("float32")])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["label", "embedding"])
+    long = embedding_centroids(df, "label", "embedding").collect()
+    truth = {}
+    for lbl in (0, 1, 2):
+        vecs = np.array([v for l, v in rows if l == lbl], dtype=np.float64)
+        truth[lbl] = vecs.mean(axis=0)
+    for r in long:
+        assert abs(r["mean_val"] - truth[r["label"]][r["idx"] - 1]) < 2**-20
+    long2 = embedding_centroids(df.repartition(11), "label", "embedding").collect()
+    assert {(r["label"], r["idx"], r["mean_val"]) for r in long} == {
+        (r["label"], r["idx"], r["mean_val"]) for r in long2
+    }
+    arr = embedding_centroids(df, "label", "embedding", as_array=True).collect()
+    by_label = {r["label"]: r["centroid"] for r in arr}
+    for r in long:
+        assert by_label[r["label"]][r["idx"] - 1] == r["mean_val"]
+
+
 def test_ann_dup_pairs_equal_exact(spark):
     """Same guard for dedup_embedding_ann: IVF multi-probe candidates +
     exact verify must reproduce the all-pairs result on the synthetic
