@@ -845,6 +845,50 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# JSON payload extraction (F-family extension; functions/json.py) —
+# events.props carries a JSON string; the typed field is pulled with a
+# codegen expression (get_json_object — no UDF) and aggregated. The
+# null bucket (unparseable / missing key) is part of the contract.
+# --------------------------------------------------------------------------
+@query(
+    "events_json_props_rollup",
+    oracle="""
+SELECT
+  event_type,
+  COUNT(*)                                             AS n_events,
+  COUNT(CAST(json_extract(props, '$.k') AS BIGINT))    AS n_with_k,
+  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                                                       AS n_distinct_k,
+  MIN(CAST(json_extract(props, '$.k') AS BIGINT))      AS min_k,
+  MAX(CAST(json_extract(props, '$.k') AS BIGINT))      AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("F-json", "A1", "A6", "extension"),
+)
+def events_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.json import json_long_field
+
+    ev = _t(spark, sf_dir, "events")
+    k = json_long_field("props", "k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("k").cast("long").alias("n_distinct_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
 # Batch sessionization (twin of streaming/sessions.py) — gap-based
 # session windows via lag + cumulative sum; the stateful streaming
 # operator is pytest-checked against exactly this.
