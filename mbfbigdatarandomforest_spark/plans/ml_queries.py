@@ -287,3 +287,95 @@ def ml_gbt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ", best_iter long, stopped_iter long, max_iter long"
     )
     return spark.createDataFrame(rows, schema)
+
+
+# --------------------------------------------------------------------------
+# L2/L7 hash-gated, grouped: closed-form simple regression PER GROUP
+# (price ~ quantity within each brand) — slope, intercept, R² from the
+# five decimal-exact sufficient sums. Per-segment trend fitting is the
+# grouped cousin of ml_metrics_closed_form's single global model: the
+# whole computation is one map-side-combined aggregate (sums per
+# brand), then scalar IEEE arithmetic both engines perform identically
+# — so unlike the MLlib paths this regression is value-hash checkable.
+# --------------------------------------------------------------------------
+# Numeric contract: quantities are integers and prices are 2-decimal,
+# so X = round(qty), Y = round(price·100) are exact integer doubles,
+# every per-row product (max ~1.1e14) sits below 2^53 — exact — and the
+# scale-0 DECIMAL sums cast back to double with a SINGLE rounding of an
+# exact integer, identical in both engines. (DECIMAL(28,8) sums are NOT
+# safe here: casting a 21-significant-digit decimal to double differs
+# between engines at 1 ulp — Spark rounds the exact value once, DuckDB
+# divides an int128 by 10^8 in floating point.) slope and r² are
+# invariant under the linear scaling; the intercept divides by 100 at
+# the end.
+_ISUM = "CAST(SUM(CAST({x} AS DECIMAL(38,0))) AS DOUBLE)"
+
+
+@query(
+    "ml_grouped_linear_trend",
+    oracle=f"""
+WITH scaled AS (
+  SELECT p.p_brand,
+         ROUND(l_quantity)             AS xs,
+         ROUND(l_extendedprice * 100)  AS ys
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), s AS (
+  SELECT
+    p_brand,
+    CAST(COUNT(*) AS DOUBLE)      AS n,
+    {_ISUM.format(x='xs')}        AS sx,
+    {_ISUM.format(x='ys')}        AS sy,
+    {_ISUM.format(x='xs * xs')}   AS sxx,
+    {_ISUM.format(x='xs * ys')}   AS sxy,
+    {_ISUM.format(x='ys * ys')}   AS syy
+  FROM scaled
+  GROUP BY p_brand
+)
+SELECT
+  p_brand,
+  CAST(n AS BIGINT)                                     AS n_obs,
+  (n * sxy - sx * sy) / (n * sxx - sx * sx) / 100       AS slope,
+  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n / 100 AS intercept,
+  ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+    / ((n * sxx - sx * sx) * (n * syy - sy * sy))       AS r2
+FROM s
+ORDER BY p_brand
+""",
+    tags=("L2", "L7", "A1", "closed-form", "grouped"),
+)
+def ml_grouped_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+
+    def isum(c):
+        return F.sum(c.cast("decimal(38,0)")).cast("double")
+
+    xs = F.round(F.col("l_quantity"))
+    ys = F.round(F.col("l_extendedprice") * 100)
+    s = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            isum(xs).alias("sx"),
+            isum(ys).alias("sy"),
+            isum(xs * xs).alias("sxx"),
+            isum(xs * ys).alias("sxy"),
+            isum(ys * ys).alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    # identical expression SHAPE to the SQL twin — same exact-sum
+    # inputs, same IEEE op order, bit-identical outputs
+    slope_s = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "p_brand",
+        n.cast("long").alias("n_obs"),
+        (slope_s / 100).alias("slope"),
+        ((sy - slope_s * sx) / n / 100).alias("intercept"),
+        (
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r2"),
+    ).orderBy("p_brand")
