@@ -213,6 +213,20 @@ def similarity_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# int8-quantized top-k (memory-bandwidth scale path: scan-side scoring
+# touches 1/4 the bytes, exact rescore only for survivors). Seeded-
+# deterministic but the quantized scoring isn't SQL-expressible →
+# rows-only; pytest pins recall ≥0.9 vs brute force and emitted values
+# exactly equal to cosine_topk's.
+# --------------------------------------------------------------------------
+@query("similarity_quantized_topk", tags=("similarity", "int8", "quantized"))
+def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return sim.quantized_topk(emb, queries_df, k=10).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
 # Embedding-cosine near-dup pairs (exact all-pairs baseline; double math
 # mirrored in the oracle).
 # --------------------------------------------------------------------------

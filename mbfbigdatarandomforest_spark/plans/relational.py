@@ -99,6 +99,45 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q6-style forecast revenue — the pure predicate-pushdown showcase: a
+# three-predicate scan + one global sum, no join, no shuffle beyond the
+# single-row final aggregate. All three filters reach the parquet
+# reader (PushedFilters; plan-asserted in tests/test_plan_shape.py), so
+# at 100 TB this reads only row groups whose min/max stats survive the
+# cuts.
+# --------------------------------------------------------------------------
+@query(
+    "q6_discount_revenue",
+    oracle=f"""
+SELECT
+  {_dsum_sql('l_extendedprice * l_discount')} AS revenue,
+  COUNT(*)                                    AS n_rows
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    tags=("P4", "A1", "pushdown"),
+)
+def q6_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.to_date("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Q3 — revenue top-k (J1 equi-join, A1 sum, O3 top-k with tiebreak)
 # Reference analogue: left_join 01_DataMerge.R:131-132 + top-15 importance
 # 04_1_XGB_traintest.R:331.

@@ -233,3 +233,20 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     plan = _plan(dd.decontaminate(corpus, bench, n=5))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q6_all_filters_pushed_no_shuffle_data(spark):
+    """The q6-style scan must push discount/quantity filters to parquet
+    and aggregate to one row with only partial/final agg stages — no
+    join, no sort, no window."""
+    from mbfbigdatarandomforest_spark.plans.relational import (
+        q6_discount_revenue,
+    )
+
+    plan = _plan(q6_discount_revenue(spark, SF_DIR_ORACLE))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1].split("\n")[0]
+    assert "l_discount" in pushed and "l_quantity" in pushed
+    assert "partial_" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
