@@ -884,6 +884,82 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Exact grouped quantiles (A-family) — sort-based percentile with linear
+# interpolation; verified bit-identical between engines (same lower +
+# (upper−lower)·frac arithmetic on the same doubles). The SCALE path
+# for quantiles is the GK sketch (approx_sketches / approx_quantile_bins);
+# this gate proves the exact math the sketch approximates. At 100 TB the
+# per-group sort is bounded by group size — segments here, never the
+# global table.
+# --------------------------------------------------------------------------
+@query(
+    "acctbal_quantiles_per_segment",
+    oracle="""
+SELECT
+  c_mktsegment,
+  COUNT(*)                        AS n,
+  quantile_cont(c_acctbal, 0.25)  AS q25,
+  quantile_cont(c_acctbal, 0.5)   AS median,
+  quantile_cont(c_acctbal, 0.75)  AS q75,
+  quantile_cont(c_acctbal, 0.9)   AS q90
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    tags=("A-quantile", "exact", "extension"),
+)
+def acctbal_quantiles_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(c_acctbal, 0.25)").alias("q25"),
+            F.expr("percentile(c_acctbal, 0.5)").alias("median"),
+            F.expr("percentile(c_acctbal, 0.75)").alias("q75"),
+            F.expr("percentile(c_acctbal, 0.9)").alias("q90"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations beyond UNION (U-family): INTERSECT / EXCEPT with
+# distinct semantics, method-tagged into one result.
+# --------------------------------------------------------------------------
+@query(
+    "brand_set_ops",
+    oracle="""
+SELECT 'intersect' AS op, p_brand FROM (
+  SELECT p_brand FROM part WHERE p_size > 25
+  INTERSECT
+  SELECT p_brand FROM part WHERE p_retailprice > 1500
+)
+UNION ALL
+SELECT 'except' AS op, p_brand FROM (
+  SELECT p_brand FROM part WHERE p_size > 25
+  EXCEPT
+  SELECT p_brand FROM part WHERE p_retailprice > 1500
+)
+ORDER BY op, p_brand
+""",
+    tags=("U-intersect", "U-except", "extension"),
+)
+def brand_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    big = p.filter(F.col("p_size") > 25).select("p_brand")
+    pricey = p.filter(F.col("p_retailprice") > 1500).select("p_brand")
+    return (
+        big.intersect(pricey)
+        .select(F.lit("intersect").alias("op"), "p_brand")
+        .unionByName(
+            big.subtract(pricey).select(F.lit("except").alias("op"), "p_brand")
+        )
+        .orderBy("op", "p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
 # JSON payload extraction (F-family extension; functions/json.py) —
 # events.props carries a JSON string; the typed field is pulled with a
 # codegen expression (get_json_object — no UDF) and aggregated. The
