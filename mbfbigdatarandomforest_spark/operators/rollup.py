@@ -51,6 +51,7 @@ def salted_rollup(
     avg_alias: str = "forecast",
     count_alias: str = "n_obs",
     salt_buckets: int = 16,
+    exact_sums: bool = False,
 ) -> DataFrame:
     """Skew-resistant variant of ``threshold_rollup``.
 
@@ -60,18 +61,30 @@ def salted_rollup(
     (key, salt) — the hot key spreads over ``salt_buckets`` tasks —
     stage 2 merges the partials per key. sum/count compose exactly, so
     the result is identical to the unsalted rollup (property-tested).
-    Cost: a second (tiny) shuffle over #keys × salt rows."""
+    Cost: a second (tiny) shuffle over #keys × salt rows.
+
+    ``exact_sums=True`` carries DECIMAL(28,8) sums through BOTH stages:
+    double partials depend on which salt bucket each row landed in,
+    decimal partials compose exactly — the mode that makes the salted
+    plan value-hash-identical to an unsalted oracle (and to itself
+    across different ``salt_buckets``)."""
     salted = df.withColumn(
         "__salt", (F.rand(seed=7) * salt_buckets).cast("int")
     )
+    value = F.col(value_col)
+    if exact_sums:
+        value = value.cast("decimal(28,8)")
     partial = salted.groupBy(*keys, "__salt").agg(
-        F.sum(value_col).alias("__sum"),
+        F.sum(value).alias("__sum"),
         F.count(F.lit(1)).alias("__cnt"),
     )
+    total = F.sum("__sum")
+    if exact_sums:
+        total = total.cast("double")
     return (
         partial.groupBy(*keys)
         .agg(
-            (F.sum("__sum") / F.sum("__cnt")).alias(avg_alias),
+            (total / F.sum("__cnt")).alias(avg_alias),
             F.sum("__cnt").alias(count_alias),
         )
         .filter(F.col(count_alias) > min_count)

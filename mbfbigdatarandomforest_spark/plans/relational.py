@@ -884,6 +884,45 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Skew-salted aggregation, hash-gated (A1/A2 under skew): orders has 3
+# status values — the canonical hot-key shape at 100 TB. The salted
+# two-stage plan (operators/rollup.py) spreads each hot key over 8
+# tasks; the DuckDB oracle is the PLAIN group-by, so the gate proves
+# salting is semantics-preserving on real data, not just in the
+# property test. Decimal sums compose exactly across salt buckets —
+# double partials would depend on bucket assignment.
+# --------------------------------------------------------------------------
+@query(
+    "status_rollup_salted",
+    oracle="""
+SELECT
+  o_orderstatus,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS avg_price,
+  COUNT(*) AS n_obs
+FROM orders
+GROUP BY o_orderstatus
+HAVING COUNT(*) > 100
+ORDER BY o_orderstatus
+""",
+    tags=("A1", "A2", "skew", "salting"),
+)
+def status_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rollup import salted_rollup
+
+    o = _t(spark, sf_dir, "orders")
+    return salted_rollup(
+        o,
+        ["o_orderstatus"],
+        "o_totalprice",
+        min_count=100,
+        avg_alias="avg_price",
+        count_alias="n_obs",
+        salt_buckets=8,
+        exact_sums=True,
+    ).orderBy("o_orderstatus")
+
+
+# --------------------------------------------------------------------------
 # Exact grouped quantiles (A-family) — sort-based percentile with linear
 # interpolation; verified bit-identical between engines (same lower +
 # (upper−lower)·frac arithmetic on the same doubles). The SCALE path
