@@ -33,7 +33,7 @@ HEADLINE = [
     "similarity_cosine_topk",
     "text_enrich_per_doc",      # quality+lang-id+fingerprint, one scan
     "decontaminate_ngram",      # benchmark n-gram scrub (broadcast gram set)
-    "sample_temperature_mixture",  # corpus mixing (r4)
+    "sample_mixture_suite",     # corpus mixing, 3 deterministic modes (r4)
     "ml_ols_metrics",           # tracked rival of the reference's 1.9s GPU OLS
     "ml_random_forest_metrics",
 ]

@@ -404,34 +404,17 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Deterministic corpus sampling (operators/sampling.py) — the
-# data-mixing primitives of a training pipeline. Unlike RNG sampling
-# (gated on size invariants only — R RNG ≠ Spark RNG), md5-keyed
-# selection is byte-identical across engines, so BOTH carry full
-# value-hash oracles.
+# data-mixing primitives of a training pipeline, all three modes
+# method-tagged in ONE gate (registry budget: the driver checks the
+# first 50 queries, so single-table siblings fuse — see COVERAGE.md).
+# Unlike RNG sampling (gated on size invariants only — R RNG ≠ Spark
+# RNG), md5-keyed selection is byte-identical across engines, so the
+# fused gate carries a full value-hash oracle: 'fraction' = stateless
+# threshold filter (rank NULL), 'quota' = exactly 5 per source,
+# 'temperature' = t=1 mixture quotas in exact integer arithmetic.
 # --------------------------------------------------------------------------
 @query(
-    "sample_hash_fraction",
-    oracle="""
-SELECT doc_id, source
-FROM documents
-WHERE substring(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
-ORDER BY doc_id
-""",
-    tags=("sampling", "deterministic", "stateless"),
-)
-def sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sampling import hash_fraction_sample
-
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        hash_fraction_sample(docs, 0.25, "doc_id", salt="mix1")
-        .select("doc_id", "source")
-        .orderBy("doc_id")
-    )
-
-
-@query(
-    "sample_stratified_quota",
+    "sample_mixture_suite",
     oracle="""
 WITH ranked AS (
   SELECT doc_id, source,
@@ -440,28 +423,7 @@ WITH ranked AS (
            ORDER BY md5('mix1' || CAST(doc_id AS VARCHAR)), doc_id
          ) AS BIGINT) AS sample_rank
   FROM documents
-)
-SELECT doc_id, source, sample_rank
-FROM ranked WHERE sample_rank <= 5
-ORDER BY source, sample_rank
-""",
-    tags=("sampling", "deterministic", "stratified"),
-)
-def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sampling import stratified_quota_sample
-
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        stratified_quota_sample(docs, ["source"], 5, "doc_id", salt="mix1")
-        .select("doc_id", "source", F.col("sample_rank").cast("long").alias("sample_rank"))
-        .orderBy("source", "sample_rank")
-    )
-
-
-@query(
-    "sample_temperature_mixture",
-    oracle="""
-WITH counts AS (
+), counts AS (
   SELECT source, COUNT(*) AS n FROM documents GROUP BY 1
 ), tot AS (
   SELECT SUM(n) AS t FROM counts
@@ -469,37 +431,51 @@ WITH counts AS (
   SELECT source,
          CAST(FLOOR((200 * n + t - 1) * 1.0 / t) AS BIGINT) AS quota
   FROM counts, tot
-), ranked AS (
-  SELECT doc_id, source,
-         CAST(ROW_NUMBER() OVER (
-           PARTITION BY source
-           ORDER BY md5('mix1' || CAST(doc_id AS VARCHAR)), doc_id
-         ) AS BIGINT) AS sample_rank
-  FROM documents
 )
-SELECT r.doc_id, r.source, r.sample_rank
+SELECT 'fraction' AS method, doc_id, source, CAST(NULL AS BIGINT) AS sample_rank
+FROM documents
+WHERE substring(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+UNION ALL
+SELECT 'quota' AS method, doc_id, source, sample_rank
+FROM ranked WHERE sample_rank <= 5
+UNION ALL
+SELECT 'temperature' AS method, r.doc_id, r.source, r.sample_rank
 FROM ranked r JOIN quotas q USING (source)
 WHERE r.sample_rank <= q.quota
-ORDER BY source, sample_rank
+ORDER BY method, source, doc_id
 """,
-    tags=("sampling", "mixture", "deterministic"),
+    tags=("sampling", "deterministic", "stateless", "stratified", "mixture"),
 )
-def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # t=1 (natural proportions) — the exact-BIGINT quota path, so the
-    # gate is a value hash; fractional temperatures are pytest-covered
-    # against a Python oracle (IEEE pow is per-engine deterministic but
-    # not worth a cross-engine bit-equality bet inside ceil)
-    from ..operators.sampling import temperature_mixture_sample
+def sample_mixture_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import (
+        hash_fraction_sample,
+        stratified_quota_sample,
+        temperature_mixture_sample,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        temperature_mixture_sample(
-            docs, ["source"], 200, "doc_id", temperature=1.0, salt="mix1"
-        )
-        .select(
-            "doc_id", "source", F.col("sample_rank").cast("long").alias("sample_rank")
-        )
-        .orderBy("source", "sample_rank")
+    frac = hash_fraction_sample(docs, 0.25, "doc_id", salt="mix1").select(
+        F.lit("fraction").alias("method"),
+        "doc_id",
+        "source",
+        F.lit(None).cast("long").alias("sample_rank"),
+    )
+    quota = stratified_quota_sample(docs, ["source"], 5, "doc_id", salt="mix1").select(
+        F.lit("quota").alias("method"),
+        "doc_id",
+        "source",
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+    )
+    temp = temperature_mixture_sample(
+        docs, ["source"], 200, "doc_id", temperature=1.0, salt="mix1"
+    ).select(
+        F.lit("temperature").alias("method"),
+        "doc_id",
+        "source",
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+    )
+    return frac.unionByName(quota).unionByName(temp).orderBy(
+        "method", "source", "doc_id"
     )
 
 
