@@ -66,3 +66,16 @@ def test_oracle_parity(name, spark, duck):
         if bad:
             mism.append((col, bad[:5]))
     assert not mism, f"{name}: value mismatches {mism}"
+
+
+def test_registry_fits_driver_window():
+    """The driver checks only the FIRST 50 registered queries (observed
+    round 1: 56 registered, exactly 50 checked). Every value-hash gate
+    must sit inside that window: oracle count ≤ 50 and oracle-carrying
+    queries strictly first. If this fails after adding a gate, FUSE
+    single-table siblings (see COVERAGE.md consolidation tables) —
+    don't let a gate silently fall past the cap."""
+    names = list(SPECS)
+    oracles = [n for n in names if SPECS[n].oracle is not None]
+    assert len(oracles) <= 50, f"{len(oracles)} oracle gates exceed the driver window"
+    assert names[: len(oracles)] == oracles, "oracle gates must be registered first"
