@@ -341,3 +341,50 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path):
     assert len(got_ids) == len(set(got_ids))  # no duplicate emission
     assert set(got_ids) == want_clean
     assert len(want_clean) < corpus.count()  # fixture really drops docs
+
+
+def test_streaming_rollup_survives_ts_encodings(spark, tmp_path):
+    """read_event_stream must normalize ts exactly like the batch
+    loader for BOTH parquet encodings the generator has shipped
+    (nanos → long rebuild, micros-NTZ → cast): same windows, same
+    counts from the same wall-clock instants."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime
+
+    from mbfbigdatarandomforest_spark.streaming.events import run_available_now
+
+    ts_vals = [
+        datetime.datetime(2024, 3, 1, 10, 15, 0),
+        datetime.datetime(2024, 3, 1, 10, 45, 0),
+        datetime.datetime(2024, 3, 1, 11, 5, 0),
+    ]
+    results = {}
+    for enc_name, arrow_type in [
+        ("nanos", pa.timestamp("ns")),
+        ("micros_ntz", pa.timestamp("us")),
+    ]:
+        d = tmp_path / f"ev_{enc_name}"
+        d.mkdir()
+        table = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+                "ts": pa.array(ts_vals, pa.timestamp("us")).cast(arrow_type),
+                "user_id": pa.array([1, 1, 2], pa.int64()),
+                "event_type": pa.array(["a", "a", "b"], pa.string()),
+                "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+                "props": pa.array(["{}", "{}", "{}"], pa.string()),
+            }
+        )
+        pq.write_table(table, str(d / "part-0.parquet"), store_schema=False)
+        got = run_available_now(spark, str(d), query_name=f"t_enc_{enc_name}")
+        results[enc_name] = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in got.collect()
+        }
+    assert results["nanos"] == results["micros_ntz"]
+    # both 'a' events share hour 10, 'b' owns hour 11
+    assert results["nanos"] == {
+        (datetime.datetime(2024, 3, 1, 10, 0), "a"): (2, 3.0),
+        (datetime.datetime(2024, 3, 1, 11, 0), "b"): (1, 3.0),
+    }
