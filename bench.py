@@ -28,7 +28,7 @@ HEADLINE = [
     "customer_order_rollup",
     "events_hourly_rollup",
     "dedup_exact",
-    "dedup_minhash_pairs",      # both LSH scale paths, exact-verified
+    "dedup_minhash_pairs",      # banded b×r LSH production path, exact-verified
     "dedup_embedding_ann",      # IVF candidates + exact cosine verify
     "similarity_cosine_topk",
     "text_enrich_per_doc",      # quality+lang-id+fingerprint, one scan
