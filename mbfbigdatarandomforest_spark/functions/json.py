@@ -17,9 +17,11 @@ from pyspark.sql import functions as F
 
 def json_long_field(col, field: str) -> Column:
     """Extract ``$.field`` as a nullable LongType (missing key, null,
-    or non-numeric → NULL — the cross-engine-safe cast)."""
+    or non-numeric → NULL). ``try_cast``, not ``cast``: under ANSI mode
+    (the Spark 4 default) a plain cast THROWS on non-numeric strings —
+    one malformed payload would kill the whole job."""
     c = col if not isinstance(col, str) else F.col(col)
-    return F.get_json_object(c, f"$.{field}").cast("long")
+    return F.get_json_object(c, f"$.{field}").try_cast("long")
 
 
 def json_string_field(col, field: str) -> Column:

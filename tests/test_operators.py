@@ -794,3 +794,38 @@ def test_repetition_signals_line_heuristics(spark):
     assert c["dup_line_frac"] == 0.0 and c["n_lines"] == 1
     e = got[3]
     assert e["n_lines"] == 0 and e["max_line_len"] == 0 and e["dup_line_frac"] == 0.0
+
+
+def test_json_field_extraction(spark):
+    """Typed JSON pulls: long field, string field, and the NULL
+    contract for missing keys, nulls, and unparseable payloads."""
+    from mbfbigdatarandomforest_spark.functions.json import (
+        json_long_field,
+        json_string_field,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, '{"k": 26, "s": "hi"}'),
+            (1, '{"s": "x"}'),          # missing k
+            (2, None),                   # null payload
+            (3, "not json at all"),      # unparseable
+            (4, '{"k": "notanint"}'),    # non-numeric k
+        ],
+        ["i", "props"],
+    )
+    got = {
+        r["i"]: (r["k"], r["s"])
+        for r in df.select(
+            "i",
+            json_long_field("props", "k").alias("k"),
+            json_string_field("props", "s").alias("s"),
+        ).collect()
+    }
+    assert got == {
+        0: (26, "hi"),
+        1: (None, "x"),
+        2: (None, None),
+        3: (None, None),
+        4: (None, None),
+    }

@@ -250,3 +250,24 @@ def test_q6_all_filters_pushed_no_shuffle_data(spark):
     assert "partial_" in plan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_temperature_mixture_windows_are_bounded(spark):
+    """The mixture sampler's corpus-side ranking must window inside the
+    strata; the only unpartitioned window allowed is the quota share
+    over the |strata|-row aggregate."""
+    from mbfbigdatarandomforest_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+    from mbfbigdatarandomforest_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    plan = _plan(temperature_mixture_sample(docs, ["source"], 200, "doc_id"))
+    specs = [
+        line for line in plan.splitlines() if "windowspecdefinition(" in line
+    ]
+    partitioned = [s for s in specs if "windowspecdefinition(source" in s]
+    # exactly one window family ranks per-source; anything else must be
+    # the quota aggregate (input bounded by stratum count, not corpus)
+    assert partitioned, "per-source ranking window missing"
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
