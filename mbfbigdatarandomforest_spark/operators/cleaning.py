@@ -71,6 +71,10 @@ def collapse_rare_levels(
     (column, level) pairs and grouped once, and the row total rides
     along as a grouping-free aggregate via the same scan (grouping
     sets), instead of 1 + #cols separate jobs."""
+    if not cols:
+        # explode over an empty array literal is a VOID struct —
+        # AnalysisException — and there is nothing to collapse anyway
+        return df
     # grouping sets: one grouped row-set per target column plus the
     # global () group for the total — a single scan, one shuffle
     melted = df.select(

@@ -193,23 +193,28 @@ def clean_listings(
     df = empty_to_null(enriched)
     df = drop_high_na_columns(df, na_threshold, keep=(LABEL,))
     df = df.drop(*[c for c in EXPLICIT_DROPS if c in df.columns])
+    # try_cast, NOT cast: the raw listings carry junk in numeric columns
+    # (torque "258 lb-ft @ 1,550 RPM", "--" markers). R's as.numeric
+    # yields NA there (02_DataCleaning.R:74-125); under ANSI mode — the
+    # Spark 4 default — a plain cast THROWS on the first junk value, so
+    # try_cast is the parity-correct AND crash-safe translation of F5.
     for c, t in CAST_MAP.items():
         if c in df.columns:
-            df = df.withColumn(c, F.col(c).cast(t))
+            df = df.withColumn(c, F.col(c).try_cast(t))
     if "listed_date" in df.columns:
         df = df.filter(F.col("listed_date") > F.lit(date_cutoff).cast("date"))
     # String extraction: power "340 hp @ 6,000 RPM" → hp + rpm
     # (02_DataCleaning.R:149-167); wheelbase "106.3 in" → double (:169-172);
     # first token of engine_cylinders / engine_type (:176-182).
     if "power" in df.columns:
-        df = df.withColumn("hp_extracted", first_token("power").cast("double"))
+        df = df.withColumn("hp_extracted", first_token("power").try_cast("double"))
         df = df.withColumn(
-            "rpm", strip_chars(token_at("power", 4), ",").cast("double")
+            "rpm", strip_chars(token_at("power", 4), ",").try_cast("double")
         )
         df = null_keeping_filter(df, F.col("rpm") > 2000, "rpm").drop("power")
     if "wheelbase" in df.columns:
         df = df.withColumn(
-            "wheelbase", first_token(F.col("wheelbase"), " in").cast("double")
+            "wheelbase", first_token(F.col("wheelbase"), " in").try_cast("double")
         )
     if "engine_cylinders" in df.columns:
         df = df.withColumn("engine_cylinders", first_token("engine_cylinders"))

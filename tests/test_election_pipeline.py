@@ -189,3 +189,31 @@ def test_choropleth_geojson_export(tables, clean):
     assert ring[0] == ring[-1]
     import json
     json.dumps(gj)  # serializable
+
+
+def test_clean_listings_survives_junk_numerics(spark):
+    """The raw listings carry junk in numeric columns (torque
+    '258 lb-ft @ 1,550 RPM', '--' markers, malformed dates). R's
+    as.numeric yields NA there; under ANSI mode (Spark 4 default) a
+    plain cast would THROW on the first junk value. clean_listings must
+    null them out and keep the row flowing instead."""
+    rows = [
+        # (price, torque, horsepower, listed_date, power, wheelbase)
+        ("19500.0", "258 lb-ft @ 1,550 RPM", "240", "2020-06-01",
+         "240 hp @ 5,500 RPM", "106.3 in"),
+        ("--", "201", "not-a-number", "2020-07-15", "junkpower", "bad in"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        ["price", "torque", "horsepower", "listed_date", "power", "wheelbase"],
+    )
+    out = el.clean_listings(df, na_threshold=1.1, rare_threshold=0.0)
+    got = out.collect()
+    # junk in power/torque/wheelbase flows through the try_cast
+    # extraction stages inside this plan — an ANSI throw would abort
+    # the collect; the model-column select then drops the intermediates
+    assert len(got) == 2  # no row lost, nothing thrown
+    by_price = {r["price"]: r for r in got}
+    good, bad = by_price[19500.0], by_price[None]
+    assert good["horsepower"] == 240.0
+    assert bad["horsepower"] is None  # 'not-a-number' → NULL, not a crash
