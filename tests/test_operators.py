@@ -829,3 +829,50 @@ def test_json_field_extraction(spark):
         3: (None, None),
         4: (None, None),
     }
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Seeded random graphs stress the large-star/small-star rounds
+    beyond the fixed fixtures: a celebrity star (one node in ~half the
+    edges), a long path (worst case for naive propagation), and uniform
+    random edges — labels must equal a Python union-find's component
+    minima in every case."""
+    import numpy as np
+
+    def union_find_labels(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        groups = {}
+        for n in list(parent):
+            groups.setdefault(find(n), []).append(n)
+        return {n: min(g) for g in groups.values() for n in g}
+
+    rng = np.random.default_rng(42)
+    graphs = {
+        "celebrity": [(0, int(i)) for i in rng.integers(1, 120, 80)]
+        + [(int(a), int(b)) for a, b in rng.integers(200, 260, (40, 2))],
+        "path": [(i, i + 1) for i in range(150)],
+        "random": [
+            (int(a), int(b)) for a, b in rng.integers(0, 200, (120, 2))
+        ],
+    }
+    for name, edges in graphs.items():
+        edges = [(a, b) for a, b in edges if a != b]
+        want = union_find_labels(edges)
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {
+            r["node"]: r["component"]
+            for r in dd.connected_components(df).collect()
+        }
+        assert got == want, name
