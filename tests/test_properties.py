@@ -323,3 +323,45 @@ def test_chunk_documents_property(spark, texts, chunk, overlap):
         for s in starts:
             covered |= set(range(s, min(s + chunk, len(toks))))
         assert covered == set(range(len(toks)))
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    lrows=ASOF_LEFT,
+    rrows=ASOF_RIGHT,
+    tol=st.integers(min_value=1, max_value=40),
+)
+def test_range_join_matches_brute_force(spark, lrows, rrows, tol):
+    """range_join's time-bucketed plan ≡ the brute-force theta join
+    |l.ts − r.ts| ≤ tol for arbitrary keys, timestamps, and tolerances —
+    including rows exactly ON the tolerance and bucket boundaries."""
+    import datetime
+
+    from mbfbigdatarandomforest_spark.operators.temporal import range_join
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def at(s):
+        return base + datetime.timedelta(seconds=s)
+
+    ldf = spark.createDataFrame(
+        [(k, at(s), i) for i, (k, s) in enumerate(lrows)],
+        "k string, ts timestamp, lval long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, at(s), i) for i, (k, s, _) in enumerate(rrows)],
+        "k string, ts timestamp, rval long",
+    )
+    got = {
+        (r["lval"], r["rval_r"])
+        for r in range_join(ldf, rdf, ["k"], tolerance_seconds=tol).collect()
+    }
+    want = {
+        (li, ri)
+        for li, (lk, ls) in enumerate(lrows)
+        for ri, (rk, rs, _) in enumerate(rrows)
+        if lk == rk and abs(ls - rs) <= tol
+    }
+    assert got == want
