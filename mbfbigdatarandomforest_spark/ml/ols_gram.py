@@ -144,9 +144,11 @@ def _grouped_grams(
 ) -> tuple[dict[str, np.ndarray] | None, int]:
     """Gramians via one grouped aggregate (see strategy note above).
 
-    Returns ``(None, 0)`` when the group count exceeds ``max_groups`` —
-    the aggregated frame is collected before the check, but at that
-    point it is already known small enough to have aggregated at all."""
+    Returns ``(None, 0)`` when the group count exceeds ``max_groups``.
+    The cardinality check runs BEFORE the full collect — a distributed
+    aggregate succeeding says nothing about whether its result fits on
+    the driver, so we probe with ``limit(max_groups + 1)`` first and
+    only collect the whole aggregate once it is known bounded."""
     w = [F.col(c).cast("double") for c in numeric] + [
         F.col(label_col).cast("double")
     ]
@@ -158,9 +160,18 @@ def _grouped_grams(
         for i in range(m)
         for j in range(i, m)
     ]
-    rows = tagged.groupBy("__split", *categorical).agg(*aggs).collect()
-    if max_groups is not None and len(rows) > max_groups:
-        return None, 0
+    agg = tagged.groupBy("__split", *categorical).agg(*aggs)
+    if max_groups is not None:
+        # Size probe without materializing the whole aggregate on the
+        # driver: limit(max_groups+1) collects at most max_groups+1
+        # rows. Complete iff <= max_groups — then reuse it directly;
+        # otherwise bail before any unbounded collect.
+        probe = agg.limit(max_groups + 1).collect()
+        if len(probe) > max_groups:
+            return None, 0
+        rows = probe
+    else:
+        rows = agg.collect()
 
     # train-observed levels define the dummy dictionary (sorted for
     # determinism; dummy ORDER doesn't affect least-squares metrics).

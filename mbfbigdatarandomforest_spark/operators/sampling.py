@@ -44,6 +44,11 @@ def hash_fraction_sample(
     """
     if not 0.0 <= p <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {p}")
+    if p >= 1.0:
+        # int(1.0 * 2^32) formats to 9 hex chars; the lexicographic
+        # compare against an 8-char prefix would then keep only ~1/16
+        # of rows. p=1 means "keep everything" — no filter at all.
+        return df
     threshold = format(int(p * (1 << 32)), "08x")
     return df.filter(F.substring(_hash_key(key_col, salt), 1, 8) < F.lit(threshold))
 

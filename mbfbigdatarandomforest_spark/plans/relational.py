@@ -1015,12 +1015,12 @@ def acctbal_quantiles_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame
 SELECT
   event_type,
   COUNT(*)                                             AS n_events,
-  COUNT(CAST(json_extract(props, '$.k') AS BIGINT))    AS n_with_k,
-  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-  CAST(COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+  COUNT(TRY_CAST(json_extract(props, '$.k') AS BIGINT))    AS n_with_k,
+  CAST(SUM(TRY_CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(COUNT(DISTINCT TRY_CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
                                                        AS n_distinct_k,
-  MIN(CAST(json_extract(props, '$.k') AS BIGINT))      AS min_k,
-  MAX(CAST(json_extract(props, '$.k') AS BIGINT))      AS max_k
+  MIN(TRY_CAST(json_extract(props, '$.k') AS BIGINT))      AS min_k,
+  MAX(TRY_CAST(json_extract(props, '$.k') AS BIGINT))      AS max_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type

@@ -51,7 +51,14 @@ def read_event_stream(
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    try:
+        ts_type = spark.read.parquet(path).schema["ts"].dataType
+    except Exception:
+        # Empty or not-yet-created source directory — a legal state for
+        # a file-streaming source (files arrive later). Fall back to the
+        # nanos-as-long encoding the generator has shipped most often;
+        # the normalization below handles it.
+        ts_type = LongType()
     stream = (
         spark.readStream.schema(_events_schema(ts_type))
         .option("maxFilesPerTrigger", max_files_per_trigger)

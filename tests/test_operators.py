@@ -395,6 +395,10 @@ def test_hash_sampling_deterministic_and_quota(spark):
     assert {(r["doc_id"], r["sample_rank"]) for r in quota} == {
         (r["doc_id"], r["sample_rank"]) for r in quota2
     }
+    # Boundary: p=1.0 keeps EVERYTHING (the 32-bit threshold would format
+    # to 9 hex chars and silently drop ~15/16 of rows if filtered).
+    assert hash_fraction_sample(df, 1.0, "doc_id").count() == 2000
+    assert hash_fraction_sample(df, 0.0, "doc_id").count() == 0
 
 
 def test_temperature_mixture_quotas(spark):

@@ -388,3 +388,31 @@ def test_streaming_rollup_survives_ts_encodings(spark, tmp_path):
         (datetime.datetime(2024, 3, 1, 10, 0), "a"): (2, 3.0),
         (datetime.datetime(2024, 3, 1, 11, 0), "b"): (1, 3.0),
     }
+
+
+def test_read_event_stream_starts_on_empty_source(spark, tmp_path):
+    """An empty (or not-yet-created) source directory is a legal state
+    for a file-streaming source: the schema probe must fall back instead
+    of raising AnalysisException before the stream starts."""
+    from mbfbigdatarandomforest_spark.streaming.events import (
+        read_event_stream,
+        windowed_rollup,
+    )
+
+    empty = tmp_path / "empty_events"
+    empty.mkdir()
+    stream = read_event_stream(spark, str(empty))
+    assert stream.isStreaming
+    q = (
+        windowed_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("t_empty_src")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("t_empty_src").count() == 0
+    # (A never-created directory is rejected by Spark's own file-stream
+    # source with PATH_NOT_FOUND regardless of schema — existence is the
+    # source's contract, not the probe's, so only the empty case is ours.)
