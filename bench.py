@@ -5,6 +5,14 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 Each query is fully materialized via the noop sink (forces every column
 and operator to execute — ``count()`` alone would let Catalyst prune
 expensive expressions).
+
+Noise control: each query runs $SPARK_GRAFT_BENCH_REPS times (default 3)
+and the reported figure is the MIN — the standard noise floor on a host
+with documented CPU-steal up to ±2.5x (SCALE.md §6). The cache is cleared
+between every rep, so every rep is a cold standalone run of the plan
+(no cached-intermediate leaks); what later reps amortize is JVM JIT and
+host-level page cache, which is exactly the noise min-of-N exists to
+strip. The JSON line carries a "reps" field.
 """
 
 from __future__ import annotations
@@ -90,26 +98,36 @@ def main() -> None:
     # round's whole performance record (round-3 lesson — a single loader
     # regression left BENCH_r03.json with rc=1 and no timings at all).
     # Failures are reported as {"error": ...}; total sums the successes.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, object] = {}
     errors = 0
     for name in HEADLINE:
-        try:
-            fn = specs[name].fn
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # noqa: BLE001 — survive anything, keep timing the rest
+        best, err = None, None
+        for _ in range(reps):
+            try:
+                fn = specs[name].fn
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                elapsed = time.perf_counter() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            except Exception as exc:  # noqa: BLE001 — survive anything, keep timing the rest
+                err = f"{type(exc).__name__}: {exc}".splitlines()[0][:300]
+                print(f"bench: {name} FAILED: {err}", file=sys.stderr)
+                break
+            finally:
+                # queries that cache intermediates (LSH shingle frames,
+                # ANN centroids) would otherwise leak storage memory into
+                # every LATER timing — every rep times a cold, standalone
+                # run of the plan
+                spark.catalog.clearCache()
+        if best is not None:
+            # min over the successful reps (a failure after a success
+            # still yields a timing; the stderr line records the flake)
+            timings[name] = round(best, 3)
+        else:
             errors += 1
-            msg = f"{type(exc).__name__}: {exc}"
-            timings[name] = {"error": msg.splitlines()[0][:300]}
-            print(f"bench: {name} FAILED: {msg.splitlines()[0][:300]}", file=sys.stderr)
-        finally:
-            # queries that cache intermediates (LSH shingle frames, ANN
-            # centroids) would otherwise leak storage memory into every
-            # LATER query's timing — each headline entry times a cold,
-            # standalone run
-            spark.catalog.clearCache()
+            timings[name] = {"error": err}
     total = round(sum(t for t in timings.values() if isinstance(t, (int, float))), 3)
     out = {
         "metric": "headline_queries_total_wall",
@@ -117,6 +135,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "reps": reps,
     }
     if errors:
         out["errors"] = errors
