@@ -43,27 +43,75 @@ def cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast the (small) query set against the
-    corpus, one narrow pass computes all similarities, per-query window
-    takes top-k. Returns (query_id, neighbor_id, cosine_sim)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    """Exact cosine top-k against a bounded query set. Returns
+    (query_id, neighbor_id, cosine_sim, rank).
+
+    Shape: the query set (small by contract — it rides the driver and
+    every task) is collected once; ONE narrow Arrow-batched pass over
+    the corpus scores each batch against all queries vectorized and
+    emits only each batch's LOCAL top-k per query, so the final
+    per-query window ranks ≈ batches·q·k candidate rows instead of n·q
+    scored rows. No corpus shuffle, no per-pair norm recomputation —
+    norms are one vectorized pass per batch (corpus) and one per query.
+
+    Bit-exactness contract: dot products and norms accumulate
+    dimension-sequentially in float64 — the identical IEEE operation
+    order as the ``F.aggregate`` SQL expression and the DuckDB oracle's
+    left-to-right ``list_sum``, so emitted cosines are bit-exact vs the
+    pure-SQL formulation this replaced (the oracle hash proves it).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = sorted(
+        queries.select(F.col(id_col), F.col(vec_col)).collect(),
+        key=lambda r: r[0],
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
-    scored = (
-        c.crossJoin(broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                _dot(F.col("q_vec"), F.col("c_vec"))
-                / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
-            ).alias("cosine_sim"),
-        )
-    )
+    out_schema = "query_id long, neighbor_id long, cosine_sim double"
+    if not q_rows:
+        spark = corpus.sparkSession
+        scored = spark.createDataFrame([], out_schema)
+    else:
+        q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+        q_nrm = _seq_norm(q_mat)
+        nq, dim = q_mat.shape
+
+        def _score(batches):
+            for pdf in batches:
+                n = len(pdf)
+                if not n:
+                    continue
+                vecs = np.array(pdf["v"].tolist(), dtype=np.float64)
+                nrm = _seq_norm(vecs)
+                dots = np.zeros((n, nq), dtype=np.float64)
+                for d in range(dim):  # sequential over dims = exact order
+                    dots += vecs[:, d][:, None] * q_mat[:, d][None, :]
+                sims = dots / (q_nrm[None, :] * nrm[:, None])
+                ids = pdf["id"].to_numpy()
+                qs, ns, ss = [], [], []
+                for j in range(nq):
+                    keep = ids != q_ids[j]
+                    cid, csim = ids[keep], sims[keep, j]
+                    # local top-k by (sim desc, id asc) — any global
+                    # top-k row is a local top-k row under the same
+                    # comparator, so the window below stays exact
+                    order = np.lexsort((cid, -csim))[:k]
+                    qs.append(np.full(len(order), q_ids[j]))
+                    ns.append(cid[order])
+                    ss.append(csim[order])
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(qs),
+                        "neighbor_id": np.concatenate(ns),
+                        "cosine_sim": np.concatenate(ss),
+                    }
+                )
+
+        scored = corpus.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        ).mapInPandas(_score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
