@@ -26,10 +26,14 @@ Determinism: callers must order by a key set that is unique per row
 (e.g. include the primary key as tiebreak); the assignment is then
 independent of bucketing.
 
-Skew caveat: bucket widths follow the quantile sketch of the leading
-order column; a single value holding >1/p of the mass keeps its bucket
-that large (same caveat as any range partitioning). Add a
-higher-cardinality leading column for such keys.
+Skew: a leading-column value holding >1/p of the mass is detected from
+the quantile sketch itself (a heavy hitter surfaces as a REPEATED cut)
+and split into sub-buckets on the SECOND order column's quantiles —
+monotone w.r.t. the full ordering, so the composed index stays exact.
+With a single order column there is no second key to split on and the
+hot value's bucket stays hot (ordering among equal values would be
+ambiguous anyway — the unique-key contract above implies ≥2 columns
+whenever the leading column repeats).
 """
 
 from __future__ import annotations
@@ -59,17 +63,54 @@ def global_row_number(
     bucketing is monotone w.r.t. the full ordering and the composed
     index equals the global ``ROW_NUMBER() OVER (ORDER BY ...)`` for
     any unique order key.
+
+    Skew hardening: a value spanning multiple quantiles comes back
+    REPEATED in the sketch — each repeat ≈ 1/p of the table sitting on
+    that single value. When a second order column exists, such hot
+    values are sub-bucketed on its quantiles (one extra
+    ``percentile_approx`` aggregate over just the hot slices), so the
+    per-task partition stays ≈ n/p even at 80 %+ single-value skew.
+    Sub-buckets follow the second column's order within the hot value,
+    so monotonicity — and hence exactness — is preserved.
     """
     spark = df.sparkSession
     p = num_buckets or spark.sparkContext.defaultParallelism
+    bucketed = _assign_buckets(df, order_cols, p, rel_err)
+    w_local = Window.partitionBy("__bkt", "__sub").orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    local = bucketed.withColumn("__rn", F.row_number().over(w_local))
+
+    counts = bucketed.groupBy("__bkt", "__sub").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_off = Window.orderBy("__bkt", "__sub").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__bkt",
+        "__sub",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["__bkt", "__sub"])
+        .withColumn(idx_col, (F.col("__rn") + F.col("__off")).cast("long"))
+        .drop("__bkt", "__sub", "__rn")
+    )
+
+
+def _assign_buckets(
+    df: DataFrame, order_cols: list[str], p: int, rel_err: float
+) -> DataFrame:
+    """Attach ``__bkt``/``__sub`` ordering-monotone bucket columns
+    (see ``global_row_number``). Factored out so the skew property test
+    can assert per-bucket mass directly."""
     lead = order_cols[0]
     probs = [i / p for i in range(1, p)]
-    cuts = sorted(
-        set(
-            df.select(F.col(lead).cast("double").alias("__q"))
-            .approxQuantile("__q", probs, rel_err)
-        )
+    raw_cuts = df.select(F.col(lead).cast("double").alias("__q")).approxQuantile(
+        "__q", probs, rel_err
     )
+    cuts = sorted(set(raw_cuts))
     if cuts:
         cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
         bucket = F.size(
@@ -77,20 +118,56 @@ def global_row_number(
         )
     else:
         bucket = F.lit(0)
-    bucketed = df.withColumn("__bkt", bucket)
-    w_local = Window.partitionBy("__bkt").orderBy(*[F.col(c) for c in order_cols])
-    local = bucketed.withColumn("__rn", F.row_number().over(w_local))
-
-    counts = bucketed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__cnt"))
-    w_off = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "__bkt", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off")
-    )
-    return (
-        local.join(F.broadcast(offsets), "__bkt")
-        .withColumn(idx_col, (F.col("__rn") + F.col("__off")).cast("long"))
-        .drop("__bkt", "__rn")
-    )
+    # heavy hitters: value v repeated m times in the sketch holds
+    # ~m/p of the mass → split its rows into m+1 sub-buckets on the
+    # second order column
+    hot: dict[float, int] = {}
+    for c in raw_cuts:
+        hot[c] = hot.get(c, 0) + 1
+    hot = {v: m for v, m in hot.items() if m >= 2}
+    sub_bucket = F.lit(0)
+    if hot and len(order_cols) > 1:
+        second = order_cols[1]
+        lead_d = F.col(lead).cast("double")
+        # ONE aggregate job fits all hot values' sub-cuts (not one
+        # approxQuantile call per value)
+        grids = {
+            v: [i / (m + 1) for i in range(1, m + 1)] for v, m in hot.items()
+        }
+        rows = (
+            df.filter(lead_d.isin(*[float(v) for v in hot]))
+            .groupBy(lead_d.alias("__v"))
+            .agg(
+                F.percentile_approx(
+                    F.col(second).cast("double"),
+                    F.array(
+                        *[
+                            F.lit(q)
+                            for q in [i / 100 for i in range(1, 100)]
+                        ]
+                    ),
+                    F.lit(int(1 / rel_err)),
+                ).alias("__qs")
+            )
+            .collect()
+        )
+        second_d = F.col(second).cast("double")
+        for r in rows:
+            v = r["__v"]
+            m = hot.get(v)
+            if m is None:
+                continue
+            # pick this value's m sub-cuts from the shared 99-point grid
+            pct = r["__qs"]
+            sub_cuts = sorted(
+                {pct[min(98, max(0, round(q * 100) - 1))] for q in grids[v]}
+            )
+            sub_arr = F.array(*[F.lit(float(c)) for c in sub_cuts])
+            sub_bucket = F.when(
+                lead_d == F.lit(float(v)),
+                F.size(F.filter(sub_arr, lambda c: c < second_d)),
+            ).otherwise(sub_bucket)
+    return df.withColumn("__bkt", bucket).withColumn("__sub", sub_bucket)
 
 
 def ntile_from_rn(rn: Column, n: Column, k: int) -> Column:

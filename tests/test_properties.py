@@ -163,6 +163,58 @@ def test_global_row_number_and_ntile_property(spark, vals, k):
         assert got[v][1] == tile, (v, rank, n, k)
 
 
+@settings(
+    max_examples=4, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    hot_share=st.sampled_from([0.8, 0.9]),
+)
+def test_global_row_number_skewed_hot_key(spark, seed, hot_share):
+    """80-90% of the mass on ONE leading value: the index must still be
+    the exact global rank, AND the hot value must be split across
+    sub-buckets so no single window partition carries the hot mass
+    (the single-task funnel the operator exists to avoid)."""
+    import random
+
+    from mbfbigdatarandomforest_spark.operators.windows import (
+        _assign_buckets,
+        global_row_number,
+    )
+
+    rng = random.Random(seed)
+    n = 400
+    hot_n = int(n * hot_share)
+    hot_val = 42
+    rows = [(hot_val, i) for i in range(hot_n)] + [
+        (rng.choice([v for v in range(100) if v != hot_val]), hot_n + i)
+        for i in range(n - hot_n)
+    ]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "v long, id long")
+
+    out = global_row_number(df, ["v", "id"], idx_col="idx", num_buckets=8)
+    got = {(r["v"], r["id"]): r["idx"] for r in out.collect()}
+    for rank, key in enumerate(sorted(rows), start=1):
+        assert got[key] == rank, (key, rank)
+
+    # behavior, not just correctness: the hot value's rows must span
+    # multiple sub-buckets, and the largest (bkt, sub) partition must
+    # hold well under the hot mass
+    sizes = (
+        _assign_buckets(df, ["v", "id"], 8, 0.001)
+        .groupBy("__bkt", "__sub")
+        .count()
+        .collect()
+    )
+    max_part = max(r["count"] for r in sizes)
+    assert max_part <= int(n * 0.35), [
+        (r["__bkt"], r["__sub"], r["count"]) for r in sizes
+    ]
+    n_hot_parts = sum(1 for r in sizes if r["count"] > 0)
+    assert n_hot_parts >= 4
+
+
 TEXTS = st.lists(
     st.text(
         alphabet=st.sampled_from(list("ab c\tx 1.")),
