@@ -243,6 +243,38 @@ def _fake_embed(payload: bytes, dim: int) -> list[float]:
     return [float(x) for x in rng.normal(size=dim).astype(np.float32)]
 
 
+def _sizing_partitions(
+    df: DataFrame,
+    target_partition_mb: int,
+    avg_blob_kb: int,
+    n_rows: int | None,
+) -> int:
+    """Partition count for a blob table WITHOUT scanning it: from a
+    caller-supplied row estimate, else from source-file byte sizes via
+    filesystem metadata (one getFileStatus per file, no data read),
+    else the frame's existing partitioning."""
+    if n_rows is not None:
+        rows_per_partition = max(1, target_partition_mb * 1024 // avg_blob_kb)
+        return max(1, n_rows // rows_per_partition)
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — purely an optimization probe
+        files = []
+    if files:
+        try:
+            sc = df.sparkSession.sparkContext
+            jpath = sc._jvm.org.apache.hadoop.fs.Path
+            conf = sc._jsc.hadoopConfiguration()
+            total = 0
+            for f in files:
+                p = jpath(f)
+                total += p.getFileSystem(conf).getFileStatus(p).getLen()
+            return max(1, int(total) // (target_partition_mb * 1024 * 1024))
+        except Exception:  # noqa: BLE001
+            pass
+    return max(1, df.rdd.getNumPartitions())
+
+
 def extract_features(
     df: DataFrame,
     payload_col: str = "payload",
@@ -253,6 +285,7 @@ def extract_features(
     avg_blob_kb: int = 256,
     safe: bool = False,
     error_col: str = "decode_error",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Arrow-batched feature extraction over a binary column.
 
@@ -265,11 +298,18 @@ def extract_features(
     message in ``error_col`` instead of killing the task (and with it
     the stage's other ten thousand blobs). Filter
     ``error_col IS NOT NULL`` downstream for the quarantine table.
+
+    Partition sizing never scans the data: ``n_rows`` (caller-supplied
+    estimate) wins; otherwise the source files' on-disk bytes are read
+    from filesystem metadata (blob columns barely compress, so parquet
+    bytes ≈ decoded bytes); a source-less frame keeps its current
+    partitioning. At 100 TB of media an extra full pass just to count
+    rows is not free — sizing must come from metadata.
     """
     kernel = decode or (lambda b: _fake_embed(b, dim))
-    rows_per_partition = max(1, target_partition_mb * 1024 // avg_blob_kb)
-    n_rows = df.count()
-    n_parts = max(1, n_rows // rows_per_partition)
+    n_parts = _sizing_partitions(
+        df, target_partition_mb, avg_blob_kb, n_rows
+    )
 
     out_schema = StructType(df.schema.fields.copy()).add(
         out_col, ArrayType(FloatType())

@@ -239,3 +239,22 @@ def test_extract_features_safe_mode_quarantines_bad_blobs(spark):
 
     with _pt.raises(Exception):
         extract_features(df, decode=image_features, avg_blob_kb=1).collect()
+
+
+def test_sizing_partitions_needs_no_scan(spark, tmp_path):
+    """Partition sizing must come from metadata, never a count() scan:
+    caller estimate wins, parquet sources size from file bytes, and an
+    in-memory frame keeps its partitioning."""
+    from mbfbigdatarandomforest_spark.operators.multimodal import (
+        _sizing_partitions,
+    )
+
+    df = spark.createDataFrame([(i, b"x" * 100) for i in range(64)], ["id", "payload"])
+    # caller-supplied rows: 64 rows at 256KB avg vs 64MB target -> 256 rows/part
+    assert _sizing_partitions(df, 64, 256, n_rows=10_000) == 10_000 // 256
+    # in-memory frame, no source files: keep existing partitioning
+    assert _sizing_partitions(df, 64, 256, None) == df.rdd.getNumPartitions()
+    # parquet source: sized from on-disk bytes (tiny file -> 1 partition)
+    p = str(tmp_path / "blobs")
+    df.write.parquet(p)
+    assert _sizing_partitions(spark.read.parquet(p), 64, 256, None) == 1
