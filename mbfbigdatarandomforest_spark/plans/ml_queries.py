@@ -208,6 +208,13 @@ def ml_ols_inference_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sample sizes land within a 5σ binomial envelope of their fractions.
 # The query computes the invariants Spark-side and emits booleans; the
 # oracle states the expected constants, making this a hash gate.
+#
+# Honesty note: because the oracle is literally constants, this is the
+# WEAKEST hash gate in the registry by construction — it can only catch
+# an invariant breaking, not a distributional regression. The four
+# driver-side count() actions (4 scans of orders) are accepted for the
+# same reason: it's an invariants probe over a small table, not a
+# production query shape.
 # --------------------------------------------------------------------------
 @query(
     "sample_and_split_sizes",
