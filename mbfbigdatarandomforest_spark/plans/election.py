@@ -441,6 +441,8 @@ def _cv_fit(
     seed: int,
     param_grid: dict[str, list] | None = None,
     num_folds: int = 2,
+    parallelism: int = 4,
+    sample_fraction: float = 0.10,
 ):
     """L6 — CrossValidator grid on a 10 % seeded subsample (M1,
     04_1:120-125), folds×grid parallelized by Spark (replaces the
@@ -455,7 +457,7 @@ def _cv_fit(
     from pyspark.ml.evaluation import RegressionEvaluator
     from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
 
-    sample = train.sample(fraction=0.10, seed=seed)
+    sample = train.sample(fraction=sample_fraction, seed=seed)
     gb = ParamGridBuilder()
     if param_grid:
         for pname, values in param_grid.items():
@@ -469,7 +471,7 @@ def _cv_fit(
         estimatorParamMaps=gb.build(),
         evaluator=RegressionEvaluator(labelCol=LABEL, metricName="rmse"),
         numFolds=num_folds,
-        parallelism=4,
+        parallelism=parallelism,
         seed=seed,
     )
     best = cv.fit(sample).bestModel

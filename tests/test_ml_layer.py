@@ -288,6 +288,9 @@ def test_ols_gram_strategies_agree(spark):
     grouped = ols_sufficient_stats_metrics(df, strategy="grouped", **kw)
     arrow = ols_sufficient_stats_metrics(df, strategy="arrow", **kw)
     fallback = ols_sufficient_stats_metrics(df, strategy="auto", max_groups=3, **kw)
+    # abs floor: R² ≈ 0 amplifies summation-order noise through the
+    # 1 - SSE/SST cancellation — strategies agree to ~1e-12 absolute
+    # even when the relative gap on a near-zero metric exceeds 1e-9
     for key in grouped:
-        assert arrow[key] == pytest.approx(grouped[key], rel=1e-9), key
-        assert fallback[key] == pytest.approx(grouped[key], rel=1e-9), key
+        assert arrow[key] == pytest.approx(grouped[key], rel=1e-9, abs=1e-9), key
+        assert fallback[key] == pytest.approx(grouped[key], rel=1e-9, abs=1e-9), key
