@@ -60,7 +60,9 @@ def nation_status_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     votes = (
-        orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales with SF (no hint — AQE decides); nation is a
+        # fixed 25-row dim and broadcasts unconditionally
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(
             F.lower("n_name").alias("nation"),

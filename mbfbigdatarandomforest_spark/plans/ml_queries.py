@@ -21,7 +21,9 @@ def _lineitem_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_retailprice", "p_brand", "p_type"
     )
-    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+    # part scales with SF — no forced hint; AQE auto-broadcasts at
+    # test scale, shuffle-joins on l_partkey at cluster scale
+    return li.join(part, li.l_partkey == part.p_partkey).select(
         "l_quantity",
         "l_discount",
         "l_tax",
@@ -360,7 +362,7 @@ def ml_grouped_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     xs = F.round(F.col("l_quantity"))
     ys = F.round(F.col("l_extendedprice") * 100)
     s = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)  # SF-scaling side: AQE decides
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).cast("double").alias("n"),

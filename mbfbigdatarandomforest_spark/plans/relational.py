@@ -13,9 +13,15 @@ Determinism rules used throughout:
   in oracle-compared outputs;
 - every top-k / window ordering carries a unique tiebreaker key.
 
-Scale notes: dimension joins use explicit ``broadcast()`` hints; all
-aggregations are partial-aggregable (map-side combine); filters are
-applied directly on the scan so Catalyst pushes them into Parquet.
+Scale notes: ``broadcast()`` hints are reserved for sides whose
+cardinality is FIXED regardless of fact scale (nation=25, region=5,
+derived 1-row moment frames, quota/centroid tables). SF-scaling side
+tables (customer, supplier, part — linear in scale factor, billions of
+rows at 100 TB) carry NO hint: AQE/size statistics auto-broadcast them
+below the threshold at test scale and degrade gracefully to a shuffle
+join at cluster scale, where a forced hint would OOM the executors.
+All aggregations are partial-aggregable (map-side combine); filters
+are applied directly on the scan so Catalyst pushes them into Parquet.
 """
 
 from __future__ import annotations
@@ -170,11 +176,12 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.to_date("l_shipdate") > F.lit("1996-03-15").cast("date")
     )
-    # orders is fact-scale: shuffle join on the key; only the customer
-    # dimension broadcasts (pre-filtered on segment → small).
+    # orders is fact-scale: shuffle join on the key. customer scales
+    # with SF (not bounded), so no forced hint — AQE auto-broadcasts
+    # the segment-filtered side below threshold, shuffle-joins above.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -225,11 +232,12 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("c_custkey", "n_name")
     )
-    # lineitem ⋈ orders is fact⋈fact → shuffle join; the enriched
-    # customer dimension broadcasts (≤ customer cardinality rows).
+    # lineitem ⋈ orders is fact⋈fact → shuffle join. The enriched
+    # customer frame scales with SF, so it gets no forced hint: AQE
+    # broadcasts it at small scale, shuffle-joins on c_custkey at 100 TB.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
@@ -1298,8 +1306,11 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # customer/supplier scale with SF — AQE decides broadcast vs
+        # shuffle from runtime sizes; only the fixed 25-row nation
+        # projections carry hints
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(broadcast(ns), F.col("s_nationkey") == F.col("sn_key"))
         .join(broadcast(nc), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
