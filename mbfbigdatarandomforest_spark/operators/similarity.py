@@ -347,6 +347,44 @@ def ann_dup_pairs(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    n_probe: int = 6,
+    seed: int = 42,
+    kmeans_max_iter: int = 20,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — cluster embeddings, drop within-cluster
+    semantic near-duplicates): :func:`ann_dup_pairs` generates the
+    cosine≥threshold pair list via IVF cells, connected components
+    close it transitively, and exactly one representative per semantic
+    cluster survives (the min id — deterministic where the paper's
+    farthest-from-centroid choice is tie-ambiguous across runs).
+
+    Pure composition of the two registered 100 TB primitives — the only
+    shuffles are the IVF cell route and the component-join rounds; the
+    corpus itself moves once for the final left-anti prune. Returns the
+    kept corpus rows with their original columns."""
+    from .dedup import dedup_filter
+
+    pairs = ann_dup_pairs(
+        corpus,
+        threshold=threshold,
+        n_clusters=n_clusters,
+        n_probe=n_probe,
+        vec_col=vec_col,
+        id_col=id_col,
+        seed=seed,
+        kmeans_max_iter=kmeans_max_iter,
+    )
+    return dedup_filter(corpus, pairs, id_col=id_col)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -274,6 +274,26 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: the keep-list composition over the ANN
+# pair generator (ann_dup_pairs → connected components → min-id keep).
+# Rows-only by design: its pair stage is already value-hash-gated by
+# dedup_embedding_ann and its closure stage by dedup_clusters; pytest
+# holds the end-to-end numpy+union-find oracle
+# (tests/test_operators.py::test_semantic_dedup_matches_brute_force).
+# --------------------------------------------------------------------------
+@query("dedup_semantic_keep", tags=("dedup", "similarity", "embedding", "semdedup"))
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        sim.semantic_dedup(
+            emb, threshold=0.4, n_clusters=16, n_probe=14, kmeans_max_iter=8
+        )
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash hamming near-dup pairs (pigeonhole banding) — rows-only
 # (xxhash64 signatures aren't DuckDB-expressible); pytest holds the
 # pure-Python oracle.

@@ -239,6 +239,51 @@ def test_ann_dup_pairs_equal_exact(spark):
     assert ann == exact  # oracle-parity guard (stronger than recall)
 
 
+def test_semantic_dedup_matches_brute_force(spark):
+    """semantic_dedup's keep list must equal the exact construction:
+    all-pairs cosine >= t, union-find transitive closure, min-id kept
+    per component (SemDeDup with the deterministic representative)."""
+    import numpy as np
+    from conftest import SF_DIR_SMALL
+    from mbfbigdatarandomforest_spark.operators import similarity as sim
+    from mbfbigdatarandomforest_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR_SMALL, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    vecs = np.array([r.embedding for r in rows], dtype=np.float64)
+    sims = (vecs @ vecs.T) / np.maximum(
+        np.linalg.norm(vecs, axis=1)[:, None]
+        * np.linalg.norm(vecs, axis=1)[None, :],
+        1e-300,
+    )
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    # mirror the operator's contract: the pair filter applies to the
+    # 6-decimal-rounded cosine (see ann_dup_pairs' final select)
+    ii, jj = np.nonzero(np.triu(np.round(sims, 6) >= 0.4, k=1))
+    for a, b in zip(ids[ii], ids[jj]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect_keep = {i for i in parent if find(i) == i}
+
+    kept = {
+        r.vec_id
+        for r in sim.semantic_dedup(
+            emb, threshold=0.4, n_clusters=16, n_probe=14, kmeans_max_iter=8
+        ).collect()
+    }
+    assert len(kept) < len(ids)  # the synthetic corpus has near-dups
+    assert kept == expect_keep
+
+
 def test_simhash_matches_pure_python(spark):
     df = spark.createDataFrame(
         [(0, "aa bb cc"), (1, "aa bb cc"), (2, "xx yy zz")], ["doc_id", "text"]
