@@ -566,6 +566,78 @@ def dedup_filter(
     return df.join(drop, id_col, "left_anti")
 
 
+def line_dedup(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    max_doc_freq: int = 1,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level repeated-line removal (the C4/RefinedWeb curation
+    step): drop every line that occurs in more than ``max_doc_freq``
+    distinct documents — boilerplate headers, navigation, license
+    blocks — and rebuild each document with its surviving lines in
+    original order.
+
+    Lines shorter than ``min_chars`` (after the split; e.g. blank
+    lines) are exempt from dedup and always kept, so document structure
+    survives.
+
+    100 TB shape: one ``posexplode`` fan-out, one count-distinct
+    aggregation keyed on the line text (uniform-ish; the heaviest keys
+    are exactly the boilerplate being removed, and count-distinct
+    partial-aggregates before the shuffle), one shuffle anti-join of
+    lines against the over-frequent set (NOT broadcast — the
+    boilerplate set scales with the corpus), and one per-document
+    regroup bounded by document size. The corpus text rides exactly two
+    shuffles (explode→join, regroup); no driver-side state.
+
+    Returns (id_col, text_col rebuilt, n_lines_kept, n_lines_dropped).
+    """
+    lines = _widen(corpus.select(id_col, text_col)).select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias(
+            "__pos", "__line"
+        ),
+    )
+    eligible = F.length("__line") >= min_chars
+    over = (
+        lines.filter(eligible)
+        .groupBy("__line")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("__line")
+    )
+    # no hint: the over-frequent set scales with the corpus, so AQE
+    # picks broadcast at small scale, shuffle anti-join at 100 TB
+    kept = lines.join(over, "__line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_total")
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            (
+                F.col("__n_total") - F.coalesce("n_lines_kept", F.lit(0))
+            ).alias("n_lines_dropped"),
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

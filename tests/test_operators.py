@@ -483,6 +483,56 @@ def test_temperature_mixture_quotas(spark):
         math.ceil(target * 10 / 1000)
 
 
+def test_line_dedup_matches_pure_python(spark):
+    """Corpus-level repeated-line removal: a line in > max_doc_freq
+    distinct docs is dropped everywhere, surviving lines keep their
+    original order, short/blank lines are exempt, and a doc reduced to
+    nothing comes back as empty text (never a lost row)."""
+    from mbfbigdatarandomforest_spark.operators.dedup import line_dedup
+
+    docs = [
+        (0, "COPYRIGHT 2020\nalpha beta\ngamma\n\nCOPYRIGHT 2020"),
+        (1, "COPYRIGHT 2020\ndelta\nzeta"),
+        (2, "unique only\n\nepsilon"),
+        (3, "COPYRIGHT 2020"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.text, r.n_lines_kept, r.n_lines_dropped)
+        for r in line_dedup(df, max_doc_freq=1).collect()
+    }
+
+    # pure-Python oracle
+    from collections import Counter
+
+    freq = Counter()
+    for _, text in docs:
+        for ln in set(l for l in text.split("\n") if len(l) >= 1):
+            freq[ln] += 1
+    over = {ln for ln, c in freq.items() if c > 1}
+    want = {}
+    for i, text in docs:
+        lines = text.split("\n")
+        kept = [l for l in lines if l not in over or len(l) < 1]
+        want[i] = ("\n".join(kept), len(kept), len(lines) - len(kept))
+    assert got == want
+    # the boilerplate line is gone from every doc, real content stays
+    assert "COPYRIGHT" not in got[0][0] and "alpha beta" in got[0][0]
+    assert got[3] == ("", 0, 1)
+    # order preserved after removal (leading + trailing drops)
+    assert got[0][0] == "alpha beta\ngamma\n"
+    # re-running on already-clean output is a no-op
+    again = {
+        r.doc_id: r.text
+        for r in line_dedup(
+            line_dedup(df, max_doc_freq=1).select("doc_id", "text"),
+            max_doc_freq=1,
+        ).collect()
+    }
+    assert again == {i: t for i, (t, _, _) in want.items()}
+
+
 def test_decontaminate_ngram_overlap(spark):
     """A corpus doc sharing any token n-gram with the benchmark is
     flagged with the count of its DISTINCT hit n-grams; docs with no
