@@ -417,3 +417,47 @@ def test_range_join_matches_brute_force(spark, lrows, rrows, tol):
         if lk == rk and abs(ls - rs) <= tol
     }
     assert got == want
+
+
+LINE_DOCS = st.lists(
+    st.lists(
+        # small alphabet so cross-document line collisions actually occur
+        st.sampled_from(["", "x", "boiler", "plate line", "alpha", "beta g", "unique"]),
+        min_size=0,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(docs=LINE_DOCS, max_df=st.integers(min_value=1, max_value=3))
+def test_line_dedup_property(spark, docs, max_df):
+    """line_dedup ≡ the plain-Python construction (doc-frequency count
+    over distinct docs, drop lines over max_doc_freq, keep short lines,
+    preserve order, never lose a document row) for arbitrary corpora."""
+    from mbfbigdatarandomforest_spark.operators.dedup import line_dedup
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_lines_kept, r.n_lines_dropped)
+        for r in line_dedup(df, max_doc_freq=max_df).collect()
+    }
+
+    from collections import Counter
+
+    freq = Counter()
+    for _, text in rows:
+        for ln in set(l for l in text.split("\n") if len(l) >= 1):
+            freq[ln] += 1
+    over = {ln for ln, c in freq.items() if c > max_df}
+    want = {}
+    for i, text in rows:
+        lines = text.split("\n")
+        kept = [l for l in lines if len(l) < 1 or l not in over]
+        want[i] = ("\n".join(kept), len(kept), len(lines) - len(kept))
+    assert got == want
