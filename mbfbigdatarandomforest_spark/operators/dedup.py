@@ -638,6 +638,95 @@ def line_dedup(
     )
 
 
+def span_dedup(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    max_doc_freq: int = 1,
+) -> DataFrame:
+    """Cross-document repeated-SPAN removal at token n-gram granularity
+    — the n-gram-bucketed approximation of exact-substring dedup (Lee
+    et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): every token covered by an n-gram that occurs in more than
+    ``max_doc_freq`` distinct documents is dropped, and each document
+    is rebuilt from its surviving tokens in original order.
+
+    Policy notes (documented divergences, same family as
+    :func:`line_dedup`):
+    - ALL occurrences of an over-frequent span are dropped (the paper
+      keeps one global copy; a keep-one policy needs a global
+      occurrence ranking — compose ``dedup_clusters`` over doc-level
+      pairs when that is the goal).
+    - Rebuilt text is single-space joined: the tokenizer normalizes
+      whitespace/case exactly as the shingle/fingerprint contract does.
+
+    100 TB shape: shingling reuses the zip-with formulation (O(1)
+    codegen expressions per gram — the §5 SCALE.md lesson), grams ride
+    the exchange as two 64-bit hashes (128-bit effective — gram STRINGS
+    never shuffle), the over-frequent set is count-distinct with
+    map-side partial aggregation, and the covered-position fan-out is
+    n× only for flagged spans — bounded by the boilerplate actually
+    being removed. No broadcast of the over-frequent set (it scales
+    with the corpus; AQE decides).
+
+    Returns (id_col, text_col, n_tokens_kept, n_tokens_dropped).
+    """
+    base = _widen(corpus.select(id_col, text_col)).select(
+        id_col, _tokens(text_col).alias("__toks")
+    )
+    grams = base.select(
+        id_col,
+        F.posexplode(_shingles_from_tokens(F.col("__toks"), n)).alias(
+            "__pos", "__gram"
+        ),
+    ).select(
+        id_col,
+        "__pos",
+        F.xxhash64("__gram").alias("__h1"),
+        F.xxhash64(F.lit(1), F.col("__gram")).alias("__h2"),
+    )
+    over = (
+        grams.groupBy("__h1", "__h2")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("__h1", "__h2")
+    )
+    covered = (
+        grams.join(over, ["__h1", "__h2"], "left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + F.lit(n - 1))
+            ).alias("__cov"),
+        )
+        .distinct()
+    )
+    tokens = base.select(
+        id_col, F.posexplode("__toks").alias("__cov", "__tok")
+    )
+    kept = tokens.join(covered, [id_col, "__cov"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__cov", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_tokens_kept"),
+    )
+    totals = base.select(id_col, F.size("__toks").alias("__n_total"))
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+        (F.col("__n_total") - F.coalesce("n_tokens_kept", F.lit(0))).alias(
+            "n_tokens_dropped"
+        ),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -533,6 +533,52 @@ def test_line_dedup_matches_pure_python(spark):
     assert again == {i: t for i, (t, _, _) in want.items()}
 
 
+def test_span_dedup_matches_pure_python(spark):
+    """Cross-document repeated-span removal: tokens covered by an
+    n-gram in > max_doc_freq distinct docs are dropped everywhere,
+    survivors keep order, sub-n docs are untouched, and a fully-covered
+    doc survives as an empty row."""
+    from mbfbigdatarandomforest_spark.operators.dedup import span_dedup
+
+    docs = [
+        (0, "The quick BROWN fox jumps high"),
+        (1, "a quick brown fox runs away"),
+        (2, "totally unrelated words here"),
+        (3, "quick brown fox"),
+        (4, ""),
+        (5, "short doc"),
+    ]
+    n = 3
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.text, r.n_tokens_kept, r.n_tokens_dropped)
+        for r in span_dedup(df, n=n, max_doc_freq=1).collect()
+    }
+
+    from collections import Counter
+
+    toks = {i: t.lower().split() for i, t in docs}
+    freq = Counter()
+    for tk in toks.values():
+        for g in {tuple(tk[j : j + n]) for j in range(len(tk) - n + 1)}:
+            freq[g] += 1
+    over = {g for g, c in freq.items() if c > 1}
+    want = {}
+    for i, tk in toks.items():
+        cov = set()
+        for j in range(len(tk) - n + 1):
+            if tuple(tk[j : j + n]) in over:
+                cov.update(range(j, j + n))
+        kept = [t for p, t in enumerate(tk) if p not in cov]
+        want[i] = (" ".join(kept), len(kept), len(tk) - len(kept))
+    assert got == want
+    # the shared span is gone from every doc it appeared in
+    assert got[0][0] == "the jumps high"
+    assert got[1][0] == "a runs away"
+    assert got[3] == ("", 0, 3)   # fully covered, row survives
+    assert got[5] == ("short doc", 2, 0)  # shorter than n: untouched
+
+
 def test_decontaminate_ngram_overlap(spark):
     """A corpus doc sharing any token n-gram with the benchmark is
     flagged with the count of its DISTINCT hit n-grams; docs with no

@@ -461,3 +461,53 @@ def test_line_dedup_property(spark, docs, max_df):
         kept = [l for l in lines if len(l) < 1 or l not in over]
         want[i] = ("\n".join(kept), len(kept), len(lines) - len(kept))
     assert got == want
+
+
+SPAN_DOCS = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "quick", "brown", "fox"]),
+        min_size=0,
+        max_size=10,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    docs=SPAN_DOCS,
+    n=st.integers(min_value=2, max_value=4),
+    max_df=st.integers(min_value=1, max_value=2),
+)
+def test_span_dedup_property(spark, docs, n, max_df):
+    """span_dedup ≡ the plain-Python construction (n-gram doc-frequency
+    over distinct docs, drop all covered tokens, preserve order, keep
+    sub-n docs whole, never lose a row) for arbitrary corpora."""
+    from collections import Counter
+
+    from mbfbigdatarandomforest_spark.operators.dedup import span_dedup
+
+    rows = [(i, " ".join(tk)) for i, tk in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_tokens_kept, r.n_tokens_dropped)
+        for r in span_dedup(df, n=n, max_doc_freq=max_df).collect()
+    }
+
+    freq = Counter()
+    for tk in docs:
+        for g in {tuple(tk[j : j + n]) for j in range(len(tk) - n + 1)}:
+            freq[g] += 1
+    over = {g for g, c in freq.items() if c > max_df}
+    want = {}
+    for i, tk in enumerate(docs):
+        cov = set()
+        for j in range(len(tk) - n + 1):
+            if tuple(tk[j : j + n]) in over:
+                cov.update(range(j, j + n))
+        kept = [t for p, t in enumerate(tk) if p not in cov]
+        want[i] = (" ".join(kept), len(kept), len(tk) - len(kept))
+    assert got == want
