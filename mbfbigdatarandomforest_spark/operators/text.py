@@ -308,3 +308,82 @@ def chunk_documents(
             "n_tokens",
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+) -> DataFrame:
+    """Sequence-packing manifest: concatenate the corpus's token stream
+    in ``id_col`` order and cut it into fixed ``max_tokens`` training
+    blocks — the standard concat-then-chunk packing of LLM
+    pretraining — emitting WHICH token span of WHICH document lands in
+    WHICH block, without ever materializing the concatenated stream.
+
+    Output rows: (block_id, id_col, span_start, span_end, n_tokens)
+    where tokens [span_start, span_end) of the document (0-based,
+    whitespace tokenization — same contract as ``chunk_documents``)
+    fill block ``block_id`` in ``id_col`` order; a document straddling
+    a block boundary fans out into one row per touched block. Every
+    block sums to exactly ``max_tokens`` except the last. Empty
+    documents are absent from the manifest (they contribute no
+    tokens). Pass ``token_count_col`` when token counts are already
+    materialized (e.g. real-tokenizer counts) to skip the whitespace
+    count.
+
+    100 TB shape: per-document token counts are one codegen'd
+    projection; the global token offset is an exact distributed prefix
+    sum (``operators.windows.global_prefix_sum`` — bucketed, no
+    single-partition window); block assignment is pure arithmetic on
+    (offset, count); the fan-out per document is ~n_tokens/max_tokens
+    rows of four longs. The text itself never shuffles — a loader
+    joins the manifest back to document storage by id.
+    """
+    from .windows import global_prefix_sum
+
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if token_count_col is None:
+        toks = F.filter(
+            F.split(F.trim(F.col(text_col)), TOKEN_PATTERN),
+            lambda t: t != "",
+        )
+        counted = df.select(
+            F.col(id_col), F.size(toks).cast("long").alias("__n_tok")
+        )
+    else:
+        counted = df.select(
+            F.col(id_col), F.col(token_count_col).cast("long").alias("__n_tok")
+        )
+    counted = counted.filter(F.col("__n_tok") > 0)
+    ps = global_prefix_sum(counted, [id_col], "__n_tok", out_col="__start")
+    end = F.col("__start") + F.col("__n_tok")  # exclusive global end
+    first = F.floor(F.col("__start") / max_tokens).cast("long")
+    last = F.floor((end - 1) / max_tokens).cast("long")
+    blocks = ps.select(
+        F.col(id_col),
+        "__start",
+        "__n_tok",
+        F.explode(F.sequence(first, last)).alias("block_id"),
+    )
+    span_start = (
+        F.greatest(F.col("block_id") * max_tokens, F.col("__start"))
+        - F.col("__start")
+    ).cast("long")
+    span_end = (
+        F.least(
+            (F.col("block_id") + F.lit(1)) * max_tokens,
+            F.col("__start") + F.col("__n_tok"),
+        )
+        - F.col("__start")
+    ).cast("long")
+    return blocks.select(
+        "block_id",
+        id_col,
+        span_start.alias("span_start"),
+        span_end.alias("span_end"),
+        (span_end - span_start).alias("n_tokens"),
+    ).orderBy("block_id", id_col)

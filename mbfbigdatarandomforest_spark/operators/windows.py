@@ -99,6 +99,66 @@ def global_row_number(
     )
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    weight_col: str,
+    out_col: str = "prefix_sum",
+    num_buckets: int | None = None,
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """EXCLUSIVE global running sum of ``weight_col`` by ``order_cols``
+    — ``SUM(w) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING TO 1
+    PRECEDING)`` — without the single-partition window that expression
+    plans. Same construction as :func:`global_row_number`: quantile
+    buckets on the leading order column (hot values sub-bucketed),
+    a bucket-local running sum, plus per-bucket total offsets from a
+    tiny broadcast frame.
+
+    Weights are accumulated as BIGINT, so results are exact and
+    order-independent for integral weights (the token-count use case);
+    fractional weights would need the decimal treatment — refused here
+    (explicit cast error) rather than silently reordered.
+
+    First row (by the global ordering) gets 0. Callers needing the
+    inclusive sum add ``weight_col`` back.
+    """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    wt = df.schema[weight_col].dataType
+    if not isinstance(wt, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"global_prefix_sum needs an integral weight column; "
+            f"{weight_col} is {wt.simpleString()}"
+        )
+    spark = df.sparkSession
+    p = num_buckets or spark.sparkContext.defaultParallelism
+    w = F.col(weight_col).cast("long")
+    bucketed = _assign_buckets(df, order_cols, p, rel_err)
+    w_local = (
+        Window.partitionBy("__bkt", "__sub")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn(
+        "__lps", F.coalesce(F.sum(w).over(w_local), F.lit(0))
+    )
+    totals = bucketed.groupBy("__bkt", "__sub").agg(F.sum(w).alias("__tot"))
+    w_off = Window.orderBy("__bkt", "__sub").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__bkt",
+        "__sub",
+        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["__bkt", "__sub"])
+        .withColumn(out_col, (F.col("__lps") + F.col("__off")).cast("long"))
+        .drop("__bkt", "__sub", "__lps")
+    )
+
+
 def _assign_buckets(
     df: DataFrame, order_cols: list[str], p: int, rel_err: float
 ) -> DataFrame:

@@ -1021,3 +1021,95 @@ def test_connected_components_random_graphs_vs_union_find(spark):
             for r in dd.connected_components(df).collect()
         }
         assert got == want, name
+
+
+def test_global_prefix_sum_matches_window(spark):
+    """global_prefix_sum ≡ SUM() OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING TO 1 PRECEDING) on unique keys, and refuses fractional
+    weight columns instead of silently truncating them."""
+    import random
+
+    import pytest as _pt
+    from pyspark.sql import Window as W
+
+    from mbfbigdatarandomforest_spark.operators.windows import (
+        global_prefix_sum,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 50)) for i in range(500)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, w long").repartition(7)
+    got = {
+        (r.k, r.prefix_sum)
+        for r in global_prefix_sum(df, ["k"], "w", num_buckets=8).collect()
+    }
+    want_df = df.withColumn(
+        "ps",
+        F.coalesce(
+            F.sum("w").over(
+                W.orderBy("k").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    want = {(r.k, r.ps) for r in want_df.collect()}
+    assert got == want
+
+    fdf = spark.createDataFrame([(1, 1.5)], "k long, w double")
+    with _pt.raises(TypeError, match="integral weight"):
+        global_prefix_sum(fdf, ["k"], "w")
+
+
+def test_pack_sequences_manifest(spark):
+    """pack_sequences: blocks fill to exactly max_tokens (except the
+    last), straddling docs fan out with contiguous spans, empty docs
+    vanish, and the manifest reconstructs the concatenated stream."""
+    from mbfbigdatarandomforest_spark.operators.text import pack_sequences
+
+    docs = [
+        (0, "a b c d e"),        # 5 tokens
+        (1, ""),                 # empty -> absent
+        (2, "f g h"),            # 3 tokens
+        (3, "i j k l m n o p"),  # 8 tokens -> straddles
+        (4, "q"),                # 1 token
+    ]
+    L = 4
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = pack_sequences(df, max_tokens=L).collect()
+    assert all(r.n_tokens == r.span_end - r.span_start for r in rows)
+    assert not any(r.doc_id == 1 for r in rows)
+
+    # oracle: concatenate token streams in id order, chunk into L-blocks
+    stream = []
+    for i, t in docs:
+        for p, _ in enumerate(t.split()):
+            stream.append((i, p))
+    want = {}
+    for g, (i, p) in enumerate(stream):
+        b = g // L
+        key = (b, i)
+        s, e = want.get(key, (p, p))
+        want[key] = (min(s, p), max(e, p + 1))
+    got = {(r.block_id, r.doc_id): (r.span_start, r.span_end) for r in rows}
+    assert got == want
+
+    # every block holds exactly L tokens except the last
+    per_block = {}
+    for r in rows:
+        per_block[r.block_id] = per_block.get(r.block_id, 0) + r.n_tokens
+    last = max(per_block)
+    assert all(v == L for b, v in per_block.items() if b != last)
+    assert 0 < per_block[last] <= L
+
+    # token_count_col path agrees with the whitespace count
+    via_counts = pack_sequences(
+        df.withColumn("ntok", F.size(F.split(F.trim("text"), r"\s+"))
+          .cast("long"))
+          .withColumn("ntok", F.when(F.col("text") == "", 0).otherwise(F.col("ntok"))),
+        max_tokens=L,
+        token_count_col="ntok",
+    ).collect()
+    assert {(r.block_id, r.doc_id, r.span_start, r.span_end) for r in via_counts} == {
+        (r.block_id, r.doc_id, r.span_start, r.span_end) for r in rows
+    }

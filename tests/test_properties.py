@@ -511,3 +511,37 @@ def test_span_dedup_property(spark, docs, n, max_df):
         kept = [t for p, t in enumerate(tk) if p not in cov]
         want[i] = (" ".join(kept), len(kept), len(tk) - len(kept))
     assert got == want
+
+
+PACK_DOCS = st.lists(
+    st.integers(min_value=0, max_value=12),  # token count per doc
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(counts=PACK_DOCS, L=st.integers(min_value=1, max_value=7))
+def test_pack_sequences_property(spark, counts, L):
+    """pack_sequences ≡ concatenating every doc's token stream in id
+    order and chunking into L-token blocks, for arbitrary corpora and
+    block sizes — spans contiguous, blocks exactly full except the
+    last, empty docs absent."""
+    from mbfbigdatarandomforest_spark.operators.text import pack_sequences
+
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(n))) for i, n in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.block_id, r.doc_id): (r.span_start, r.span_end)
+        for r in pack_sequences(df, max_tokens=L).collect()
+    }
+
+    stream = [(i, p) for i, n in enumerate(counts) for p in range(n)]
+    want = {}
+    for g, (i, p) in enumerate(stream):
+        key = (g // L, i)
+        s, e = want.get(key, (p, p))
+        want[key] = (min(s, p), max(e, p + 1))
+    assert got == want
