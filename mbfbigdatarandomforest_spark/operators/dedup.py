@@ -566,6 +566,13 @@ def dedup_filter(
     return df.join(drop, id_col, "left_anti")
 
 
+def _regex_quote(s: str) -> str:
+    """Literal-quote ``s`` for a Java regex (``\\Q…\\E``, with embedded
+    ``\\E`` handled) — ``F.split`` treats its pattern as a regex, so a
+    separator like ``.`` must not mean "any character"."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def line_dedup(
     corpus: DataFrame,
     text_col: str = "text",
@@ -593,13 +600,22 @@ def line_dedup(
     regroup bounded by document size. The corpus text rides exactly two
     shuffles (explode→join, regroup); no driver-side state.
 
+    NULL text is treated as the empty document (one empty line, kept) —
+    never a lost row. ``sep`` is taken LITERALLY (``\\Q``-quoted before
+    the regex split, so ``sep="."`` splits on dots, not on everything).
+
     Returns (id_col, text_col rebuilt, n_lines_kept, n_lines_dropped).
     """
-    lines = _widen(corpus.select(id_col, text_col)).select(
-        id_col,
-        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias(
-            "__pos", "__line"
-        ),
+    base = _widen(
+        corpus.select(
+            id_col,
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")), _regex_quote(sep)
+            ).alias("__lines"),
+        )
+    )
+    lines = base.select(
+        id_col, F.posexplode("__lines").alias("__pos", "__line")
     )
     eligible = F.length("__line") >= min_chars
     over = (
@@ -622,9 +638,9 @@ def line_dedup(
         ).alias(text_col),
         F.count(F.lit(1)).alias("n_lines_kept"),
     )
-    totals = lines.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("__n_total")
-    )
+    # line totals are a projection over the already-split array — NOT a
+    # second explode+groupBy exchange over the corpus
+    totals = base.select(id_col, F.size("__lines").alias("__n_total"))
     return (
         totals.join(rebuilt, id_col, "left")
         .select(
@@ -670,10 +686,14 @@ def span_dedup(
     being removed. No broadcast of the over-frequent set (it scales
     with the corpus; AQE decides).
 
+    NULL text is treated as the empty document (0 tokens, counts 0/0)
+    — never a lost row or a NULL count.
+
     Returns (id_col, text_col, n_tokens_kept, n_tokens_dropped).
     """
     base = _widen(corpus.select(id_col, text_col)).select(
-        id_col, _tokens(text_col).alias("__toks")
+        id_col,
+        _tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"),
     )
     grams = base.select(
         id_col,

@@ -215,6 +215,25 @@ def _lines(col: Column | str) -> Column:
     )
 
 
+def _bullet_line_frac(lines: Column) -> Column:
+    """Share of lines starting with a bullet marker — shared by
+    ``repetition_signals`` and ``gopher_quality_filter`` so the two
+    quality surfaces cannot drift apart."""
+    n = F.greatest(F.size(lines), F.lit(1))
+    return F.size(F.filter(lines, lambda l: l.rlike("^[-*•]"))) / n.cast(
+        "double"
+    )
+
+
+def _ellipsis_line_frac(lines: Column) -> Column:
+    """Share of lines ending with an ellipsis — ASCII ``...`` or the
+    Unicode ``…`` character (truncated-boilerplate signal either way)."""
+    n = F.greatest(F.size(lines), F.lit(1))
+    return F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    ) / n.cast("double")
+
+
 def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Line-level repetition / layout signals (C4- and Gopher-style
     quality heuristics): duplicate-line fraction, longest line, bullet-
@@ -234,14 +253,8 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
             "max_line_len": F.coalesce(
                 F.array_max(F.transform(lines, F.length)), F.lit(0)
             ),
-            "bullet_line_frac": F.size(
-                F.filter(lines, lambda l: l.rlike("^[-*•]"))
-            )
-            / safe_n.cast("double"),
-            "ellipsis_line_frac": F.size(
-                F.filter(lines, lambda l: l.endswith("..."))
-            )
-            / safe_n.cast("double"),
+            "bullet_line_frac": _bullet_line_frac(lines),
+            "ellipsis_line_frac": _ellipsis_line_frac(lines),
         }
     )
 
@@ -407,7 +420,8 @@ def gopher_quality_filter(
 ) -> DataFrame:
     """The published Gopher document-quality rules (Rae et al. 2021,
     arXiv:2112.11446 Table A1) as ONE codegen scan: word-count bounds,
-    mean-word-length bounds, symbol-to-word ratio (# and ellipsis),
+    mean-word-length bounds, symbol-to-word ratios (hash and ellipsis,
+    each thresholded separately as the paper does),
     bullet/ellipsis line fractions, alphabetic-word fraction, and the
     required-stopword count. Adds one boolean per rule, the composed
     ``quality_pass``, and a ``fail_reasons`` array naming the violated
@@ -422,20 +436,21 @@ def gopher_quality_filter(
     lines = _lines(text_col)
     n_words = F.size(words)
     safe_words = F.greatest(n_words, F.lit(1))
-    n_lines = F.greatest(F.size(lines), F.lit(1))
     mean_word_len = F.aggregate(
         words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
     ) / safe_words.cast("double")
-    symbol_ratio = (
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\.|…"), 0))
+    # Table A1 thresholds EACH symbol's ratio separately (hash;
+    # ellipsis, ASCII or Unicode) — a doc at 0.06 + 0.06 passes both
+    hash_ratio = (
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("#"), 0))
         / safe_words.cast("double")
     )
-    bullet_frac = (
-        F.size(F.filter(lines, lambda l: l.rlike("^[-*•]"))) / n_lines.cast("double")
+    ellipsis_sym_ratio = (
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\.\.\.|…"), 0))
+        / safe_words.cast("double")
     )
-    ellipsis_frac = (
-        F.size(F.filter(lines, lambda l: l.endswith("..."))) / n_lines.cast("double")
-    )
+    bullet_frac = _bullet_line_frac(lines)
+    ellipsis_frac = _ellipsis_line_frac(lines)
     alpha_frac = (
         F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
         / safe_words.cast("double")
@@ -450,7 +465,8 @@ def gopher_quality_filter(
         "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
         "mean_word_len_ok": (mean_word_len >= min_mean_word_len)
         & (mean_word_len <= max_mean_word_len),
-        "symbol_ratio_ok": symbol_ratio <= max_symbol_word_ratio,
+        "symbol_ratio_ok": (hash_ratio <= max_symbol_word_ratio)
+        & (ellipsis_sym_ratio <= max_symbol_word_ratio),
         "bullet_lines_ok": bullet_frac <= max_bullet_line_frac,
         "ellipsis_lines_ok": ellipsis_frac <= max_ellipsis_line_frac,
         "alpha_words_ok": alpha_frac >= min_alpha_word_frac,

@@ -159,6 +159,30 @@ def global_prefix_sum(
     )
 
 
+def _order_proxy(df: DataFrame, col_name: str):
+    """Numeric, ordering-MONOTONE proxy of a column for quantile
+    bucketing. Numeric columns cast to double. String columns map to
+    the integer value of their zero-padded first 4 bytes — monotone
+    w.r.t. Spark's binary string ordering (``rpad`` truncates longer
+    values to exactly 4 bytes, so shorter strings never outrank longer
+    ones), with prefix ties sharing a bucket, which monotonicity
+    allows. Without this, ANSI mode makes ``cast(string as double)``
+    THROW on non-numeric ids (e.g. ``pack_sequences`` over URL/hash
+    document ids) instead of bucketing them."""
+    from pyspark.sql.types import StringType
+
+    if isinstance(df.schema[col_name].dataType, StringType):
+        return F.coalesce(
+            F.conv(
+                F.hex(F.rpad(F.col(col_name).cast("binary"), 4, bytes([0]))),
+                16,
+                10,
+            ).cast("double"),
+            F.lit(0.0),
+        )
+    return F.col(col_name).cast("double")
+
+
 def _assign_buckets(
     df: DataFrame, order_cols: list[str], p: int, rel_err: float
 ) -> DataFrame:
@@ -167,14 +191,14 @@ def _assign_buckets(
     can assert per-bucket mass directly."""
     lead = order_cols[0]
     probs = [i / p for i in range(1, p)]
-    raw_cuts = df.select(F.col(lead).cast("double").alias("__q")).approxQuantile(
+    raw_cuts = df.select(_order_proxy(df, lead).alias("__q")).approxQuantile(
         "__q", probs, rel_err
     )
     cuts = sorted(set(raw_cuts))
     if cuts:
         cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
         bucket = F.size(
-            F.filter(cut_arr, lambda c: c < F.col(lead).cast("double"))
+            F.filter(cut_arr, lambda c: c < _order_proxy(df, lead))
         )
     else:
         bucket = F.lit(0)
@@ -188,7 +212,7 @@ def _assign_buckets(
     sub_bucket = F.lit(0)
     if hot and len(order_cols) > 1:
         second = order_cols[1]
-        lead_d = F.col(lead).cast("double")
+        lead_d = _order_proxy(df, lead)
         # ONE aggregate job fits all hot values' sub-cuts (not one
         # approxQuantile call per value)
         grids = {
@@ -199,7 +223,7 @@ def _assign_buckets(
             .groupBy(lead_d.alias("__v"))
             .agg(
                 F.percentile_approx(
-                    F.col(second).cast("double"),
+                    _order_proxy(df, second),
                     F.array(
                         *[
                             F.lit(q)
@@ -211,7 +235,7 @@ def _assign_buckets(
             )
             .collect()
         )
-        second_d = F.col(second).cast("double")
+        second_d = _order_proxy(df, second)
         for r in rows:
             v = r["__v"]
             m = hot.get(v)

@@ -562,7 +562,7 @@ SELECT
   COALESCE(list_max(list_transform({_LINES}, x -> length(x))), 0) AS max_line_len,
   len(list_filter({_LINES}, x -> regexp_matches(x, '^[-*•]'))) * 1.0
         / GREATEST(len({_LINES}), 1) AS bullet_line_frac,
-  len(list_filter({_LINES}, x -> ends_with(x, '...'))) * 1.0
+  len(list_filter({_LINES}, x -> ends_with(x, '...') OR ends_with(x, '…'))) * 1.0
         / GREATEST(len({_LINES}), 1) AS ellipsis_line_frac,
   len(regexp_extract_all(d.text, '{tx.EMAIL_PATTERN}')) AS n_emails,
   len(regexp_extract_all(d.text, '{tx.IPV4_PATTERN}')) AS n_ipv4,

@@ -1158,3 +1158,130 @@ def test_gopher_quality_filter_rules(spark):
         if r.doc_id == 0
     ]
     assert r0[0].quality_pass is True
+
+
+def test_line_dedup_literal_sep_and_null_text(spark):
+    """sep is literal (a '.' separator splits on dots, not everything)
+    and NULL text behaves exactly like the empty document — the row
+    survives with empty text, never vanishes."""
+    from mbfbigdatarandomforest_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(0, "x.y.z"), (1, None), (2, "x.q.z")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.text, r.n_lines_kept, r.n_lines_dropped)
+        for r in line_dedup(df, sep=".", min_chars=1).collect()
+    }
+    # 'x' and 'z' occur in docs 0 and 2 -> dropped; 'y'/'q' unique -> kept
+    assert got[0] == ("y", 1, 2)
+    assert got[2] == ("q", 1, 2)
+    assert got[1] == ("", 1, 0)  # NULL ≡ empty doc: one exempt empty line
+
+
+def test_span_dedup_null_text_counts(spark):
+    """NULL text yields ('', 0, 0) — zero counts, not NULLs, so
+    downstream aggregations keep the kept+dropped==total invariant."""
+    from mbfbigdatarandomforest_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, None), (2, "a b c d")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_tokens_kept, r.n_tokens_dropped)
+        for r in span_dedup(df, n=2, max_doc_freq=1).collect()
+    }
+    assert got[1] == ("", 0, 0)
+    assert got[0] == ("", 0, 4) and got[2] == ("", 0, 4)
+
+
+def test_global_prefix_sum_string_keys(spark):
+    """String order keys (URL/hash doc ids) must bucket via the binary
+    prefix proxy instead of throwing CAST_INVALID_INPUT under ANSI, and
+    the result must still equal the single-partition window."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from mbfbigdatarandomforest_spark.operators.windows import (
+        global_prefix_sum,
+        global_row_number,
+    )
+
+    rng = random.Random(11)
+    rows = [(f"doc_{rng.random():.12f}", rng.randint(0, 9)) for _ in range(400)]
+    df = spark.createDataFrame(rows, "k string, w long").repartition(5)
+    got = {
+        (r.k, r.prefix_sum)
+        for r in global_prefix_sum(df, ["k"], "w", num_buckets=8).collect()
+    }
+    want_df = df.withColumn(
+        "ps",
+        F.coalesce(
+            F.sum("w").over(W.orderBy("k").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    assert got == {(r.k, r.ps) for r in want_df.collect()}
+    # and the row-number primitive accepts string keys the same way
+    rn = {
+        (r.k, r.idx)
+        for r in global_row_number(df, ["k"], num_buckets=8).collect()
+    }
+    want_rn = df.withColumn("idx", F.row_number().over(W.orderBy("k")))
+    assert rn == {(r.k, r.idx) for r in want_rn.collect()}
+
+
+def test_pack_sequences_string_doc_ids(spark):
+    """pack_sequences over string document ids (the common case) packs
+    in lexicographic id order without crashing."""
+    from mbfbigdatarandomforest_spark.operators.text import pack_sequences
+
+    docs = [("doc_b", "d e f g"), ("doc_a", "a b c"), ("doc_c", "h i")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = sorted(
+        pack_sequences(df, max_tokens=4).collect(),
+        key=lambda r: (r.block_id, r.doc_id),
+    )
+    got = [(r.block_id, r.doc_id, r.span_start, r.span_end) for r in rows]
+    # stream in id order: a b c | d e f g | h i  -> blocks of 4
+    assert got == [
+        (0, "doc_a", 0, 3),
+        (0, "doc_b", 0, 1),
+        (1, "doc_b", 1, 4),
+        (1, "doc_c", 0, 1),
+        (2, "doc_c", 1, 2),
+    ]
+
+
+def test_gopher_symbol_ratios_threshold_separately(spark):
+    """Per Table A1 the hash and ellipsis ratios are thresholded EACH,
+    not summed: 0.06 + 0.06 passes, 0.12 in one symbol fails; and
+    Unicode '…'-terminated lines count toward the ellipsis-line rule."""
+    from mbfbigdatarandomforest_spark.operators.text import (
+        gopher_quality_filter,
+    )
+
+    base = (
+        "the quick brown fox and the lazy dog have seen many other "
+        "animals that wander over wide fields during autumn days while "
+        "keepers watch from towers and note every move in old leather "
+        "books kept safe within stone walls there"
+    )  # 44 words, clean
+    both_low = base + " # # #" + " ... ... ..."      # each ratio ≈0.06
+    one_high = base + " " + " ".join(["#"] * 6)      # hash ratio ≈0.12
+    df = spark.createDataFrame(
+        [(0, both_low), (1, one_high)], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r.symbol_ratio_ok
+        for r in gopher_quality_filter(df, min_words=10).collect()
+    }
+    assert got[0] is True and got[1] is False
+
+    uni = "\n".join(["line number " + str(i) + "…" for i in range(10)])
+    r = gopher_quality_filter(
+        spark.createDataFrame([(0, uni)], ["doc_id", "text"]), min_words=1
+    ).collect()[0]
+    assert r.ellipsis_lines_ok is False
