@@ -52,3 +52,47 @@ def read_csv(
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    *,
+    quarantine: bool = True,
+    corrupt_col: str = "_corrupt_record",
+    infer: bool = False,
+    **options,
+) -> DataFrame:
+    """JSON-lines scan — the interchange format LLM corpora actually
+    ship in. Same engine rule as CSV: explicit schema always (schema
+    inference reads the data TWICE; at 100 TB that is a full extra
+    pass), with ``infer=True`` as the documented exploration escape
+    hatch.
+
+    ``quarantine=True`` (default) appends ``corrupt_col`` to the schema
+    in PERMISSIVE mode: malformed lines surface as rows whose other
+    fields are NULL and whose raw text lands in ``corrupt_col`` — the
+    same keep-and-audit posture as ``multimodal.extract_features``'s
+    decode quarantine, instead of a task-killing FAILFAST or a silent
+    DROPMALFORMED. Filter ``corrupt_col IS NOT NULL`` for the audit
+    table and ``IS NULL`` for the clean corpus.
+    """
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is None:
+        if not infer:
+            raise ValueError(
+                "engine rule: pass an explicit schema (SURVEY.md §1.3); "
+                "set infer=True only for exploration"
+            )
+        return reader.json(path)
+    if quarantine:
+        from pyspark.sql.types import StringType
+
+        schema = StructType(schema.fields[:]).add(corrupt_col, StringType())
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
+    return reader.schema(schema).json(path)

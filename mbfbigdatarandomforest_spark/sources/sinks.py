@@ -29,3 +29,23 @@ def write_csv(df: DataFrame, path: str, *, single_file: bool = True) -> None:
     never use on fact-scale data."""
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str | None = "gzip",
+) -> None:
+    """JSON-lines export — the interchange format downstream LLM
+    tooling consumes. Stays distributed (one file per task; no
+    single-file coalesce — corpora are fact-scale); gzip by default
+    since JSONL text compresses ~10×."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)

@@ -113,3 +113,61 @@ def test_events_loader_survives_all_ts_encodings(spark, tmp_path, arrow_type):
     got = sorted(r["ts"] for r in df.select("ts").collect())
     # UTC session pin → collected naive datetimes equal the written values.
     assert got == sorted(_TS_VALUES)
+
+
+def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
+    """JSONL scan: well-formed lines parse, malformed lines survive as
+    quarantine rows with the raw text in _corrupt_record, the explicit
+    schema is imposed, and schema-less reads require the infer opt-in."""
+    import pytest as _pt
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from mbfbigdatarandomforest_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "beta"}\n'
+        '{"doc_id": "not a number", "text": "gamma"}\n'
+    )
+    schema = (
+        StructType().add("doc_id", LongType()).add("text", StringType())
+    )
+    df = read_jsonl(spark, str(p), schema).cache()
+    clean = {
+        (r.doc_id, r.text)
+        for r in df.filter("_corrupt_record IS NULL").collect()
+    }
+    assert clean == {(1, "alpha"), (2, "beta")}
+    bad = [r for r in df.filter("_corrupt_record IS NOT NULL").collect()]
+    assert len(bad) == 2
+    assert any("not json" in r._corrupt_record for r in bad)
+    df.unpersist()
+
+    with _pt.raises(ValueError, match="explicit schema"):
+        read_jsonl(spark, str(p))
+
+
+def test_write_jsonl_roundtrip(spark, tmp_path):
+    """JSONL sink roundtrips through the quarantining reader with zero
+    corrupt rows and identical values."""
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from mbfbigdatarandomforest_spark.sources.readers import read_jsonl
+    from mbfbigdatarandomforest_spark.sources.sinks import write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, 'quote " and \n newline'), (3, None)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "out")
+    write_jsonl(df, out)
+    schema = StructType().add("doc_id", LongType()).add("text", StringType())
+    back = read_jsonl(spark, out, schema).cache()
+    assert back.filter("_corrupt_record IS NOT NULL").count() == 0
+    assert {(r.doc_id, r.text) for r in back.collect()} == {
+        (1, "alpha"),
+        (2, 'quote " and \n newline'),
+        (3, None),
+    }
