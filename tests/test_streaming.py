@@ -416,3 +416,51 @@ def test_read_event_stream_starts_on_empty_source(spark, tmp_path):
     # (A never-created directory is rejected by Spark's own file-stream
     # source with PATH_NOT_FOUND regardless of schema — existence is the
     # source's contract, not the probe's, so only the empty case is ours.)
+
+
+def test_stateless_quality_operators_run_on_streams(spark, tmp_path):
+    """Stateless curation operators (Gopher quality filter, quality
+    score) apply to a readStream unchanged — same function, same
+    columns — and an availableNow drain produces exactly the batch
+    result. This is the composition claim of §2.12: every stateless
+    operator is streaming-ready for free."""
+    from mbfbigdatarandomforest_spark.operators.text import (
+        gopher_quality_filter,
+        quality_score,
+    )
+
+    src = tmp_path / "docs"
+    docs = [
+        (0, "the quick brown fox and that lazy dog have fun with " + " ".join(f"w{i}" for i in range(50))),
+        (1, "too short"),
+        (2, " ".join(["12345"] * 60)),
+    ]
+    batch_df = spark.createDataFrame(docs, "doc_id long, text string")
+    batch_df.write.mode("overwrite").parquet(str(src))
+
+    def curate(df):
+        return gopher_quality_filter(quality_score(df), min_words=40).select(
+            "doc_id", "n_tokens", "quality_pass", "fail_reasons"
+        )
+
+    want = {
+        (r.doc_id, r.n_tokens, r.quality_pass, tuple(r.fail_reasons))
+        for r in curate(spark.read.parquet(str(src))).collect()
+    }
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    out = tmp_path / "out"
+    q = (
+        curate(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.n_tokens, r.quality_pass, tuple(r.fail_reasons))
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == want and len(got) == 3
