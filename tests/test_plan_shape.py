@@ -271,3 +271,31 @@ def test_temperature_mixture_windows_are_bounded(spark):
     # the quota aggregate (input bounded by stratum count, not corpus)
     assert partitioned, "per-source ranking window missing"
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_new_curation_ops_plan_shape(spark):
+    """Round-5 curation operators: no cartesian products anywhere, and
+    the only un-partitioned window in the packing plan is the per-bucket
+    offsets frame (≤ num_buckets rows), never the corpus itself."""
+    from mbfbigdatarandomforest_spark.operators.dedup import (
+        line_dedup,
+        span_dedup,
+    )
+    from mbfbigdatarandomforest_spark.operators.text import (
+        gopher_quality_filter,
+        pack_sequences,
+    )
+    from mbfbigdatarandomforest_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    for df in (
+        span_dedup(docs, n=8),
+        line_dedup(docs),
+        pack_sequences(docs, 512),
+        gopher_quality_filter(docs),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+    # gopher is a pure projection: single scan, zero exchanges
+    gplan = _plan(gopher_quality_filter(docs))
+    assert "Exchange" not in gplan
