@@ -161,26 +161,56 @@ def global_prefix_sum(
 
 def _order_proxy(df: DataFrame, col_name: str):
     """Numeric, ordering-MONOTONE proxy of a column for quantile
-    bucketing. Numeric columns cast to double. String columns map to
-    the integer value of their zero-padded first 4 bytes — monotone
-    w.r.t. Spark's binary string ordering (``rpad`` truncates longer
-    values to exactly 4 bytes, so shorter strings never outrank longer
-    ones), with prefix ties sharing a bucket, which monotonicity
-    allows. Without this, ANSI mode makes ``cast(string as double)``
-    THROW on non-numeric ids (e.g. ``pack_sequences`` over URL/hash
-    document ids) instead of bucketing them."""
+    bucketing. Numeric columns cast to double (ANSI-safe: they are
+    numeric already). Without this, ANSI mode makes ``cast(string as
+    double)`` THROW on non-numeric ids (e.g. ``pack_sequences`` over
+    URL/hash document ids) instead of bucketing them.
+
+    String columns: one min/max aggregate (map-side partial, one cheap
+    extra job) finds the corpus-wide longest common BYTE prefix — real
+    id schemes share most of their bytes (``doc_000…``), and a proxy
+    built on raw leading bytes would map such corpora into a single
+    bucket, recreating the one-task funnel this module exists to
+    avoid — then the 8 bytes after that prefix, zero-padded, become
+    the value. Monotone w.r.t. Spark's binary string ordering: every
+    row shares the stripped prefix (min and max bound all values), and
+    ``substring``+``rpad`` keeps byte order; the final double rounding
+    of conv() is order-preserving (ties collapse, inversions cannot
+    happen). Values sharing all 8 post-prefix bytes tie into one
+    bucket, which monotonicity allows.
+
+    Data-dependent (the prefix is computed from the frame), so callers
+    must build the expression ONCE per column and reuse it across
+    subtrees — ``_assign_buckets`` hoists it.
+    """
     from pyspark.sql.types import StringType
 
-    if isinstance(df.schema[col_name].dataType, StringType):
-        return F.coalesce(
-            F.conv(
-                F.hex(F.rpad(F.col(col_name).cast("binary"), 4, bytes([0]))),
-                16,
-                10,
-            ).cast("double"),
-            F.lit(0.0),
-        )
-    return F.col(col_name).cast("double")
+    if not isinstance(df.schema[col_name].dataType, StringType):
+        return F.col(col_name).cast("double")
+    r = df.agg(
+        F.min(col_name).alias("mn"), F.max(col_name).alias("mx")
+    ).first()
+    mn = (r["mn"] or "").encode("utf-8")
+    mx = (r["mx"] or "").encode("utf-8")
+    lcp = 0
+    while lcp < min(len(mn), len(mx)) and mn[lcp] == mx[lcp]:
+        lcp += 1
+    return F.coalesce(
+        F.conv(
+            F.hex(
+                F.rpad(
+                    F.substring(
+                        F.col(col_name).cast("binary"), lcp + 1, 8
+                    ),
+                    8,
+                    bytes([0]),
+                )
+            ),
+            16,
+            10,
+        ).cast("double"),
+        F.lit(0.0),
+    )
 
 
 def _assign_buckets(
@@ -190,16 +220,15 @@ def _assign_buckets(
     (see ``global_row_number``). Factored out so the skew property test
     can assert per-bucket mass directly."""
     lead = order_cols[0]
+    lead_proxy = _order_proxy(df, lead)  # hoisted: data-dependent, one job
     probs = [i / p for i in range(1, p)]
-    raw_cuts = df.select(_order_proxy(df, lead).alias("__q")).approxQuantile(
+    raw_cuts = df.select(lead_proxy.alias("__q")).approxQuantile(
         "__q", probs, rel_err
     )
     cuts = sorted(set(raw_cuts))
     if cuts:
         cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
-        bucket = F.size(
-            F.filter(cut_arr, lambda c: c < _order_proxy(df, lead))
-        )
+        bucket = F.size(F.filter(cut_arr, lambda c: c < lead_proxy))
     else:
         bucket = F.lit(0)
     # heavy hitters: value v repeated m times in the sketch holds
@@ -212,7 +241,8 @@ def _assign_buckets(
     sub_bucket = F.lit(0)
     if hot and len(order_cols) > 1:
         second = order_cols[1]
-        lead_d = _order_proxy(df, lead)
+        lead_d = lead_proxy
+        second_proxy = _order_proxy(df, second)
         # ONE aggregate job fits all hot values' sub-cuts (not one
         # approxQuantile call per value)
         grids = {
@@ -223,7 +253,7 @@ def _assign_buckets(
             .groupBy(lead_d.alias("__v"))
             .agg(
                 F.percentile_approx(
-                    _order_proxy(df, second),
+                    second_proxy,
                     F.array(
                         *[
                             F.lit(q)
@@ -235,7 +265,7 @@ def _assign_buckets(
             )
             .collect()
         )
-        second_d = _order_proxy(df, second)
+        second_d = second_proxy
         for r in rows:
             v = r["__v"]
             m = hot.get(v)

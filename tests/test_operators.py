@@ -1285,3 +1285,34 @@ def test_gopher_symbol_ratios_threshold_separately(spark):
         spark.createDataFrame([(0, uni)], ["doc_id", "text"]), min_words=1
     ).collect()[0]
     assert r.ellipsis_lines_ok is False
+
+
+def test_string_bucketing_spreads_shared_prefix_ids(spark):
+    """Real id schemes share a long common prefix (doc_000…); the
+    bucketing proxy must strip it and still spread the corpus across
+    buckets — not funnel everything into one — while staying exact."""
+    from pyspark.sql import Window as W
+
+    from mbfbigdatarandomforest_spark.operators.windows import (
+        _assign_buckets,
+        global_prefix_sum,
+    )
+
+    rows = [(f"document_{i:09d}", i % 7) for i in range(600)]
+    df = spark.createDataFrame(rows, "k string, w long").repartition(6)
+    bucketed = _assign_buckets(df, ["k"], 8, 0.001)
+    n_buckets = bucketed.select("__bkt").distinct().count()
+    assert n_buckets >= 4, f"shared-prefix ids funneled into {n_buckets} bucket(s)"
+
+    got = {
+        (r.k, r.prefix_sum)
+        for r in global_prefix_sum(df, ["k"], "w", num_buckets=8).collect()
+    }
+    want_df = df.withColumn(
+        "ps",
+        F.coalesce(
+            F.sum("w").over(W.orderBy("k").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    assert got == {(r.k, r.ps) for r in want_df.collect()}
