@@ -756,3 +756,71 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end curation funnel — the capstone composition: quality filter →
+# exact dedup → decontamination → mixture sampling → sequence packing,
+# reported as a per-stage (docs, tokens) funnel. Rows-only by design
+# (every stage is individually hash-gated or pytest-oracled above); its
+# pytest asserts the funnel is monotone non-increasing and every stage
+# survives non-empty. This is the query a corpus curator actually runs.
+# --------------------------------------------------------------------------
+@query("curation_funnel", tags=("pipeline", "dedup", "quality", "packing"))
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_fraction_sample
+    from ..operators.text import (
+        gopher_quality_filter,
+        pack_sequences,
+        whitespace_token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+
+    def stage(name, df):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(
+                F.sum(whitespace_token_count("text")), F.lit(0)
+            ).alias("n_tokens"),
+        )
+
+    # thresholds tuned to the synthetic word-soup corpus (≈50-token
+    # docs, tiny shared vocabulary): the POINT is driving every stage
+    # end-to-end, not reproducing web-crawl pass rates
+    quality = (
+        gopher_quality_filter(
+            corpus, min_words=20, min_stopword_hits=1, min_alpha_word_frac=0.5
+        )
+        .filter("quality_pass")
+        .select(*corpus.columns)
+    )
+    keep_ids = dd.exact_dedup(quality).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    deduped = quality.join(keep_ids, "doc_id", "left_semi")
+    clean_ids = (
+        dd.decontaminate(deduped, bench, n=5)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    clean = deduped.join(clean_ids, "doc_id", "left_semi")
+    mixed = hash_fraction_sample(clean, 0.8, key_col="doc_id")
+    manifest = pack_sequences(mixed, max_tokens=256)
+    packed = manifest.agg(
+        F.lit("5_packed_blocks").alias("stage"),
+        F.count_distinct("block_id").alias("n_docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
+    )
+    return (
+        stage("0_raw", corpus)
+        .unionAll(stage("1_quality", quality))
+        .unionAll(stage("2_exact_dedup", deduped))
+        .unionAll(stage("3_decontaminated", clean))
+        .unionAll(stage("4_mixture_sampled", mixed))
+        .unionAll(packed)
+        .orderBy("stage")
+    )

@@ -1316,3 +1316,25 @@ def test_string_bucketing_spreads_shared_prefix_ids(spark):
         ),
     )
     assert got == {(r.k, r.ps) for r in want_df.collect()}
+
+
+def test_curation_funnel_monotone(spark):
+    """The end-to-end curation funnel: doc and token counts are
+    monotone non-increasing through quality → dedup → decontamination →
+    sampling, every stage survives non-empty, and packing conserves the
+    sampled token count across full blocks."""
+    from conftest import SF_DIR_SMALL
+    from mbfbigdatarandomforest_spark.plans.llm_ops import curation_funnel
+
+    rows = {r.stage: (r.n_docs, r.n_tokens) for r in
+            curation_funnel(spark, SF_DIR_SMALL).collect()}
+    order = ["0_raw", "1_quality", "2_exact_dedup", "3_decontaminated",
+             "4_mixture_sampled"]
+    assert set(rows) == set(order) | {"5_packed_blocks"}
+    for a, b in zip(order, order[1:]):
+        assert rows[a][0] >= rows[b][0] >= 0, (a, b, rows)
+        assert rows[a][1] >= rows[b][1] >= 0, (a, b, rows)
+    assert rows["4_mixture_sampled"][0] > 0
+    n_blocks, packed_tokens = rows["5_packed_blocks"]
+    assert packed_tokens == rows["4_mixture_sampled"][1]
+    assert n_blocks == -(-packed_tokens // 256)  # ceil division
