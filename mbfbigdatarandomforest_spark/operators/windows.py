@@ -159,58 +159,33 @@ def global_prefix_sum(
     )
 
 
-def _order_proxy(df: DataFrame, col_name: str):
-    """Numeric, ordering-MONOTONE proxy of a column for quantile
-    bucketing. Numeric columns cast to double (ANSI-safe: they are
-    numeric already). Without this, ANSI mode makes ``cast(string as
-    double)`` THROW on non-numeric ids (e.g. ``pack_sequences`` over
-    URL/hash document ids) instead of bucketing them.
+def _sampled_string_cuts(
+    df: DataFrame, col_name: str, p: int, n_sample: int = 8192, seed: int = 42
+) -> list[str]:
+    """p-quantile cut points for a STRING order column from a bounded
+    driver-side sample (the `_fit_centroids_sampled` pattern: one scan,
+    ≤ ``n_sample`` strings on the driver). The cut list may repeat a
+    value — a repeat at multiple quantile positions marks a heavy
+    hitter, exactly like a repeated ``approxQuantile`` cut.
 
-    String columns: one min/max aggregate (map-side partial, one cheap
-    extra job) finds the corpus-wide longest common BYTE prefix — real
-    id schemes share most of their bytes (``doc_000…``), and a proxy
-    built on raw leading bytes would map such corpora into a single
-    bucket, recreating the one-task funnel this module exists to
-    avoid — then the 8 bytes after that prefix, zero-padded, become
-    the value. Monotone w.r.t. Spark's binary string ordering: every
-    row shares the stripped prefix (min and max bound all values), and
-    ``substring``+``rpad`` keeps byte order; the final double rounding
-    of conv() is order-preserving (ties collapse, inversions cannot
-    happen). Values sharing all 8 post-prefix bytes tie into one
-    bucket, which monotonicity allows.
-
-    Data-dependent (the prefix is computed from the frame), so callers
-    must build the expression ONCE per column and reuse it across
-    subtrees — ``_assign_buckets`` hoists it.
-    """
-    from pyspark.sql.types import StringType
-
-    if not isinstance(df.schema[col_name].dataType, StringType):
-        return F.col(col_name).cast("double")
-    r = df.agg(
-        F.min(col_name).alias("mn"), F.max(col_name).alias("mx")
-    ).first()
-    mn = (r["mn"] or "").encode("utf-8")
-    mx = (r["mx"] or "").encode("utf-8")
-    lcp = 0
-    while lcp < min(len(mn), len(mx)) and mn[lcp] == mx[lcp]:
-        lcp += 1
-    return F.coalesce(
-        F.conv(
-            F.hex(
-                F.rpad(
-                    F.substring(
-                        F.col(col_name).cast("binary"), lcp + 1, 8
-                    ),
-                    8,
-                    bytes([0]),
-                )
-            ),
-            16,
-            10,
-        ).cast("double"),
-        F.lit(0.0),
+    Correctness NEVER depends on the sample: the bucket id is a pure
+    monotone function of the row value vs these literal cuts (direct
+    string comparison — Spark orders strings by UTF-8 bytes), so a
+    stale or unlucky sample degrades bucket BALANCE, not results —
+    the same contract as the numeric quantile sketch. This also makes
+    the bucketing robust where numeric proxies are not: there is no
+    ANSI cast to throw on arbitrary ids, no shared-prefix funnel, and
+    a single outlier id merely occupies an end bucket."""
+    sampled = (
+        df.select(col_name)
+        .dropna()
+        .rdd.map(lambda r: r[0])
+        .takeSample(False, n_sample, seed)
     )
+    vals = sorted(sampled)
+    if not vals:
+        return []
+    return [vals[(i * len(vals)) // p] for i in range(1, p)]
 
 
 def _assign_buckets(
@@ -218,42 +193,64 @@ def _assign_buckets(
 ) -> DataFrame:
     """Attach ``__bkt``/``__sub`` ordering-monotone bucket columns
     (see ``global_row_number``). Factored out so the skew property test
-    can assert per-bucket mass directly."""
+    can assert per-bucket mass directly.
+
+    Numeric lead columns bucket on ``approxQuantile`` cuts; string
+    lead columns (document ids are usually strings) bucket on sampled
+    string cut points compared directly as strings — monotone for ANY
+    value by construction (see ``_sampled_string_cuts``). Rows with a
+    NULL lead value match no cut and land in bucket 0, consistent with
+    Spark's NULLS FIRST ordering."""
+    from pyspark.sql.types import StringType
+
     lead = order_cols[0]
-    lead_proxy = _order_proxy(df, lead)  # hoisted: data-dependent, one job
-    probs = [i / p for i in range(1, p)]
-    raw_cuts = df.select(lead_proxy.alias("__q")).approxQuantile(
-        "__q", probs, rel_err
-    )
+    lead_is_string = isinstance(df.schema[lead].dataType, StringType)
+    if lead_is_string:
+        lead_expr = F.col(lead)
+        raw_cuts = _sampled_string_cuts(df, lead, p)
+    else:
+        lead_expr = F.col(lead).cast("double")
+        probs = [i / p for i in range(1, p)]
+        raw_cuts = df.select(lead_expr.alias("__q")).approxQuantile(
+            "__q", probs, rel_err
+        )
     cuts = sorted(set(raw_cuts))
     if cuts:
-        cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
-        bucket = F.size(F.filter(cut_arr, lambda c: c < lead_proxy))
+        cut_arr = F.array(*[F.lit(c) for c in cuts])
+        bucket = F.size(F.filter(cut_arr, lambda c: c < lead_expr))
     else:
         bucket = F.lit(0)
-    # heavy hitters: value v repeated m times in the sketch holds
+    # heavy hitters: value v repeated m times among the cuts holds
     # ~m/p of the mass → split its rows into m+1 sub-buckets on the
     # second order column
-    hot: dict[float, int] = {}
+    hot: dict = {}
     for c in raw_cuts:
         hot[c] = hot.get(c, 0) + 1
     hot = {v: m for v, m in hot.items() if m >= 2}
     sub_bucket = F.lit(0)
-    if hot and len(order_cols) > 1:
+    second_splittable = (
+        len(order_cols) > 1
+        and not isinstance(
+            df.schema[order_cols[1]].dataType, StringType
+        )  # a string second column has no percentile grid to split on;
+        # the hot bucket then stays hot (balance fallback — exactness
+        # is unaffected, the local window still sorts fully)
+    )
+    if hot and second_splittable:
         second = order_cols[1]
-        lead_d = lead_proxy
-        second_proxy = _order_proxy(df, second)
+        lead_d = lead_expr
+        second_d = F.col(second).cast("double")
         # ONE aggregate job fits all hot values' sub-cuts (not one
         # approxQuantile call per value)
         grids = {
             v: [i / (m + 1) for i in range(1, m + 1)] for v, m in hot.items()
         }
         rows = (
-            df.filter(lead_d.isin(*[float(v) for v in hot]))
+            df.filter(lead_d.isin(*list(hot)))
             .groupBy(lead_d.alias("__v"))
             .agg(
                 F.percentile_approx(
-                    second_proxy,
+                    second_d,
                     F.array(
                         *[
                             F.lit(q)
@@ -265,7 +262,6 @@ def _assign_buckets(
             )
             .collect()
         )
-        second_d = second_proxy
         for r in rows:
             v = r["__v"]
             m = hot.get(v)
@@ -278,7 +274,7 @@ def _assign_buckets(
             )
             sub_arr = F.array(*[F.lit(float(c)) for c in sub_cuts])
             sub_bucket = F.when(
-                lead_d == F.lit(float(v)),
+                lead_d == F.lit(v),
                 F.size(F.filter(sub_arr, lambda c: c < second_d)),
             ).otherwise(sub_bucket)
     return df.withColumn("__bkt", bucket).withColumn("__sub", sub_bucket)

@@ -769,23 +769,27 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("curation_funnel", tags=("pipeline", "dedup", "quality", "packing"))
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import hash_fraction_sample
-    from ..operators.text import (
-        gopher_quality_filter,
-        pack_sequences,
-        whitespace_token_count,
-    )
+    from ..operators.text import gopher_quality_filter, pack_sequences
 
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("source") == "src0")
     corpus = docs.filter(F.col("source") != "src0")
 
+    # per-stage token counts MUST use pack_sequences' exact semantics
+    # (empty boundary tokens from tab/newline padding filtered out) or
+    # the packed-tokens == sampled-tokens invariant breaks on padded
+    # text — whitespace_token_count counts the empty boundary token
+    n_tok = F.size(
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""
+        )
+    )
+
     def stage(name, df):
         return df.agg(
             F.lit(name).alias("stage"),
             F.count(F.lit(1)).alias("n_docs"),
-            F.coalesce(
-                F.sum(whitespace_token_count("text")), F.lit(0)
-            ).alias("n_tokens"),
+            F.coalesce(F.sum(n_tok), F.lit(0)).alias("n_tokens"),
         )
 
     # thresholds tuned to the synthetic word-soup corpus (≈50-token

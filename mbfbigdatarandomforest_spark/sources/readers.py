@@ -12,6 +12,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+_SCHEMA_RULE_MSG = (
+    "engine rule: pass an explicit schema (SURVEY.md §1.3); "
+    "set infer=True only for exploration"
+)
+
+
+def _apply_options(reader, options: dict):
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader
+
 
 def read_csv(
     spark: SparkSession,
@@ -33,20 +44,16 @@ def read_csv(
       (01_DataMerge.R:44-46) — drop the malformed tail instead of
       counting rows.
     """
-    reader = (
+    reader = _apply_options(
         spark.read.option("header", header)
         .option("nullValue", null_value)
-        .option("mode", mode)
+        .option("mode", mode),
+        options,
     )
-    for k, v in options.items():
-        reader = reader.option(k, v)
     if schema is not None:
         return reader.schema(schema).csv(path)
     if not infer:
-        raise ValueError(
-            "engine rule: pass an explicit schema (SURVEY.md §1.3); "
-            "set infer=True only for exploration"
-        )
+        raise ValueError(_SCHEMA_RULE_MSG)
     return reader.option("inferSchema", True).csv(path)
 
 
@@ -70,29 +77,47 @@ def read_jsonl(
     pass), with ``infer=True`` as the documented exploration escape
     hatch.
 
-    ``quarantine=True`` (default) appends ``corrupt_col`` to the schema
-    in PERMISSIVE mode: malformed lines surface as rows whose other
-    fields are NULL and whose raw text lands in ``corrupt_col`` — the
-    same keep-and-audit posture as ``multimodal.extract_features``'s
-    decode quarantine, instead of a task-killing FAILFAST or a silent
-    DROPMALFORMED. Filter ``corrupt_col IS NOT NULL`` for the audit
-    table and ``IS NULL`` for the clean corpus.
+    ``quarantine=True`` (default; requires an explicit schema — with
+    ``infer=True`` there is no schema to append to, so the flag raises)
+    appends ``corrupt_col`` to the schema in PERMISSIVE mode: malformed
+    lines surface as rows whose other fields are NULL and whose raw
+    text lands in ``corrupt_col`` — the same keep-and-audit posture as
+    ``multimodal.extract_features``'s decode quarantine, instead of a
+    task-killing FAILFAST or a silent DROPMALFORMED. Passing a
+    ``mode=`` option alongside ``quarantine=True`` is a contradiction
+    and raises; pass ``quarantine=False`` to control the mode yourself.
+
+    Spark restriction worth knowing (SPARK docs, "referencing the
+    internal corrupt record column"): a query that references ONLY
+    ``corrupt_col`` (e.g. ``.filter(f"{{corrupt_col}} IS NOT NULL")
+    .count()``) throws ``[UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_
+    RECORD_COLUMN]`` because pruning leaves nothing but the internal
+    column — ``.cache()`` the frame (as the tests do) or keep at least
+    one data column in the query before corrupt-only aggregations.
     """
-    reader = spark.read
-    for k, v in options.items():
-        reader = reader.option(k, v)
     if schema is None:
         if not infer:
+            raise ValueError(_SCHEMA_RULE_MSG)
+        if quarantine:
             raise ValueError(
-                "engine rule: pass an explicit schema (SURVEY.md §1.3); "
-                "set infer=True only for exploration"
+                "read_jsonl: quarantine needs an explicit schema to "
+                "append the corrupt column to; pass quarantine=False "
+                "with infer=True"
             )
-        return reader.json(path)
+        return _apply_options(spark.read, options).json(path)
     if quarantine:
+        if "mode" in options and options["mode"] != "PERMISSIVE":
+            raise ValueError(
+                f"read_jsonl: mode={options['mode']!r} contradicts "
+                "quarantine=True (quarantine IS PERMISSIVE mode); pass "
+                "quarantine=False to choose the mode yourself"
+            )
         from pyspark.sql.types import StringType
 
         schema = StructType(schema.fields[:]).add(corrupt_col, StringType())
-        reader = reader.option("mode", "PERMISSIVE").option(
-            "columnNameOfCorruptRecord", corrupt_col
-        )
-    return reader.schema(schema).json(path)
+        options = {
+            **options,
+            "mode": "PERMISSIVE",
+            "columnNameOfCorruptRecord": corrupt_col,
+        }
+    return _apply_options(spark.read, options).schema(schema).json(path)

@@ -171,3 +171,27 @@ def test_write_jsonl_roundtrip(spark, tmp_path):
         (2, 'quote " and \n newline'),
         (3, None),
     }
+
+
+def test_read_jsonl_option_contradictions_raise(spark, tmp_path):
+    """quarantine=True contradicts an explicit non-PERMISSIVE mode and
+    requires an explicit schema — both misuses raise instead of
+    silently overriding the caller."""
+    import pytest as _pt
+    from pyspark.sql.types import LongType, StructType
+
+    from mbfbigdatarandomforest_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "d.jsonl"
+    p.write_text('{"doc_id": 1}\n')
+    schema = StructType().add("doc_id", LongType())
+    with _pt.raises(ValueError, match="contradicts"):
+        read_jsonl(spark, str(p), schema, mode="FAILFAST")
+    with _pt.raises(ValueError, match="explicit schema"):
+        read_jsonl(spark, str(p), infer=True)
+    # quarantine=False + caller mode is respected (FAILFAST on clean
+    # data succeeds)
+    df = read_jsonl(
+        spark, str(p), schema, quarantine=False, mode="FAILFAST"
+    )
+    assert df.count() == 1 and "_corrupt_record" not in df.columns

@@ -1338,3 +1338,35 @@ def test_curation_funnel_monotone(spark):
     n_blocks, packed_tokens = rows["5_packed_blocks"]
     assert packed_tokens == rows["4_mixture_sampled"][1]
     assert n_blocks == -(-packed_tokens // 256)  # ceil division
+
+
+def test_string_bucketing_robust_to_outlier_id(spark):
+    """A single id from a different scheme must not collapse the main
+    id population into one bucket (the sampled-string-cuts design:
+    outliers merely occupy an end bucket), and the prefix sum stays
+    exact with the outlier present."""
+    from pyspark.sql import Window as W
+
+    from mbfbigdatarandomforest_spark.operators.windows import (
+        _assign_buckets,
+        global_prefix_sum,
+    )
+
+    rows = [(f"doc_{i:09d}", i % 5) for i in range(600)] + [("zzz_outlier", 3)]
+    df = spark.createDataFrame(rows, "k string, w long").repartition(6)
+    bucketed = _assign_buckets(df, ["k"], 8, 0.001)
+    n_buckets = bucketed.select("__bkt").distinct().count()
+    assert n_buckets >= 4, f"outlier collapsed bucketing to {n_buckets}"
+
+    got = {
+        (r.k, r.prefix_sum)
+        for r in global_prefix_sum(df, ["k"], "w", num_buckets=8).collect()
+    }
+    want_df = df.withColumn(
+        "ps",
+        F.coalesce(
+            F.sum("w").over(W.orderBy("k").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    assert got == {(r.k, r.ps) for r in want_df.collect()}
