@@ -144,3 +144,45 @@ def stratified_quota_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic multi-way corpus split (train/val/test): each row's
+    md5(salt||key) hex prefix selects the first split whose cumulative
+    weight boundary exceeds it. The assignment is a pure row-local
+    function of the key — stable across engines, cluster sizes,
+    partitionings, and reruns — which is what ``randomSplit`` cannot
+    promise (its sampling is per-partition) and what makes held-out
+    sets trustworthy under corpus growth: a row's split NEVER changes
+    when other rows are added or removed.
+
+    Weights must be positive and sum to ~1 (validated to 1e-9).
+    Boundaries quantize at 2^-32 like :func:`hash_fraction_sample`.
+    Zero shuffle: one appended column; filters on it push to the scan.
+    Split order follows the dict's insertion order (cumulative ranges).
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive, got {weights}")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    prefix = F.substring(_hash_key(key_col, salt), 1, 8)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        bound = F.lit(format(min(int(cum * (1 << 32)), (1 << 32) - 1), "08x"))
+        cond = prefix < bound
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

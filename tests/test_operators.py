@@ -1370,3 +1370,51 @@ def test_string_bucketing_robust_to_outlier_id(spark):
         ),
     )
     assert got == {(r.k, r.ps) for r in want_df.collect()}
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    """hash_split: assignment is a pure function of the key — invariant
+    to partitioning AND to corpus growth (held-out contracts survive
+    adding data); the first split's membership is exactly
+    hash_fraction_sample at the same weight; proportions land within a
+    5-sigma binomial envelope; bad weights raise."""
+    import math
+
+    import pytest as _pt
+
+    from mbfbigdatarandomforest_spark.operators.sampling import (
+        hash_fraction_sample,
+        hash_split,
+    )
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    df = spark.createDataFrame(
+        [(i,) for i in range(4000)], "doc_id long"
+    )
+    got = {r.doc_id: r.split for r in hash_split(df, w, "doc_id").collect()}
+    # partitioning invariance
+    got11 = {
+        r.doc_id: r.split
+        for r in hash_split(df.repartition(11), w, "doc_id").collect()
+    }
+    assert got == got11
+    # growth stability: a 10x corpus assigns the original keys identically
+    big = spark.createDataFrame([(i,) for i in range(40000)], "doc_id long")
+    got_big = {r.doc_id: r.split for r in hash_split(big, w, "doc_id").collect()}
+    assert all(got_big[k] == v for k, v in got.items())
+    # first-split membership == hash_fraction_sample(0.8)
+    frac = {r.doc_id for r in hash_fraction_sample(df, 0.8, "doc_id").collect()}
+    assert {k for k, v in got.items() if v == "train"} == frac
+    # proportions within 5 sigma
+    n = len(got)
+    for name, weight in w.items():
+        cnt = sum(1 for v in got.values() if v == name)
+        sigma = math.sqrt(weight * (1 - weight) * n)
+        assert abs(cnt - weight * n) <= 5 * sigma, (name, cnt)
+    # every row assigned, exactly the three labels
+    assert set(got.values()) == set(w)
+
+    with _pt.raises(ValueError, match="sum to 1"):
+        hash_split(df, {"a": 0.5, "b": 0.6}, "doc_id")
+    with _pt.raises(ValueError, match="positive"):
+        hash_split(df, {"a": 1.5, "b": -0.5}, "doc_id")
