@@ -691,6 +691,53 @@ def span_dedup(
 
     Returns (id_col, text_col, n_tokens_kept, n_tokens_dropped).
     """
+    base, grams = _span_frames(corpus, text_col, id_col, n)
+    over = (
+        grams.groupBy("__h1", "__h2")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("__h1", "__h2")
+    )
+    flagged = grams.join(over, ["__h1", "__h2"], "left_semi")
+    return _rebuild_minus_covered(base, flagged, text_col, id_col, n)
+
+
+def intra_span_dedup(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    max_occurrences: int = 1,
+) -> DataFrame:
+    """WITHIN-document repeated-span removal: occurrences of a token
+    n-gram beyond the first ``max_occurrences`` in the SAME document
+    are dropped (the intra-document repetition scrub — looping
+    generation artifacts, templated sections, chat transcripts stuck
+    repeating). Cross-document frequency is :func:`span_dedup`'s job;
+    the two compose.
+
+    100 TB shape: the only stateful step is a ``row_number`` window
+    partitioned by (document, gram hash) — state bounded by a single
+    document's grams, never a global window — and the covered-position
+    fan-out is bounded by the repetition actually removed. Same NULL
+    and rebuild contract as ``span_dedup``.
+
+    Returns (id_col, text_col, n_tokens_kept, n_tokens_dropped).
+    """
+    from pyspark.sql import Window
+
+    base, grams = _span_frames(corpus, text_col, id_col, n)
+    w = Window.partitionBy(id_col, "__h1", "__h2").orderBy("__pos")
+    flagged = grams.withColumn("__occ", F.row_number().over(w)).filter(
+        F.col("__occ") > max_occurrences
+    )
+    return _rebuild_minus_covered(base, flagged, text_col, id_col, n)
+
+
+def _span_frames(corpus, text_col: str, id_col: str, n: int):
+    """Shared head of the span-removal operators: (base frame with the
+    token array, gram frame with start position + 128-bit hash pair —
+    gram strings never ride an exchange). NULL text ≡ empty document."""
     base = _widen(corpus.select(id_col, text_col)).select(
         id_col,
         _tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"),
@@ -706,22 +753,22 @@ def span_dedup(
         F.xxhash64("__gram").alias("__h1"),
         F.xxhash64(F.lit(1), F.col("__gram")).alias("__h2"),
     )
-    over = (
-        grams.groupBy("__h1", "__h2")
-        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
-        .filter(F.col("__df") > max_doc_freq)
-        .select("__h1", "__h2")
-    )
-    covered = (
-        grams.join(over, ["__h1", "__h2"], "left_semi")
-        .select(
-            id_col,
-            F.explode(
-                F.sequence(F.col("__pos"), F.col("__pos") + F.lit(n - 1))
-            ).alias("__cov"),
-        )
-        .distinct()
-    )
+    return base, grams
+
+
+def _rebuild_minus_covered(
+    base, flagged, text_col: str, id_col: str, n: int
+):
+    """Shared tail of the span-removal operators: expand flagged gram
+    starts to covered token positions, anti-join the token stream, and
+    rebuild each document in original order with kept/dropped counts
+    (rows with nothing left survive as empty text, never vanish)."""
+    covered = flagged.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("__pos"), F.col("__pos") + F.lit(n - 1))
+        ).alias("__cov"),
+    ).distinct()
     tokens = base.select(
         id_col, F.posexplode("__toks").alias("__cov", "__tok")
     )

@@ -1418,3 +1418,54 @@ def test_hash_split_deterministic_and_stable(spark):
         hash_split(df, {"a": 0.5, "b": 0.6}, "doc_id")
     with _pt.raises(ValueError, match="positive"):
         hash_split(df, {"a": 1.5, "b": -0.5}, "doc_id")
+
+
+def test_intra_span_dedup_matches_pure_python(spark):
+    """Within-doc repeated spans beyond max_occurrences are dropped
+    (first occurrence kept), other docs untouched; overlapping
+    self-repeats collapse; cross-doc repeats are NOT this operator's
+    concern."""
+    from mbfbigdatarandomforest_spark.operators.dedup import (
+        intra_span_dedup,
+        span_dedup,
+    )
+
+    n = 3
+    docs = [
+        (0, "x y z a b x y z c d x y z"),  # "x y z" three times
+        (1, "p q r s t u"),                # no repeats
+        (2, "x y z only once here"),       # cross-doc repeat only
+        (3, "a a a a a"),                  # overlapping self-repeat
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.text, r.n_tokens_kept, r.n_tokens_dropped)
+        for r in intra_span_dedup(df, n=n, max_occurrences=1).collect()
+    }
+
+    want = {}
+    for i, t in docs:
+        tk = t.lower().split()
+        seen: dict = {}
+        cov: set = set()
+        for j in range(len(tk) - n + 1):
+            g = tuple(tk[j : j + n])
+            seen[g] = seen.get(g, 0) + 1
+            if seen[g] > 1:
+                cov.update(range(j, j + n))
+        kept = [tok for p, tok in enumerate(tk) if p not in cov]
+        want[i] = (" ".join(kept), len(kept), len(tk) - len(cov) - len(kept) + len(cov))
+    want = {
+        i: (txt, k, len(docs[i][1].lower().split()) - k)
+        for i, (txt, k, _) in want.items()
+    }
+    assert got == want
+    # doc 0 keeps its first "x y z", doc 2 is untouched
+    assert got[0][0].startswith("x y z a b")
+    assert "x y z" not in got[0][0][5:]
+    assert got[2] == ("x y z only once here", 6, 0)
+    # composition: intra then cross-doc span dedup runs clean
+    composed = span_dedup(
+        intra_span_dedup(df, n=n).select("doc_id", "text"), n=n
+    ).collect()
+    assert len(composed) == len(docs)
