@@ -748,3 +748,61 @@ def embedding_centroids(
             F.max("n").alias("n"),
         )
     )
+
+
+def cluster_embeddings(
+    corpus: DataFrame,
+    k: int = 16,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    max_iter: int = 20,
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Corpus clustering for curation analytics — the building block of
+    cluster-balanced sampling and SemDeDup-style curation (Abbas et al.
+    2023): FAISS-style sampled driver-side Lloyd fit
+    (``_fit_centroids_sampled`` — deterministic across sessions and
+    partitionings) followed by ONE fully distributed vectorized
+    assignment pass.
+
+    Returns the narrow frame (id_col, out_col) — wide vectors never
+    ride a join; callers join assignments back by id where needed.
+    Assignment is squared-L2 argmin against the fitted centroids, the
+    same metric as the fit, with ties to the lower cluster id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    centroids = _fit_centroids_sampled(
+        corpus, vec_col=vec_col, id_col=id_col, k=k, seed=seed,
+        max_iter=max_iter,
+    )
+    c_sq = (centroids * centroids).sum(axis=1)
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(pdf["v"].tolist(), dtype=np.float64)
+            d2 = (
+                (vecs * vecs).sum(axis=1)[:, None]
+                - 2.0 * (vecs @ centroids.T)
+                + c_sq[None, :]
+            )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    out_col: d2.argmin(axis=1).astype("int32"),
+                }
+            )
+
+    return (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+        .mapInPandas(_assign, schema=f"id long, {out_col} int")
+        .withColumnRenamed("id", id_col)
+    )

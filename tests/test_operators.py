@@ -1469,3 +1469,38 @@ def test_intra_span_dedup_matches_pure_python(spark):
         intra_span_dedup(df, n=n).select("doc_id", "text"), n=n
     ).collect()
     assert len(composed) == len(docs)
+
+
+def test_cluster_embeddings_deterministic_and_correct(spark):
+    """cluster_embeddings: every vector lands on its true L2-argmin
+    centroid (checked vs numpy with the same deterministic fit), the
+    assignment is invariant to repartitioning, and cluster ids stay in
+    [0, k)."""
+    import numpy as np
+    from conftest import SF_DIR_SMALL
+    from mbfbigdatarandomforest_spark.operators.similarity import (
+        _fit_centroids_sampled,
+        cluster_embeddings,
+    )
+    from mbfbigdatarandomforest_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR_SMALL, "embeddings")
+    got = {
+        r.vec_id: r.cluster
+        for r in cluster_embeddings(emb, k=8, max_iter=8).collect()
+    }
+    got2 = {
+        r.vec_id: r.cluster
+        for r in cluster_embeddings(emb.repartition(7), k=8, max_iter=8).collect()
+    }
+    assert got == got2
+    assert set(got.values()) <= set(range(8))
+
+    cent = _fit_centroids_sampled(
+        emb, vec_col="embedding", id_col="vec_id", k=8, seed=42, max_iter=8
+    )
+    rows = emb.select("vec_id", "embedding").collect()
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        d2 = ((cent - v) ** 2).sum(axis=1)
+        assert got[r.vec_id] == int(d2.argmin()), r.vec_id
