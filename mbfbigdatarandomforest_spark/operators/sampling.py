@@ -166,6 +166,11 @@ def hash_split(
     Boundaries quantize at 2^-32 like :func:`hash_fraction_sample`.
     Zero shuffle: one appended column; filters on it push to the scan.
     Split order follows the dict's insertion order (cumulative ranges).
+
+    Rows with a NULL key get a NULL split — a NULL cannot be
+    deterministically assigned, and silently routing it into the last
+    split would contaminate the held-out set. Filter or fill NULL keys
+    first; the NULL-split rows stay visible for auditing.
     """
     if not weights:
         raise ValueError("weights must be non-empty")
@@ -185,4 +190,8 @@ def hash_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
-    return df.withColumn(split_col, expr)
+    # NULL keys hash to NULL: every `<` above is NULL and the chain
+    # would fall through to the LAST split — gate explicitly instead
+    return df.withColumn(
+        split_col, F.when(F.col(key_col).isNotNull(), expr)
+    )

@@ -108,10 +108,9 @@ def cosine_topk(
                     }
                 )
 
-        scored = corpus.select(
-            F.col(id_col).alias("id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-        ).mapInPandas(_score, schema=out_schema)
+        scored = _narrow_vectors(corpus, id_col, vec_col).mapInPandas(
+            _score, schema=out_schema
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
@@ -170,6 +169,28 @@ def _seq_norm(vecs):
     return np.sqrt(acc)
 
 
+def _narrow_vectors(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """The (id, v float64-array) projection every vectorized kernel
+    consumes — shared so NULL handling and casting cannot drift between
+    the ANN, clustering, and scoring passes."""
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def _sq_dists(x, cent, c_sq=None):
+    """Squared L2 distances (n, k) via the expansion form
+    ``||x||² − 2x·c + ||c||²`` — ONE formula shared by the Lloyd fit
+    and every assignment pass so argmin ties cannot disagree between
+    them (the subtract-then-square form rounds differently)."""
+    import numpy as np
+
+    if c_sq is None:
+        c_sq = (cent * cent).sum(axis=1)
+    return (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cent.T) + c_sq[None, :]
+
+
 def _fit_centroids_sampled(
     corpus: DataFrame,
     *,
@@ -196,23 +217,31 @@ def _fit_centroids_sampled(
 
     rows = (
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .where(F.col(vec_col).isNotNull())
         .orderBy("id")
         .limit(sample_cap)
         .collect()
     )
-    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    # quarantine contract: NULLs are filtered Spark-side above; ragged
+    # or non-finite vectors are dropped from the fit sample here (the
+    # assignment pass marks them cluster −1)
+    vals = [r["v"] for r in rows if r["v"] is not None]
+    dims = [len(v) for v in vals]
+    dim = max(set(dims), key=dims.count) if dims else 0
+    x = np.array(
+        [v for v in vals if len(v) == dim and None not in v],
+        dtype=np.float64,
+    )
+    x = x[np.isfinite(x).all(axis=1)]
     n = x.shape[0]
     k = min(k, n)
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(n, size=k, replace=False)].copy()
-    x_sq = (x * x).sum(axis=1)
     for _ in range(max_iter):
-        # ||x−c||² = ||x||² − 2x·c + ||c||² keeps the distance matrix at
-        # (n, k) — the broadcasted (n, k, dim) difference tensor would be
-        # ~500 MB at the default sample cap
-        d2 = (
-            x_sq[:, None] - 2.0 * (x @ cent.T) + (cent * cent).sum(axis=1)[None, :]
-        )
+        # expansion form keeps the distance matrix at (n, k) — the
+        # broadcasted (n, k, dim) difference tensor would be ~500 MB at
+        # the default sample cap
+        d2 = _sq_dists(x, cent)
         assign = d2.argmin(axis=1)
         new = np.empty_like(cent)
         for c in range(k):
@@ -301,10 +330,9 @@ def ann_dup_pairs(
                 }
             )
 
-    routed = corpus.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).mapInPandas(_route, schema=route_schema)
+    routed = _narrow_vectors(corpus, id_col, vec_col).mapInPandas(
+        _route, schema=route_schema
+    )
 
     # ---- pass 2 (one shuffle on the cell id): cell-local verify via
     # vectorized dot products. A pair is a candidate when either
@@ -769,8 +797,12 @@ def cluster_embeddings(
 
     Returns the narrow frame (id_col, out_col) — wide vectors never
     ride a join; callers join assignments back by id where needed.
-    Assignment is squared-L2 argmin against the fitted centroids, the
-    same metric as the fit, with ties to the lower cluster id.
+    Assignment is squared-L2 argmin against the fitted centroids via
+    the SAME expansion-form distance as the fit (``_sq_dists``), with
+    ties to the lower cluster id. A NULL, wrong-dimension, or
+    non-finite embedding gets cluster −1 instead of killing the task —
+    the quarantine convention (never a lost row); filter ``< 0``
+    downstream for the audit table.
     """
     import numpy as np
     import pandas as pd
@@ -780,29 +812,34 @@ def cluster_embeddings(
         max_iter=max_iter,
     )
     c_sq = (centroids * centroids).sum(axis=1)
+    dim = centroids.shape[1]
 
     def _assign(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            vecs = np.array(pdf["v"].tolist(), dtype=np.float64)
-            d2 = (
-                (vecs * vecs).sum(axis=1)[:, None]
-                - 2.0 * (vecs @ centroids.T)
-                + c_sq[None, :]
-            )
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"],
-                    out_col: d2.argmin(axis=1).astype("int32"),
-                }
-            )
+            raw = pdf["v"].tolist()
+            out = np.full(len(raw), -1, dtype="int32")
+            valid_idx = [
+                i
+                for i, v in enumerate(raw)
+                if v is not None
+                and len(v) == dim
+                and not any(e is None for e in v)
+            ]
+            if valid_idx:
+                vecs = np.array(
+                    [raw[i] for i in valid_idx], dtype=np.float64
+                )
+                finite = np.isfinite(vecs).all(axis=1)
+                if finite.any():
+                    d2 = _sq_dists(vecs[finite], centroids, c_sq)
+                    keep = np.array(valid_idx)[finite]
+                    out[keep] = d2.argmin(axis=1).astype("int32")
+            yield pd.DataFrame({"id": pdf["id"], out_col: out})
 
     return (
-        corpus.select(
-            F.col(id_col).alias("id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-        )
+        _narrow_vectors(corpus, id_col, vec_col)
         .mapInPandas(_assign, schema=f"id long, {out_col} int")
         .withColumnRenamed("id", id_col)
     )
