@@ -835,3 +835,37 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(packed)
         .orderBy("stage")
     )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style bigram-LM perplexity bucketing (rows-only: ln() is not
+# bit-portable across engines — pytest carries the DuckDB twin with a
+# 1e-9 relative tolerance plus an exact hand oracle; integer stats
+# compare bit-exact there).
+# --------------------------------------------------------------------------
+@query("text_lm_perplexity", tags=("text", "quality", "lm", "ccnet"))
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train an add-1 bigram LM on the English documents (the trusted
+    "target corpus" in CCNet terms), score every document's
+    cross-entropy under it, and split the corpus into head/middle/tail
+    perplexity buckets — the published CCNet quality-filtering design
+    (Wenzek et al. 2019 §4.3) with the LM stage re-expressed as bounded
+    DataFrame aggregates (see operators/ngram_lm.py)."""
+    from ..operators import ngram_lm as lm_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = lm_ops.train_bigram_lm(
+        docs.filter(F.col("lang") == "en"), vocab_size=50_000
+    )
+    scored = lm_ops.score_cross_entropy(lm, docs)
+    return (
+        lm_ops.perplexity_buckets(scored)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_oov",
+            F.round("cross_entropy", 6).alias("cross_entropy_6"),
+            "bucket",
+        )
+        .orderBy("doc_id")
+    )

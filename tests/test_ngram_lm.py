@@ -1,0 +1,171 @@
+"""CCNet-style bigram-LM quality scoring (operators/ngram_lm.py).
+
+Evidence layers:
+- exact hand oracle on a 3-doc corpus (probabilities computed on paper);
+- full DuckDB twin of the registered `text_lm_perplexity` pipeline at
+  SF_DIR_ORACLE — integer stats bit-exact, cross-entropy at 1e-9
+  relative tolerance (ln() is not bit-portable across JVM/C runtimes,
+  which is exactly why the registered query is rows-only);
+- bucket-assignment behavior (balanced terciles, NULL → tail,
+  monotone w.r.t. perplexity).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR_ORACLE
+from mbfbigdatarandomforest_spark.operators import ngram_lm as lm_ops
+
+REL_TOL = 1e-9
+
+_LM_TWIN_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(
+           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+           t -> t != ''
+         ) AS tk
+  FROM documents
+), uni AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT UNNEST(tk) AS w FROM toks WHERE lang = 'en')
+  GROUP BY 1
+), vocab AS (
+  SELECT w FROM uni ORDER BY c DESC, w ASC LIMIT 50000
+), vsize AS (
+  SELECT COUNT(*) + 1 AS v FROM vocab
+), pairs AS (
+  SELECT doc_id, lang,
+         UNNEST(list_transform(
+           range(1, len(tk) + 1),
+           i -> struct_pack(
+             w1 := CASE WHEN i = 1 THEN chr(2) ELSE tk[i - 1] END,
+             w2 := tk[i]
+           )
+         )) AS p
+  FROM toks
+), mapped AS (
+  SELECT doc_id, lang,
+         CASE WHEN p.w1 = chr(2) OR p.w1 IN (SELECT w FROM vocab)
+              THEN p.w1 ELSE chr(1) || 'unk' END AS w1,
+         CASE WHEN p.w2 IN (SELECT w FROM vocab)
+              THEN p.w2 ELSE chr(1) || 'unk' END AS w2,
+         CASE WHEN p.w2 IN (SELECT w FROM vocab) THEN 0 ELSE 1 END AS is_oov
+  FROM pairs
+), big AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM mapped WHERE lang = 'en' GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, SUM(c12) AS c1 FROM big GROUP BY 1
+), scored AS (
+  SELECT m.doc_id, m.is_oov,
+         ln((COALESCE(b.c12, 0) + 1.0)
+            / (COALESCE(c.c1, 0) + 1.0 * (SELECT v FROM vsize))) AS logp
+  FROM mapped m
+  LEFT JOIN big b ON m.w1 = b.w1 AND m.w2 = b.w2
+  LEFT JOIN ctx c ON m.w1 = c.w1
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(is_oov) AS n_oov,
+         -AVG(logp) AS cross_entropy
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       COALESCE(a.n_oov, 0)     AS n_oov,
+       a.cross_entropy
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def test_lm_hand_oracle(spark):
+    """Corpus 'a b a': vocab {a,b}, V=3, every observed bigram count 1,
+    every context count 1 → each p = (1+1)/(1+3) = 1/2, ce = ln 2.
+    Doc 3 ('z z'): both targets OOV; (BOS,unk) and (unk,unk) unseen →
+    p = 1/(1+3) and 1/3 (ctx unseen → 0+V)."""
+    tiny = spark.createDataFrame(
+        [(1, "a b a"), (2, "   "), (3, "z z")], "doc_id long, text string"
+    )
+    lm = lm_ops.train_bigram_lm(tiny.filter("doc_id = 1"))
+    assert lm.v == 3  # {a, b} + UNK
+    rows = {
+        r["doc_id"]: r
+        for r in lm_ops.score_cross_entropy(lm, tiny).collect()
+    }
+    assert rows[1]["n_bigrams"] == 3 and rows[1]["n_oov"] == 0
+    assert rows[1]["cross_entropy"] == pytest.approx(math.log(2), rel=1e-12)
+    assert rows[1]["perplexity"] == pytest.approx(2.0, rel=1e-12)
+    assert rows[2]["n_bigrams"] == 0 and rows[2]["cross_entropy"] is None
+    assert rows[3]["n_bigrams"] == 2 and rows[3]["n_oov"] == 2
+    # (BOS, unk): c12=0, c1(BOS)=1 → 1/4 ; (unk, unk): c12=0, c1=0 → 1/3
+    expected = -(math.log(1 / 4) + math.log(1 / 3)) / 2
+    assert rows[3]["cross_entropy"] == pytest.approx(expected, rel=1e-12)
+
+
+def test_lm_duckdb_twin_parity(spark, duck):
+    """The registered pipeline vs an independent DuckDB implementation
+    of the same model at SF_DIR_ORACLE: integer stats exact,
+    cross-entropy within float-ln tolerance."""
+    docs = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+    lm = lm_ops.train_bigram_lm(docs.filter(F.col("lang") == "en"), vocab_size=50_000)
+    got = {
+        r["doc_id"]: r
+        for r in lm_ops.score_cross_entropy(lm, docs).collect()
+    }
+    want = duck.sql(_LM_TWIN_SQL).fetchall()
+    assert len(want) == len(got)
+    for doc_id, n_bigrams, n_oov, ce in want:
+        g = got[doc_id]
+        assert g["n_bigrams"] == n_bigrams, doc_id
+        assert g["n_oov"] == n_oov, doc_id
+        if ce is None:
+            assert g["cross_entropy"] is None, doc_id
+        else:
+            assert g["cross_entropy"] == pytest.approx(ce, rel=REL_TOL), doc_id
+
+
+def test_perplexity_buckets_behavior(spark):
+    docs = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+    lm = lm_ops.train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    scored = lm_ops.score_cross_entropy(lm, docs)
+    out = lm_ops.perplexity_buckets(scored).collect()
+    n = len(out)
+    sizes = {b: sum(1 for r in out if r["bucket"] == b) for b in ("head", "middle", "tail")}
+    assert sum(sizes.values()) == n
+    # terciles of a continuous score: each bucket within ±2 of n/3
+    for b, s in sizes.items():
+        assert abs(s - n / 3) <= 2, (b, s, n)
+    # monotone: every head perplexity <= every middle <= every tail
+    head = [r["perplexity"] for r in out if r["bucket"] == "head"]
+    mid = [r["perplexity"] for r in out if r["bucket"] == "middle"]
+    tail = [r["perplexity"] for r in out if r["bucket"] == "tail" and r["perplexity"] is not None]
+    assert max(head) <= min(mid) and max(mid) <= min(tail)
+
+
+def test_buckets_null_goes_to_tail(spark):
+    tiny = spark.createDataFrame(
+        [(1, "a b a b"), (2, ""), (3, "a a a")], "doc_id long, text string"
+    )
+    lm = lm_ops.train_bigram_lm(tiny)
+    out = {
+        r["doc_id"]: r["bucket"]
+        for r in lm_ops.perplexity_buckets(
+            lm_ops.score_cross_entropy(lm, tiny)
+        ).collect()
+    }
+    assert out[2] == "tail"
+
+
+def test_registered_query_runs(spark):
+    from mbfbigdatarandomforest_spark.registry import load_all
+
+    spec = load_all()["text_lm_perplexity"]
+    df = spec.fn(spark, SF_DIR_ORACLE)
+    rows = df.collect()
+    docs_n = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet").count()
+    assert len(rows) == docs_n
+    assert df.columns == ["doc_id", "n_bigrams", "n_oov", "cross_entropy_6", "bucket"]
