@@ -1,0 +1,240 @@
+"""Byte-pair-encoding tokenizer training and encoding at corpus scale.
+
+The reference estimates token counts with a regex proxy
+(``text.bpe_ish_token_count``); this module trains a REAL BPE vocabulary
+(Sennrich et al., "Neural Machine Translation of Rare Words with Subword
+Units", 2016) with the architecture every production tokenizer trainer
+uses on large corpora (HuggingFace tokenizers, SentencePiece):
+
+1. **Distributed word counting** — the only corpus-scale stage. One
+   regex pre-tokenization (JVM codegen, same ``[A-Za-z]+|[0-9]+|punct``
+   splitter as ``text.BPE_ISH_PATTERN``), one explode, one map-side-
+   combined ``groupBy(word)``. 100 TB of text collapses to a
+   language-bounded (word, count) table.
+2. **Merge learning on the bounded count table** — the merge loop is a
+   function of word *counts*, not word *occurrences*, so it runs
+   driver-local over ≤ ``max_words`` rows (top-count cap, deterministic
+   count-desc/word-asc tiebreak). Incremental pair-count maintenance:
+   each merge touches only the words containing the merged pair
+   (inverted index), not the whole vocabulary — O(affected words) per
+   merge. A from-scratch naive recount implementation serves as the
+   pytest oracle.
+3. **Distributed encoding via the vocabulary, not the corpus** — to
+   tokenize the corpus, encode each DISTINCT word once (Arrow-batched
+   pandas UDF over the bounded distinct-word frame, merge ranks
+   broadcast) and join the (word → n_tokens/tokens) table back to the
+   exploded corpus. Python work is O(|vocab|); the corpus itself only
+   pays JVM explode + join + re-aggregate.
+
+Merge selection is deterministic: highest pair count, ties broken by
+lexicographically smallest pair — so the learned vocabulary is
+independent of partitioning and engine, and two runs over the same
+corpus produce identical merges (pytest-pinned).
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .text import BPE_ISH_PATTERN
+
+#: End-of-word sentinel symbol (cannot collide with pre-tokenizer output:
+#: words never contain whitespace or mixed letter/punct runs).
+EOW = "</w>"
+
+
+def word_counts(
+    df: DataFrame, text_col: str = "text", max_words: int | None = 200_000
+) -> DataFrame:
+    """(word, c) counts of pre-tokenized words — the corpus-scale stage.
+
+    ``max_words`` caps the table the merge loop sees (count desc, word
+    asc — deterministic). ``None`` keeps every distinct word. The cap
+    trades tail-word fidelity for a bounded driver table, exactly like
+    production trainers' ``vocab_size``/min-frequency knobs; dropped
+    words still encode fine later (they fall back to character pieces).
+    """
+    words = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(text_col), F.lit(BPE_ISH_PATTERN), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if max_words is not None:
+        words = words.orderBy(F.col("c").desc(), F.col("word").asc()).limit(max_words)
+    return words
+
+
+def _merge_seq(seq: tuple[str, ...], pair: tuple[str, str], new: str) -> tuple[str, ...]:
+    """Merge all left-to-right non-overlapping occurrences of ``pair``."""
+    out: list[str] = []
+    i, n = 0, len(seq)
+    a, b = pair
+    while i < n:
+        if i + 1 < n and seq[i] == a and seq[i + 1] == b:
+            out.append(new)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return tuple(out)
+
+
+def learn_bpe(
+    counts: list[tuple[str, int]], num_merges: int
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from (word, count) rows.
+
+    Driver-local by design — the input is the BOUNDED output of
+    ``word_counts`` (see module docstring). Incremental: pair counts
+    and a pair → word-ids inverted index are maintained across merges,
+    so each iteration costs O(words containing the chosen pair), not
+    O(vocabulary). Determinism: max count, then lexicographically
+    smallest pair.
+    """
+    seqs: list[tuple[str, ...]] = []
+    wcount: list[int] = []
+    for w, c in counts:
+        if not w:
+            continue
+        seqs.append(tuple(w) + (EOW,))
+        wcount.append(int(c))
+
+    pair_counts: Counter = Counter()
+    index: defaultdict[tuple[str, str], set[int]] = defaultdict(set)
+    for wid, seq in enumerate(seqs):
+        c = wcount[wid]
+        for p in zip(seq, seq[1:]):
+            pair_counts[p] += c
+            index[p].add(wid)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_counts[best] <= 0:
+            break
+        merges.append(best)
+        new_sym = best[0] + best[1]
+        for wid in list(index[best]):
+            seq, c = seqs[wid], wcount[wid]
+            for p in zip(seq, seq[1:]):
+                pair_counts[p] -= c
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                index[p].discard(wid)
+            seq = _merge_seq(seq, best, new_sym)
+            seqs[wid] = seq
+            for p in zip(seq, seq[1:]):
+                pair_counts[p] += c
+                index[p].add(wid)
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode one word by applying learned merges in rank order (the
+    standard greedy BPE encode: repeatedly merge every occurrence of
+    the lowest-ranked adjacent pair present)."""
+    if not word:
+        return []
+    syms: tuple[str, ...] = tuple(word) + (EOW,)
+    while len(syms) > 1:
+        best_rank, best_pair = None, None
+        for p in zip(syms, syms[1:]):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, p
+        if best_pair is None:
+            break
+        syms = _merge_seq(syms, best_pair, best_pair[0] + best_pair[1])
+    return list(syms)
+
+
+_ENCODED_SCHEMA = StructType(
+    [
+        StructField("word", StringType()),
+        StructField("tokens", ArrayType(StringType())),
+        StructField("n_tokens", IntegerType()),
+    ]
+)
+
+
+def encode_vocab(
+    words: DataFrame, merges: list[tuple[str, str]], word_col: str = "word"
+) -> DataFrame:
+    """(word, tokens, n_tokens) for each distinct word in ``words``.
+
+    The Python boundary of the whole tokenizer: an Arrow-batched
+    ``mapInPandas`` over the BOUNDED distinct-word frame with the merge
+    ranks broadcast via closure. Corpus rows never enter Python.
+    """
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def enc(batches):
+        for pdf in batches:
+            col = pdf[word_col]
+            toks = [encode_word(w, ranks) for w in col]
+            yield pd.DataFrame(
+                {
+                    "word": col.to_numpy(),
+                    "tokens": toks,
+                    "n_tokens": [len(t) for t in toks],
+                }
+            )
+
+    return words.select(word_col).distinct().mapInPandas(enc, _ENCODED_SCHEMA)
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BPE token counts: (id, n_words, n_bpe_tokens).
+
+    Plan: explode docs to words (JVM), encode the distinct-word table
+    once (``encode_vocab``), join word → n_tokens back (the encoded
+    vocab is bounded — broadcast), one ``groupBy(id)``. Docs with no
+    words keep a 0-count row. Every word joins (the vocab comes from
+    the same frame), so no fallback path is needed here; encoding a
+    FOREIGN corpus against trained merges goes through the same join
+    with the corpus's own distinct words encoded on the fly."""
+    exploded = df.select(
+        id_col,
+        F.explode_outer(
+            F.regexp_extract_all(F.lower(text_col), F.lit(BPE_ISH_PATTERN), 0)
+        ).alias("word"),
+    )
+    encoded = F.broadcast(
+        encode_vocab(exploded.filter(F.col("word").isNotNull()), merges).select(
+            "word", "n_tokens"
+        )
+    )
+    return (
+        exploded.join(encoded, "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.col("word")).alias("n_words"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("n_bpe_tokens"),
+            F.coalesce(F.sum(F.length("word")), F.lit(0))
+            .cast("long")
+            .alias("n_word_chars"),
+        )
+    )

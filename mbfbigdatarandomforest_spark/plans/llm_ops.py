@@ -869,3 +869,35 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Real BPE tokenizer training + corpus token accounting (rows-only: the
+# merge loop has no SQL expression — pytest carries an independent
+# naive-recount oracle and a whole-pipeline pandas oracle).
+# --------------------------------------------------------------------------
+@query("text_bpe_token_stats", tags=("text", "tokenizer", "bpe"))
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE vocabulary on the corpus (distributed word counts →
+    driver-local merge loop over the bounded count table → distributed
+    encode of the distinct-word vocabulary) and report per-source token
+    accounting. The collect() is the model-fit step over a
+    language-bounded table — same sanctioned pattern as the ANN
+    centroid fit (operators/similarity.py). See operators/bpe.py."""
+    from ..operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = [(r["word"], r["c"]) for r in bpe.word_counts(docs).collect()]
+    merges = bpe.learn_bpe(wc, num_merges=100)
+    per_doc = bpe.bpe_token_counts(docs, merges)
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+            F.sum("n_word_chars").alias("n_chars"),
+        )
+        .orderBy("source")
+    )
