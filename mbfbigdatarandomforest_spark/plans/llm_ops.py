@@ -901,3 +901,33 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance resampling (rows-only: log-weights ride IEEE ln —
+# pytest carries a pure-Python full-pipeline oracle at 1e-9 plus exact
+# DuckDB parity for the integer bucket histograms).
+# --------------------------------------------------------------------------
+@query("sample_importance_dsir", tags=("sampling", "importance", "dsir", "quality"))
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select the 100 documents whose hashed-n-gram profile best matches
+    the English target domain — DSIR (Xie et al. 2023) with
+    deterministic md5 bucketing and Gumbel noise so the selection is
+    reproducible across engines and partitionings. See
+    operators/importance.py for the bounded-plan architecture."""
+    from ..operators import importance as imp
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    weighted = imp.dsir_log_weights(docs, target, buckets=4096)
+    return (
+        imp.gumbel_topk(weighted, 100)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_grams",
+            F.round("log_weight", 6).alias("log_weight_6"),
+        )
+        .orderBy("doc_id")
+    )
