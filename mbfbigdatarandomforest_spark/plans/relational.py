@@ -1450,3 +1450,74 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "approx_parts long, price_p50 double, price_p90 double, "
         "price_p99 double",
     )
+
+
+# --------------------------------------------------------------------------
+# Correlated-subquery suite (TPC-H q2/q4/q17/q22 shapes on the available
+# columns) — ONE ANSI text executed verbatim by BOTH engines. The point
+# is Catalyst's decorrelation: every correlated predicate must plan as a
+# distributed aggregate + join (plan-asserted: no CartesianProduct, no
+# BroadcastNestedLoopJoin), never a per-row re-scan. Rows-only in the
+# registry (the 50-slot driver window is full); the pytest twin runs the
+# SAME text in DuckDB and compares values exactly — decimal-sum
+# convention keeps every amount bit-portable.
+# --------------------------------------------------------------------------
+TPCH_CORRELATED_SQL = """
+WITH s17 AS (
+  SELECT 'q17_small_qty_revenue' AS section, 'all' AS k,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS amount
+  FROM lineitem l
+  WHERE l_quantity < (
+    SELECT 0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE)
+                  / COUNT(*))
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+), s22 AS (
+  SELECT 'q22_rich_no_urgent_orders' AS section, c_mktsegment AS k,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(28,8))) AS DOUBLE) AS amount
+  FROM customer c
+  WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*)
+    FROM customer WHERE c_acctbal > 0
+  )
+    AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+  GROUP BY c_mktsegment
+), s2 AS (
+  SELECT 'q2_min_price_lines' AS section, l_returnflag AS k,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS amount
+  FROM lineitem l
+  WHERE l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+  )
+  GROUP BY l_returnflag
+), s4 AS (
+  SELECT 'q4_late_ship_orders' AS section, o_orderpriority AS k,
+         COUNT(*) AS n, CAST(NULL AS DOUBLE) AS amount
+  FROM orders o
+  WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+  GROUP BY o_orderpriority
+)
+SELECT * FROM s17
+UNION ALL SELECT * FROM s22
+UNION ALL SELECT * FROM s2
+UNION ALL SELECT * FROM s4
+ORDER BY section, k
+"""
+
+
+@query("tpch_correlated_suite", tags=("SQL-surface", "subquery", "decorrelation"))
+def tpch_correlated_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir, tables=("lineitem", "orders", "customer"))
+    return spark.sql(TPCH_CORRELATED_SQL)

@@ -1,0 +1,50 @@
+"""Correlated-subquery suite: the SAME ANSI text runs in Spark SQL and
+DuckDB; values must match exactly (decimal-sum convention). Also pins
+that Catalyst decorrelates every shape — no cartesian / nested-loop
+fallback anywhere in the physical plan.
+"""
+
+from __future__ import annotations
+
+import math
+
+from mbfbigdatarandomforest_spark.plans.relational import TPCH_CORRELATED_SQL
+from mbfbigdatarandomforest_spark.registry import load_all
+
+from conftest import SF_DIR_ORACLE
+
+
+def _run(spark):
+    return load_all()["tpch_correlated_suite"].fn(spark, SF_DIR_ORACLE)
+
+
+def test_same_text_both_engines_exact(spark, duck):
+    got = [tuple(r) for r in _run(spark).collect()]
+    want = duck.sql(TPCH_CORRELATED_SQL).fetchall()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3], (g, w)
+        if w[3] is None:
+            assert g[3] is None, g
+        else:
+            # decimal-exact sums → identical doubles, not approximately
+            assert g[3] == w[3] or math.isclose(g[3], w[3], rel_tol=0), (g, w)
+
+
+def test_every_section_produced_rows(spark):
+    sections = {r["section"] for r in _run(spark).collect()}
+    assert sections == {
+        "q17_small_qty_revenue",
+        "q22_rich_no_urgent_orders",
+        "q2_min_price_lines",
+        "q4_late_ship_orders",
+    }
+
+
+def test_plan_decorrelates(spark):
+    df = _run(spark)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
