@@ -95,8 +95,12 @@ def dsir_log_weights(
     the two bounded histograms and broadcast — the corpus never joins
     the corpus.
     """
-    tgt = hashed_bucket_counts(target, text_col, buckets, salt)
-    rawc = hashed_bucket_counts(raw, text_col, buckets, salt)
+    # The histograms are ≤ `buckets` rows — cache them so the totals
+    # jobs and the λ join don't each re-scan the corpus (three scans
+    # per side without this; bounded model-artifact cache, same policy
+    # as the ANN centroid fit).
+    tgt = hashed_bucket_counts(target, text_col, buckets, salt).cache()
+    rawc = hashed_bucket_counts(raw, text_col, buckets, salt).cache()
     t_tot = tgt.agg(F.sum("c")).first()[0] or 0
     r_tot = rawc.agg(F.sum("c")).first()[0] or 0
     denom_t = float(t_tot + alpha * buckets)
