@@ -69,9 +69,17 @@ def ols_sufficient_stats_metrics(
     seed: int = 123,
     strategy: str = "auto",
     max_groups: int = 200_000,
+    split: str = "hash",
 ) -> dict[str, float]:
-    """na.drop → seeded split (identical to ``train_and_evaluate``) →
-    distributed Gramian → driver-side solve + closed-form metrics.
+    """na.drop → deterministic split (identical to ``train_and_evaluate``)
+    → distributed Gramian → driver-side solve + closed-form metrics.
+
+    ``split="hash"`` (default) tags rows via ``ml.splits.tag_split`` —
+    one appended column, so the whole grouped-strategy computation is a
+    SINGLE scan→aggregate job with no cache, no sort, no double read
+    (randomSplit sorts every partition per branch and scans twice; at
+    sf0.1 this halves the query's wall time). ``split="random"`` keeps
+    the randomSplit path.
 
     Two physical strategies behind one result:
 
@@ -93,15 +101,26 @@ def ols_sufficient_stats_metrics(
     Returns the same ``{split}_{metric}`` dict as the MLlib path; both
     strategies agree with it to float64 accumulation error (pytest).
     """
-    data = df.na.drop(subset=[label_col] + categorical + numeric)
+    cols = [label_col] + categorical + numeric
+    data = df.na.drop(subset=cols)
     parallelism = data.sparkSession.sparkContext.defaultParallelism
-    if data.rdd.getNumPartitions() < parallelism:
-        data = data.repartition(parallelism)
-    data = data.cache()
-    train, test = data.randomSplit([train_fraction, 1 - train_fraction], seed=seed)
-    tagged = train.withColumn("__split", F.lit("train")).unionByName(
-        test.withColumn("__split", F.lit("test"))
-    )
+    cached: DataFrame | None = None
+    if split == "hash":
+        # One appended codegen column — the grouped strategy below is
+        # then a single scan→aggregate job: nothing to cache, no branch
+        # ever re-reads the data.
+        from .splits import tag_split
+
+        tagged = tag_split(data, cols, train_fraction)
+        train = tagged.filter(F.col("__split") == "train")
+    else:
+        if data.rdd.getNumPartitions() < parallelism:
+            data = data.repartition(parallelism)
+        cached = data = data.cache()
+        train, test = data.randomSplit([train_fraction, 1 - train_fraction], seed=seed)
+        tagged = train.withColumn("__split", F.lit("train")).unionByName(
+            test.withColumn("__split", F.lit("test"))
+        )
     try:
         if strategy in ("auto", "grouped"):
             grams, k = _grouped_grams(
@@ -113,13 +132,22 @@ def ols_sufficient_stats_metrics(
             )
             if grams is not None:
                 return _solve_and_score(grams, k, len(numeric) + len(categorical))
+        if cached is None:
+            # Arrow fallback makes two passes (train levels + Gramian):
+            # now a cache pays for itself. Widen thin scans first —
+            # mapInPandas parallelism is the partition count.
+            if tagged.rdd.getNumPartitions() < parallelism:
+                tagged = tagged.repartition(parallelism)
+            cached = tagged = tagged.cache()
+            train = tagged.filter(F.col("__split") == "train")
         grams, k = _arrow_grams(
             train, tagged, label_col=label_col, categorical=categorical,
             numeric=numeric,
         )
         return _solve_and_score(grams, k, len(numeric) + len(categorical))
     finally:
-        data.unpersist()
+        if cached is not None:
+            cached.unpersist()
 
 
 def _solve_and_score(

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.ml import Pipeline, PipelineModel
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .features import build_feature_pipeline
 from .metrics import regression_metrics_tagged
@@ -136,14 +137,22 @@ def train_gbt_with_early_stopping(
     Returns (fitted_pipeline, metrics, stop_info) where stop_info has
     best_iter / stopped_iter / max_iter.
     """
-    data = df.na.drop(subset=[label_col] + categorical + numeric)
+    cols = [label_col] + categorical + numeric
+    data = df.na.drop(subset=cols)
     parallelism = data.sparkSession.sparkContext.defaultParallelism
     if data.rdd.getNumPartitions() < parallelism:
         data = data.repartition(parallelism)
     # cache the slim post-drop frame once — train/val/test branches all
     # re-derive their split from the cached rows (see train_and_evaluate)
     data = data.cache()
-    train, val, test = data.randomSplit([0.6, 0.2, 0.2], seed=seed)
+    # 60/20/20 deterministic hash tag (see ml.splits): three filters on
+    # the cached frame, no per-branch randomSplit sorts
+    from .splits import tag_split
+
+    tagged = tag_split(data, cols, 0.6, val_fraction=0.2)
+    train = tagged.filter(F.col("__split") == "train").drop("__split")
+    val = tagged.filter(F.col("__split") == "val").drop("__split")
+    test = tagged.filter(F.col("__split") == "test").drop("__split")
     # featurize once; BOTH fits (probe at max_iter, final at best_iter)
     # and all evaluation passes read the cached slim vectors
     fp_model = build_feature_pipeline(categorical, numeric, one_hot=False).fit(train)
@@ -200,11 +209,17 @@ def train_and_evaluate(
     train_fraction: float = 0.75,
     seed: int = 123,
     scale: bool = False,
+    split: str = "hash",
     **params,
 ) -> tuple["Pipeline", dict[str, float]]:
-    """na.drop → seeded split (M2, replaces R's positional complement,
-    03_LinearRegression.R:53-64) → feature pipeline → fit → metrics on
-    train and test.
+    """na.drop → deterministic split (M2, replaces R's positional
+    complement, 03_LinearRegression.R:53-64) → feature pipeline → fit →
+    metrics on train and test.
+
+    ``split="hash"`` (default) tags rows on the md5 of their feature
+    values (``ml.splits``): partition-invariant, no per-branch local
+    sorts, and both split branches are plain filters on the cached
+    frame. ``split="random"`` keeps MLlib's ``randomSplit(seed)``.
 
     ``scale=True`` reproduces R's ``scale()`` preprocessing
     (03_LinearRegression.R:29-34) for standardized coefficients; OLS
@@ -212,7 +227,8 @@ def train_and_evaluate(
     one-hot vectors SPARSE end-to-end (StandardScaler withMean
     densifies them — at 181 one-hot features that is a ~45x blowup of
     every cached/aggregated row for identical metric output)."""
-    data = df.na.drop(subset=[label_col] + categorical + numeric)
+    cols = [label_col] + categorical + numeric
+    data = df.na.drop(subset=cols)
     # Tree training makes many passes; a single-file parquet scan yields
     # 1-3 partitions, starving the executors. Widen to the cluster's
     # parallelism first (cost: one shuffle, amortized across all passes).
@@ -224,7 +240,16 @@ def train_and_evaluate(
     # pass — re-derives its split by filtering the cached rows instead
     # of re-running scan+join+na.drop per branch
     data = data.cache()
-    train, test = data.randomSplit([train_fraction, 1 - train_fraction], seed=seed)
+    if split == "hash":
+        from .splits import tag_split
+
+        tagged = tag_split(data, cols, train_fraction)
+        train = tagged.filter(F.col("__split") == "train").drop("__split")
+        test = tagged.filter(F.col("__split") == "test").drop("__split")
+    else:
+        train, test = data.randomSplit(
+            [train_fraction, 1 - train_fraction], seed=seed
+        )
     one_hot = kind == "ols"
     fp = build_feature_pipeline(categorical, numeric, one_hot=one_hot, scale=scale)
     # Featurize ONCE and cache the slim (features, label) projection:
