@@ -464,3 +464,58 @@ def test_stateless_quality_operators_run_on_streams(spark, tmp_path):
         for r in spark.read.parquet(str(out)).collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_lm_scoring_streams_via_foreachbatch(spark, tmp_path):
+    """Model-artifact scoring composes with streams: a bigram LM trained
+    in batch (bounded artifact) scores a document stream inside
+    foreachBatch — per-document cross-entropy is batch-local (every
+    bigram of a doc lives in its row), so a multi-file availableNow
+    drain produces EXACTLY the batch scoring result. Same shape as
+    streaming decontamination: static model side cached/broadcast once,
+    stateless stream side."""
+    from mbfbigdatarandomforest_spark.operators import ngram_lm as lm_ops
+
+    train_docs = spark.createDataFrame(
+        [(100, "a b a b c"), (101, "a b c a")], "doc_id long, text string"
+    )
+    lm = lm_ops.train_bigram_lm(train_docs)
+
+    src = tmp_path / "docs"
+    raw = [(0, "a b c"), (1, "z z a"), (2, "   "), (3, "c a b a")]
+    # two files → at least two micro-batches under maxFilesPerTrigger=1
+    spark.createDataFrame(raw[:2], "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(str(src))
+    spark.createDataFrame(raw[2:], "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(str(src))
+
+    batch_df = spark.read.parquet(str(src))
+    want = {
+        (r.doc_id, r.n_bigrams, r.n_oov, r.cross_entropy)
+        for r in lm_ops.score_cross_entropy(lm, batch_df).collect()
+    }
+
+    out = tmp_path / "scored"
+
+    def score_batch(bdf, _bid):
+        lm_ops.score_cross_entropy(lm, bdf).drop("perplexity").write.mode(
+            "append"
+        ).parquet(str(out))
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.n_bigrams, r.n_oov, r.cross_entropy)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == want and len(got) == 4
