@@ -42,7 +42,11 @@ HEADLINE = [
     "text_enrich_per_doc",      # quality+lang-id+fingerprint, one scan
     "decontaminate_ngram",      # benchmark n-gram scrub (broadcast gram set)
     "sample_mixture_suite",     # corpus mixing, 3 deterministic modes (r4)
-    "ml_ols_metrics",           # tracked rival of the reference's 1.9s GPU OLS
+    "text_lm_perplexity",       # CCNet bigram-LM train+score+bucket (r5)
+    "text_bpe_token_stats",     # real BPE train + vocab-side encode (r5)
+    "sample_importance_dsir",   # DSIR hashed-ngram importance resampling (r5)
+    "tpch_correlated_suite",    # q2/q4/q17/q22 shapes, Catalyst-decorrelated (r5)
+    "ml_ols_metrics",           # closed r5: 1.9s, matching the GPU baseline
     "ml_random_forest_metrics",
 ]
 

@@ -299,3 +299,58 @@ def test_new_curation_ops_plan_shape(spark):
     # gopher is a pure projection: single scan, zero exchanges
     gplan = _plan(gopher_quality_filter(docs))
     assert "Exchange" not in gplan
+
+
+def test_second_wave_ops_plan_shape(spark):
+    """Round-5 second wave: LM scoring and DSIR scoring broadcast their
+    bounded model artifacts (never shuffle the corpus against them),
+    BPE joins the encoded vocab back by broadcast, and nothing plans a
+    cartesian product."""
+    from pyspark.sql import functions as F
+
+    from mbfbigdatarandomforest_spark.operators import bpe
+    from mbfbigdatarandomforest_spark.operators import importance as imp
+    from mbfbigdatarandomforest_spark.operators import ngram_lm as lm_ops
+    from mbfbigdatarandomforest_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    lm = lm_ops.train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    lm_plan = _plan(lm_ops.score_cross_entropy(lm, docs))
+    assert "CartesianProduct" not in lm_plan
+    assert "BroadcastHashJoin" in lm_plan  # LM + vocab ride broadcasts
+
+    w_plan = _plan(imp.dsir_log_weights(docs, docs.filter(F.col("lang") == "en")))
+    assert "CartesianProduct" not in w_plan
+    assert "BroadcastHashJoin" in w_plan  # λ table broadcasts
+
+    merges = bpe.learn_bpe(
+        [(r["word"], r["c"]) for r in bpe.word_counts(docs).collect()], 50
+    )
+    b_plan = _plan(bpe.bpe_token_counts(docs, merges))
+    assert "CartesianProduct" not in b_plan
+    assert "BroadcastHashJoin" in b_plan  # encoded vocab broadcasts
+
+
+def test_ols_hash_split_is_single_stage_aggregate(spark):
+    """The OLS grouped-Gramian path with the hash split must contain no
+    sort and no cache/union double-read — its heavy lineage is
+    scan → project(md5 tag) → partial agg → exchange → final agg."""
+    from mbfbigdatarandomforest_spark.ml.splits import tag_split
+    from mbfbigdatarandomforest_spark.plans.ml_queries import _lineitem_features
+    from pyspark.sql import functions as F
+
+    cols = [
+        "label", "p_brand", "p_type",
+        "l_quantity", "l_discount", "l_tax", "p_retailprice",
+    ]
+    data = _lineitem_features(spark, SF_DIR_ORACLE).na.drop(subset=cols)
+    tagged = tag_split(data, cols, 0.75)
+    agg = tagged.groupBy("p_brand", "p_type", "__split").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = _plan(agg)
+    assert "Sort" not in plan
+    assert "Union" not in plan
+    # exactly ONE data shuffle (the aggregate exchange); the only other
+    # exchange is the part-dimension broadcast
+    assert plan.count("ENSURE_REQUIREMENTS") == 1
