@@ -248,9 +248,14 @@ def perplexity_buckets(
         row = scored.select(
             F.expr(f"percentile({col}, array({cuts[0]}, {cuts[1]}))").alias("q")
         ).first()
-        lo, hi = row["q"][0], row["q"][1]
+        q = row["q"] if row is not None else None
     else:
-        lo, hi = scored.stat.approxQuantile(col, list(cuts), 0.001)
+        q = scored.stat.approxQuantile(col, list(cuts), 0.001) or None
+    if q is None or q[0] is None:
+        # every score NULL (all-empty corpus) — or empty frame: no
+        # finite cutoffs exist, everything is tail by the NULL rule
+        return scored.withColumn(out_col, F.lit("tail"))
+    lo, hi = q[0], q[1]
     c = F.col(col)
     return scored.withColumn(
         out_col,

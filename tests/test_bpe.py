@@ -152,3 +152,25 @@ def test_registered_query_runs(spark):
         # merges only ever shorten: token count never exceeds word-char total
         assert r["n_bpe_tokens"] <= r["n_chars"] + r["n_words"]
         assert r["n_bpe_tokens"] >= r["n_words"]
+
+
+# --- randomized property: incremental trainer ≡ naive recount ---------
+from hypothesis import given, settings, strategies as st
+
+_word = st.text(alphabet="abc", min_size=1, max_size=6)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.dictionaries(_word, st.integers(min_value=1, max_value=9), min_size=1, max_size=12),
+    st.integers(min_value=1, max_value=25),
+)
+def test_trainer_property_random_corpora(counts, num_merges):
+    corpus = sorted(counts.items())
+    merges = bpe.learn_bpe(corpus, num_merges)
+    assert merges == naive_learn_bpe(corpus, num_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in counts:
+        got = bpe.encode_word(w, ranks)
+        assert got == naive_encode(w, merges)
+        assert "".join(got).replace(bpe.EOW, "") == w

@@ -169,3 +169,12 @@ def test_registered_query_runs(spark):
     docs_n = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet").count()
     assert len(rows) == docs_n
     assert df.columns == ["doc_id", "n_bigrams", "n_oov", "cross_entropy_6", "bucket"]
+
+
+def test_buckets_all_empty_corpus_survives(spark):
+    """percentile over all-NULL scores returns NULL — the bucketer must
+    degrade to all-tail, not crash on a NULL cutoff."""
+    tiny = spark.createDataFrame([(1, "  "), (2, "")], "doc_id long, text string")
+    lm = lm_ops.train_bigram_lm(tiny)
+    out = lm_ops.perplexity_buckets(lm_ops.score_cross_entropy(lm, tiny)).collect()
+    assert {r["bucket"] for r in out} == {"tail"} and len(out) == 2
