@@ -206,6 +206,7 @@ def bpe_token_counts(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document BPE token counts: (id, n_words, n_bpe_tokens).
 
@@ -215,18 +216,24 @@ def bpe_token_counts(
     words keep a 0-count row. Every word joins (the vocab comes from
     the same frame), so no fallback path is needed here; encoding a
     FOREIGN corpus against trained merges goes through the same join
-    with the corpus's own distinct words encoded on the fly."""
+    with the corpus's own distinct words encoded on the fly.
+
+    ``encoded``: optional precomputed (word, n_tokens) table covering
+    every word of ``df`` — multi-stage accountants (curation funnels)
+    encode the corpus vocabulary ONCE and pass it here instead of
+    paying a Python encode pass per stage. A left join keeps missing
+    words visible as NULL token counts rather than silently zero."""
     exploded = df.select(
         id_col,
         F.explode_outer(
             F.regexp_extract_all(F.lower(text_col), F.lit(BPE_ISH_PATTERN), 0)
         ).alias("word"),
     )
-    encoded = F.broadcast(
-        encode_vocab(exploded.filter(F.col("word").isNotNull()), merges).select(
-            "word", "n_tokens"
+    if encoded is None:
+        encoded = encode_vocab(
+            exploded.filter(F.col("word").isNotNull()), merges
         )
-    )
+    encoded = F.broadcast(encoded.select("word", "n_tokens"))
     return (
         exploded.join(encoded, "word", "left")
         .groupBy(id_col)

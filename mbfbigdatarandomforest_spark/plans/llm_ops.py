@@ -931,3 +931,119 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Curation funnel v2 — the end-to-end pipeline a pretraining-data team
+# would actually run, composing every round-5 family: rule-based quality
+# (Gopher) → model-based quality (CCNet LM tail drop) → exact dedup →
+# benchmark decontamination → domain targeting (DSIR Gumbel-top-k) →
+# packing manifest, with BPE token accounting per stage. Rows-only
+# (pytest pins stage set + monotone doc counts); per-stage wall probed
+# in SCALE.md. Thresholds tuned to the synthetic word-soup corpus — the
+# POINT is driving the full composition, not web-crawl pass rates.
+# --------------------------------------------------------------------------
+@query(
+    "curation_funnel_v2",
+    tags=("pipeline", "quality", "lm", "dedup", "dsir", "bpe", "packing"),
+)
+def curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bpe as bpe_ops
+    from ..operators import importance as imp
+    from ..operators import ngram_lm as lm_ops
+    from ..operators.text import gopher_quality_filter, pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    # corpus feeds the vocabulary count, stage 0, the quality filter,
+    # and (via target) the LM and DSIR model fits — cache the one scan
+    corpus = docs.filter(F.col("source") != "src0").cache()
+    target = corpus.filter(F.col("lang") == "en")
+
+    # BPE vocabulary from the raw corpus once; every stage reports its
+    # token budget under the SAME tokenizer (the accounting a data team
+    # actually wants: "tokens surviving per stage"). The corpus
+    # vocabulary is encoded in Python ONCE and cached — stages pay only
+    # a broadcast join, not a per-stage encode pass (72 s → ~8 s at
+    # sf0.01 before this hoist).
+    wc = bpe_ops.word_counts(corpus, max_words=None).cache()
+    merges = bpe_ops.learn_bpe(
+        [(r["word"], r["c"]) for r in wc.collect()], num_merges=100
+    )
+    encoded = bpe_ops.encode_vocab(wc, merges).select("word", "n_tokens").cache()
+
+    def stage(name, df):
+        per_doc = bpe_ops.bpe_token_counts(df, merges, encoded=encoded)
+        return per_doc.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_bpe_tokens"), F.lit(0)).alias("n_bpe_tokens"),
+        )
+
+    # Stage frames are localCheckpoint()ed, not just cached: by stage 6
+    # the logical plan stacks seven operator families, and every sizing
+    # job in the later stages would re-run Catalyst analysis over the
+    # WHOLE lineage — measured as the dominant cost (driver planning
+    # time, not executor work: the funnel spent 18 s planning the
+    # packing manifest's jobs over ~10^2 surviving rows). Truncating
+    # lineage at each stage keeps per-job planning O(stage), the same
+    # reason dedup_clusters checkpoints its iterated frames. At cluster
+    # scale the equivalent is checkpoint() to reliable storage.
+    quality = (
+        gopher_quality_filter(
+            corpus, min_words=20, min_stopword_hits=1, min_alpha_word_frac=0.5
+        )
+        .filter("quality_pass")
+        .select(*corpus.columns)
+        .localCheckpoint()
+    )
+    lm = lm_ops.train_bigram_lm(target, vocab_size=50_000)
+    keep_ppl = (
+        lm_ops.perplexity_buckets(lm_ops.score_cross_entropy(lm, quality))
+        .filter(F.col("bucket") != "tail")
+        .select("doc_id")
+    )
+    head_mid = quality.join(keep_ppl, "doc_id", "left_semi").localCheckpoint()
+    keep_ids = dd.exact_dedup(head_mid).select(F.col("keep_id").alias("doc_id"))
+    deduped = head_mid.join(keep_ids, "doc_id", "left_semi").localCheckpoint()
+    clean_ids = (
+        dd.decontaminate(deduped, bench, n=5)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    clean = deduped.join(clean_ids, "doc_id", "left_semi").localCheckpoint()
+    # domain targeting: keep the 60% of surviving docs closest to the
+    # target distribution (count is one job over the checkpointed frame)
+    k = max(1, int(0.6 * clean.count()))
+    selected = imp.gumbel_topk(
+        imp.dsir_log_weights(clean, target, buckets=4096), k
+    ).select("doc_id")
+    mixed = clean.join(selected, "doc_id", "left_semi").localCheckpoint()
+    manifest = pack_sequences(mixed, max_tokens=256)
+    # one metric, one unit: the packed row reports block count as n_docs
+    # and the surviving corpus's BPE total (packing reorganizes, never
+    # drops — pytest pins stage-6 tokens == stage-5 tokens; the
+    # manifest's own whitespace-token invariants are pack_sequences'
+    # pytest territory)
+    n_blocks = manifest.select(
+        F.count_distinct("block_id").alias("n")
+    )
+    packed = (
+        bpe_ops.bpe_token_counts(mixed, merges, encoded=encoded)
+        .agg(
+            F.lit("6_packed_blocks").alias("stage"),
+            F.coalesce(F.sum("n_bpe_tokens"), F.lit(0)).alias("n_bpe_tokens"),
+        )
+        .crossJoin(F.broadcast(n_blocks))  # 1×1 broadcast, not a data join
+        .select("stage", F.col("n").alias("n_docs"), "n_bpe_tokens")
+    )
+    return (
+        stage("0_raw", corpus)
+        .unionAll(stage("1_gopher_quality", quality))
+        .unionAll(stage("2_lm_head_middle", head_mid))
+        .unionAll(stage("3_exact_dedup", deduped))
+        .unionAll(stage("4_decontaminated", clean))
+        .unionAll(stage("5_dsir_selected", mixed))
+        .unionAll(packed)
+        .orderBy("stage")
+    )

@@ -1541,3 +1541,27 @@ def test_cluster_embeddings_deterministic_and_correct(spark):
     }
     assert got_bad[9001] == -1 and got_bad[9002] == -1 and got_bad[9003] == -1
     assert 0 <= got_bad[9004] < 8
+
+
+def test_curation_funnel_v2_monotone_and_conserving(spark):
+    """The v2 funnel (Gopher → LM tail-drop → dedup → decontam → DSIR →
+    pack): doc counts strictly ordered down the funnel, token budget
+    monotone under ONE tokenizer, and packing conserves the surviving
+    token budget exactly (stage 6 == stage 5)."""
+    from conftest import SF_DIR_SMALL
+    from mbfbigdatarandomforest_spark.registry import load_all
+
+    rows = {
+        r["stage"]: (r["n_docs"], r["n_bpe_tokens"])
+        for r in load_all()["curation_funnel_v2"].fn(spark, SF_DIR_SMALL).collect()
+    }
+    order = [
+        "0_raw", "1_gopher_quality", "2_lm_head_middle",
+        "3_exact_dedup", "4_decontaminated", "5_dsir_selected",
+    ]
+    assert set(rows) == set(order) | {"6_packed_blocks"}
+    for a, b in zip(order, order[1:]):
+        assert rows[a][0] >= rows[b][0], (a, b)
+        assert rows[a][1] >= rows[b][1], (a, b)
+    assert rows["6_packed_blocks"][1] == rows["5_dsir_selected"][1]
+    assert 0 < rows["6_packed_blocks"][0] <= rows["5_dsir_selected"][0]
