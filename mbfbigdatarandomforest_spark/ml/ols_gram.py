@@ -111,7 +111,9 @@ def ols_sufficient_stats_metrics(
         # ever re-reads the data.
         from .splits import tag_split
 
-        tagged = tag_split(data, cols, train_fraction)
+        # seed participates via the salt: different seeds give genuinely
+        # different (still deterministic, partition-invariant) splits
+        tagged = tag_split(data, cols, train_fraction, salt=f"mlsplit{seed}")
         train = tagged.filter(F.col("__split") == "train")
     else:
         if data.rdd.getNumPartitions() < parallelism:

@@ -118,6 +118,7 @@ def train_gbt_with_early_stopping(
     max_iter: int = 40,
     patience: int = 5,
     seed: int = 123,
+    split: str = "hash",
     **params,
 ) -> tuple["Pipeline", dict[str, float], dict[str, int]]:
     """GBT with early stopping — the engine's analogue of the
@@ -145,14 +146,18 @@ def train_gbt_with_early_stopping(
     # cache the slim post-drop frame once — train/val/test branches all
     # re-derive their split from the cached rows (see train_and_evaluate)
     data = data.cache()
-    # 60/20/20 deterministic hash tag (see ml.splits): three filters on
-    # the cached frame, no per-branch randomSplit sorts
-    from .splits import tag_split
+    if split == "hash":
+        # 60/20/20 deterministic hash tag (see ml.splits): three filters
+        # on the cached frame, no per-branch randomSplit sorts; seed
+        # varies the split via the salt
+        from .splits import tag_split
 
-    tagged = tag_split(data, cols, 0.6, val_fraction=0.2)
-    train = tagged.filter(F.col("__split") == "train").drop("__split")
-    val = tagged.filter(F.col("__split") == "val").drop("__split")
-    test = tagged.filter(F.col("__split") == "test").drop("__split")
+        tagged = tag_split(data, cols, 0.6, val_fraction=0.2, salt=f"mlsplit{seed}")
+        train = tagged.filter(F.col("__split") == "train").drop("__split")
+        val = tagged.filter(F.col("__split") == "val").drop("__split")
+        test = tagged.filter(F.col("__split") == "test").drop("__split")
+    else:
+        train, val, test = data.randomSplit([0.6, 0.2, 0.2], seed=seed)
     # featurize once; BOTH fits (probe at max_iter, final at best_iter)
     # and all evaluation passes read the cached slim vectors
     fp_model = build_feature_pipeline(categorical, numeric, one_hot=False).fit(train)
@@ -243,7 +248,9 @@ def train_and_evaluate(
     if split == "hash":
         from .splits import tag_split
 
-        tagged = tag_split(data, cols, train_fraction)
+        # seed participates via the salt — seed=1 vs seed=2 produce
+        # different (deterministic) splits, as randomSplit callers expect
+        tagged = tag_split(data, cols, train_fraction, salt=f"mlsplit{seed}")
         train = tagged.filter(F.col("__split") == "train").drop("__split")
         test = tagged.filter(F.col("__split") == "test").drop("__split")
     else:

@@ -101,12 +101,17 @@ def learn_bpe(
     """Learn ``num_merges`` BPE merges from (word, count) rows.
 
     Driver-local by design — the input is the BOUNDED output of
-    ``word_counts`` (see module docstring). Incremental: pair counts
-    and a pair → word-ids inverted index are maintained across merges,
-    so each iteration costs O(words containing the chosen pair), not
-    O(vocabulary). Determinism: max count, then lexicographically
-    smallest pair.
+    ``word_counts`` (see module docstring). Incremental on BOTH halves
+    of the loop: pair counts and a pair → word-ids inverted index make
+    each UPDATE O(words containing the chosen pair), and a lazy-deletion
+    max-heap (stale entries popped on encounter, the standard trick)
+    makes each ARGMAX O(log |pairs|) amortized instead of a full
+    O(|pairs|) scan — at production sizes (10⁵ words, 10⁴ merges) the
+    scan would dominate the whole loop. Determinism: max count, then
+    lexicographically smallest pair.
     """
+    import heapq
+
     seqs: list[tuple[str, ...]] = []
     wcount: list[int] = []
     for w, c in counts:
@@ -123,15 +128,24 @@ def learn_bpe(
             pair_counts[p] += c
             index[p].add(wid)
 
+    # (-count, pair): heapq is a min-heap, so this pops highest count
+    # first and, among equal counts, the lexicographically smallest pair
+    # — the same order the naive argmax scan produces.
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    def bump(p: tuple[str, str]) -> None:
+        if pair_counts.get(p, 0) > 0:
+            heapq.heappush(heap, (-pair_counts[p], p))
+
     merges: list[tuple[str, str]] = []
-    for _ in range(num_merges):
-        if not pair_counts:
-            break
-        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if pair_counts[best] <= 0:
-            break
+    while len(merges) < num_merges and heap:
+        neg, best = heapq.heappop(heap)
+        if pair_counts.get(best, 0) != -neg:
+            continue  # stale entry — the pair's count changed since push
         merges.append(best)
         new_sym = best[0] + best[1]
+        touched: set[tuple[str, str]] = set()
         for wid in list(index[best]):
             seq, c = seqs[wid], wcount[wid]
             for p in zip(seq, seq[1:]):
@@ -139,11 +153,15 @@ def learn_bpe(
                 if pair_counts[p] <= 0:
                     del pair_counts[p]
                 index[p].discard(wid)
+                touched.add(p)
             seq = _merge_seq(seq, best, new_sym)
             seqs[wid] = seq
             for p in zip(seq, seq[1:]):
                 pair_counts[p] += c
                 index[p].add(wid)
+                touched.add(p)
+        for p in touched:
+            bump(p)
     return merges
 
 
@@ -221,8 +239,10 @@ def bpe_token_counts(
     ``encoded``: optional precomputed (word, n_tokens) table covering
     every word of ``df`` — multi-stage accountants (curation funnels)
     encode the corpus vocabulary ONCE and pass it here instead of
-    paying a Python encode pass per stage. A left join keeps missing
-    words visible as NULL token counts rather than silently zero."""
+    paying a Python encode pass per stage. Coverage is enforced, not
+    assumed: a doc containing any word the table misses gets a NULL
+    ``n_bpe_tokens`` (NULL-propagating conditional sum), never a
+    silent undercount from NULL-skipping ``sum``."""
     exploded = df.select(
         id_col,
         F.explode_outer(
@@ -239,7 +259,14 @@ def bpe_token_counts(
         .groupBy(id_col)
         .agg(
             F.count(F.col("word")).alias("n_words"),
-            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("n_bpe_tokens"),
+            # every present word must have joined an encoding — else the
+            # doc's count is NULL (visible), not missing-words-as-zero
+            F.when(
+                F.count(F.col("word")) == F.count(F.col("n_tokens")),
+                F.coalesce(F.sum("n_tokens"), F.lit(0)),
+            )
+            .cast("long")
+            .alias("n_bpe_tokens"),
             F.coalesce(F.sum(F.length("word")), F.lit(0))
             .cast("long")
             .alias("n_word_chars"),

@@ -51,16 +51,10 @@ def exact_dedup(
 
 
 def _tokens(col):
-    # Spark `trim` strips spaces only, so tab/newline-padded text yields
-    # empty boundary tokens from the split — filter them (the DuckDB
-    # oracle mirrors this with list_filter)
-    return F.filter(
-        F.split(
-            F.trim(F.lower(col if not isinstance(col, str) else F.col(col))),
-            r"\s+",
-        ),
-        lambda t: t != "",
-    )
+    # the shared whitespace-tokenization contract — see text.tokens()
+    from .text import tokens
+
+    return tokens(col)
 
 
 def _shingles_from_tokens(toks, n: int):

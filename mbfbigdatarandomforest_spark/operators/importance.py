@@ -38,7 +38,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .ngram_lm import _tokens
+from .text import tokens as _tokens
 
 
 def _hash_bucket(col: Column, buckets: int, salt: str = "") -> Column:
@@ -97,25 +97,34 @@ def dsir_log_weights(
     """
     # The histograms are ≤ `buckets` rows — cache them so the totals
     # jobs and the λ join don't each re-scan the corpus (three scans
-    # per side without this; bounded model-artifact cache, same policy
-    # as the ANN centroid fit).
+    # per side without this), then materialize λ as a LOCAL relation
+    # and release both caches deterministically: the returned frame
+    # carries no pinned storage for the session lifetime (the leak the
+    # cache-and-return pattern has), and λ is the model artifact DSIR
+    # actually broadcasts — ≤ `buckets` rows of (long, double).
     tgt = hashed_bucket_counts(target, text_col, buckets, salt).cache()
     rawc = hashed_bucket_counts(raw, text_col, buckets, salt).cache()
-    t_tot = tgt.agg(F.sum("c")).first()[0] or 0
-    r_tot = rawc.agg(F.sum("c")).first()[0] or 0
-    denom_t = float(t_tot + alpha * buckets)
-    denom_r = float(r_tot + alpha * buckets)
-    lam = (
-        tgt.withColumnRenamed("c", "ct")
-        .join(rawc.withColumnRenamed("c", "cr"), "bucket", "full_outer")
-        .select(
-            "bucket",
-            (
-                F.log((F.coalesce(F.col("ct"), F.lit(0)) + alpha) / denom_t)
-                - F.log((F.coalesce(F.col("cr"), F.lit(0)) + alpha) / denom_r)
-            ).alias("lam"),
+    try:
+        t_tot = tgt.agg(F.sum("c")).first()[0] or 0
+        r_tot = rawc.agg(F.sum("c")).first()[0] or 0
+        denom_t = float(t_tot + alpha * buckets)
+        denom_r = float(r_tot + alpha * buckets)
+        lam_rows = (
+            tgt.withColumnRenamed("c", "ct")
+            .join(rawc.withColumnRenamed("c", "cr"), "bucket", "full_outer")
+            .select(
+                "bucket",
+                (
+                    F.log((F.coalesce(F.col("ct"), F.lit(0)) + alpha) / denom_t)
+                    - F.log((F.coalesce(F.col("cr"), F.lit(0)) + alpha) / denom_r)
+                ).alias("lam"),
+            )
+            .collect()
         )
-    )
+    finally:
+        tgt.unpersist()
+        rawc.unpersist()
+    lam = raw.sparkSession.createDataFrame(lam_rows, "bucket long, lam double")
     doc_buckets = _doc_grams(raw, text_col, [id_col]).select(
         id_col, _hash_bucket(F.col("gram"), buckets, salt)
     )

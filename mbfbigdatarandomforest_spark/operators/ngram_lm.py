@@ -53,13 +53,10 @@ UNK = "\x01unk"
 
 
 def _tokens(col: Column | str) -> Column:
-    """Whitespace tokens of normalized text — identical contract to
-    ``dedup._tokens`` (lowercase, trim, split, drop empty boundaries)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.filter(
-        F.split(F.trim(F.lower(c)), r"\s+"),
-        lambda t: t != "",
-    )
+    """The shared whitespace-tokenization contract (text.tokens)."""
+    from .text import tokens
+
+    return tokens(col)
 
 
 def _bigrams(toks: Column) -> Column:
@@ -92,6 +89,15 @@ class BigramLM:
     vocab: DataFrame
     v: int
     k: float
+
+    def unpersist(self) -> None:
+        """Release the cached model frames once no consumer remains
+        (scoring frames derived from them must be materialized first)."""
+        for frame in (self.bigrams, self.contexts):
+            try:
+                frame.unpersist()
+            except Exception:
+                pass
 
 
 def _vocab_mapped_bigrams(
@@ -149,19 +155,31 @@ def train_bigram_lm(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    vocab = (
-        uni.orderBy(F.col("c").desc(), F.col("w").asc())
+    # The vocabulary is bounded by construction — materialize it as a
+    # LOCAL relation (one job) instead of a cached distributed frame:
+    # downstream broadcast joins read it with no pinned executor
+    # storage, and |vocab| falls out for free without a second count job.
+    words = [
+        r["w"]
+        for r in uni.orderBy(F.col("c").desc(), F.col("w").asc())
         .limit(vocab_size)
         .select("w")
+        .collect()
+    ]
+    vocab = docs.sparkSession.createDataFrame(
+        [(w,) for w in words], "w string"
     )
-    # Bounded by construction: reuse without recomputing the corpus scan.
-    vocab = vocab.cache()
-    n_vocab = vocab.count()
     mapped = _vocab_mapped_bigrams(docs, vocab, text_col, id_cols=[])
-    bigrams = mapped.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    contexts = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # bigrams/contexts are the (bounded, reused) model artifacts — every
+    # scoring/bucketing action joins them, so cache rather than re-run
+    # the training-corpus aggregation per consumer. Callers that are
+    # done with the model release them via BigramLM.unpersist().
+    bigrams = (
+        mapped.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).cache()
+    )
+    contexts = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1")).cache()
     return BigramLM(
-        bigrams=bigrams, contexts=contexts, vocab=vocab, v=n_vocab + 1, k=k
+        bigrams=bigrams, contexts=contexts, vocab=vocab, v=len(words) + 1, k=k
     )
 
 

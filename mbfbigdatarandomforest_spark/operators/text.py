@@ -21,6 +21,19 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 TOKEN_PATTERN = r"\s+"
+
+
+def tokens(col: Column | str) -> Column:
+    """THE whitespace-tokenization contract shared by dedup, the bigram
+    LM, and DSIR gram hashing (and mirrored by every DuckDB ``_TOKS``
+    twin): lowercase, trim, split on runs of whitespace, drop the empty
+    boundary tokens tab/newline padding produces. One definition — a
+    change here moves every consumer (and must move the SQL twins) in
+    lockstep."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(F.lower(c)), TOKEN_PATTERN), lambda t: t != "")
+
+
 # BPE-ish word/punct splitter used for token estimation.
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
 

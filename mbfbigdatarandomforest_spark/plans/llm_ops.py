@@ -1021,21 +1021,19 @@ def curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixed = clean.join(selected, "doc_id", "left_semi").localCheckpoint()
     manifest = pack_sequences(mixed, max_tokens=256)
     # one metric, one unit: the packed row reports block count as n_docs
-    # and the surviving corpus's BPE total (packing reorganizes, never
-    # drops — pytest pins stage-6 tokens == stage-5 tokens; the
-    # manifest's own whitespace-token invariants are pack_sequences'
-    # pytest territory)
-    n_blocks = manifest.select(
-        F.count_distinct("block_id").alias("n")
-    )
+    # and carries forward stage 5's BPE total (packing reorganizes, it
+    # never drops — token conservation is pack_sequences' own pytest
+    # invariant, in the packer's whitespace unit). The stage-5 aggregate
+    # is computed ONCE and reused for both rows.
+    stage5 = stage("5_dsir_selected", mixed).cache()
+    n_blocks = manifest.select(F.count_distinct("block_id").alias("n"))
     packed = (
-        bpe_ops.bpe_token_counts(mixed, merges, encoded=encoded)
-        .agg(
+        stage5.crossJoin(F.broadcast(n_blocks))  # 1×1 broadcast
+        .select(
             F.lit("6_packed_blocks").alias("stage"),
-            F.coalesce(F.sum("n_bpe_tokens"), F.lit(0)).alias("n_bpe_tokens"),
+            F.col("n").alias("n_docs"),
+            "n_bpe_tokens",
         )
-        .crossJoin(F.broadcast(n_blocks))  # 1×1 broadcast, not a data join
-        .select("stage", F.col("n").alias("n_docs"), "n_bpe_tokens")
     )
     return (
         stage("0_raw", corpus)
@@ -1043,7 +1041,7 @@ def curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage("2_lm_head_middle", head_mid))
         .unionAll(stage("3_exact_dedup", deduped))
         .unionAll(stage("4_decontaminated", clean))
-        .unionAll(stage("5_dsir_selected", mixed))
+        .unionAll(stage5)
         .unionAll(packed)
         .orderBy("stage")
     )

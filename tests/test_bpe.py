@@ -174,3 +174,25 @@ def test_trainer_property_random_corpora(counts, num_merges):
         got = bpe.encode_word(w, ranks)
         assert got == naive_encode(w, merges)
         assert "".join(got).replace(bpe.EOW, "") == w
+
+
+def test_precomputed_encoded_coverage_enforced(spark):
+    """A precomputed encoded table missing a word must surface as NULL
+    n_bpe_tokens for the affected doc — never a silent undercount."""
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa aa")], "doc_id long, text string"
+    )
+    merges = bpe.learn_bpe([("aa", 2), ("bb", 1)], 10)
+    full = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe.bpe_token_counts(docs, merges).collect()
+    }
+    partial_tbl = bpe.encode_vocab(
+        spark.createDataFrame([("aa",)], "word string"), merges
+    ).select("word", "n_tokens")
+    part = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe.bpe_token_counts(docs, merges, encoded=partial_tbl).collect()
+    }
+    assert part[1] is None  # 'bb' uncovered → visible NULL
+    assert part[2] == full[2]  # fully covered doc unaffected

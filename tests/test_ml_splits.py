@@ -73,3 +73,15 @@ def test_separator_prevents_boundary_collisions(spark):
     }
     assert len(keys) == 2  # distinct keys even though concat collides
     assert len(rows) == 2
+
+
+def test_seed_varies_the_split(spark):
+    """seed reaches the hash salt: different seeds must produce
+    genuinely different (still deterministic) splits."""
+    df, cols = _feature_frame(spark)
+    a = [r["__split"] for r in tag_split(df, cols, 0.75, salt="mlsplit1").collect()]
+    b = [r["__split"] for r in tag_split(df, cols, 0.75, salt="mlsplit2").collect()]
+    assert a != b
+    assert a == [
+        r["__split"] for r in tag_split(df, cols, 0.75, salt="mlsplit1").collect()
+    ]

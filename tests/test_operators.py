@@ -1563,5 +1563,7 @@ def test_curation_funnel_v2_monotone_and_conserving(spark):
     for a, b in zip(order, order[1:]):
         assert rows[a][0] >= rows[b][0], (a, b)
         assert rows[a][1] >= rows[b][1], (a, b)
+    # the packed row carries stage 5's budget forward by construction;
+    # token conservation itself is pack_sequences' pytest invariant
     assert rows["6_packed_blocks"][1] == rows["5_dsir_selected"][1]
     assert 0 < rows["6_packed_blocks"][0] <= rows["5_dsir_selected"][0]
