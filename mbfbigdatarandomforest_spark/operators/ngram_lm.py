@@ -89,6 +89,8 @@ class BigramLM:
     vocab: DataFrame
     v: int
     k: float
+    #: model order n — contexts are (n−1)-token strings; 2 = bigram.
+    order: int = 2
 
     def unpersist(self) -> None:
         """Release the cached model frames once no consumer remains
@@ -183,6 +185,131 @@ def train_bigram_lm(
     )
 
 
+def _vocab_mapped_ngrams(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str,
+    id_cols: list[str],
+    order: int,
+) -> DataFrame:
+    """General-order analogue of ``_vocab_mapped_bigrams``: (id_cols...,
+    w1, w2, is_oov) rows where ``w1`` is the space-joined (order−1)-token
+    context (BOS-padded at the document head) and ``w2`` the prediction
+    target, both vocab-mapped.
+
+    Plan: posexplode tokens → ONE broadcast join against the bounded
+    vocab → rebuild each document's mapped token array (one shuffle on
+    the doc id — the price of mapping before sliding; the bigram path
+    avoids it by mapping after pairing, which does not generalize past
+    two positions) → slide the n-gram window as a codegen ``transform``
+    → explode."""
+    # the rebuild MUST group per document even when the caller keeps no
+    # id columns (training) — grouping by nothing would splice every
+    # document into one global token stream and mint cross-document
+    # n-grams
+    group_cols = list(id_cols)
+    if not group_cols:
+        docs = docs.withColumn("__docid", F.monotonically_increasing_id())
+        group_cols = ["__docid"]
+    pos_tok = docs.select(
+        *group_cols, F.posexplode(_tokens(text_col)).alias("__pos", "__tok")
+    )
+    vmap = F.broadcast(vocab.select(F.col("w").alias("__tok"), F.lit(1).alias("__in")))
+    mapped_arrays = (
+        pos_tok.join(vmap, "__tok", "left")
+        .select(
+            *group_cols,
+            F.struct(
+                F.col("__pos").alias("p"),
+                F.when(F.col("__in").isNotNull(), F.col("__tok"))
+                .otherwise(F.lit(UNK))
+                .alias("t"),
+                (F.col("__in").isNull()).cast("int").alias("o"),
+            ).alias("__e"),
+        )
+        .groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list("__e")).alias("__es"))
+        .select(
+            *group_cols,
+            F.transform(F.col("__es"), lambda e: e["t"]).alias("__mt"),
+            F.transform(F.col("__es"), lambda e: e["o"]).alias("__oov"),
+        )
+    )
+    n = F.size(F.col("__mt"))
+    ctx_len = order - 1
+    padded = F.concat(
+        F.array_repeat(F.lit(BOS), ctx_len), F.col("__mt")
+    )  # padded[i .. i+ctx_len-1] is the context of target __mt[i] (0-based)
+    grams = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            F.array_join(F.slice(padded, i, ctx_len), " ").alias("w1"),
+            F.element_at(F.col("__mt"), i).alias("w2"),
+            F.element_at(F.col("__oov"), i).alias("is_oov"),
+        ),
+    )
+    return (
+        mapped_arrays.select(
+            *id_cols, F.explode(F.when(n > 0, grams).otherwise(F.array())).alias("g")
+        )  # the synthetic __docid (if any) is dropped here by selecting id_cols only
+        .select(
+            *id_cols,
+            F.col("g.w1").alias("w1"),
+            F.col("g.w2").alias("w2"),
+            F.col("g.is_oov").alias("is_oov"),
+        )
+    )
+
+
+def _mapped_grams(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str,
+    id_cols: list[str],
+    order: int,
+) -> DataFrame:
+    """Route to the join-only bigram mapper (no extra shuffle) or the
+    general-order rebuild mapper. Both yield (id_cols..., w1, w2,
+    is_oov) with identical semantics at order=2 (pytest-pinned)."""
+    if order == 2:
+        return _vocab_mapped_bigrams(docs, vocab, text_col, id_cols)
+    return _vocab_mapped_ngrams(docs, vocab, text_col, id_cols, order)
+
+
+def train_ngram_lm(
+    docs: DataFrame,
+    order: int = 3,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    k: float = 1.0,
+) -> BigramLM:
+    """Order-``n`` generalization of :func:`train_bigram_lm` (CCNet's
+    production filter is a 5-gram KenLM; this is the same estimator
+    with add-k smoothing and an exact (n−1)-token backoff-free
+    context). Returns the same artifact type — scoring and bucketing
+    are order-agnostic. ``order=2`` delegates to the cheaper bigram
+    mapper."""
+    if order < 2:
+        raise ValueError(f"order must be >= 2, got {order}")
+    base = train_bigram_lm(docs, text_col=text_col, vocab_size=vocab_size, k=k)
+    if order == 2:
+        return base
+    base.unpersist()
+    mapped = _vocab_mapped_ngrams(docs, base.vocab, text_col, [], order)
+    bigrams = (
+        mapped.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).cache()
+    )
+    contexts = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1")).cache()
+    return BigramLM(
+        bigrams=bigrams,
+        contexts=contexts,
+        vocab=base.vocab,
+        v=base.v,
+        k=k,
+        order=order,
+    )
+
+
 def score_cross_entropy(
     lm: BigramLM,
     docs: DataFrame,
@@ -202,7 +329,7 @@ def score_cross_entropy(
     if a giant vocab ever makes the broadcast unreasonable), then one
     ``groupBy(id)``. ``ln`` stays in JVM codegen throughout.
     """
-    mapped = _vocab_mapped_bigrams(docs, lm.vocab, text_col, id_cols=[id_col])
+    mapped = _mapped_grams(docs, lm.vocab, text_col, [id_col], lm.order)
     bg = lm.bigrams
     ctx = lm.contexts
     if broadcast_lm:

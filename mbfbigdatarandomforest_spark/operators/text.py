@@ -501,3 +501,61 @@ def gopher_quality_filter(
     return out.withColumns(
         {"quality_pass": passed, "fail_reasons": reasons}
     )
+
+
+def materialize_packed_blocks(
+    df: DataFrame,
+    manifest: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """Turn a ``pack_sequences`` manifest into actual training blocks:
+    (block_id, text, n_tokens) where ``text`` is the block's token span
+    joined by ``sep`` — the shard-writer stage of the packing pipeline.
+
+    Tokenization matches ``pack_sequences`` exactly (trim + whitespace
+    split, NO lowercasing — blocks preserve the original text), so
+    every block's token count equals the manifest's accounting; the
+    concatenation of all blocks reproduces the corpus token stream in
+    ``id_col`` order (pytest-pinned).
+
+    Scale: docs join the manifest on the id key (one shuffle; the text
+    rides this join ONCE — the manifest stays four longs per row until
+    here), each row slices its span from the doc's token array, and the
+    per-block assembly groups ≤ ``max_tokens`` tokens by construction —
+    bounded state per group, sorted in-array (``array_sort`` on
+    (id, span_start) structs), no window."""
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), TOKEN_PATTERN), lambda t: t != ""
+    )
+    docs = df.select(F.col(id_col), toks.alias("__toks"))
+    joined = manifest.join(docs, id_col)
+    piece = joined.select(
+        "block_id",
+        F.struct(
+            F.col(id_col).alias("id"),
+            F.col("span_start").alias("s"),
+            F.slice(
+                F.col("__toks"),
+                (F.col("span_start") + 1).cast("int"),
+                F.col("n_tokens").cast("int"),
+            ).alias("toks"),
+        ).alias("__piece"),
+        F.col("n_tokens"),
+    )
+    return (
+        piece.groupBy("block_id")
+        .agg(
+            F.array_sort(F.collect_list("__piece")).alias("__pieces"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            "block_id",
+            F.array_join(
+                F.flatten(F.transform(F.col("__pieces"), lambda p: p["toks"])),
+                sep,
+            ).alias("text"),
+            "n_tokens",
+        )
+    )

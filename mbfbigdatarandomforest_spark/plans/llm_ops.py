@@ -1045,3 +1045,45 @@ def curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(packed)
         .orderBy("stage")
     )
+
+
+# --------------------------------------------------------------------------
+# Packed-block materialization (the shard-writer): manifest + docs →
+# actual fixed-size training blocks. Rows-only (the manifest plumbing is
+# already hash-gated via text_chunk_documents-style evidence; pytest
+# pins stream reconstruction); fingerprints keep the registered result
+# small while hashing the block text verbatim.
+# --------------------------------------------------------------------------
+@query("text_pack_materialize", tags=("text", "packing", "shards"))
+def text_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import materialize_packed_blocks, pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    manifest = pack_sequences(docs, max_tokens=256)
+    blocks = materialize_packed_blocks(docs, manifest)
+    return blocks.select(
+        "block_id", "n_tokens", F.md5("text").alias("fp")
+    ).orderBy("block_id")
+
+
+@query("text_lm_perplexity_order3", tags=("text", "quality", "lm", "ccnet", "trigram"))
+def text_lm_perplexity_order3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 variant of the CCNet filter (the paper's production LM is
+    a 5-gram; the estimator here is order-agnostic): per-(bucket, lang)
+    document counts under a trigram model trained on the English
+    subset. Rows-only; the trigram math is pinned by hand and pure-
+    Python oracles in tests/test_ngram_lm.py."""
+    from ..operators import ngram_lm as lm_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = lm_ops.train_ngram_lm(
+        docs.filter(F.col("lang") == "en"), order=3, vocab_size=50_000
+    )
+    scored = lm_ops.score_cross_entropy(lm, docs)
+    return (
+        lm_ops.perplexity_buckets(scored)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("bucket", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("bucket", "lang")
+    )

@@ -178,3 +178,90 @@ def test_buckets_all_empty_corpus_survives(spark):
     lm = lm_ops.train_bigram_lm(tiny)
     out = lm_ops.perplexity_buckets(lm_ops.score_cross_entropy(lm, tiny)).collect()
     assert {r["bucket"] for r in out} == {"tail"} and len(out) == 2
+
+
+# ---------------- general-order (train_ngram_lm) ----------------
+def test_order2_general_mapper_equals_bigram_mapper(spark):
+    """The rebuild mapper at order=2 must produce exactly the join-only
+    bigram mapper's rows — the two physical paths share semantics."""
+    docs = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet").limit(100)
+    lm = lm_ops.train_bigram_lm(docs)
+    a = sorted(
+        map(tuple, lm_ops._vocab_mapped_ngrams(docs, lm.vocab, "text", ["doc_id"], 2).collect())
+    )
+    b = sorted(
+        map(tuple, lm_ops._vocab_mapped_bigrams(docs, lm.vocab, "text", ["doc_id"]).collect())
+    )
+    assert a == b
+
+
+def test_trigram_hand_oracle(spark):
+    """Train 'a b a' at order 3: every observed trigram unique →
+    each p = (1+1)/(1+3) = 1/2, ce = ln 2; OOV doc mirrors the bigram
+    arithmetic with (BOS BOS)/(BOS unk) contexts."""
+    tiny = spark.createDataFrame(
+        [(1, "a b a"), (2, "z z")], "doc_id long, text string"
+    )
+    lm = lm_ops.train_ngram_lm(tiny.filter("doc_id = 1"), order=3)
+    assert lm.order == 3 and lm.v == 3
+    rows = {r["doc_id"]: r for r in lm_ops.score_cross_entropy(lm, tiny).collect()}
+    assert rows[1]["cross_entropy"] == pytest.approx(math.log(2), rel=1e-12)
+    expected = -(math.log(1 / 4) + math.log(1 / 3)) / 2
+    assert rows[2]["cross_entropy"] == pytest.approx(expected, rel=1e-12)
+    assert rows[2]["n_oov"] == 2
+
+
+def test_trigram_matches_python_oracle(spark):
+    """Full order-3 pipeline vs an independent pure-Python implementation
+    at sf0.001 (train on en, score everything)."""
+    import re
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF_DIR_ORACLE.replace('0.01', '0.001')}/documents.parquet")
+    pdf = docs.toPandas()
+
+    def toks(t):
+        return [x for x in re.split(r"\s+", t.strip().lower()) if x]
+
+    train = [toks(t) for t, l in zip(pdf["text"], pdf["lang"]) if l == "en"]
+    vocab = set(w for ts in train for w in ts)  # < 50k, no cap hit
+    V = len(vocab) + 1
+    BOS, UNK = lm_ops.BOS, lm_ops.UNK
+
+    def grams(ts):
+        mt = [w if w in vocab else UNK for w in ts]
+        padded = [BOS, BOS] + mt
+        return [
+            (" ".join(padded[i : i + 2]), mt[i], 0 if ts[i] in vocab else 1)
+            for i in range(len(mt))
+        ]
+
+    c12, c1 = Counter(), Counter()
+    for ts in train:
+        for ctx, w, _ in grams(ts):
+            c12[(ctx, w)] += 1
+            c1[ctx] += 1
+    want = {}
+    for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+        g = grams(toks(t))
+        if not g:
+            want[doc_id] = (0, 0, None)
+            continue
+        ce = -sum(
+            math.log((c12.get((ctx, w), 0) + 1) / (c1.get(ctx, 0) + V))
+            for ctx, w, _ in g
+        ) / len(g)
+        want[doc_id] = (len(g), sum(o for _, _, o in g), ce)
+
+    from pyspark.sql import functions as F
+
+    lm = lm_ops.train_ngram_lm(docs.filter(F.col("lang") == "en"), order=3)
+    got = {r["doc_id"]: r for r in lm_ops.score_cross_entropy(lm, docs).collect()}
+    assert set(got) == set(want)
+    for doc_id, (n, oov, ce) in want.items():
+        g = got[doc_id]
+        assert (g["n_bigrams"], g["n_oov"]) == (n, oov), doc_id
+        if ce is None:
+            assert g["cross_entropy"] is None, doc_id
+        else:
+            assert g["cross_entropy"] == pytest.approx(ce, rel=1e-9), doc_id

@@ -1567,3 +1567,50 @@ def test_curation_funnel_v2_monotone_and_conserving(spark):
     # token conservation itself is pack_sequences' pytest invariant
     assert rows["6_packed_blocks"][1] == rows["5_dsir_selected"][1]
     assert 0 < rows["6_packed_blocks"][0] <= rows["5_dsir_selected"][0]
+
+
+def test_materialize_packed_blocks_reconstructs_stream(spark):
+    """Concatenating the materialized blocks in block order reproduces
+    the corpus token stream in doc_id order, every block is exactly
+    max_tokens except the last, and block token counts match the
+    manifest's accounting."""
+    from conftest import SF_DIR_SMALL
+    from mbfbigdatarandomforest_spark.operators.text import (
+        materialize_packed_blocks,
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    max_tokens = 128
+    manifest = pack_sequences(docs, max_tokens)
+    blocks = materialize_packed_blocks(docs, manifest).orderBy("block_id").collect()
+
+    stream = []
+    for r in docs.orderBy("doc_id").select("text").collect():
+        stream += [t for t in r["text"].strip().split() if t]
+    got = []
+    for i, b in enumerate(blocks):
+        toks = b["text"].split(" ") if b["text"] else []
+        assert b["n_tokens"] == len(toks), b["block_id"]
+        if i < len(blocks) - 1:
+            assert b["n_tokens"] == max_tokens, b["block_id"]
+        got += toks
+    assert got == stream
+
+
+def test_materialize_blocks_split_doc_boundary(spark):
+    """A doc straddling a block boundary contributes the right span to
+    each side (slice arithmetic is 1-based under the hood)."""
+    from mbfbigdatarandomforest_spark.operators.text import (
+        materialize_packed_blocks,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g h")], "doc_id long, text string"
+    )
+    out = {
+        r["block_id"]: r["text"]
+        for r in materialize_packed_blocks(docs, pack_sequences(docs, 4)).collect()
+    }
+    assert out == {0: "a b c d", 1: "e f g h"}
