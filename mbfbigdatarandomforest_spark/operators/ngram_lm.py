@@ -409,3 +409,171 @@ def perplexity_buckets(
         .when(c <= F.lit(hi), F.lit("middle"))
         .otherwise(F.lit("tail")),
     )
+
+
+@dataclass
+class BackoffLM:
+    """Stupid-backoff model (Brants et al., "Large Language Models in
+    Machine Translation", 2007 — the LM estimator DESIGNED for
+    distributed count-based training): per-order gram-count frames, no
+    discounting, no normalization. Score
+    S(w|ctx) = c(ctx·w)/c(ctx) when c(ctx·w) > 0, else α·S(w|shorter
+    ctx), grounding at S(w) = c(w)/N. Scores are not probabilities
+    (the paper's point — at corpus scale the backoff constant works as
+    well as Kneser-Ney at a fraction of the cost), so the output column
+    is ``log_score``-based pseudo-cross-entropy, comparable within a
+    corpus for head/middle/tail bucketing.
+
+    ``counts[j]``: grams with a j-token context — (w1, w2, c12) where
+    w1 is the space-joined context; ``contexts[j]``: (w1, c1) totals.
+    ``unigrams`` = counts[0] keyed by empty context; ``total`` = N.
+    """
+
+    counts: dict[int, DataFrame]
+    contexts: dict[int, DataFrame]
+    vocab: DataFrame
+    order: int
+    alpha: float
+    total: int
+    #: smoothing vocabulary size for the add-one unigram ground.
+    v: int
+
+    def unpersist(self) -> None:
+        for d in (self.counts, self.contexts):
+            for frame in d.values():
+                try:
+                    frame.unpersist()
+                except Exception:
+                    pass
+
+
+def train_backoff_lm(
+    docs: DataFrame,
+    order: int = 3,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    alpha: float = 0.4,
+) -> BackoffLM:
+    """Count grams of every context length 0..order−1 from one mapped
+    explode of the training corpus (the longest-order mapper runs once;
+    shorter contexts are string-suffix projections of its rows — no
+    re-scan per order). All count frames are bounded model artifacts."""
+    if order < 2:
+        raise ValueError(f"order must be >= 2, got {order}")
+    base = train_bigram_lm(docs, text_col=text_col, vocab_size=vocab_size)
+    base.unpersist()
+    mapped = _vocab_mapped_ngrams(docs, base.vocab, text_col, [], order).cache()
+    counts: dict[int, DataFrame] = {}
+    contexts: dict[int, DataFrame] = {}
+    for j in range(order - 1, -1, -1):
+        ctx_j = _ctx_suffix(F.col("w1"), j, order - 1)
+        counts[j] = (
+            mapped.select(ctx_j.alias("w1"), "w2")
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c12"))
+            .cache()
+        )
+        contexts[j] = (
+            counts[j].groupBy("w1").agg(F.sum("c12").alias("c1")).cache()
+        )
+    total = counts[0].agg(F.sum("c12")).first()[0] or 0
+    mapped.unpersist()
+    return BackoffLM(
+        counts=counts,
+        contexts=contexts,
+        vocab=base.vocab,
+        order=order,
+        alpha=alpha,
+        total=int(total),
+        v=base.v,
+    )
+
+
+def _ctx_suffix(ctx: Column, j: int, full: int) -> Column:
+    """Last ``j`` space-separated tokens of a ``full``-token context
+    string ('' for j=0). Context tokens contain no spaces by the
+    tokenizer contract, so split/slice/join is exact."""
+    if j == 0:
+        return F.lit("")
+    if j == full:
+        return ctx
+    return F.array_join(F.slice(F.split(ctx, " "), full - j + 1, j), " ")
+
+
+def score_stupid_backoff(
+    lm: BackoffLM,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc mean negative log stupid-backoff score (pseudo-cross-
+    entropy): highest-order observed count wins, each level of backoff
+    multiplies by α, grounding at an add-one-smoothed unigram relative
+    frequency (always finite, including words the training corpus never
+    produced a count for).
+
+    Plan: ONE mapped explode of the candidate corpus at full order, 2
+    broadcast joins per order (counts + context totals), one codegen
+    CASE cascade, one ``groupBy(doc)``. The corpus never shuffles
+    against the model."""
+    full = lm.order - 1
+    mapped = _mapped_grams(docs, lm.vocab, text_col, [id_col], lm.order)
+    for j in range(full, -1, -1):
+        ctx_j = _ctx_suffix(F.col("w1"), j, full)
+        cj = F.broadcast(
+            lm.counts[j].select(
+                F.col("w1").alias(f"__ctx{j}"),
+                F.col("w2").alias("w2"),
+                F.col("c12").alias(f"__c12_{j}"),
+            )
+        )
+        tj = F.broadcast(
+            lm.contexts[j].select(
+                F.col("w1").alias(f"__ctx{j}"), F.col("c1").alias(f"__c1_{j}")
+            )
+        )
+        mapped = (
+            mapped.withColumn(f"__ctx{j}", ctx_j)
+            .join(cj, [f"__ctx{j}", "w2"], "left")
+            .join(tj, [f"__ctx{j}"], "left")
+        )
+    # cascade, built bottom-up so higher orders take precedence: the
+    # highest j with an observed gram count wins, discounted by
+    # α^(levels skipped). The unigram ground is add-one smoothed over
+    # (N + V): a candidate word absent even from the unigram counts
+    # (UNK when the training vocab was never capped) still gets a
+    # finite score — the one departure from the paper, which leaves
+    # OOV grounding unspecified.
+    ground = F.log(
+        F.lit(float(lm.alpha**full))
+        * (F.coalesce(F.col("__c12_0"), F.lit(0)) + F.lit(1.0))
+        / F.lit(float(lm.total + lm.v))
+    )
+    score = ground
+    for j in range(1, full + 1):
+        backoff = float(lm.alpha ** (full - j))
+        level = F.log(
+            F.lit(backoff) * F.col(f"__c12_{j}") / F.col(f"__c1_{j}")
+        )
+        score = F.when(F.col(f"__c12_{j}").isNotNull(), level).otherwise(score)
+    agg = (
+        mapped.select(id_col, "is_oov", score.alias("__logs"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("is_oov").alias("n_oov"),
+            (-F.avg("__logs")).alias("cross_entropy"),
+            F.exp(-F.avg("__logs")).alias("perplexity"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.coalesce(F.col("n_oov"), F.lit(0)).alias("n_oov"),
+            "cross_entropy",
+            "perplexity",
+        )
+    )

@@ -1087,3 +1087,25 @@ def text_lm_perplexity_order3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("bucket", "lang")
     )
+
+
+@query("text_lm_stupid_backoff", tags=("text", "quality", "lm", "backoff"))
+def text_lm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram scoring (Brants et al. 2007 — the LM
+    estimator built for distributed count-based training) bucketed
+    head/middle/tail per language. Rows-only; hand + pure-Python
+    oracles in tests/test_ngram_lm.py."""
+    from ..operators import ngram_lm as lm_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = lm_ops.train_backoff_lm(
+        docs.filter(F.col("lang") == "en"), order=3, vocab_size=50_000
+    )
+    scored = lm_ops.score_stupid_backoff(lm, docs)
+    return (
+        lm_ops.perplexity_buckets(scored)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("bucket", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("bucket", "lang")
+    )

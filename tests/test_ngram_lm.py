@@ -265,3 +265,88 @@ def test_trigram_matches_python_oracle(spark):
             assert g["cross_entropy"] is None, doc_id
         else:
             assert g["cross_entropy"] == pytest.approx(ce, rel=1e-9), doc_id
+
+
+# ---------------- stupid backoff (train_backoff_lm) ----------------
+def test_stupid_backoff_hand_oracle(spark):
+    """Train 'a b a b' at order 3 (every trigram deterministic → all
+    scores 1, ce 0); 'z z' exercises the full backoff cascade down to
+    the add-one unigram ground: α²·(0+1)/(N+V) twice."""
+    tiny = spark.createDataFrame(
+        [(1, "a b a b"), (2, "z z"), (3, "")], "doc_id long, text string"
+    )
+    lm = lm_ops.train_backoff_lm(tiny.filter("doc_id = 1"), order=3, alpha=0.4)
+    assert (lm.total, lm.v) == (4, 3)
+    rows = {r["doc_id"]: r for r in lm_ops.score_stupid_backoff(lm, tiny).collect()}
+    assert rows[1]["cross_entropy"] == pytest.approx(0.0, abs=1e-12)
+    ground = math.log(0.4**2 * 1 / (4 + 3))
+    assert rows[2]["cross_entropy"] == pytest.approx(-(ground + ground) / 2, rel=1e-12)
+    assert rows[3]["cross_entropy"] is None and rows[3]["n_bigrams"] == 0
+
+
+def test_stupid_backoff_matches_python_oracle(spark):
+    """Full order-3 stupid-backoff pipeline vs an independent pure-Python
+    implementation at sf0.001."""
+    import re
+    from collections import Counter
+
+    docs = spark.read.parquet(
+        f"{SF_DIR_ORACLE.replace('0.01', '0.001')}/documents.parquet"
+    )
+    pdf = docs.toPandas()
+
+    def toks(t):
+        return [x for x in re.split(r"\s+", t.strip().lower()) if x]
+
+    train = [toks(t) for t, l in zip(pdf["text"], pdf["lang"]) if l == "en"]
+    vocab = set(w for ts in train for w in ts)
+    V = len(vocab) + 1
+    BOS, UNK, ALPHA = lm_ops.BOS, lm_ops.UNK, 0.4
+
+    def grams(ts):
+        mt = [w if w in vocab else UNK for w in ts]
+        padded = [BOS, BOS] + mt
+        return [
+            ((padded[i], padded[i + 1]), mt[i]) for i in range(len(mt))
+        ]
+
+    c3, c2, c1 = Counter(), Counter(), Counter()
+    x3, x2 = Counter(), Counter()
+    N = 0
+    for ts in train:
+        for (a, b), w in grams(ts):
+            c3[(a, b, w)] += 1
+            x3[(a, b)] += 1
+            c2[(b, w)] += 1
+            x2[b] += 1
+            c1[w] += 1
+            N += 1
+
+    def sb(a, b, w):
+        if c3.get((a, b, w)):
+            return c3[(a, b, w)] / x3[(a, b)]
+        if c2.get((b, w)):
+            return ALPHA * c2[(b, w)] / x2[b]
+        return ALPHA**2 * (c1.get(w, 0) + 1) / (N + V)
+
+    want = {}
+    for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+        g = grams(toks(t))
+        if not g:
+            want[doc_id] = None
+            continue
+        want[doc_id] = -sum(math.log(sb(a, b, w)) for (a, b), w in g) / len(g)
+
+    from pyspark.sql import functions as F
+
+    lm = lm_ops.train_backoff_lm(docs.filter(F.col("lang") == "en"), order=3)
+    got = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in lm_ops.score_stupid_backoff(lm, docs).collect()
+    }
+    assert set(got) == set(want)
+    for doc_id, ce in want.items():
+        if ce is None:
+            assert got[doc_id] is None, doc_id
+        else:
+            assert got[doc_id] == pytest.approx(ce, rel=1e-9), doc_id
