@@ -1109,3 +1109,49 @@ def text_lm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("bucket", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus datasheet — the per-source report a data team publishes with a
+# corpus ("datasheets for datasets"): volume, token budget, language
+# mix, exact-dup rate, PII incidence — ONE grouped scan. Rows-only in
+# the registry (window full); the pytest twin runs a full DuckDB
+# implementation and compares integers exactly, ratios at 1e-12.
+# --------------------------------------------------------------------------
+@query("corpus_datasheet", tags=("text", "reporting", "datasheet"))
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import EMAIL_PATTERN, fingerprint, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.size(tokens("text")).alias("__n_tok"),
+        fingerprint(F.col("text")).alias("__fp"),
+        (F.size(F.regexp_extract_all("text", F.lit(EMAIL_PATTERN), 0)) > 0)
+        .cast("int")
+        .alias("__has_email"),
+    )
+    # two aggregates over the slim per-doc projection: the language mix
+    # needs (source, lang) granularity while dup/PII need per-source
+    # distincts — the projection is cached so the corpus scans once
+    per_doc = per_doc.cache()
+    lang_stats = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__n_tok").alias("__tok")
+    )
+    per_source = lang_stats.groupBy("source").agg(
+        F.sum("__n").alias("n_docs"),
+        F.sum("__tok").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+        # majority language, ties broken by lang code (deterministic)
+        F.min(F.struct((-F.col("__n")).alias("negn"), F.col("lang")))[
+            "lang"
+        ].alias("top_lang"),
+    )
+    fp_stats = per_doc.groupBy("source").agg(
+        (F.lit(1.0) - F.count_distinct("__fp") / F.count(F.lit(1))).alias(
+            "dup_rate"
+        ),
+        F.sum("__has_email").alias("n_docs_with_email"),
+    )
+    return per_source.join(fp_stats, "source").orderBy("source")

@@ -350,3 +350,52 @@ def test_stupid_backoff_matches_python_oracle(spark):
             assert got[doc_id] is None, doc_id
         else:
             assert got[doc_id] == pytest.approx(ce, rel=1e-9), doc_id
+
+
+# ---------------- corpus datasheet ----------------
+def test_corpus_datasheet_duckdb_twin(spark, duck):
+    """The fused per-source report vs a full DuckDB implementation:
+    integers exact, dup_rate at 1e-12."""
+    from mbfbigdatarandomforest_spark.registry import load_all
+
+    got = {
+        r["source"]: tuple(r)[1:]
+        for r in load_all()["corpus_datasheet"].fn(spark, SF_DIR_ORACLE).collect()
+    }
+    want_rows = duck.sql(r"""
+WITH per_doc AS (
+  SELECT source, lang,
+         len(list_filter(
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+           t -> t != ''
+         )) AS n_tok,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         CASE WHEN regexp_matches(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') THEN 1 ELSE 0
+         END AS has_email
+  FROM documents
+), lang_stats AS (
+  SELECT source, lang, COUNT(*) AS n, SUM(n_tok) AS tok
+  FROM per_doc GROUP BY 1, 2
+), per_source AS (
+  SELECT source, SUM(n) AS n_docs, SUM(tok) AS n_tokens,
+         COUNT(*) AS n_langs,
+         MIN(struct_pack(negn := -n, lang := lang)).lang AS top_lang
+  FROM lang_stats GROUP BY 1
+), fp_stats AS (
+  SELECT source,
+         1.0 - COUNT(DISTINCT fp) * 1.0 / COUNT(*) AS dup_rate,
+         SUM(has_email) AS n_docs_with_email
+  FROM per_doc GROUP BY 1
+)
+SELECT p.*, f.dup_rate, f.n_docs_with_email
+FROM per_source p JOIN fp_stats f USING (source)
+ORDER BY source
+""").fetchall()
+    assert len(want_rows) == len(got)
+    for src, n_docs, n_tokens, n_langs, top_lang, dup_rate, n_email in want_rows:
+        g = got[src]
+        assert g[0] == n_docs and g[1] == n_tokens and g[2] == n_langs, src
+        assert g[3] == top_lang, src
+        assert g[4] == pytest.approx(dup_rate, abs=1e-12), src
+        assert g[5] == n_email, src
