@@ -1155,3 +1155,36 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__has_email").alias("n_docs_with_email"),
     )
     return per_source.join(fp_stats, "source").orderBy("source")
+
+
+@query("text_quality_classifier", tags=("text", "quality", "classifier", "gpt3"))
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style classifier filtering (Brown et al. 2020 App. A):
+    HashingTF + LogisticRegression separating the English target domain
+    from the rest, deterministic Pareto(3) keep rule. Output: kept/
+    dropped rollup with target-language counts (the enrichment the
+    filter exists to produce). Rows-only; pytest carries the exact
+    Python oracle for the keep rule and the separation property."""
+    from ..operators import quality_classifier as qc
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    model = qc.train_quality_classifier(target, docs.filter(F.col("lang") != "en"))
+    scored = qc.score_quality(model, docs)
+    kept_ids = qc.pareto_keep(scored, alpha=3.0).select("doc_id")
+    tagged = (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .join(
+            kept_ids.withColumn("__kept", F.lit(True)), "doc_id", "left"
+        )
+        .withColumn("kept", F.coalesce(F.col("__kept"), F.lit(False)))
+    )
+    return (
+        tagged.groupBy("kept")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("lang") == "en").cast("long")).alias("n_en"),
+            F.round(F.avg("quality_prob"), 6).alias("avg_prob_6"),
+        )
+        .orderBy("kept")
+    )
