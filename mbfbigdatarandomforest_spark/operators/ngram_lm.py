@@ -152,25 +152,7 @@ def train_bigram_lm(
     """
     if vocab_size < 1:
         raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
-    uni = (
-        docs.select(F.explode(_tokens(text_col)).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    # The vocabulary is bounded by construction — materialize it as a
-    # LOCAL relation (one job) instead of a cached distributed frame:
-    # downstream broadcast joins read it with no pinned executor
-    # storage, and |vocab| falls out for free without a second count job.
-    words = [
-        r["w"]
-        for r in uni.orderBy(F.col("c").desc(), F.col("w").asc())
-        .limit(vocab_size)
-        .select("w")
-        .collect()
-    ]
-    vocab = docs.sparkSession.createDataFrame(
-        [(w,) for w in words], "w string"
-    )
+    vocab, n_words = _build_vocab(docs, text_col, vocab_size)
     mapped = _vocab_mapped_bigrams(docs, vocab, text_col, id_cols=[])
     # bigrams/contexts are the (bounded, reused) model artifacts — every
     # scoring/bucketing action joins them, so cache rather than re-run
@@ -181,8 +163,31 @@ def train_bigram_lm(
     )
     contexts = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1")).cache()
     return BigramLM(
-        bigrams=bigrams, contexts=contexts, vocab=vocab, v=len(words) + 1, k=k
+        bigrams=bigrams, contexts=contexts, vocab=vocab, v=n_words + 1, k=k
     )
+
+
+def _build_vocab(
+    docs: DataFrame, text_col: str, vocab_size: int
+) -> tuple[DataFrame, int]:
+    """Top-``vocab_size`` vocabulary (count desc, word asc) as a LOCAL
+    relation: one corpus aggregate + one bounded collect. Downstream
+    broadcast joins read it with no pinned executor storage, and
+    |vocab| falls out for free without a second count job."""
+    uni = (
+        docs.select(F.explode(_tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    words = [
+        r["w"]
+        for r in uni.orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(vocab_size)
+        .select("w")
+        .collect()
+    ]
+    vocab = docs.sparkSession.createDataFrame([(w,) for w in words], "w string")
+    return vocab, len(words)
 
 
 def _vocab_mapped_ngrams(
@@ -460,32 +465,38 @@ def train_backoff_lm(
     re-scan per order). All count frames are bounded model artifacts."""
     if order < 2:
         raise ValueError(f"order must be >= 2, got {order}")
-    base = train_bigram_lm(docs, text_col=text_col, vocab_size=vocab_size)
-    base.unpersist()
-    mapped = _vocab_mapped_ngrams(docs, base.vocab, text_col, [], order).cache()
+    vocab, n_words = _build_vocab(docs, text_col, vocab_size)
+    full = order - 1
+    mapped = _mapped_grams(docs, vocab, text_col, [], order)
     counts: dict[int, DataFrame] = {}
     contexts: dict[int, DataFrame] = {}
-    for j in range(order - 1, -1, -1):
-        ctx_j = _ctx_suffix(F.col("w1"), j, order - 1)
+    # ONE corpus-scale aggregate (the full-order counts); every shorter
+    # context's counts are exact suffix projections of that BOUNDED
+    # table — re-aggregating the corpus once per order would scan the
+    # mapped frame |order| times for identical totals.
+    counts[full] = (
+        mapped.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).cache()
+    )
+    for j in range(full - 1, -1, -1):
         counts[j] = (
-            mapped.select(ctx_j.alias("w1"), "w2")
-            .groupBy("w1", "w2")
-            .agg(F.count(F.lit(1)).alias("c12"))
+            counts[full]
+            .groupBy(_ctx_suffix(F.col("w1"), j, full).alias("w1"), "w2")
+            .agg(F.sum("c12").alias("c12"))
             .cache()
         )
+    for j in range(full, -1, -1):
         contexts[j] = (
             counts[j].groupBy("w1").agg(F.sum("c12").alias("c1")).cache()
         )
     total = counts[0].agg(F.sum("c12")).first()[0] or 0
-    mapped.unpersist()
     return BackoffLM(
         counts=counts,
         contexts=contexts,
-        vocab=base.vocab,
+        vocab=vocab,
         order=order,
         alpha=alpha,
         total=int(total),
-        v=base.v,
+        v=n_words + 1,
     )
 
 
