@@ -46,6 +46,9 @@ HEADLINE = [
     "text_bpe_token_stats",     # real BPE train + vocab-side encode (r5)
     "sample_importance_dsir",   # DSIR hashed-ngram importance resampling (r5)
     "tpch_correlated_suite",    # q2/q4/q17/q22 shapes, Catalyst-decorrelated (r5)
+    "text_quality_classifier",  # GPT-3-style HashingTF+LR filter (r5)
+    "text_pack_materialize",    # packed-block shard writer (r5)
+    "corpus_datasheet",         # per-source corpus report (r5)
     "ml_ols_metrics",           # closed r5: 1.9s, matching the GPU baseline
     "ml_random_forest_metrics",
 ]

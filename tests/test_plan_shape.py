@@ -354,3 +354,26 @@ def test_ols_hash_split_is_single_stage_aggregate(spark):
     # exactly ONE data shuffle (the aggregate exchange); the only other
     # exchange is the part-dimension broadcast
     assert plan.count("ENSURE_REQUIREMENTS") == 1
+
+
+def test_backoff_and_classifier_plan_shape(spark):
+    """Stupid-backoff scoring broadcasts every count table (the corpus
+    never shuffles against the model) and the Pareto keep rule is a
+    pure filter over the scored frame — no extra exchange."""
+    from pyspark.sql import functions as F
+
+    from mbfbigdatarandomforest_spark.operators import ngram_lm as lm_ops
+    from mbfbigdatarandomforest_spark.operators import quality_classifier as qc
+    from mbfbigdatarandomforest_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    lm = lm_ops.train_backoff_lm(docs.filter(F.col("lang") == "en"), order=3)
+    plan = _plan(lm_ops.score_stupid_backoff(lm, docs))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 6  # counts+contexts × 3 orders
+
+    scored = spark.createDataFrame(
+        [(1, 0.9), (2, 0.1)], "doc_id long, quality_prob double"
+    )
+    kplan = _plan(qc.pareto_keep(scored, alpha=3.0))
+    assert "Exchange" not in kplan and "Filter" in kplan
