@@ -1614,3 +1614,32 @@ def test_materialize_blocks_split_doc_boundary(spark):
         for r in materialize_packed_blocks(docs, pack_sequences(docs, 4)).collect()
     }
     assert out == {0: "a b c d", 1: "e f g h"}
+
+
+def test_pack_sequences_with_real_bpe_counts(spark):
+    """pack_sequences' token_count_col contract composes with the real
+    tokenizer: packing on bpe_token_counts' n_bpe_tokens produces blocks
+    whose manifest sums exactly to the corpus BPE total."""
+    from conftest import SF_DIR_SMALL
+    from mbfbigdatarandomforest_spark.operators import bpe
+    from mbfbigdatarandomforest_spark.operators.text import pack_sequences
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    wc = [(r["word"], r["c"]) for r in bpe.word_counts(docs).collect()]
+    merges = bpe.learn_bpe(wc, 60)
+    counted = bpe.bpe_token_counts(docs, merges)
+    manifest = pack_sequences(
+        counted, max_tokens=512, id_col="doc_id", token_count_col="n_bpe_tokens"
+    )
+    total_bpe = counted.agg(F.sum("n_bpe_tokens")).first()[0]
+    assert manifest.agg(F.sum("n_tokens")).first()[0] == total_bpe
+    sizes = {
+        r["block_id"]: r["s"]
+        for r in manifest.groupBy("block_id")
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    }
+    last = max(sizes)
+    for b, s in sizes.items():
+        assert s == 512 or b == last, (b, s)

@@ -519,3 +519,58 @@ def test_lm_scoring_streams_via_foreachbatch(spark, tmp_path):
         for r in spark.read.parquet(str(out)).collect()
     }
     assert got == want and len(got) == 4
+
+
+def test_classifier_scoring_streams_via_foreachbatch(spark, tmp_path):
+    """The GPT-3-style quality classifier composes with streams the same
+    way the LM does: the fitted PipelineModel is a broadcast artifact,
+    per-doc scoring is batch-local, so a multi-batch drain reproduces
+    batch scoring exactly (probabilities are deterministic functions of
+    the model + row)."""
+    from pyspark.sql import functions as F
+
+    from mbfbigdatarandomforest_spark.operators import quality_classifier as qc
+
+    train_pos = spark.createDataFrame(
+        [(100, "the cat and the dog"), (101, "the bird and the fish")],
+        "doc_id long, text string",
+    )
+    train_neg = spark.createDataFrame(
+        [(200, "der hund und die katze"), (201, "das brot und der wein")],
+        "doc_id long, text string",
+    )
+    model = qc.train_quality_classifier(train_pos, train_neg, num_features=1 << 10)
+
+    src = tmp_path / "docs"
+    raw = [(0, "the cat and the fish"), (1, "der wein und das brot"), (2, "xyzzy")]
+    spark.createDataFrame(raw[:2], "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(str(src))
+    spark.createDataFrame(raw[2:], "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(str(src))
+
+    want = {
+        (r["doc_id"], r["quality_prob"])
+        for r in qc.score_quality(model, spark.read.parquet(str(src))).collect()
+    }
+    out = tmp_path / "scored"
+
+    def score_batch(bdf, _bid):
+        qc.score_quality(model, bdf).write.mode("append").parquet(str(out))
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["quality_prob"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == want and len(got) == 3
