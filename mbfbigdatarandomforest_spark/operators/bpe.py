@@ -272,3 +272,21 @@ def bpe_token_counts(
             .alias("n_word_chars"),
         )
     )
+
+
+def save_merges(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a learned merge list (the tokenizer artifact) as JSON —
+    rank order IS list order."""
+    import json
+    from pathlib import Path
+
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(json.dumps([[a, b] for a, b in merges]))
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    import json
+    from pathlib import Path
+
+    return [(a, b) for a, b in json.loads(Path(path).read_text())]

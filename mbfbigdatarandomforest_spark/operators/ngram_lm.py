@@ -588,3 +588,38 @@ def score_stupid_backoff(
             "perplexity",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Persistence (S5 for the corpus family): an LM is a model ARTIFACT —
+# bounded count tables + scalar metadata — so it saves as parquet +
+# JSON and reloads into an identical scorer on any cluster.
+# ---------------------------------------------------------------------------
+def save_lm(lm: BigramLM, path: str) -> None:
+    import json
+    from pathlib import Path
+
+    lm.bigrams.write.mode("overwrite").parquet(f"{path}/bigrams")
+    lm.contexts.write.mode("overwrite").parquet(f"{path}/contexts")
+    lm.vocab.write.mode("overwrite").parquet(f"{path}/vocab")
+    Path(path).mkdir(parents=True, exist_ok=True)
+    Path(f"{path}/meta.json").write_text(
+        json.dumps({"v": lm.v, "k": lm.k, "order": lm.order, "kind": "ngram"})
+    )
+
+
+def load_lm(spark, path: str) -> BigramLM:
+    import json
+    from pathlib import Path
+
+    meta = json.loads(Path(f"{path}/meta.json").read_text())
+    if meta.get("kind") != "ngram":
+        raise ValueError(f"{path} does not hold an n-gram LM (kind={meta.get('kind')})")
+    return BigramLM(
+        bigrams=spark.read.parquet(f"{path}/bigrams").cache(),
+        contexts=spark.read.parquet(f"{path}/contexts").cache(),
+        vocab=spark.read.parquet(f"{path}/vocab"),
+        v=int(meta["v"]),
+        k=float(meta["k"]),
+        order=int(meta["order"]),
+    )

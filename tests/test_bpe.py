@@ -196,3 +196,10 @@ def test_precomputed_encoded_coverage_enforced(spark):
     }
     assert part[1] is None  # 'bb' uncovered → visible NULL
     assert part[2] == full[2]  # fully covered doc unaffected
+
+
+def test_merges_save_load_roundtrip(tmp_path):
+    merges = bpe.learn_bpe(CORPORA[0], 30)
+    p = tmp_path / "tok" / "merges.json"
+    bpe.save_merges(merges, str(p))
+    assert bpe.load_merges(str(p)) == merges

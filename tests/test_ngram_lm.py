@@ -399,3 +399,33 @@ ORDER BY source
         assert g[3] == top_lang, src
         assert g[4] == pytest.approx(dup_rate, abs=1e-12), src
         assert g[5] == n_email, src
+
+
+def test_lm_save_load_roundtrip(spark, tmp_path):
+    """A persisted LM reloads into an identical scorer (same per-doc
+    cross-entropy to the bit — counts and metadata are exact)."""
+    docs = spark.read.parquet(
+        f"{SF_DIR_ORACLE.replace('0.01', '0.001')}/documents.parquet"
+    )
+    lm = lm_ops.train_ngram_lm(docs.filter(F.col("lang") == "en"), order=3)
+    want = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in lm_ops.score_cross_entropy(lm, docs).collect()
+    }
+    lm_ops.save_lm(lm, str(tmp_path / "lm"))
+    back = lm_ops.load_lm(spark, str(tmp_path / "lm"))
+    assert (back.v, back.k, back.order) == (lm.v, lm.k, lm.order)
+    got = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in lm_ops.score_cross_entropy(back, docs).collect()
+    }
+    assert got == want
+
+
+def test_lm_load_rejects_wrong_kind(spark, tmp_path):
+    import json
+
+    (tmp_path / "notlm").mkdir()
+    (tmp_path / "notlm" / "meta.json").write_text(json.dumps({"kind": "other"}))
+    with pytest.raises(ValueError, match="does not hold"):
+        lm_ops.load_lm(spark, str(tmp_path / "notlm"))
