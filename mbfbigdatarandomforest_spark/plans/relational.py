@@ -1521,3 +1521,68 @@ def tpch_correlated_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, tables=("lineitem", "orders", "customer"))
     return spark.sql(TPCH_CORRELATED_SQL)
+
+
+# --------------------------------------------------------------------------
+# Second ANSI suite (TPC-H q8/q10/q14/q16/q19 shapes on the available
+# columns) — same contract as TPCH_CORRELATED_SQL: ONE text executed
+# verbatim by both engines, decimal-sum portable amounts, rows-only in
+# the registry (window full) with an exact same-text pytest twin. The
+# shapes cover the inventory axes the first suite does not: conditional
+# aggregation (q14), three-table fact chains (q10), COUNT(DISTINCT)
+# groups (q16), disjunctive multi-column pushdown (q19), and a scalar
+# subquery driving a dimension filter through two snowflake hops (q8).
+# --------------------------------------------------------------------------
+TPCH_ANSI_SUITE2_SQL = """
+WITH s14 AS (
+  SELECT 'q14_promo_share' AS section, 'all' AS k, COUNT(*) AS n,
+         CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice
+                            ELSE 0 END AS DECIMAL(28,8))) AS DOUBLE) AS amount
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), s10 AS (
+  SELECT 'q10_returned_revenue' AS section, c_mktsegment AS k, COUNT(*) AS n,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(28,8))) AS DOUBLE) AS amount
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE l_returnflag = 'R' GROUP BY c_mktsegment
+), s16 AS (
+  SELECT 'q16_supplier_cnt' AS section, p_brand AS k,
+         COUNT(DISTINCT l_suppkey) AS n, CAST(NULL AS DOUBLE) AS amount
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p_size IN (1, 10, 20) GROUP BY p_brand
+), s19 AS (
+  SELECT 'q19_disjunctive' AS section, 'all' AS k, COUNT(*) AS n,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS amount
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20)
+     OR (p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 30)
+), s8 AS (
+  SELECT 'q8_nation_share' AS section, n_name AS k, COUNT(*) AS n,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(28,8))) AS DOUBLE) AS amount
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = (SELECT MIN(r_name) FROM region)
+  GROUP BY n_name
+)
+SELECT * FROM s14
+UNION ALL SELECT * FROM s10
+UNION ALL SELECT * FROM s16
+UNION ALL SELECT * FROM s19
+UNION ALL SELECT * FROM s8
+ORDER BY section, k
+"""
+
+
+@query("tpch_ansi_suite2", tags=("SQL-surface", "q8", "q10", "q14", "q16", "q19"))
+def tpch_ansi_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import register_views
+
+    register_views(
+        spark,
+        sf_dir,
+        tables=("lineitem", "orders", "customer", "part", "supplier", "nation", "region"),
+    )
+    return spark.sql(TPCH_ANSI_SUITE2_SQL)

@@ -48,3 +48,25 @@ def test_plan_decorrelates(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ansi_suite2_same_text_both_engines_exact(spark, duck):
+    from mbfbigdatarandomforest_spark.plans.relational import TPCH_ANSI_SUITE2_SQL
+
+    got = [tuple(r) for r in load_all()["tpch_ansi_suite2"].fn(spark, SF_DIR_ORACLE).collect()]
+    want = duck.sql(TPCH_ANSI_SUITE2_SQL).fetchall()
+    assert len(got) == len(want) and len(got) > 10
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3], (g, w)
+        assert (g[3] is None) == (w[3] is None) and (g[3] is None or g[3] == w[3]), (g, w)
+
+
+def test_ansi_suite2_plan_shape(spark):
+    df = load_all()["tpch_ansi_suite2"].fn(spark, SF_DIR_ORACLE)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    # q19's disjunctive predicate must still push a partial filter /
+    # join rather than degenerate to a nested loop
+    assert "BroadcastNestedLoopJoin" not in plan
