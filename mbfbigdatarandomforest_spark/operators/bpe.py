@@ -275,8 +275,10 @@ def bpe_token_counts(
 
 
 def save_merges(merges: list[tuple[str, str]], path: str) -> None:
-    """Persist a learned merge list (the tokenizer artifact) as JSON —
-    rank order IS list order."""
+    """Persist a learned merge list as JSON — rank order IS list order.
+    DRIVER-LOCAL filesystem only (a tokenizer file is a small config
+    artifact, like HuggingFace's merges.txt); ship it to object storage
+    separately if the cluster needs it."""
     import json
     from pathlib import Path
 

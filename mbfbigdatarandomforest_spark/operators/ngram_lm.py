@@ -253,9 +253,12 @@ def _vocab_mapped_ngrams(
             F.element_at(F.col("__oov"), i).alias("is_oov"),
         ),
     )
+    # every mapped_arrays row came through posexplode+groupBy, so __mt is
+    # never empty here (empty docs vanish upstream and are re-joined by
+    # score_cross_entropy) — no empty-array guard needed, unlike _bigrams
     return (
         mapped_arrays.select(
-            *id_cols, F.explode(F.when(n > 0, grams).otherwise(F.array())).alias("g")
+            *id_cols, F.explode(grams).alias("g")
         )  # the synthetic __docid (if any) is dropped here by selecting id_cols only
         .select(
             *id_cols,
@@ -296,11 +299,10 @@ def train_ngram_lm(
     mapper."""
     if order < 2:
         raise ValueError(f"order must be >= 2, got {order}")
-    base = train_bigram_lm(docs, text_col=text_col, vocab_size=vocab_size, k=k)
     if order == 2:
-        return base
-    base.unpersist()
-    mapped = _vocab_mapped_ngrams(docs, base.vocab, text_col, [], order)
+        return train_bigram_lm(docs, text_col=text_col, vocab_size=vocab_size, k=k)
+    vocab, n_words = _build_vocab(docs, text_col, vocab_size)
+    mapped = _vocab_mapped_ngrams(docs, vocab, text_col, [], order)
     bigrams = (
         mapped.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).cache()
     )
@@ -308,8 +310,8 @@ def train_ngram_lm(
     return BigramLM(
         bigrams=bigrams,
         contexts=contexts,
-        vocab=base.vocab,
-        v=base.v,
+        vocab=vocab,
+        v=n_words + 1,
         k=k,
         order=order,
     )
@@ -596,23 +598,26 @@ def score_stupid_backoff(
 # JSON and reloads into an identical scorer on any cluster.
 # ---------------------------------------------------------------------------
 def save_lm(lm: BigramLM, path: str) -> None:
+    """Every component — including the metadata — goes through Spark's
+    Hadoop filesystem layer, so the artifact lands on ONE filesystem
+    whether ``path`` is local, HDFS, or s3a (a driver-local json write
+    would split the artifact across the driver disk and the store)."""
     import json
-    from pathlib import Path
 
     lm.bigrams.write.mode("overwrite").parquet(f"{path}/bigrams")
     lm.contexts.write.mode("overwrite").parquet(f"{path}/contexts")
     lm.vocab.write.mode("overwrite").parquet(f"{path}/vocab")
-    Path(path).mkdir(parents=True, exist_ok=True)
-    Path(f"{path}/meta.json").write_text(
-        json.dumps({"v": lm.v, "k": lm.k, "order": lm.order, "kind": "ngram"})
-    )
+    meta = json.dumps({"v": lm.v, "k": lm.k, "order": lm.order, "kind": "ngram"})
+    spark = lm.bigrams.sparkSession
+    spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(f"{path}/meta")
 
 
 def load_lm(spark, path: str) -> BigramLM:
     import json
-    from pathlib import Path
 
-    meta = json.loads(Path(f"{path}/meta.json").read_text())
+    meta = json.loads(spark.read.text(f"{path}/meta").first()["value"])
     if meta.get("kind") != "ngram":
         raise ValueError(f"{path} does not hold an n-gram LM (kind={meta.get('kind')})")
     return BigramLM(

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .sampling import hash_fraction_sample
+from .sampling import _hash_key, hash_fraction_sample
 
 
 def train_quality_classifier(
@@ -108,15 +108,26 @@ def pareto_keep(
     kept almost surely; low-score docs survive with the Pareto tail
     probability — the published soft threshold that avoids a hard
     quality cliff. Pure filter: zero shuffle, pushes toward the scan."""
+    return scored.filter(
+        pareto_keep_flag(alpha=alpha, id_col=id_col, score_col=score_col, salt=salt)
+    )
+
+
+def pareto_keep_flag(
+    alpha: float = 9.0,
+    id_col: str = "doc_id",
+    score_col: str = "quality_prob",
+    salt: str = "",
+):
+    """The keep rule as a boolean Column — for callers that want the
+    flag without filtering (rollups, audits) and to guarantee a single
+    scoring pass (a separate filter subtree would re-run the classifier
+    transform). Keyed via the SHARED md5 convention
+    (``operators.sampling._hash_key``) so Pareto draws stay in lockstep
+    with every other deterministic sampler."""
     if alpha <= 0:
         raise ValueError(f"alpha must be positive, got {alpha}")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = F.conv(F.substring(_hash_key(id_col, salt), 1, 8), 16, 10).cast("long")
     u = (h + F.lit(0.5)) / F.lit(float(1 << 32))
     x = F.pow(u, F.lit(-1.0 / alpha)) - F.lit(1.0)
-    return scored.filter(F.col(score_col) > F.lit(1.0) - x)
+    return F.col(score_col) > F.lit(1.0) - x

@@ -509,6 +509,7 @@ def materialize_packed_blocks(
     text_col: str = "text",
     id_col: str = "doc_id",
     sep: str = " ",
+    validate: bool = True,
 ) -> DataFrame:
     """Turn a ``pack_sequences`` manifest into actual training blocks:
     (block_id, text, n_tokens) where ``text`` is the block's token span
@@ -531,6 +532,30 @@ def materialize_packed_blocks(
     )
     docs = df.select(F.col(id_col), toks.alias("__toks"))
     joined = manifest.join(docs, id_col)
+    if validate:
+        # A manifest built in a different token unit (pack_sequences'
+        # token_count_col mode, e.g. BPE counts) would slice the WRONG
+        # spans silently — every doc's manifest must end exactly at its
+        # whitespace token count. One cheap aggregate over the manifest.
+        ends = manifest.groupBy(id_col).agg(F.max("span_end").alias("__end"))
+        # the check must be a FILTER condition: an assert_true in a
+        # later-dropped column is pruned away by Catalyst and never runs
+        joined = (
+            joined.join(ends, id_col)
+            .filter(
+                F.when(F.col("__end") == F.size("__toks"), F.lit(True)).otherwise(
+                    F.raise_error(
+                        F.lit(
+                            "manifest span units do not match whitespace tokens"
+                            " — was pack_sequences built with token_count_col?"
+                            " Materialization requires whitespace-unit"
+                            " manifests (or pass validate=False)"
+                        )
+                    ).cast("boolean")
+                )
+            )
+            .drop("__end")
+        )
     piece = joined.select(
         "block_id",
         F.struct(

@@ -1128,9 +1128,10 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(tokens("text")).alias("__n_tok"),
         fingerprint(F.col("text")).alias("__fp"),
-        (F.size(F.regexp_extract_all("text", F.lit(EMAIL_PATTERN), 0)) > 0)
-        .cast("int")
-        .alias("__has_email"),
+        # rlike short-circuits on first match — never materialize the
+        # full match array just to test emptiness (mirrors the DuckDB
+        # twin's boolean regexp_matches)
+        F.col("text").rlike(EMAIL_PATTERN).cast("int").alias("__has_email"),
     )
     # two aggregates over the slim per-doc projection: the language mix
     # needs (source, lang) granularity while dup/PII need per-source
@@ -1171,13 +1172,10 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = docs.filter(F.col("lang") == "en")
     model = qc.train_quality_classifier(target, docs.filter(F.col("lang") != "en"))
     scored = qc.score_quality(model, docs)
-    kept_ids = qc.pareto_keep(scored, alpha=3.0).select("doc_id")
-    tagged = (
-        scored.join(docs.select("doc_id", "lang"), "doc_id")
-        .join(
-            kept_ids.withColumn("__kept", F.lit(True)), "doc_id", "left"
-        )
-        .withColumn("kept", F.coalesce(F.col("__kept"), F.lit(False)))
+    # the keep rule is a row-local predicate of (doc_id, prob) — one
+    # withColumn, one scoring pass, no re-transform/self-join subtree
+    tagged = scored.join(docs.select("doc_id", "lang"), "doc_id").withColumn(
+        "kept", qc.pareto_keep_flag(alpha=3.0)
     )
     return (
         tagged.groupBy("kept")

@@ -426,6 +426,7 @@ def test_lm_load_rejects_wrong_kind(spark, tmp_path):
     import json
 
     (tmp_path / "notlm").mkdir()
-    (tmp_path / "notlm" / "meta.json").write_text(json.dumps({"kind": "other"}))
+    # plain text file at <path>/meta — spark.read.text accepts files too
+    (tmp_path / "notlm" / "meta").write_text(json.dumps({"kind": "other"}))
     with pytest.raises(ValueError, match="does not hold"):
         lm_ops.load_lm(spark, str(tmp_path / "notlm"))

@@ -1671,3 +1671,27 @@ def test_curation_pipeline_runner_end_to_end(tmp_path):
     assert summary["n_blocks"] > 0
     for sub in ("datasheet", "funnel", "manifest", "blocks", "kept_docs"):
         assert any((out / sub).iterdir()), sub
+
+
+def test_materialize_rejects_foreign_unit_manifest(spark):
+    """A manifest packed in BPE units must be refused by the
+    materializer (unit-mismatch guard), not silently sliced wrong."""
+    import pytest
+    from mbfbigdatarandomforest_spark.operators import bpe
+    from mbfbigdatarandomforest_spark.operators.text import (
+        materialize_packed_blocks,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "cc aa")], "doc_id long, text string"
+    )
+    merges = bpe.learn_bpe([("aa", 3), ("bb", 1), ("cc", 1)], 0)  # chars only
+    counted = bpe.bpe_token_counts(docs, merges)
+    foreign = pack_sequences(
+        counted, max_tokens=4, token_count_col="n_bpe_tokens"
+    )
+    with pytest.raises(Exception, match="span units"):
+        materialize_packed_blocks(docs, foreign).collect()
+    # validate=False bypasses (documented escape hatch)
+    materialize_packed_blocks(docs, foreign, validate=False).collect()
