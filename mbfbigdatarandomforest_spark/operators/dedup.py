@@ -322,6 +322,7 @@ def banded_minhash_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     shingled: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded MinHash LSH (b bands × r rows) with exact Jaccard verify.
 
@@ -351,16 +352,35 @@ def banded_minhash_pairs(
         # eager fill they race and each recomputes the expensive shingling
         shingled.count()
     cand = _banded_minhash_candidates(
-        shingled, bands=bands, rows_per_band=rows_per_band, seed=seed
+        shingled,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        seed=seed,
+        max_bucket_size=max_bucket_size,
     )
     return exact_jaccard_verify(cand, shingled, threshold)
 
 
 def _banded_minhash_candidates(
-    shingled: DataFrame, *, bands: int, rows_per_band: int, seed: int
+    shingled: DataFrame,
+    *,
+    bands: int,
+    rows_per_band: int,
+    seed: int,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs from deterministic banded MinHash
-    over a cached (id, shingles) frame."""
+    over a cached (id, shingles) frame.
+
+    ``max_bucket_size`` is the web-scale hot-bucket guard: the
+    (band, bucket) self-join emits O(m²) pairs from an m-doc bucket, so
+    one boilerplate cluster of 10⁵ near-identical docs would mint 5·10⁹
+    candidates per band and sink the stage. Buckets larger than the cap
+    are DROPPED before the join (documented recall trade: pairs inside
+    a giant bucket are lost — run ``exact_dedup`` first so identical
+    docs never reach LSH, which is the pipeline order every production
+    dedup uses; ``curation_funnel`` does). ``None`` keeps the exact
+    uncapped behavior (the hash-gated configuration)."""
     hashed = shingled.withColumn(
         "sh_hashes", F.transform("shingles", lambda x: F.xxhash64(x))
     )
@@ -389,6 +409,15 @@ def _banded_minhash_candidates(
         "id", F.explode(F.array(*band_rows)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__bsz")
+        )
+        buckets = (
+            buckets.join(sizes, ["band", "bucket"])
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     left = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
     right = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
     return (

@@ -1695,3 +1695,29 @@ def test_materialize_rejects_foreign_unit_manifest(spark):
         materialize_packed_blocks(docs, foreign).collect()
     # validate=False bypasses (documented escape hatch)
     materialize_packed_blocks(docs, foreign, validate=False).collect()
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """A pathological cluster of identical docs must not mint O(m²) LSH
+    candidates when max_bucket_size is set; on a post-exact-dedup corpus
+    the cap changes nothing (the production pipeline order)."""
+    from mbfbigdatarandomforest_spark.operators import dedup as dd
+    from pyspark.sql import functions as F
+
+    base = [(i, f"unique doc number {i} with words w{i} x{i} y{i} z{i}") for i in range(30)]
+    clones = [(1000 + i, "the same boilerplate text repeated forever and ever again") for i in range(200)]
+    docs = spark.createDataFrame(base + clones, "doc_id long, text string")
+
+    uncapped = dd.banded_minhash_pairs(docs, threshold=0.5)
+    capped = dd.banded_minhash_pairs(docs, threshold=0.5, max_bucket_size=50)
+    # the clone cluster alone is ~19,900 pairs; the cap removes them
+    assert uncapped.count() >= 19_900
+    assert capped.count() < 1_000
+
+    # production order: exact dedup first → no giant buckets → the cap
+    # is a no-op and results match the uncapped run exactly
+    keep = dd.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    survivors = docs.join(keep, "doc_id", "left_semi")
+    a = {(r["id_a"], r["id_b"]) for r in dd.banded_minhash_pairs(survivors, threshold=0.5).collect()}
+    b = {(r["id_a"], r["id_b"]) for r in dd.banded_minhash_pairs(survivors, threshold=0.5, max_bucket_size=50).collect()}
+    assert a == b
