@@ -397,6 +397,11 @@ def perplexity_buckets(
     NULL scores (empty docs) land in the tail — CCNet drops them too.
     """
     if exact:
+        # the exact-cutoff job materializes the full scoring lineage and
+        # the returned frame materializes it AGAIN — cache the narrow
+        # (id, stats) per-doc frame between the two passes. It stays
+        # cached for the caller's consumption (per-doc scale, ~5 cols).
+        scored = scored.cache()
         row = scored.select(
             F.expr(f"percentile({col}, array({cuts[0]}, {cuts[1]}))").alias("q")
         ).first()
