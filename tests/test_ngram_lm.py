@@ -430,3 +430,35 @@ def test_lm_load_rejects_wrong_kind(spark, tmp_path):
     (tmp_path / "notlm" / "meta").write_text(json.dumps({"kind": "other"}))
     with pytest.raises(ValueError, match="does not hold"):
         lm_ops.load_lm(spark, str(tmp_path / "notlm"))
+
+
+def test_buckets_approx_path_agrees_with_exact(spark):
+    """exact=False (the 100 TB approxQuantile path) must agree with the
+    exact cutoffs on virtually every document (0.001 relative-error
+    sketch on a continuous score)."""
+    docs = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+    lm = lm_ops.train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    scored = lm_ops.score_cross_entropy(lm, docs).cache()
+    a = {r["doc_id"]: r["bucket"] for r in lm_ops.perplexity_buckets(scored).collect()}
+    b = {
+        r["doc_id"]: r["bucket"]
+        for r in lm_ops.perplexity_buckets(scored, exact=False).collect()
+    }
+    n = len(a)
+    agree = sum(1 for k in a if a[k] == b[k])
+    assert agree >= 0.95 * n, (agree, n)
+    scored.unpersist()
+
+
+def test_score_shuffle_join_path_equals_broadcast(spark):
+    """broadcast_lm=False (the giant-vocab shuffle-join escape hatch)
+    must produce identical results to the broadcast default."""
+    docs = spark.read.parquet(
+        f"{SF_DIR_ORACLE.replace('0.01', '0.001')}/documents.parquet"
+    )
+    lm = lm_ops.train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    a = sorted(map(tuple, lm_ops.score_cross_entropy(lm, docs).collect()))
+    b = sorted(
+        map(tuple, lm_ops.score_cross_entropy(lm, docs, broadcast_lm=False).collect())
+    )
+    assert a == b
