@@ -292,3 +292,55 @@ def load_merges(path: str) -> list[tuple[str, str]]:
     from pathlib import Path
 
     return [(a, b) for a, b in json.loads(Path(path).read_text())]
+
+
+def doc_token_arrays(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """(id, tokens): each document's full BPE token sequence, built the
+    vocab-side way — encode DISTINCT words once, join the (word →
+    tokens) table back to position-exploded words, regroup per doc in
+    word order and flatten. Python cost stays O(|vocab|); the corpus
+    pays one explode + broadcast join + one grouping shuffle.
+
+    Feed this to ``text.materialize_packed_blocks(tokens_df=...)``
+    together with a ``pack_sequences(token_count_col='n_bpe_tokens')``
+    manifest to emit training blocks in REAL tokenizer units."""
+    exploded = df.select(
+        id_col,
+        F.posexplode(
+            F.regexp_extract_all(F.lower(text_col), F.lit(BPE_ISH_PATTERN), 0)
+        ).alias("__pos", "word"),
+    )
+    if encoded is None:
+        encoded = encode_vocab(exploded, merges)
+    enc = F.broadcast(encoded.select("word", "tokens"))
+    per_doc = (
+        exploded.join(enc, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__pos").alias("p"), F.col("tokens").alias("t")))
+                    ),
+                    lambda e: e["t"],
+                )
+            ).alias("tokens")
+        )
+    )
+    # docs with zero words keep an empty-array row (explode drops them)
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("tokens"), F.array().cast("array<string>")).alias(
+                "tokens"
+            ),
+        )
+    )

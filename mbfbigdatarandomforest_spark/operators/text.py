@@ -510,16 +510,23 @@ def materialize_packed_blocks(
     id_col: str = "doc_id",
     sep: str = " ",
     validate: bool = True,
+    tokens_df: DataFrame | None = None,
 ) -> DataFrame:
     """Turn a ``pack_sequences`` manifest into actual training blocks:
     (block_id, text, n_tokens) where ``text`` is the block's token span
     joined by ``sep`` — the shard-writer stage of the packing pipeline.
 
-    Tokenization matches ``pack_sequences`` exactly (trim + whitespace
-    split, NO lowercasing — blocks preserve the original text), so
-    every block's token count equals the manifest's accounting; the
-    concatenation of all blocks reproduces the corpus token stream in
-    ``id_col`` order (pytest-pinned).
+    Default tokenization matches ``pack_sequences`` exactly (trim +
+    whitespace split, NO lowercasing — blocks preserve the original
+    text), so every block's token count equals the manifest's
+    accounting; the concatenation of all blocks reproduces the corpus
+    token stream in ``id_col`` order (pytest-pinned).
+
+    ``tokens_df`` (id, tokens array) switches the unit: pass
+    ``bpe.doc_token_arrays(...)`` plus a manifest packed with
+    ``token_count_col='n_bpe_tokens'`` to emit blocks of REAL tokenizer
+    tokens; the unit-mismatch guard then validates against the provided
+    arrays instead of the whitespace split.
 
     Scale: docs join the manifest on the id key (one shuffle; the text
     rides this join ONCE — the manifest stays four longs per row until
@@ -527,10 +534,13 @@ def materialize_packed_blocks(
     per-block assembly groups ≤ ``max_tokens`` tokens by construction —
     bounded state per group, sorted in-array (``array_sort`` on
     (id, span_start) structs), no window."""
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), TOKEN_PATTERN), lambda t: t != ""
-    )
-    docs = df.select(F.col(id_col), toks.alias("__toks"))
+    if tokens_df is not None:
+        docs = tokens_df.select(F.col(id_col), F.col("tokens").alias("__toks"))
+    else:
+        toks = F.filter(
+            F.split(F.trim(F.col(text_col)), TOKEN_PATTERN), lambda t: t != ""
+        )
+        docs = df.select(F.col(id_col), toks.alias("__toks"))
     joined = manifest.join(docs, id_col)
     if validate:
         # A manifest built in a different token unit (pack_sequences'

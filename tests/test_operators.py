@@ -1721,3 +1721,44 @@ def test_minhash_hot_bucket_cap(spark):
     a = {(r["id_a"], r["id_b"]) for r in dd.banded_minhash_pairs(survivors, threshold=0.5).collect()}
     b = {(r["id_a"], r["id_b"]) for r in dd.banded_minhash_pairs(survivors, threshold=0.5, max_bucket_size=50).collect()}
     assert a == b
+
+
+def test_materialize_bpe_unit_blocks(spark):
+    """End-to-end real-tokenizer shards: BPE counts drive the manifest,
+    BPE token arrays drive materialization — blocks of exactly
+    max_tokens BPE tokens whose concatenation reproduces the corpus BPE
+    stream in doc order."""
+    from conftest import SF_DIR_SMALL
+    from mbfbigdatarandomforest_spark.operators import bpe
+    from mbfbigdatarandomforest_spark.operators.text import (
+        materialize_packed_blocks,
+        pack_sequences,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet").limit(100)
+    wc = [(r["word"], r["c"]) for r in bpe.word_counts(docs).collect()]
+    merges = bpe.learn_bpe(wc, 40)
+    arrays = bpe.doc_token_arrays(docs, merges)
+    counted = arrays.select(
+        "doc_id", F.size("tokens").alias("n_bpe_tokens")
+    )
+    manifest = pack_sequences(
+        counted, max_tokens=64, token_count_col="n_bpe_tokens"
+    )
+    blocks = (
+        materialize_packed_blocks(docs, manifest, tokens_df=arrays)
+        .orderBy("block_id")
+        .collect()
+    )
+    stream = []
+    for r in arrays.orderBy("doc_id").collect():
+        stream += list(r["tokens"])
+    got = []
+    for i, b in enumerate(blocks):
+        toks = b["text"].split(" ") if b["text"] else []
+        assert b["n_tokens"] == len(toks)
+        if i < len(blocks) - 1:
+            assert b["n_tokens"] == 64
+        got += toks
+    assert got == stream
