@@ -72,3 +72,17 @@ def test_registered_query_runs(spark):
     rows = df.collect()
     assert df.columns == ["kept", "n_docs", "n_en", "avg_prob_6"]
     assert sum(r["n_docs"] for r in rows) > 0
+
+
+def test_negative_downsampling_is_deterministic(spark):
+    """negative_fraction < 1 must select the same md5-keyed negatives on
+    every run/partitioning (the class-balance knob)."""
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    target = docs.filter(F.col("lang") == "en")
+    raw = docs.filter(F.col("lang") != "en")
+    m1 = qc.train_quality_classifier(target, raw, negative_fraction=0.5)
+    m2 = qc.train_quality_classifier(target, raw.repartition(7), negative_fraction=0.5)
+    a = qc.score_quality(m1, docs).collect()
+    b = {r["doc_id"]: r["quality_prob"] for r in qc.score_quality(m2, docs).collect()}
+    for r in a:
+        assert r["quality_prob"] == pytest.approx(b[r["doc_id"]], rel=1e-9)
