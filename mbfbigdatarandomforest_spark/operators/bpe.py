@@ -55,6 +55,18 @@ from .text import BPE_ISH_PATTERN
 EOW = "</w>"
 
 
+def _exploded_words(
+    df: DataFrame, text_col: str, id_cols: list[str], with_pos: bool = False
+) -> DataFrame:
+    """THE pre-tokenization explode shared by every BPE stage — one
+    definition of the word-splitting contract, so counts, token counts
+    and token arrays can never silently diverge in unit."""
+    words = F.regexp_extract_all(F.lower(text_col), F.lit(BPE_ISH_PATTERN), 0)
+    if with_pos:
+        return df.select(*id_cols, F.posexplode(words).alias("__pos", "word"))
+    return df.select(*id_cols, F.explode_outer(words).alias("word"))
+
+
 def word_counts(
     df: DataFrame, text_col: str = "text", max_words: int | None = 200_000
 ) -> DataFrame:
@@ -67,11 +79,8 @@ def word_counts(
     words still encode fine later (they fall back to character pieces).
     """
     words = (
-        df.select(
-            F.explode(
-                F.regexp_extract_all(F.lower(text_col), F.lit(BPE_ISH_PATTERN), 0)
-            ).alias("word")
-        )
+        _exploded_words(df, text_col, [])
+        .filter(F.col("word").isNotNull())
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -243,12 +252,7 @@ def bpe_token_counts(
     assumed: a doc containing any word the table misses gets a NULL
     ``n_bpe_tokens`` (NULL-propagating conditional sum), never a
     silent undercount from NULL-skipping ``sum``."""
-    exploded = df.select(
-        id_col,
-        F.explode_outer(
-            F.regexp_extract_all(F.lower(text_col), F.lit(BPE_ISH_PATTERN), 0)
-        ).alias("word"),
-    )
+    exploded = _exploded_words(df, text_col, [id_col])
     if encoded is None:
         encoded = encode_vocab(
             exploded.filter(F.col("word").isNotNull()), merges
@@ -309,18 +313,36 @@ def doc_token_arrays(
 
     Feed this to ``text.materialize_packed_blocks(tokens_df=...)``
     together with a ``pack_sequences(token_count_col='n_bpe_tokens')``
-    manifest to emit training blocks in REAL tokenizer units."""
-    exploded = df.select(
-        id_col,
-        F.posexplode(
-            F.regexp_extract_all(F.lower(text_col), F.lit(BPE_ISH_PATTERN), 0)
-        ).alias("__pos", "word"),
-    )
+    manifest to emit training blocks in REAL tokenizer units — and
+    thread ONE ``encoded`` table (``encode_vocab`` over this corpus's
+    words) through BOTH this call and ``bpe_token_counts``, or each
+    pays its own Python encode pass over the distinct words."""
+    exploded = _exploded_words(df, text_col, [id_col], with_pos=True)
     if encoded is None:
         encoded = encode_vocab(exploded, merges)
     enc = F.broadcast(encoded.select("word", "tokens"))
     per_doc = (
-        exploded.join(enc, "word")
+        exploded.join(enc, "word", "left")
+        # coverage is ENFORCED (same contract as bpe_token_counts): a
+        # word missing from a caller-supplied `encoded` table must fail
+        # loudly — an inner join would silently splice it OUT of the
+        # token sequence and corrupt every downstream shard. The check
+        # is a filter condition (column pruning eats dropped asserts).
+        .filter(
+            F.when(F.col("tokens").isNotNull(), F.lit(True)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("doc_token_arrays: word '"),
+                        F.col("word"),
+                        F.lit(
+                            "' is not covered by the supplied encoded"
+                            " table — thread ONE encode_vocab table built"
+                            " from this corpus through all consumers"
+                        ),
+                    )
+                ).cast("boolean")
+            )
+        )
         .groupBy(id_col)
         .agg(
             F.flatten(

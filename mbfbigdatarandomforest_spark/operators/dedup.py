@@ -410,11 +410,15 @@ def _banded_minhash_candidates(
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     if max_bucket_size is not None:
-        sizes = buckets.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("__bsz")
-        )
+        # size via a window over the SAME (band, bucket) partitioning the
+        # self-join shuffles on — one exchange, no second signature pass
+        # (a groupBy+join would re-evaluate the whole minhash subtree
+        # under the aggregate); per-window state is one bucket's rows
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket")
         buckets = (
-            buckets.join(sizes, ["band", "bucket"])
+            buckets.withColumn("__bsz", F.count(F.lit(1)).over(w))
             .filter(F.col("__bsz") <= max_bucket_size)
             .drop("__bsz")
         )

@@ -384,6 +384,7 @@ def perplexity_buckets(
     cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
     out_col: str = "bucket",
     exact: bool = True,
+    cache_scored: bool = True,
 ) -> DataFrame:
     """CCNet head/middle/tail split at the ``cuts`` quantiles of ``col``.
 
@@ -396,11 +397,14 @@ def perplexity_buckets(
 
     NULL scores (empty docs) land in the tail — CCNet drops them too.
     """
-    if exact:
+    if exact and cache_scored:
         # the exact-cutoff job materializes the full scoring lineage and
         # the returned frame materializes it AGAIN — cache the narrow
         # (id, stats) per-doc frame between the two passes. It stays
-        # cached for the caller's consumption (per-doc scale, ~5 cols).
+        # cached for the caller's consumption (per-doc scale, ~5 cols);
+        # long-lived sessions looping over many corpora should pass
+        # cache_scored=False (re-run the lineage) or unpersist the
+        # input frame themselves — there is no later hook here.
         scored = scored.cache()
         row = scored.select(
             F.expr(f"percentile({col}, array({cuts[0]}, {cuts[1]}))").alias("q")

@@ -536,32 +536,38 @@ def materialize_packed_blocks(
     (id, span_start) structs), no window."""
     if tokens_df is not None:
         docs = tokens_df.select(F.col(id_col), F.col("tokens").alias("__toks"))
+        mismatch_msg = (
+            "manifest spans do not match the supplied token arrays (or a"
+            " manifest doc is missing from tokens_df) — build the arrays"
+            " and the token_count_col manifest from the SAME encode over"
+            " the SAME corpus (or pass validate=False)"
+        )
     else:
         toks = F.filter(
             F.split(F.trim(F.col(text_col)), TOKEN_PATTERN), lambda t: t != ""
         )
         docs = df.select(F.col(id_col), toks.alias("__toks"))
-    joined = manifest.join(docs, id_col)
+        mismatch_msg = (
+            "manifest span units do not match whitespace tokens (or a"
+            " manifest doc is missing from df) — was pack_sequences built"
+            " with token_count_col? Pass the matching token arrays via"
+            " tokens_df, or validate=False"
+        )
+    # LEFT join under validation: a manifest doc missing from the token
+    # source must reach the guard (an inner join would silently drop its
+    # spans before the check ever ran — blocks would shrink, no error)
+    joined = manifest.join(docs, id_col, "left" if validate else "inner")
     if validate:
-        # A manifest built in a different token unit (pack_sequences'
-        # token_count_col mode, e.g. BPE counts) would slice the WRONG
-        # spans silently — every doc's manifest must end exactly at its
-        # whitespace token count. One cheap aggregate over the manifest.
+        # every doc's manifest must end exactly at its token count; the
+        # check is a FILTER condition (an assert_true in a later-dropped
+        # column is pruned away by Catalyst and never runs), and a NULL
+        # __toks (missing doc) falls into the raising branch
         ends = manifest.groupBy(id_col).agg(F.max("span_end").alias("__end"))
-        # the check must be a FILTER condition: an assert_true in a
-        # later-dropped column is pruned away by Catalyst and never runs
         joined = (
             joined.join(ends, id_col)
             .filter(
                 F.when(F.col("__end") == F.size("__toks"), F.lit(True)).otherwise(
-                    F.raise_error(
-                        F.lit(
-                            "manifest span units do not match whitespace tokens"
-                            " — was pack_sequences built with token_count_col?"
-                            " Materialization requires whitespace-unit"
-                            " manifests (or pass validate=False)"
-                        )
-                    ).cast("boolean")
+                    F.raise_error(F.lit(mismatch_msg)).cast("boolean")
                 )
             )
             .drop("__end")

@@ -461,4 +461,14 @@ def test_score_shuffle_join_path_equals_broadcast(spark):
     b = sorted(
         map(tuple, lm_ops.score_cross_entropy(lm, docs, broadcast_lm=False).collect())
     )
-    assert a == b
+    # integer stats exact; float means at tight tolerance (different
+    # physical join strategies may legally reorder the per-doc double
+    # summation by an ulp)
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra[:3] == rb[:3]
+        for x, y in zip(ra[3:], rb[3:]):
+            if x is None:
+                assert y is None
+            else:
+                assert y == pytest.approx(x, rel=1e-12)
