@@ -1457,10 +1457,11 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # columns) — ONE ANSI text executed verbatim by BOTH engines. The point
 # is Catalyst's decorrelation: every correlated predicate must plan as a
 # distributed aggregate + join (plan-asserted: no CartesianProduct, no
-# BroadcastNestedLoopJoin), never a per-row re-scan. Rows-only in the
-# registry (the 50-slot driver window is full); the pytest twin runs the
-# SAME text in DuckDB and compares values exactly — decimal-sum
-# convention keeps every amount bit-portable.
+# BroadcastNestedLoopJoin), never a per-row re-scan. Promoted to a
+# driver hash gate in round 6 (it took the slot freed by demoting the
+# constants-oracle `sample_and_split_sizes`): the oracle is the SAME
+# ANSI text executed verbatim by DuckDB — decimal-sum convention keeps
+# every amount bit-portable across engines.
 # --------------------------------------------------------------------------
 TPCH_CORRELATED_SQL = """
 WITH s17 AS (
@@ -1515,7 +1516,11 @@ ORDER BY section, k
 """
 
 
-@query("tpch_correlated_suite", tags=("SQL-surface", "subquery", "decorrelation"))
+@query(
+    "tpch_correlated_suite",
+    oracle=TPCH_CORRELATED_SQL,
+    tags=("SQL-surface", "subquery", "decorrelation"),
+)
 def tpch_correlated_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.catalog import register_views
 
