@@ -1,6 +1,12 @@
-"""Benchmark harness: runs the engine's headline queries at
+"""Benchmark harness: runs EVERY registered query at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Round 6 widened coverage from the 22-query headline set to the full
+registry (72 queries, named exclusion list: EMPTY) — an unbenched query
+can silently regress 10× between rounds (this round's sweep caught
+dedup_simhash_pairs at 41 s). The former headline subset's subtotal is
+still reported (``headline_total``) for cross-round comparability.
 
 Each query is fully materialized via the noop sink (forces every column
 and operator to execute — ``count()`` alone would let Catalyst prune
@@ -52,6 +58,11 @@ HEADLINE = [
     "ml_ols_metrics",           # closed r5: 1.9s, matching the GPU baseline
     "ml_random_forest_metrics",
 ]
+
+#: Registered queries deliberately NOT benched (none today). If a query
+#: ever must be excluded (e.g. an env-gated path), name it here with a
+#: reason — silent omission is how a 10× regression hides for a round.
+EXCLUDED: dict[str, str] = {}
 
 
 def main() -> None:
@@ -106,9 +117,20 @@ def main() -> None:
     # regression left BENCH_r03.json with rc=1 and no timings at all).
     # Failures are reported as {"error": ...}; total sums the successes.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # Bench order: headline first (cross-round comparability — those
+    # timings keep their historical position right after warmup), then
+    # every remaining registered query in registry order. An optional
+    # comma-separated SPARK_GRAFT_BENCH_ONLY narrows the set for local
+    # iteration; the driver's per-round record always runs everything.
+    names = [n for n in HEADLINE if n not in EXCLUDED]
+    names += [n for n in specs if n not in HEADLINE and n not in EXCLUDED]
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        names = [n for n in names if n in keep]
     timings: dict[str, object] = {}
     errors = 0
-    for name in HEADLINE:
+    for name in names:
         best, err = None, None
         for _ in range(reps):
             try:
@@ -136,13 +158,24 @@ def main() -> None:
             errors += 1
             timings[name] = {"error": err}
     total = round(sum(t for t in timings.values() if isinstance(t, (int, float))), 3)
+    headline_total = round(
+        sum(
+            t
+            for n, t in timings.items()
+            if n in HEADLINE and isinstance(t, (int, float))
+        ),
+        3,
+    )
     out = {
-        "metric": "headline_queries_total_wall",
+        "metric": "registry_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "reps": reps,
+        "n_queries": len(names),
+        "headline_total": headline_total,
+        "excluded": EXCLUDED,
     }
     if errors:
         out["errors"] = errors

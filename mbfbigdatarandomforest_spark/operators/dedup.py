@@ -884,9 +884,11 @@ def decontaminate(
 def simhash(col, bits: int = 32, ngram: int | None = None):
     """SimHash: sign-sum of per-feature xxhash64 bits → LongType signature.
 
-    Built entirely from codegen expressions: explode-free — uses
-    higher-order array functions over the feature array, so it stays one
-    narrow projection per document.
+    Column-valued form: explode-free, usable inside any projection. The
+    ``bits`` separate higher-order F.aggregate traversals make it slow
+    in bulk (~4 ms/doc at bits=32) — for whole-corpus signatures use
+    ``simhash_signatures``, whose explode+hash-aggregate plan computes
+    identical values in whole-stage codegen.
 
     ``ngram``: feature space. None hashes distinct whitespace tokens
     (classic SimHash over the vocabulary); an integer n hashes distinct
@@ -934,10 +936,58 @@ def simhash_signatures(
     bits: int = 16,
     ngram: int | None = None,
 ) -> DataFrame:
-    """Per-doc SimHash signature (default 16 bits keeps the expression
-    tree small; raise for lower collision rates at scale)."""
-    return df.select(
-        F.col(id_col), simhash(F.col(text_col), bits, ngram=ngram).alias("simhash")
+    """Per-doc SimHash signature.
+
+    Plan (r6): explode the distinct feature set, xxhash64 per feature,
+    ONE map-side-combined ``groupBy(id)`` with ``bits`` conditional
+    sums — whole-stage codegen throughout. The Column-valued
+    ``simhash()`` expression builds ``bits`` separate higher-order
+    F.aggregate traversals of the feature array, which the interpreter
+    evaluates at ~4 ms/doc at bits=32 (measured 19.9 s for 5 000 docs at
+    sf0.1); this plan computes identical signatures in <1 s. The explode
+    costs one shuffle on the doc id, with partial aggregation doing most
+    of the work map-side — the standard trade at 100 TB.
+
+    ``id_col`` values must be unique per document (they key the
+    aggregate). Docs with an empty/NULL feature set (empty text under
+    ``ngram``) vanish at explode and are re-joined with signature 0 —
+    the same value the expression form assigns them.
+    """
+    if not 1 <= bits <= 63:
+        raise ValueError(f"simhash bits must be in [1, 63], got {bits}")
+    base = F.col(text_col)
+    if ngram is None:
+        feats = F.array_distinct(F.split(F.trim(F.lower(base)), r"\s+"))
+    else:
+        feats = F.array_distinct(token_shingles(base, ngram))
+    ex = df.select(F.col(id_col), F.explode(feats).alias("__f")).withColumn(
+        "__h", F.xxhash64("__f")
+    )
+    # per-bit set-counts: bit i of the signature is set iff more than
+    # half the features carry it (2·count_set > n ⟺ the ±1 sign-sum of
+    # the classic formulation is positive — identical tie behavior).
+    counts = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))).alias(
+                f"__b{i}"
+            )
+            for i in range(bits)
+        ],
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(
+            F.col(f"__b{i}") * 2 > F.col("__n"), F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    sigs = counts.select(F.col(id_col), sig.alias("simhash"))
+    return (
+        df.select(id_col)
+        .join(sigs, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"),
+        )
     )
 
 

@@ -211,11 +211,24 @@ def _vocab_mapped_ngrams(
     # the rebuild MUST group per document even when the caller keeps no
     # id columns (training) — grouping by nothing would splice every
     # document into one global token stream and mint cross-document
-    # n-grams
+    # n-grams. The synthetic key is derived from the TEXT, not from
+    # monotonically_increasing_id(): mi_id depends on partition layout,
+    # so a nondeterministic recompute (stage retry over a
+    # nondeterministic source) could shift group membership mid-job and
+    # splice two documents' token streams. (hash, occurrence#) is
+    # deterministic as a multiset — identical texts are interchangeable,
+    # so which duplicate gets which occurrence# cannot change the grams.
     group_cols = list(id_cols)
     if not group_cols:
-        docs = docs.withColumn("__docid", F.monotonically_increasing_id())
-        group_cols = ["__docid"]
+        from pyspark.sql.window import Window
+
+        docs = docs.withColumn("__dochash", F.xxhash64(F.col(text_col))).withColumn(
+            "__docn",
+            F.row_number().over(
+                Window.partitionBy("__dochash").orderBy(F.lit(1))
+            ),
+        )
+        group_cols = ["__dochash", "__docn"]
     pos_tok = docs.select(
         *group_cols, F.posexplode(_tokens(text_col)).alias("__pos", "__tok")
     )
@@ -259,7 +272,7 @@ def _vocab_mapped_ngrams(
     return (
         mapped_arrays.select(
             *id_cols, F.explode(grams).alias("g")
-        )  # the synthetic __docid (if any) is dropped here by selecting id_cols only
+        )  # synthetic __dochash/__docn (if any) drop here: id_cols only
         .select(
             *id_cols,
             F.col("g.w1").alias("w1"),
@@ -329,6 +342,8 @@ def score_cross_entropy(
 
     Returns (id_col, n_bigrams, n_oov, cross_entropy, perplexity).
     Empty documents score NULL cross-entropy (no bigrams to average).
+    ``id_col`` values MUST be unique per document: duplicates would
+    merge two documents' grams into one averaged row.
 
     Scale: the candidate corpus explodes once to bigram rows, joins the
     LM (broadcast when ``broadcast_lm`` — the LM is a bounded model
@@ -527,29 +542,37 @@ def score_stupid_backoff(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_lm: bool = True,
 ) -> DataFrame:
     """Per-doc mean negative log stupid-backoff score (pseudo-cross-
     entropy): highest-order observed count wins, each level of backoff
     multiplies by α, grounding at an add-one-smoothed unigram relative
     frequency (always finite, including words the training corpus never
-    produced a count for).
+    produced a count for). ``id_col`` values MUST be unique per
+    document: duplicates would splice two documents' token streams into
+    cross-document n-grams in the rebuild.
 
     Plan: ONE mapped explode of the candidate corpus at full order, 2
-    broadcast joins per order (counts + context totals), one codegen
-    CASE cascade, one ``groupBy(doc)``. The corpus never shuffles
-    against the model."""
+    joins per order (counts + context totals; broadcast when
+    ``broadcast_lm``), one codegen CASE cascade, one ``groupBy(doc)``.
+    Unlike the bigram LM, ``counts[full]`` scales with the TRAINING
+    corpus's distinct full-order grams (not |V|-bounded in practice) —
+    pass ``broadcast_lm=False`` to shuffle-join on the gram key when a
+    large training corpus makes the per-order broadcasts unreasonable;
+    the candidate corpus then pays one shuffle per order."""
     full = lm.order - 1
     mapped = _mapped_grams(docs, lm.vocab, text_col, [id_col], lm.order)
+    maybe_bc = F.broadcast if broadcast_lm else (lambda df: df)
     for j in range(full, -1, -1):
         ctx_j = _ctx_suffix(F.col("w1"), j, full)
-        cj = F.broadcast(
+        cj = maybe_bc(
             lm.counts[j].select(
                 F.col("w1").alias(f"__ctx{j}"),
                 F.col("w2").alias("w2"),
                 F.col("c12").alias(f"__c12_{j}"),
             )
         )
-        tj = F.broadcast(
+        tj = maybe_bc(
             lm.contexts[j].select(
                 F.col("w1").alias(f"__ctx{j}"), F.col("c1").alias(f"__c1_{j}")
             )

@@ -858,6 +858,10 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("lang") == "en"), vocab_size=50_000
     )
     scored = lm_ops.score_cross_entropy(lm, docs)
+    # perplexity_buckets(exact=True) caches the scored frame for its
+    # two-pass cutoff computation and leaves it cached for this result's
+    # consumption; sessions looping over many corpora should pass
+    # cache_scored=False (bench.py instead clearCache()s between reps).
     return (
         lm_ops.perplexity_buckets(scored)
         .select(
@@ -974,10 +978,20 @@ def curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def stage(name, df):
         per_doc = bpe_ops.bpe_token_counts(df, merges, encoded=encoded)
+        # bpe_token_counts signals a vocabulary-coverage gap with a NULL
+        # n_bpe_tokens per doc; a NULL-skipping SUM would turn that gap
+        # into a silent undercount of the stage total, so surface it as
+        # a NULL total instead (the coalesce only covers the legitimate
+        # empty-stage case, where SUM over zero rows is NULL).
         return per_doc.agg(
             F.lit(name).alias("stage"),
             F.count(F.lit(1)).alias("n_docs"),
-            F.coalesce(F.sum("n_bpe_tokens"), F.lit(0)).alias("n_bpe_tokens"),
+            F.when(
+                F.count("n_bpe_tokens") < F.count(F.lit(1)),
+                F.lit(None).cast("long"),
+            )
+            .otherwise(F.coalesce(F.sum("n_bpe_tokens"), F.lit(0)))
+            .alias("n_bpe_tokens"),
         )
 
     # Stage frames are localCheckpoint()ed, not just cached: by stage 6

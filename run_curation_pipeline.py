@@ -12,7 +12,7 @@ benchmark decontamination → DSIR importance targeting → sequence
 packing — and writes real artifacts under ``--out``:
 
 - ``datasheet/``   per-source corpus report (parquet)
-- ``funnel/``      per-stage doc/token accounting (parquet)
+- ``funnel/``      per-stage doc + whitespace-token accounting (parquet)
 - ``manifest/``    packing manifest (block_id, doc_id, span) (parquet)
 - ``blocks/``      materialized training blocks (parquet)
 - ``kept_docs/``   the surviving documents as gzip JSONL
@@ -116,12 +116,24 @@ def main() -> None:
         "4_decontaminated": clean,
         "5_dsir_selected": kept,
     }
+    # doc AND token accounting per stage (whitespace-token unit — the
+    # packer's unit; curation_funnel_v2 is the BPE-unit twin). One
+    # aggregate job per checkpointed stage frame.
+    from mbfbigdatarandomforest_spark.operators.text import tokens
+
     funnel_rows = [
-        (name, df.count()) for name, df in stages.items()
+        (
+            name,
+            *df.agg(
+                F.count(F.lit(1)),
+                F.coalesce(F.sum(F.size(tokens("text"))), F.lit(0)),
+            ).first(),
+        )
+        for name, df in stages.items()
     ]
-    spark.createDataFrame(funnel_rows, "stage string, n_docs long").write.mode(
-        "overwrite"
-    ).parquet(str(out / "funnel"))
+    spark.createDataFrame(
+        funnel_rows, "stage string, n_docs long, n_ws_tokens long"
+    ).write.mode("overwrite").parquet(str(out / "funnel"))
     manifest.write.mode("overwrite").parquet(str(out / "manifest"))
     blocks.write.mode("overwrite").parquet(str(out / "blocks"))
     write_jsonl(kept, str(out / "kept_docs"))
@@ -129,7 +141,7 @@ def main() -> None:
     n_blocks = spark.read.parquet(str(out / "blocks")).count()
     summary = {
         "sf_dir": args.sf_dir,
-        "stages": dict(funnel_rows),
+        "stages": {name: n for name, n, _ in funnel_rows},
         "n_blocks": n_blocks,
         "max_tokens": args.max_tokens,
         "lm_order": args.lm_order,
