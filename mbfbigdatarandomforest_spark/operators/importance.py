@@ -95,35 +95,43 @@ def dsir_log_weights(
     the two bounded histograms and broadcast — the corpus never joins
     the corpus.
     """
-    # The histograms are ≤ `buckets` rows — cache them so the totals
-    # jobs and the λ join don't each re-scan the corpus (three scans
-    # per side without this), then materialize λ as a LOCAL relation
-    # and release both caches deterministically: the returned frame
-    # carries no pinned storage for the session lifetime (the leak the
-    # cache-and-return pattern has), and λ is the model artifact DSIR
-    # actually broadcasts — ≤ `buckets` rows of (long, double).
-    tgt = hashed_bucket_counts(target, text_col, buckets, salt).cache()
-    rawc = hashed_bucket_counts(raw, text_col, buckets, salt).cache()
-    try:
-        t_tot = tgt.agg(F.sum("c")).first()[0] or 0
-        r_tot = rawc.agg(F.sum("c")).first()[0] or 0
-        denom_t = float(t_tot + alpha * buckets)
-        denom_r = float(r_tot + alpha * buckets)
-        lam_rows = (
-            tgt.withColumnRenamed("c", "ct")
-            .join(rawc.withColumnRenamed("c", "cr"), "bucket", "full_outer")
-            .select(
-                "bucket",
-                (
-                    F.log((F.coalesce(F.col("ct"), F.lit(0)) + alpha) / denom_t)
-                    - F.log((F.coalesce(F.col("cr"), F.lit(0)) + alpha) / denom_r)
-                ).alias("lam"),
-            )
-            .collect()
+    # ONE action and ONE aggregate build the whole model: the two
+    # corpora's gram streams union with a side tag and a single
+    # map-side-combined groupBy(bucket) yields both histograms at once —
+    # then the totals and λ are pure Python over that ≤ `buckets` row
+    # table. (The previous shape cached both histograms and ran two
+    # totals first()s plus a λ collect — five actions and two cache
+    # fills; at ~0.1–0.5 s of scheduler overhead per local action that
+    # dominated the operator's wall.) λ is the model artifact DSIR
+    # actually broadcasts — ≤ `buckets` rows of (long, double) — and
+    # each corpus still pays exactly one scan.
+    tagged = _doc_grams(target, text_col, []).select(
+        _hash_bucket(F.col("gram"), buckets, salt), F.lit(1).alias("__t")
+    ).unionAll(
+        _doc_grams(raw, text_col, []).select(
+            _hash_bucket(F.col("gram"), buckets, salt), F.lit(0).alias("__t")
         )
-    finally:
-        tgt.unpersist()
-        rawc.unpersist()
+    )
+    hist = (
+        tagged.groupBy("bucket")
+        .agg(
+            F.sum("__t").alias("ct"),
+            F.sum(1 - F.col("__t")).alias("cr"),
+        )
+        .collect()
+    )
+    t_tot = sum(r["ct"] or 0 for r in hist)
+    r_tot = sum(r["cr"] or 0 for r in hist)
+    denom_t = float(t_tot + alpha * buckets)
+    denom_r = float(r_tot + alpha * buckets)
+    lam_rows = [
+        (
+            r["bucket"],
+            math.log(((r["ct"] or 0) + alpha) / denom_t)
+            - math.log(((r["cr"] or 0) + alpha) / denom_r),
+        )
+        for r in hist
+    ]
     lam = raw.sparkSession.createDataFrame(lam_rows, "bucket long, lam double")
     doc_buckets = _doc_grams(raw, text_col, [id_col]).select(
         id_col, _hash_bucket(F.col("gram"), buckets, salt)

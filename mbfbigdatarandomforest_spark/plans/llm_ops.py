@@ -976,87 +976,135 @@ def curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     encoded = bpe_ops.encode_vocab(wc, merges).select("word", "n_tokens").cache()
 
-    def stage(name, df):
-        per_doc = bpe_ops.bpe_token_counts(df, merges, encoded=encoded)
-        # bpe_token_counts signals a vocabulary-coverage gap with a NULL
-        # n_bpe_tokens per doc; a NULL-skipping SUM would turn that gap
-        # into a silent undercount of the stage total, so surface it as
-        # a NULL total instead (the coalesce only covers the legitimate
-        # empty-stage case, where SUM over zero rows is NULL).
-        return per_doc.agg(
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.when(
-                F.count("n_bpe_tokens") < F.count(F.lit(1)),
-                F.lit(None).cast("long"),
-            )
-            .otherwise(F.coalesce(F.sum("n_bpe_tokens"), F.lit(0)))
-            .alias("n_bpe_tokens"),
-        )
-
-    # Stage frames are localCheckpoint()ed, not just cached: by stage 6
-    # the logical plan stacks seven operator families, and every sizing
-    # job in the later stages would re-run Catalyst analysis over the
-    # WHOLE lineage — measured as the dominant cost (driver planning
-    # time, not executor work: the funnel spent 18 s planning the
-    # packing manifest's jobs over ~10^2 surviving rows). Truncating
-    # lineage at each stage keeps per-job planning O(stage), the same
-    # reason dedup_clusters checkpoints its iterated frames. At cluster
-    # scale the equivalent is checkpoint() to reliable storage.
-    quality = (
-        gopher_quality_filter(
-            corpus, min_words=20, min_stopword_hits=1, min_alpha_word_frac=0.5
-        )
-        .filter("quality_pass")
-        .select(*corpus.columns)
+    # ---- ONE enriched per-doc pass (r6). Every per-doc signal the
+    # funnel needs — Gopher pass, LM cross-entropy, benchmark
+    # contamination, BPE token count — is per-doc INDEPENDENT (identical
+    # whether computed on the raw corpus or any survivor subset), so all
+    # four are computed over the corpus in one checkpointed frame and
+    # stage membership becomes a conjunction of flags. The previous
+    # shape checkpointed a semi-joined frame per stage; at ~10²–10³
+    # surviving rows the wall was scheduler overhead per action (≈88
+    # jobs at sf0.1), not executor work. The SET-dependent decisions
+    # (LM bucket cutoffs over stage-1 survivors, exact-dedup keep among
+    # stage-2 survivors, DSIR fit on stage-4 survivors) still operate on
+    # exactly the same subsets as the sequential composition — the stage
+    # rows are identical. The r5 Catalyst-planning lesson stands: the
+    # single localCheckpoint below is what keeps later jobs' analysis
+    # O(1) in pipeline depth; at cluster scale it becomes checkpoint()
+    # to reliable storage.
+    lm = lm_ops.train_bigram_lm(target, vocab_size=50_000)
+    gq = gopher_quality_filter(
+        corpus, min_words=20, min_stopword_hits=1, min_alpha_word_frac=0.5
+    ).select("doc_id", "text", "quality_pass")
+    ce = lm_ops.score_cross_entropy(lm, corpus).select("doc_id", "cross_entropy")
+    contam = dd.decontaminate(corpus, bench, n=5).select(
+        "doc_id", "contaminated"
+    )
+    counts = bpe_ops.bpe_token_counts(corpus, merges, encoded=encoded).select(
+        "doc_id", "n_bpe_tokens"
+    )
+    # three slim per-doc frames join the quality scan on doc_id — at
+    # 100 TB these are the same shuffle shape as the semi-joins they
+    # replace, with the corpus-scale text column riding only ONE side
+    enriched = (
+        gq.join(ce, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .join(counts, "doc_id", "left")
         .localCheckpoint()
     )
-    lm = lm_ops.train_bigram_lm(target, vocab_size=50_000)
-    keep_ppl = (
-        lm_ops.perplexity_buckets(lm_ops.score_cross_entropy(lm, quality))
+    s1 = F.col("quality_pass")
+    # stage 2: CCNet head/middle keep — cutoffs over the STAGE-1
+    # survivors' scores, as the sequential funnel computed them
+    # (cross_entropy is a monotone transform of perplexity, so the
+    # quantile split is the same membership)
+    keep2 = (
+        lm_ops.perplexity_buckets(
+            enriched.filter(s1).select("doc_id", "cross_entropy"),
+            col="cross_entropy",
+        )
         .filter(F.col("bucket") != "tail")
         .select("doc_id")
     )
-    head_mid = quality.join(keep_ppl, "doc_id", "left_semi").localCheckpoint()
-    keep_ids = dd.exact_dedup(head_mid).select(F.col("keep_id").alias("doc_id"))
-    deduped = head_mid.join(keep_ids, "doc_id", "left_semi").localCheckpoint()
-    clean_ids = (
-        dd.decontaminate(deduped, bench, n=5)
-        .filter(~F.col("contaminated"))
-        .select("doc_id")
+
+    def with_flag(df, ids, name):
+        return df.join(ids.withColumn(name, F.lit(1)), "doc_id", "left")
+
+    e2 = with_flag(enriched, keep2, "f2")
+    s2 = s1 & F.col("f2").isNotNull()
+    # stage 3: exact-dedup keep among stage-2 survivors
+    keep3 = dd.exact_dedup(e2.filter(s2)).select(
+        F.col("keep_id").alias("doc_id")
     )
-    clean = deduped.join(clean_ids, "doc_id", "left_semi").localCheckpoint()
-    # domain targeting: keep the 60% of surviving docs closest to the
-    # target distribution (count is one job over the checkpointed frame)
+    e3 = with_flag(e2, keep3, "f3")
+    s3 = s2 & F.col("f3").isNotNull()
+    s4 = s3 & ~F.col("contaminated")
+    # stage 5: domain targeting — keep the 60% of surviving docs closest
+    # to the target distribution (the count is one job over the
+    # checkpoint-rooted lineage)
+    clean = e3.filter(s4).cache()
     k = max(1, int(0.6 * clean.count()))
     selected = imp.gumbel_topk(
         imp.dsir_log_weights(clean, target, buckets=4096), k
     ).select("doc_id")
-    mixed = clean.join(selected, "doc_id", "left_semi").localCheckpoint()
-    manifest = pack_sequences(mixed, max_tokens=256)
-    # one metric, one unit: the packed row reports block count as n_docs
-    # and carries forward stage 5's BPE total (packing reorganizes, it
-    # never drops — token conservation is pack_sequences' own pytest
-    # invariant, in the packer's whitespace unit). The stage-5 aggregate
-    # is computed ONCE and reused for both rows.
-    stage5 = stage("5_dsir_selected", mixed).cache()
-    n_blocks = manifest.select(F.count_distinct("block_id").alias("n"))
-    packed = (
-        stage5.crossJoin(F.broadcast(n_blocks))  # 1×1 broadcast
-        .select(
-            F.lit("6_packed_blocks").alias("stage"),
-            F.col("n").alias("n_docs"),
-            "n_bpe_tokens",
+    # e5 (corpus + all stage flags) feeds THREE consumers — the packing
+    # bucket-cut sizing action inside pack_sequences, the manifest
+    # branch, and the accounting aggregate — so it checkpoints once
+    # instead of re-deriving the flag joins + Gumbel top-k three times
+    # (measured ~1.5 s/rederivation at sf0.1).
+    e5 = with_flag(e3, selected, "f5").localCheckpoint()
+    s5 = s4 & F.col("f5").isNotNull()
+    manifest = pack_sequences(e5.filter(s5), max_tokens=256)
+
+    def stage_cols(in_stage, tag):
+        # bpe_token_counts signals a vocabulary-coverage gap with a NULL
+        # n_bpe_tokens per doc; a NULL-skipping SUM would turn that gap
+        # into a silent undercount of the stage total, so surface it as
+        # a NULL total instead (an EMPTY stage still reports 0: zero
+        # member rows means zero non-null counts on both sides).
+        n_docs = F.sum(in_stage.cast("long"))
+        covered = F.count(F.when(in_stage, F.col("n_bpe_tokens")))
+        tok = (
+            F.when(covered < n_docs, F.lit(None).cast("long"))
+            .otherwise(
+                F.coalesce(
+                    F.sum(F.when(in_stage, F.col("n_bpe_tokens"))), F.lit(0)
+                )
+            )
         )
+        return [n_docs.alias(f"d{tag}"), tok.alias(f"t{tag}")]
+
+    stage_flags = [F.lit(True), s1, s2, s3, s4, s5]
+    wide = e5.agg(
+        *[
+            c
+            for i, fl in enumerate(stage_flags)
+            for c in stage_cols(fl, str(i))
+        ],
+    )
+    # the packed row reports block count as n_docs and carries forward
+    # stage 5's BPE total (packing reorganizes, it never drops — token
+    # conservation is pack_sequences' own pytest invariant, in the
+    # packer's whitespace unit)
+    n_blocks = manifest.select(F.count_distinct("block_id").alias("n"))
+    names = [
+        "0_raw",
+        "1_gopher_quality",
+        "2_lm_head_middle",
+        "3_exact_dedup",
+        "4_decontaminated",
+        "5_dsir_selected",
+    ]
+    stack_args = ", ".join(
+        f"'{nm}', d{i}, t{i}" for i, nm in enumerate(names)
     )
     return (
-        stage("0_raw", corpus)
-        .unionAll(stage("1_gopher_quality", quality))
-        .unionAll(stage("2_lm_head_middle", head_mid))
-        .unionAll(stage("3_exact_dedup", deduped))
-        .unionAll(stage("4_decontaminated", clean))
-        .unionAll(stage5)
-        .unionAll(packed)
+        wide.crossJoin(F.broadcast(n_blocks))  # 1×1 broadcast
+        .select(
+            F.expr(
+                f"stack(7, {stack_args}, '6_packed_blocks', CAST(n AS LONG), t5) "
+                "AS (stage, n_docs, n_bpe_tokens)"
+            )
+        )
         .orderBy("stage")
     )
 
