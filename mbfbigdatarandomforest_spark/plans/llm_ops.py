@@ -785,54 +785,76 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def stage(name, df):
-        return df.agg(
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.coalesce(F.sum(n_tok), F.lit(0)).alias("n_tokens"),
-        )
-
     # thresholds tuned to the synthetic word-soup corpus (≈50-token
     # docs, tiny shared vocabulary): the POINT is driving every stage
-    # end-to-end, not reproducing web-crawl pass rates
-    # each intermediate feeds BOTH its stage aggregate and the next
-    # stage — cache the slim doc frames once instead of re-running the
-    # upstream lineage per consumer (same multi-consumer fan-out
-    # pattern as operators/dedup; measured 8.3 s → 7.5 s at sf0.1 —
-    # the remaining wall is per-stage job overhead, ~6 jobs + the
-    # packing prefix-sum's sizing passes, not recomputation)
-    quality = (
-        gopher_quality_filter(
-            corpus, min_words=20, min_stopword_hits=1, min_alpha_word_frac=0.5
-        )
-        .filter("quality_pass")
-        .select(*corpus.columns)
-        .cache()
+    # end-to-end, not reproducing web-crawl pass rates. (The published-
+    # parameter behavior lives in tests/test_published_parameters.py.)
+    #
+    # Same one-enriched-pass shape as curation_funnel_v2 (r6): the
+    # per-doc signals (quality, contamination, token count) compute over
+    # the corpus ONCE into a checkpointed frame; stage membership is a
+    # conjunction of flags (exact-dedup keep among stage-1 survivors —
+    # the one set-dependent decision — joins in as a flag); accounting
+    # is ONE aggregate stacked into stage rows. Measured 7.0 → ~4 s at
+    # sf0.1 — the per-stage union paid ~6 extra actions of scheduler
+    # overhead for identical rows.
+    gq = gopher_quality_filter(
+        corpus, min_words=20, min_stopword_hits=1, min_alpha_word_frac=0.5
+    ).select("doc_id", "text", "quality_pass", n_tok.alias("n_tokens"))
+    contam = dd.decontaminate(corpus, bench, n=5).select(
+        "doc_id", "contaminated"
     )
-    keep_ids = dd.exact_dedup(quality).select(
+    enriched = gq.join(contam, "doc_id", "left").localCheckpoint()
+    s1 = F.col("quality_pass")
+    keep2 = dd.exact_dedup(enriched.filter(s1)).select(
         F.col("keep_id").alias("doc_id")
     )
-    deduped = quality.join(keep_ids, "doc_id", "left_semi").cache()
-    clean_ids = (
-        dd.decontaminate(deduped, bench, n=5)
-        .filter(~F.col("contaminated"))
-        .select("doc_id")
+    e2 = enriched.join(keep2.withColumn("f2", F.lit(1)), "doc_id", "left")
+    s2 = s1 & F.col("f2").isNotNull()
+    s3 = s2 & ~F.col("contaminated")
+    sampled = hash_fraction_sample(
+        e2.filter(s3), 0.8, key_col="doc_id"
+    ).select("doc_id")
+    e4 = e2.join(sampled.withColumn("f4", F.lit(1)), "doc_id", "left")
+    s4 = s3 & F.col("f4").isNotNull()
+    # n_tokens IS pack_sequences' whitespace semantics (see n_tok above),
+    # so the packer reuses it instead of re-counting from text
+    manifest = pack_sequences(
+        e4.filter(s4), max_tokens=256, token_count_col="n_tokens"
     )
-    clean = deduped.join(clean_ids, "doc_id", "left_semi")
-    mixed = hash_fraction_sample(clean, 0.8, key_col="doc_id").cache()
-    manifest = pack_sequences(mixed, max_tokens=256)
+
+    def stage_cols(in_stage, tag):
+        return [
+            F.sum(in_stage.cast("long")).alias(f"d{tag}"),
+            F.coalesce(
+                F.sum(F.when(in_stage, F.col("n_tokens"))), F.lit(0)
+            ).alias(f"t{tag}"),
+        ]
+
+    flags = [F.lit(True), s1, s2, s3, s4]
+    wide = e4.agg(
+        *[c for i, fl in enumerate(flags) for c in stage_cols(fl, str(i))]
+    )
     packed = manifest.agg(
-        F.lit("5_packed_blocks").alias("stage"),
-        F.count_distinct("block_id").alias("n_docs"),
-        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.count_distinct("block_id").alias("nb"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("mt"),
     )
+    names = [
+        "0_raw",
+        "1_quality",
+        "2_exact_dedup",
+        "3_decontaminated",
+        "4_mixture_sampled",
+    ]
+    stack_args = ", ".join(f"'{nm}', d{i}, t{i}" for i, nm in enumerate(names))
     return (
-        stage("0_raw", corpus)
-        .unionAll(stage("1_quality", quality))
-        .unionAll(stage("2_exact_dedup", deduped))
-        .unionAll(stage("3_decontaminated", clean))
-        .unionAll(stage("4_mixture_sampled", mixed))
-        .unionAll(packed)
+        wide.crossJoin(F.broadcast(packed))  # 1×1 broadcast
+        .select(
+            F.expr(
+                f"stack(6, {stack_args}, '5_packed_blocks', "
+                "CAST(nb AS LONG), mt) AS (stage, n_docs, n_tokens)"
+            )
+        )
         .orderBy("stage")
     )
 
