@@ -980,10 +980,13 @@ def simhash_signatures(
         sig = sig + F.when(
             F.col(f"__b{i}") * 2 > F.col("__n"), F.lit(1 << i).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    sigs = counts.select(F.col(id_col), sig.alias("simhash"))
+    sigs = counts.select(F.col(id_col).alias("__sid"), sig.alias("simhash"))
+    # null-safe equality: a NULL id is a legal (if unwise) key — plain
+    # equi-join would drop its aggregate row and silently assign it the
+    # empty-doc signature 0, diverging from the expression form
     return (
         df.select(id_col)
-        .join(sigs, id_col, "left")
+        .join(sigs, F.col(id_col).eqNullSafe(F.col("__sid")), "left")
         .select(
             F.col(id_col),
             F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"),

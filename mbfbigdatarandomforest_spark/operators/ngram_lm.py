@@ -215,18 +215,24 @@ def _vocab_mapped_ngrams(
     # monotonically_increasing_id(): mi_id depends on partition layout,
     # so a nondeterministic recompute (stage retry over a
     # nondeterministic source) could shift group membership mid-job and
-    # splice two documents' token streams. (hash, occurrence#) is
-    # deterministic as a multiset — identical texts are interchangeable,
-    # so which duplicate gets which occurrence# cannot change the grams.
+    # splice two documents' token streams. Shape: dedupe to distinct
+    # texts with a multiplicity count (ONE map-side-combined groupBy —
+    # duplicates collapse before the exchange, so a boilerplate clone
+    # cluster can never hot-spot a partition the way a window over the
+    # text hash would), then re-mint each copy as (text-hash,
+    # occurrence#). Deterministic as a pure function of the text
+    # multiset; costs one distinct-text exchange the mi_id path did not
+    # pay — the price of retry-safe group membership.
     group_cols = list(id_cols)
     if not group_cols:
-        from pyspark.sql.window import Window
-
-        docs = docs.withColumn("__dochash", F.xxhash64(F.col(text_col))).withColumn(
-            "__docn",
-            F.row_number().over(
-                Window.partitionBy("__dochash").orderBy(F.lit(1))
-            ),
+        docs = (
+            docs.groupBy(text_col)
+            .agg(F.count(F.lit(1)).alias("__m"))
+            .select(
+                F.col(text_col),
+                F.xxhash64(F.col(text_col)).alias("__dochash"),
+                F.explode(F.sequence(F.lit(1), F.col("__m"))).alias("__docn"),
+            )
         )
         group_cols = ["__dochash", "__docn"]
     pos_tok = docs.select(

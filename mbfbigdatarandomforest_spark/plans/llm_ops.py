@@ -801,9 +801,12 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     gq = gopher_quality_filter(
         corpus, min_words=20, min_stopword_hits=1, min_alpha_word_frac=0.5
     ).select("doc_id", "text", "quality_pass", n_tok.alias("n_tokens"))
-    contam = dd.decontaminate(corpus, bench, n=5).select(
-        "doc_id", "contaminated"
-    )
+    # decontamination shingles explode over GOPHER SURVIVORS only —
+    # stage-1 rejects can never reach the stage it gates (s3 conjuncts
+    # with s2, so FALSE & NULL = FALSE for the NULL non-survivor rows)
+    contam = dd.decontaminate(
+        gq.filter("quality_pass").select("doc_id", "text"), bench, n=5
+    ).select("doc_id", "contaminated")
     enriched = gq.join(contam, "doc_id", "left").localCheckpoint()
     s1 = F.col("quality_pass")
     keep2 = dd.exact_dedup(enriched.filter(s1)).select(
@@ -1018,8 +1021,18 @@ def curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     gq = gopher_quality_filter(
         corpus, min_words=20, min_stopword_hits=1, min_alpha_word_frac=0.5
     ).select("doc_id", "text", "quality_pass")
-    ce = lm_ops.score_cross_entropy(lm, corpus).select("doc_id", "cross_entropy")
-    contam = dd.decontaminate(corpus, bench, n=5).select(
+    # the EXPENSIVE per-doc signals (gram explodes: LM scoring,
+    # decontamination) compute over GOPHER SURVIVORS only — on a
+    # web-crawl corpus the rules drop 30-50%+, and docs stage 1 rejects
+    # can never reach the stages those signals gate (non-survivors get
+    # NULL, and s2/s4 conjunct with s1, so FALSE & NULL = FALSE).
+    # Only the BPE token count must stay corpus-wide: stage-0's token
+    # budget is part of the accounting contract.
+    survivors = gq.filter("quality_pass").select("doc_id", "text")
+    ce = lm_ops.score_cross_entropy(lm, survivors).select(
+        "doc_id", "cross_entropy"
+    )
+    contam = dd.decontaminate(survivors, bench, n=5).select(
         "doc_id", "contaminated"
     )
     counts = bpe_ops.bpe_token_counts(corpus, merges, encoded=encoded).select(
@@ -1074,6 +1087,13 @@ def curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of re-deriving the flag joins + Gumbel top-k three times
     # (measured ~1.5 s/rederivation at sf0.1).
     e5 = with_flag(e3, selected, "f5").localCheckpoint()
+    # every cached frame is fully consumed once e5 materializes (the λ
+    # collect, the count, and both checkpoints have run) — release them
+    # so a long-lived session invoking the funnel per-corpus doesn't
+    # accumulate pinned storage (the cache-and-return leak).
+    for frame in (clean, corpus, wc, encoded):
+        frame.unpersist()
+    lm.unpersist()
     s5 = s4 & F.col("f5").isNotNull()
     manifest = pack_sequences(e5.filter(s5), max_tokens=256)
 

@@ -107,9 +107,19 @@ def ml_rf_forecast_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled = threshold_rollup(
         scored, ["p_brand"], "prediction", min_count=100, avg_alias="forecast"
     )
-    return rolled.select(
-        "p_brand", F.round("forecast", 2).alias("forecast"), "n_obs"
-    ).orderBy("p_brand")
+    # materialize the bounded rollup (one row per brand) so the feature
+    # cache can be released deterministically instead of staying pinned
+    # for the session (the cache-and-return leak); same sanctioned
+    # bounded-result shape as the rows-only self-checks.
+    rows = (
+        rolled.select(
+            "p_brand", F.round("forecast", 2).alias("forecast"), "n_obs"
+        )
+        .orderBy("p_brand")
+        .collect()
+    )
+    df.unpersist()
+    return spark.createDataFrame(rows, "p_brand string, forecast double, n_obs bigint")
 
 
 # --------------------------------------------------------------------------

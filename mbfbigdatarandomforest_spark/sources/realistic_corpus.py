@@ -40,10 +40,17 @@ from ..operators.text import GOPHER_STOPWORDS
 _LETTERS = np.array(list("abcdefghijklmnopqrstuvwxyz"))
 
 
-def _make_vocab(rng: np.random.Generator, n_types: int, *, prefix: str = "") -> list[str]:
+def _make_vocab(
+    rng: np.random.Generator,
+    n_types: int,
+    *,
+    prefix: str = "",
+    exclude: set[str] | None = None,
+) -> list[str]:
     """``n_types`` distinct alphabetic words, lengths 3-9; ``prefix``
-    carves out a disjoint vocabulary (gibberish class)."""
-    seen: set[str] = set(GOPHER_STOPWORDS)
+    plus ``exclude`` (pass the natural vocabulary) carve out a vocabulary
+    genuinely disjoint from it (gibberish class)."""
+    seen: set[str] = set(GOPHER_STOPWORDS) | (exclude or set())
     out: list[str] = []
     while len(out) < n_types:
         length = int(rng.integers(3, 10))
@@ -112,7 +119,7 @@ def generate(spec: CorpusSpec | None = None) -> tuple[list[dict], list[dict]]:
     spec = spec or CorpusSpec()
     rng = np.random.default_rng(spec.seed)
     vocab = _make_vocab(rng, spec.vocab_size)
-    gib_vocab = _make_vocab(rng, spec.vocab_size, prefix="zq")
+    gib_vocab = _make_vocab(rng, spec.vocab_size, prefix="zq", exclude=set(vocab))
     p = _zipf_probs(spec.vocab_size)
 
     def doc_len() -> int:
@@ -180,21 +187,13 @@ def generate(spec: CorpusSpec | None = None) -> tuple[list[dict], list[dict]]:
             "nostop",
             _render(_natural_tokens(rng, vocab, p, doc_len(), stopwords=False)),
         )
+    # gibberish: uniform draws from the disjoint vocabulary, through the
+    # SAME interleave helper as natural docs (the stopword cadence
+    # calibrates the Gopher stopword rule — one definition): it passes
+    # Gopher and reaches the LM stage, whose job dropping it is
+    gib_p = np.full(len(gib_vocab), 1.0 / len(gib_vocab))
     for _ in range(counts["gibberish"]):
-        toks = [
-            gib_vocab[int(j)]
-            for j in rng.integers(0, len(gib_vocab), size=doc_len())
-        ]
-        # keep stopwords so gibberish passes Gopher and reaches the LM
-        # stage — it is the LM's job to drop it, not the rule filter's
-        withstop = []
-        for i, t in enumerate(toks):
-            withstop.append(t)
-            if i % 5 == 2:
-                withstop.append(
-                    GOPHER_STOPWORDS[int(rng.integers(len(GOPHER_STOPWORDS)))]
-                )
-        add("gibberish", _render(withstop))
+        add("gibberish", _render(_natural_tokens(rng, gib_vocab, gib_p, doc_len())))
     for _ in range(counts["contaminated"]):
         # splice a verbatim 30-whitespace-token benchmark span into an
         # ALREADY-rendered natural doc — re-rendering would append '.'

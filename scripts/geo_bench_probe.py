@@ -35,11 +35,15 @@ RING_VERTS = 64
 
 
 def _cell_wkt(i: int, j: int, rng: np.random.Generator) -> str:
-    """A detailed (RING_VERTS-vertex) jittered ring around grid cell
-    (i, j) — jitter stays inside a 10% margin so cells never overlap
-    and every interior point still matches exactly one polygon."""
-    x0, y0 = LON0 + i * CELL, LAT0 + j * CELL
-    x1, y1 = x0 + CELL, y0 + CELL
+    """A detailed (RING_VERTS-vertex) jittered ring INSIDE grid cell
+    (i, j). The ring is built on the cell shrunk by a 5% margin and
+    jittered by at most 3%, so even independently-jittered neighbours
+    can never overlap: every point matches AT MOST one polygon (points
+    in the border strips genuinely match none — they count against the
+    match rate, not as duplicate join rows inflating the denominator)."""
+    m = 0.05 * CELL
+    x0, y0 = LON0 + i * CELL + m, LAT0 + j * CELL + m
+    x1, y1 = x0 + CELL - 2 * m, y0 + CELL - 2 * m
     per_side = RING_VERTS // 4
     pts = []
     for k in range(per_side):

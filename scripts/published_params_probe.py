@@ -74,7 +74,13 @@ def main() -> None:
     report["decontam13_wall_sec"] = round(time.time() - t0, 2)
 
     t0 = time.time()
-    target = corpus.filter(F.col("kind") == "natural").limit(n_docs // 3)
+    # deterministic training subset (unordered .limit() varies with
+    # partitioning)
+    target = (
+        corpus.filter(F.col("kind") == "natural")
+        .orderBy("doc_id")
+        .limit(n_docs // 3)
+    )
     lm = lm_ops.train_backoff_lm(target, order=5, vocab_size=50_000)
     scored = lm_ops.score_stupid_backoff(
         lm, corpus.select("doc_id", "text")

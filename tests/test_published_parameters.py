@@ -43,19 +43,34 @@ SCHEMA = "doc_id string, kind string, lang string, text string, dup_of string"
 
 
 @pytest.fixture(scope="module")
-def corpus(spark):
-    rows, bench = generate(SPEC)
-    df = spark.createDataFrame(rows, SCHEMA).cache()
-    df.count()
-    return df
+def _frames(spark):
+    rows, bench = generate(SPEC)  # generated ONCE per module
+    corpus = spark.createDataFrame(rows, SCHEMA).cache()
+    corpus.count()
+    bench_df = spark.createDataFrame(
+        [{**r, "dup_of": None} for r in bench], SCHEMA
+    ).cache()
+    return corpus, bench_df
 
 
 @pytest.fixture(scope="module")
-def bench_docs(spark):
-    rows, bench = generate(SPEC)
-    return spark.createDataFrame(
-        [{**r, "dup_of": None} for r in bench], SCHEMA
-    ).cache()
+def corpus(_frames):
+    return _frames[0]
+
+
+@pytest.fixture(scope="module")
+def bench_docs(_frames):
+    return _frames[1]
+
+
+def _lm_target(corpus):
+    """Deterministic training subset: an unordered .limit() takes
+    whichever rows arrive first and can change with partitioning."""
+    return (
+        corpus.filter(F.col("kind") == "natural")
+        .orderBy("doc_id")
+        .limit(500)
+    )
 
 
 def _rates(df, flag_col):
@@ -137,7 +152,7 @@ def test_lm_order5_separates_gibberish(spark, corpus):
     stupid-backoff estimator (Brants 2007, the published
     distributed-scale choice) grounds at unigram frequencies, where the
     in-vocabulary/OOV signal is decisive."""
-    target = corpus.filter(F.col("kind") == "natural").limit(500)
+    target = _lm_target(corpus)
     lm = lm_ops.train_backoff_lm(target, order=5, vocab_size=50_000)
     scored = lm_ops.score_stupid_backoff(
         lm, corpus.select("doc_id", "kind", "text")
@@ -195,7 +210,7 @@ def test_funnel_composition_at_published_parameters(spark, corpus, bench_docs):
     the realistic corpus: monotone survival, every injected defect class
     eliminated by its stage, and a healthy share of natural docs
     surviving to packing."""
-    target = corpus.filter(F.col("kind") == "natural").limit(500)
+    target = _lm_target(corpus)
     lm = lm_ops.train_ngram_lm(target, order=5, vocab_size=50_000)
 
     gq = gopher_quality_filter(corpus).select("doc_id", "kind", "text", "quality_pass")
