@@ -1762,3 +1762,94 @@ def test_materialize_bpe_unit_blocks(spark):
             assert b["n_tokens"] == 64
         got += toks
     assert got == stream
+
+
+def test_curation_funnel_v2_matches_sequential_composition(spark):
+    """The r6 one-enriched-pass funnel must produce EXACTLY the stage
+    rows of the sequential semi-join composition it replaced (the
+    per-doc signals are set-independent; the set-dependent decisions —
+    LM cutoffs over stage-1 survivors, dedup keep among stage-2, DSIR
+    fit on stage-4 — see the same subsets). This pins the equivalence
+    the restructure argued from first principles."""
+    from conftest import SF_DIR_SMALL
+    from mbfbigdatarandomforest_spark.operators import bpe as bpe_ops
+    from mbfbigdatarandomforest_spark.operators import importance as imp
+    from mbfbigdatarandomforest_spark.operators import ngram_lm as lm_ops
+    from mbfbigdatarandomforest_spark.operators.text import (
+        gopher_quality_filter,
+        pack_sequences,
+    )
+    from mbfbigdatarandomforest_spark.registry import load_all
+    from mbfbigdatarandomforest_spark.sources.catalog import load_table
+
+    got = {
+        r["stage"]: (r["n_docs"], r["n_bpe_tokens"])
+        for r in load_all()["curation_funnel_v2"].fn(spark, SF_DIR_SMALL).collect()
+    }
+
+    # --- the pre-r6 sequential composition, reconstructed verbatim ---
+    docs = load_table(spark, SF_DIR_SMALL, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0").cache()
+    target = corpus.filter(F.col("lang") == "en")
+    wc = bpe_ops.word_counts(corpus, max_words=None).cache()
+    merges = bpe_ops.learn_bpe(
+        [(r["word"], r["c"]) for r in wc.collect()], num_merges=100
+    )
+    encoded = bpe_ops.encode_vocab(wc, merges).select("word", "n_tokens").cache()
+
+    def stage(name, df):
+        per_doc = bpe_ops.bpe_token_counts(df, merges, encoded=encoded)
+        return per_doc.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_bpe_tokens"), F.lit(0)).alias("n_bpe_tokens"),
+        )
+
+    quality = (
+        gopher_quality_filter(
+            corpus, min_words=20, min_stopword_hits=1, min_alpha_word_frac=0.5
+        )
+        .filter("quality_pass")
+        .select(*corpus.columns)
+        .localCheckpoint()
+    )
+    lm = lm_ops.train_bigram_lm(target, vocab_size=50_000)
+    keep_ppl = (
+        lm_ops.perplexity_buckets(lm_ops.score_cross_entropy(lm, quality))
+        .filter(F.col("bucket") != "tail")
+        .select("doc_id")
+    )
+    head_mid = quality.join(keep_ppl, "doc_id", "left_semi").localCheckpoint()
+    keep_ids = dd.exact_dedup(head_mid).select(F.col("keep_id").alias("doc_id"))
+    deduped = head_mid.join(keep_ids, "doc_id", "left_semi").localCheckpoint()
+    clean_ids = (
+        dd.decontaminate(deduped, bench, n=5)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    clean = deduped.join(clean_ids, "doc_id", "left_semi").localCheckpoint()
+    k = max(1, int(0.6 * clean.count()))
+    selected = imp.gumbel_topk(
+        imp.dsir_log_weights(clean, target, buckets=4096), k
+    ).select("doc_id")
+    mixed = clean.join(selected, "doc_id", "left_semi").localCheckpoint()
+    manifest = pack_sequences(mixed, max_tokens=256)
+    n_blocks = manifest.select(F.count_distinct("block_id")).first()[0]
+    want = {}
+    for name, frame in [
+        ("0_raw", corpus),
+        ("1_gopher_quality", quality),
+        ("2_lm_head_middle", head_mid),
+        ("3_exact_dedup", deduped),
+        ("4_decontaminated", clean),
+        ("5_dsir_selected", mixed),
+    ]:
+        row = stage(name, frame).first()
+        want[name] = (row["n_docs"], row["n_bpe_tokens"])
+    want["6_packed_blocks"] = (n_blocks, want["5_dsir_selected"][1])
+    for frame in (corpus, wc, encoded):
+        frame.unpersist()
+    lm.unpersist()
+
+    assert got == want, {k: (got.get(k), want.get(k)) for k in set(got) | set(want)}
