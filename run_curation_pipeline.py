@@ -69,36 +69,56 @@ def main() -> None:
     corpus = docs.filter(F.col("source") != "src0").cache()
     target = corpus.filter(F.col("lang") == "en")
 
-    # --- stage frames (same composition as plans.llm_ops.curation_funnel_v2,
-    # with per-stage lineage truncation — see SCALE.md on planning cost)
-    quality = (
-        gopher_quality_filter(
-            corpus, min_words=20, min_stopword_hits=1, min_alpha_word_frac=0.5
-        )
-        .filter("quality_pass")
-        .select(*corpus.columns)
+    # --- stage frames (same one-enriched-pass composition as
+    # plans.llm_ops.curation_funnel_v2, r6: every per-doc signal computes
+    # over the corpus once into a checkpointed frame, stage membership is
+    # a conjunction of flags, and the expensive gram-exploding signals run
+    # over Gopher survivors only — see SCALE.md §11 on why)
+    gq = gopher_quality_filter(
+        corpus, min_words=20, min_stopword_hits=1, min_alpha_word_frac=0.5
+    ).select(*corpus.columns, "quality_pass")
+    survivors = gq.filter("quality_pass").select("doc_id", "text")
+    lm = lm_ops.train_ngram_lm(target, order=args.lm_order)
+    ce = lm_ops.score_cross_entropy(lm, survivors).select(
+        "doc_id", "cross_entropy"
+    )
+    contam = dd.decontaminate(survivors, bench, n=5).select(
+        "doc_id", "contaminated"
+    )
+    enriched = (
+        gq.join(ce, "doc_id", "left")
+        .join(contam, "doc_id", "left")
         .localCheckpoint()
     )
-    lm = lm_ops.train_ngram_lm(target, order=args.lm_order)
+    s1 = F.col("quality_pass")
     keep_ppl = (
-        lm_ops.perplexity_buckets(lm_ops.score_cross_entropy(lm, quality))
+        lm_ops.perplexity_buckets(
+            enriched.filter(s1).select("doc_id", "cross_entropy"),
+            col="cross_entropy",
+        )
         .filter(F.col("bucket") != "tail")
         .select("doc_id")
     )
-    head_mid = quality.join(keep_ppl, "doc_id", "left_semi").localCheckpoint()
-    keep_ids = dd.exact_dedup(head_mid).select(F.col("keep_id").alias("doc_id"))
-    deduped = head_mid.join(keep_ids, "doc_id", "left_semi").localCheckpoint()
-    clean_ids = (
-        dd.decontaminate(deduped, bench, n=5)
-        .filter(~F.col("contaminated"))
-        .select("doc_id")
+    e2 = enriched.join(keep_ppl.withColumn("f2", F.lit(1)), "doc_id", "left")
+    s2 = s1 & F.col("f2").isNotNull()
+    keep_ids = dd.exact_dedup(e2.filter(s2)).select(
+        F.col("keep_id").alias("doc_id")
     )
-    clean = deduped.join(clean_ids, "doc_id", "left_semi").localCheckpoint()
+    e3 = e2.join(keep_ids.withColumn("f3", F.lit(1)), "doc_id", "left")
+    s3 = s2 & F.col("f3").isNotNull()
+    s4 = s3 & ~F.col("contaminated")
+    clean = e3.filter(s4).localCheckpoint()
     k = max(1, int(args.keep_fraction * clean.count()))
     selected = imp.gumbel_topk(
         imp.dsir_log_weights(clean, target, buckets=4096), k
     ).select("doc_id")
     kept = clean.join(selected, "doc_id", "left_semi").localCheckpoint()
+    doc_cols = corpus.columns
+    quality = enriched.filter(s1).select(*doc_cols)
+    head_mid = e3.filter(s2).select(*doc_cols)  # s2/s3 flags live on e3
+    deduped = e3.filter(s3).select(*doc_cols)
+    clean = clean.select(*doc_cols)
+    kept = kept.select(*doc_cols)
 
     manifest = pack_sequences(kept, max_tokens=args.max_tokens)
     blocks = materialize_packed_blocks(kept, manifest)
