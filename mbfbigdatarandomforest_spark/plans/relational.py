@@ -1591,3 +1591,103 @@ def tpch_ansi_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables=("lineitem", "orders", "customer", "part", "supplier", "nation", "region"),
     )
     return spark.sql(TPCH_ANSI_SUITE2_SQL)
+
+
+# --------------------------------------------------------------------------
+# Third ANSI suite (TPC-H q9/q12/q15/q20/q21 shapes on the available
+# columns) — same contract as the first two: ONE text executed verbatim
+# by both engines, decimal-sum portable amounts, rows-only in the
+# registry (window full) with an exact same-text pytest twin
+# (tests/test_tpch_correlated.py). Completes the TPC-H shape inventory
+# the first two suites left out: multi-dimension expression grouping
+# over a 4-table chain (q9), conditional counting against a joined
+# date predicate (q12), max-of-aggregate scalar subquery over a CTE
+# (q15), semijoin through a HAVING aggregate (q20), and the hardest
+# decorrelation shape in the benchmark — EXISTS + NOT EXISTS both
+# correlated on (orderkey, suppkey<>suppkey) against the fact table
+# itself (q21). Plan-pinned: Catalyst must turn every one of these
+# into distributed semi/anti hash joins — no CartesianProduct, no
+# BroadcastNestedLoopJoin.
+# --------------------------------------------------------------------------
+TPCH_ANSI_SUITE3_SQL = """
+WITH s9 AS (
+  SELECT 'q9_profit_nation_year' AS section,
+         n_name || '#' || CAST(EXTRACT(YEAR FROM o_orderdate) AS STRING) AS k,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) - l_tax * l_quantity
+                       AS DECIMAL(28,8))) AS DOUBLE) AS amount
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation nt ON s.s_nationkey = nt.n_nationkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE p_name LIKE '%a%'
+  GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+), s12 AS (
+  SELECT 'q12_priority_by_linestatus' AS section, l_linestatus AS k,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END AS DECIMAL(28,8)))
+              AS DOUBLE) AS amount
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate > o.o_orderdate
+  GROUP BY l_linestatus
+), rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS total_rev
+  FROM lineitem GROUP BY l_suppkey
+), s15 AS (
+  SELECT 'q15_top_supplier' AS section, s_name AS k, COUNT(*) AS n,
+         CAST(MAX(total_rev) AS DOUBLE) AS amount
+  FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+  WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+  GROUP BY s_name
+), s20 AS (
+  SELECT 'q20_bulk_suppliers' AS section, n_name AS k, COUNT(*) AS n,
+         CAST(SUM(CAST(s_acctbal AS DECIMAL(28,8))) AS DOUBLE) AS amount
+  FROM supplier s JOIN nation nt ON s.s_nationkey = nt.n_nationkey
+  WHERE s.s_suppkey IN (
+    SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE '%a%'
+    GROUP BY l_suppkey
+    HAVING SUM(l_quantity) > 300
+  )
+  GROUP BY n_name
+), s21 AS (
+  SELECT 'q21_waiting_supplier' AS section, s_name AS k, COUNT(*) AS n,
+         CAST(NULL AS DOUBLE) AS amount
+  FROM supplier s
+  JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+  JOIN orders o ON o.o_orderkey = l1.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l1.l_shipdate > o.o_orderdate
+    AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > o.o_orderdate
+    )
+  GROUP BY s_name
+)
+SELECT * FROM s9
+UNION ALL SELECT * FROM s12
+UNION ALL SELECT * FROM s15
+UNION ALL SELECT * FROM s20
+UNION ALL SELECT * FROM s21
+ORDER BY section, k
+"""
+
+
+@query("tpch_ansi_suite3", tags=("SQL-surface", "q9", "q12", "q15", "q20", "q21"))
+def tpch_ansi_suite3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import register_views
+
+    register_views(
+        spark,
+        sf_dir,
+        tables=("lineitem", "orders", "part", "supplier", "nation"),
+    )
+    return spark.sql(TPCH_ANSI_SUITE3_SQL)

@@ -66,6 +66,28 @@ def test_gbt_early_stopping_mechanics(spark, toy):
     assert metrics["test_rmse"] > 0
 
 
+def test_gbt_truncation_equals_refit(spark, toy):
+    """The truncation that replaced the early-stopping refit must be
+    EXACT: slicing the max_iter probe's first n trees produces the same
+    predictions as an actual maxIter=n fit on the same data/seed
+    (boosting is sequential; per-iteration seeding is maxIter-free)."""
+    from mbfbigdatarandomforest_spark.ml.regressors import (
+        _truncate_gbt_model,
+    )
+
+    fp = build_feature_pipeline(["cat"], ["x1", "x2"], one_hot=False)
+    feat = fp.fit(toy).transform(toy).select("features", "label").cache()
+    full = make_regressor("gbt", maxIter=12, maxDepth=3, seed=7).fit(feat)
+    for n in (1, 5, 12):
+        refit = make_regressor("gbt", maxIter=n, maxDepth=3, seed=7).fit(feat)
+        trunc = _truncate_gbt_model(full, n)
+        assert trunc.getNumTrees == n
+        a = [r["prediction"] for r in refit.transform(feat).collect()]
+        b = [r["prediction"] for r in trunc.transform(feat).collect()]
+        assert a == b
+    feat.unpersist()
+
+
 def test_pipeline_model_save_load_roundtrip(spark, toy, tmp_path):
     """S5 — the reference persists models across scripts
     (04_1_XGB_traintest.R:402,409-410); MLWritable round-trip must

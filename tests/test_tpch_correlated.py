@@ -61,6 +61,37 @@ def test_ansi_suite2_same_text_both_engines_exact(spark, duck):
         assert (g[3] is None) == (w[3] is None) and (g[3] is None or g[3] == w[3]), (g, w)
 
 
+def test_ansi_suite3_same_text_both_engines_exact(spark, duck):
+    from mbfbigdatarandomforest_spark.plans.relational import TPCH_ANSI_SUITE3_SQL
+
+    got = [tuple(r) for r in load_all()["tpch_ansi_suite3"].fn(spark, SF_DIR_ORACLE).collect()]
+    want = duck.sql(TPCH_ANSI_SUITE3_SQL).fetchall()
+    assert len(got) == len(want) and len(got) > 10
+    sections = {g[0] for g in got}
+    assert sections == {
+        "q9_profit_nation_year",
+        "q12_priority_by_linestatus",
+        "q15_top_supplier",
+        "q20_bulk_suppliers",
+        "q21_waiting_supplier",
+    }
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3], (g, w)
+        assert (g[3] is None) == (w[3] is None) and (g[3] is None or g[3] == w[3]), (g, w)
+
+
+def test_ansi_suite3_plan_shape(spark):
+    df = load_all()["tpch_ansi_suite3"].fn(spark, SF_DIR_ORACLE)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # q21's EXISTS + NOT EXISTS (correlated on orderkey with a
+    # suppkey<>suppkey disequality) must decorrelate to semi/anti hash
+    # joins, never a per-row rescan of the fact table
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ansi_suite2_plan_shape(spark):
     df = load_all()["tpch_ansi_suite2"].fn(spark, SF_DIR_ORACLE)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
