@@ -121,3 +121,39 @@ def read_jsonl(
             "columnNameOfCorruptRecord": corrupt_col,
         }
     return _apply_options(spark.read, options).schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the other columnar interchange format Spark ships a
+    native vectorized reader for (warehouses that standardized on
+    Hive/ORC rather than parquet). Same engine posture as parquet:
+    self-describing schema, predicate pushdown and column pruning come
+    from the format, so no imposed-schema rule applies."""
+    return spark.read.orc(path)
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    *,
+    whole_file: bool = False,
+    line_col: str = "value",
+) -> DataFrame:
+    """Raw-text ingestion for corpus building.
+
+    Default: one row per LINE (``value: string``) — splittable, scales
+    to any file size. ``whole_file=True``: one row per FILE — the shape
+    crawl dumps of one-document-per-file arrive in. WARNING at scale: a
+    whole file becomes ONE row, so this mode is for many-small-files
+    corpora only (a 10 GB file would materialize a 10 GB row); Spark
+    cannot split inside a file in this mode. Adds the source path via
+    ``input_file_name`` so downstream dedup/provenance keeps a stable
+    document key either way."""
+    from pyspark.sql import functions as F
+
+    # NB: must be the text() kwarg — .option("wholetext", ...) is
+    # silently ignored by the text source (verified on pyspark 4.1)
+    df = spark.read.text(path, wholetext=whole_file)
+    if line_col != "value":
+        df = df.withColumnRenamed("value", line_col)
+    return df.withColumn("source_file", F.input_file_name())

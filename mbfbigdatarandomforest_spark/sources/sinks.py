@@ -49,3 +49,18 @@ def write_jsonl(
     if compression:
         writer = writer.option("compression", compression)
     writer.json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink — mirror of ``write_parquet`` for ORC-standardized
+    warehouses (native vectorized writer, zlib default)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

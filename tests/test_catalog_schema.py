@@ -195,3 +195,48 @@ def test_read_jsonl_option_contradictions_raise(spark, tmp_path):
         spark, str(p), schema, quarantine=False, mode="FAILFAST"
     )
     assert df.count() == 1 and "_corrupt_record" not in df.columns
+
+
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    """ORC sink/source roundtrip, including hive-partitioned layout:
+    values identical, partition column recovered from directory keys,
+    and partition pruning reads only the selected key's files."""
+    from mbfbigdatarandomforest_spark.sources.readers import read_orc
+    from mbfbigdatarandomforest_spark.sources.sinks import write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", -0.5), (3, "b", 2.25), (4, "b", None)],
+        "k long, part string, v double",
+    )
+    out = str(tmp_path / "orc")
+    write_orc(df, out, partition_by=["part"])
+    back = read_orc(spark, out)
+    assert {(r.k, r.part, r.v) for r in back.collect()} == {
+        (1, "a", 1.5), (2, "a", -0.5), (3, "b", 2.25), (4, "b", None)
+    }
+    # partition pruning: the 'b' filter must not scan the 'a' directory
+    pruned = back.filter("part = 'b'")
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "part#" in plan and "= b)" in plan, plan  # PartitionFilters: (part = b)
+    assert pruned.count() == 2
+
+
+def test_read_text_line_and_wholefile(spark, tmp_path):
+    """read_text: default one-row-per-line; whole_file=True one row per
+    file with the full text intact; both carry source_file provenance."""
+    from mbfbigdatarandomforest_spark.sources.readers import read_text
+
+    (tmp_path / "a.txt").write_text("line one\nline two\n")
+    (tmp_path / "b.txt").write_text("solo doc\nsecond line\n")
+    lines = read_text(spark, str(tmp_path / "*.txt"), line_col="text").collect()
+    assert sorted(r.text for r in lines) == [
+        "line one", "line two", "second line", "solo doc"
+    ]
+    assert all(r.source_file.endswith(".txt") for r in lines)
+    docs = read_text(spark, str(tmp_path / "*.txt"), whole_file=True).collect()
+    assert len(docs) == 2
+    by_file = {r.source_file.rsplit("/", 1)[-1]: r.value for r in docs}
+    assert by_file["a.txt"] == "line one\nline two\n"
+    assert by_file["b.txt"] == "solo doc\nsecond line\n"
