@@ -157,3 +157,33 @@ def read_text(
     if line_col != "value":
         df = df.withColumnRenamed("value", line_col)
     return df.withColumn("source_file", F.input_file_name())
+
+
+def ingest_text_documents(
+    spark: SparkSession,
+    text_dir: str,
+    *,
+    lang: str = "en",
+) -> DataFrame:
+    """Turn a directory tree of raw ``.txt`` files into the engine's
+    ``documents`` shape (``doc_id, text, source, lang``) so every
+    curation operator — Gopher rules, LM perplexity, dedup,
+    decontamination, DSIR, packing — runs on crawl-dump input with no
+    parquet conversion step.
+
+    One document per FILE (``read_text(whole_file=True)``); ``source``
+    is the file's immediate parent directory name (the conventional
+    dump/source layout: ``dir/<source>/<file>.txt``), ``doc_id`` is the
+    64-bit hash of the file path — stable across reruns, independent of
+    partitioning. A ``benchmark/`` subdirectory is the conventional
+    place for held-out eval text (the curation CLI wires
+    ``source='benchmark'`` into decontamination)."""
+    from pyspark.sql import functions as F
+
+    raw = read_text(spark, f"{text_dir.rstrip('/')}/*/*.txt", whole_file=True)
+    return raw.select(
+        F.xxhash64("source_file").alias("doc_id"),
+        F.col("value").alias("text"),
+        F.regexp_extract("source_file", r"([^/]+)/[^/]+$", 1).alias("source"),
+        F.lit(lang).alias("lang"),
+    )

@@ -3,8 +3,14 @@ for the engine's training-data family (the analogue of
 ``run_election_pipeline.py`` for the north-star extension).
 
 Usage:
-    python run_curation_pipeline.py [--sf-dir DIR] [--out DIR]
-        [--max-tokens N] [--keep-fraction F] [--lm-order N]
+    python run_curation_pipeline.py [--sf-dir DIR | --text-dir DIR]
+        [--out DIR] [--max-tokens N] [--keep-fraction F] [--lm-order N]
+
+``--text-dir`` ingests raw crawl-dump text (one document per file,
+``dir/<source>/<file>.txt``; a ``benchmark/`` subdir is the held-out
+eval text for decontamination) via ``sources.readers.
+ingest_text_documents`` — no parquet conversion step. The datasheet
+artifact is sf-dir-bound and skipped in this mode.
 
 One command drives the published-pipeline composition end to end —
 Gopher rules → n-gram-LM perplexity tail drop (CCNet) → exact dedup →
@@ -36,6 +42,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--text-dir", default=None,
+                    help="ingest raw .txt files (dir/<source>/<file>.txt, "
+                    "one doc per file) instead of the sf-dir documents "
+                    "table; a benchmark/ subdir feeds decontamination")
     ap.add_argument("--out", default="./curation_out")
     ap.add_argument("--max-tokens", type=int, default=256)
     ap.add_argument("--keep-fraction", type=float, default=0.6,
@@ -64,9 +74,20 @@ def main() -> None:
     spark = get_spark(app_name="curation-pipeline")
     spark.sparkContext.setLogLevel("WARN")
 
-    docs = load_table(spark, args.sf_dir, "documents")
-    bench = docs.filter(F.col("source") == "src0")
-    corpus = docs.filter(F.col("source") != "src0").cache()
+    if args.text_dir:
+        from mbfbigdatarandomforest_spark.sources.readers import (
+            ingest_text_documents,
+        )
+
+        docs = ingest_text_documents(spark, args.text_dir)
+        bench_source = "benchmark"
+    else:
+        docs = load_table(spark, args.sf_dir, "documents")
+        bench_source = "src0"
+    bench = docs.filter(F.col("source") == bench_source)
+    corpus = docs.filter(F.col("source") != bench_source).cache()
+    # text-dir mode mints a constant lang, so the LM/DSIR target is the
+    # whole corpus; sf-dir documents carry a real lang column
     target = corpus.filter(F.col("lang") == "en")
 
     # --- stage frames (same one-enriched-pass composition as
@@ -124,10 +145,11 @@ def main() -> None:
     blocks = materialize_packed_blocks(kept, manifest)
 
     # --- artifacts
-    specs = load_all()
-    specs["corpus_datasheet"].fn(spark, args.sf_dir).write.mode(
-        "overwrite"
-    ).parquet(str(out / "datasheet"))
+    if not args.text_dir:  # the datasheet spec is sf-dir-bound
+        specs = load_all()
+        specs["corpus_datasheet"].fn(spark, args.sf_dir).write.mode(
+            "overwrite"
+        ).parquet(str(out / "datasheet"))
     stages = {
         "0_raw": corpus,
         "1_gopher_quality": quality,
@@ -160,7 +182,7 @@ def main() -> None:
 
     n_blocks = spark.read.parquet(str(out / "blocks")).count()
     summary = {
-        "sf_dir": args.sf_dir,
+        "input": args.text_dir or args.sf_dir,
         "stages": {name: n for name, n, _ in funnel_rows},
         "n_blocks": n_blocks,
         "max_tokens": args.max_tokens,

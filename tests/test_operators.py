@@ -1853,3 +1853,52 @@ def test_curation_funnel_v2_matches_sequential_composition(spark):
     lm.unpersist()
 
     assert got == want, {k: (got.get(k), want.get(k)) for k in set(got) | set(want)}
+
+
+def test_curation_pipeline_text_dir_ingestion(tmp_path):
+    """--text-dir mode: the CLI curates a raw crawl-dump directory tree
+    (one doc per file, benchmark/ subdir feeding decontamination) end
+    to end — same artifacts, monotone funnel, no parquet input
+    anywhere."""
+    import json
+    import subprocess
+    import sys
+
+    base = tmp_path / "dump"
+    for src in ("web", "books"):
+        d = base / src
+        d.mkdir(parents=True)
+        for i in range(15):
+            body = (
+                f"the quick brown document number {src}{i} talks about "
+                f"topic {i % 4} and the text keeps going with plenty of "
+                "ordinary words so that the gopher quality rules accept "
+                "it happily as a real document for the pipeline"
+            )
+            (d / f"doc{i}.txt").write_text(body + "\n")
+    bdir = base / "benchmark"
+    bdir.mkdir()
+    (bdir / "eval0.txt").write_text(
+        "held out benchmark evaluation passage entirely distinct words\n"
+    )
+    out = tmp_path / "cur"
+    r = subprocess.run(
+        [
+            sys.executable, "run_curation_pipeline.py",
+            "--text-dir", str(base), "--out", str(out),
+            "--max-tokens", "64",
+        ],
+        capture_output=True, text=True, timeout=600,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads((out / "summary.json").read_text())
+    stages = summary["stages"]
+    assert stages["0_raw"] == 30  # benchmark files are NOT corpus
+    order = sorted(stages)
+    for a, b in zip(order, order[1:]):
+        assert stages[a] >= stages[b], (a, b)
+    assert stages["5_dsir_selected"] > 0 and summary["n_blocks"] > 0
+    for sub in ("funnel", "manifest", "blocks", "kept_docs"):
+        assert any((out / sub).iterdir()), sub
+    assert not (out / "datasheet").exists()  # sf-dir-bound, skipped
