@@ -129,9 +129,10 @@ def main() -> None:
         keep = {s.strip() for s in only.split(",") if s.strip()}
         names = [n for n in names if n in keep]
     timings: dict[str, object] = {}
+    spreads: dict[str, float] = {}
     errors = 0
     for name in names:
-        best, err = None, None
+        best, worst, err = None, None, None
         for _ in range(reps):
             try:
                 fn = specs[name].fn
@@ -140,6 +141,7 @@ def main() -> None:
                 df.write.mode("overwrite").format("noop").save()
                 elapsed = time.perf_counter() - t0
                 best = elapsed if best is None else min(best, elapsed)
+                worst = elapsed if worst is None else max(worst, elapsed)
             except Exception as exc:  # noqa: BLE001 — survive anything, keep timing the rest
                 err = f"{type(exc).__name__}: {exc}".splitlines()[0][:300]
                 print(f"bench: {name} FAILED: {err}", file=sys.stderr)
@@ -154,6 +156,12 @@ def main() -> None:
             # min over the successful reps (a failure after a success
             # still yields a timing; the stderr line records the flake)
             timings[name] = round(best, 3)
+            # max/min over the reps — the host-noise diagnostic. A
+            # cross-round delta on a query whose spread is ~2 is steal,
+            # not regression (text_lm_stupid_backoff measured 3.5 s and
+            # 7.6 s in two same-code r6 sweeps); spread ~1 deltas are
+            # real. Lets the next round triage without re-running.
+            spreads[name] = round(worst / best, 2) if best > 0 else 1.0
         else:
             errors += 1
             timings[name] = {"error": err}
@@ -176,6 +184,7 @@ def main() -> None:
         "n_queries": len(names),
         "headline_total": headline_total,
         "excluded": EXCLUDED,
+        "rep_spread": spreads,
     }
     if errors:
         out["errors"] = errors
