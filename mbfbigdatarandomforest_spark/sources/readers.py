@@ -181,6 +181,15 @@ def ingest_text_documents(
     from pyspark.sql import functions as F
 
     raw = read_text(spark, f"{text_dir.rstrip('/')}/*/*.txt", whole_file=True)
+    return documents_projection(raw, lang=lang)
+
+
+def documents_projection(raw: DataFrame, *, lang: str = "en") -> DataFrame:
+    """Shared (batch AND streaming) mapping from a whole-file text frame
+    (``value``, ``source_file``) to the documents shape — pure column
+    expressions, so it is append-mode-legal on a stream unchanged."""
+    from pyspark.sql import functions as F
+
     return raw.select(
         F.xxhash64("source_file").alias("doc_id"),
         F.col("value").alias("text"),

@@ -574,3 +574,43 @@ def test_classifier_scoring_streams_via_foreachbatch(spark, tmp_path):
         for r in spark.read.parquet(str(out)).collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_streaming_text_ingest_matches_batch(spark, tmp_path):
+    """The crawl-watch ingestion stream (readStream.text wholetext →
+    shared documents projection → Gopher gate, pure append-mode plan)
+    must produce EXACTLY the batch ingest+filter result: same doc ids,
+    same surviving set."""
+    from mbfbigdatarandomforest_spark.operators.text import (
+        gopher_quality_filter,
+    )
+    from mbfbigdatarandomforest_spark.sources.readers import (
+        ingest_text_documents,
+    )
+    from mbfbigdatarandomforest_spark.streaming.ingest import (
+        run_ingest_curate_available_now,
+    )
+
+    base = tmp_path / "dump"
+    for src in ("web", "books"):
+        d = base / src
+        d.mkdir(parents=True)
+        for i in range(6):
+            good = (
+                f"the steady document number {src}{i} continues with many "
+                "plain ordinary words about data and the pipeline so the "
+                "gopher rules accept it without any complaint at all here"
+            )
+            (d / f"doc{i}.txt").write_text(good + "\n")
+        (d / "junk.txt").write_text("### ### ###\n")  # fails the rules
+    kw = dict(min_words=20, min_stopword_hits=1, min_alpha_word_frac=0.5)
+
+    streamed = run_ingest_curate_available_now(
+        spark, str(base), str(tmp_path / "out"), str(tmp_path / "ckpt"), **kw
+    )
+    batch = gopher_quality_filter(
+        ingest_text_documents(spark, str(base)), **kw
+    ).filter("quality_pass")
+    got = {(r.doc_id, r.source) for r in streamed.select("doc_id", "source").collect()}
+    want = {(r.doc_id, r.source) for r in batch.select("doc_id", "source").collect()}
+    assert got == want and len(got) == 12  # 2 junk files dropped
