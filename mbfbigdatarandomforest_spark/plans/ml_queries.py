@@ -398,3 +398,78 @@ def ml_grouped_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("r2"),
     ).orderBy("p_brand")
+
+
+# --------------------------------------------------------------------------
+# L5 — DART booster metrics. The reference's actual booster is
+# 'dart' (04_1_XGB_traintest.R:249-257); with xgboost environment-
+# blocked, ml/regressors.train_dart implements the published algorithm
+# (Vinayak & Gilad-Bachrach 2015) from MLlib primitives: per-iteration
+# tree dropout, residual fit, weight renormalization, final ensemble
+# packed into a stock GBTRegressionModel. Rows-only (an iterative
+# randomized trainer has no SQL twin); the pytest oracles pin the
+# boosting core against MLlib GBT (iteration-0 tree equality +
+# the exact factor-2 gradient convention at iteration 1), the weight
+# math, the packed model's Σw·tree exactness, and both dropout limits.
+# --------------------------------------------------------------------------
+@query("ml_dart_metrics", tags=("L5", "L7", "dart"))
+def ml_dart_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..ml.features import build_feature_pipeline
+    from ..ml.metrics import regression_metrics_tagged
+    from ..ml.regressors import train_dart
+    from ..ml.splits import tag_split
+
+    df = _lineitem_features(spark, sf_dir)
+    cols = df.columns
+    data = df.na.drop(subset=cols).cache()
+    tagged = tag_split(data, cols, 0.75, salt="mlsplit123")
+    train = tagged.filter(F.col("__split") == "train").drop("__split")
+    test = tagged.filter(F.col("__split") == "test").drop("__split")
+    fp = build_feature_pipeline(
+        ["p_brand", "p_type"],
+        ["l_quantity", "l_discount", "l_tax", "p_retailprice"],
+        one_hot=False,
+    ).fit(train)
+    # same rows-sized fit layout as the GBT path (sequential small jobs)
+    n_rows = data.count()
+    fit_parts = max(2, -(-int(n_rows * 0.75) // 65536))
+    feat_train = (
+        fp.transform(train).select("features", "label").coalesce(fit_parts).cache()
+    )
+    feat_test = fp.transform(test).select("features", "label")
+    # max_iter=5: each DART iteration is an independent
+    # DecisionTreeRegressor.fit whose wall is job-scheduling-bound
+    # (~1 s/iteration on local[32] regardless of SF); the pytest suite
+    # exercises the algorithm at 2-6 iterations, this entry proves the
+    # full pipeline at fact scale
+    model, weights = train_dart(
+        feat_train,
+        max_iter=5,
+        max_depth=4,
+        dropout_rate=0.1,
+        learning_rate=0.7,
+        seed=123,
+    )
+    metrics = regression_metrics_tagged(
+        {"train": model.transform(feat_train), "test": model.transform(feat_test)},
+        label_col="label",
+        n_features=6,
+    )
+    feat_train.unpersist()
+    data.unpersist()
+    names = sorted(metrics)
+    return spark.createDataFrame(
+        [
+            (
+                "dart",
+                *[round(metrics[k], 4) for k in names],
+                len(weights),
+                round(sum(weights), 6),
+            )
+        ],
+        "model string, "
+        + ", ".join(f"{k} double" for k in names)
+        + ", n_trees long, weight_sum double",
+    )

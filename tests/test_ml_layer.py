@@ -316,3 +316,102 @@ def test_ols_gram_strategies_agree(spark):
     for key in grouped:
         assert arrow[key] == pytest.approx(grouped[key], rel=1e-9, abs=1e-9), key
         assert fallback[key] == pytest.approx(grouped[key], rel=1e-9, abs=1e-9), key
+
+
+def test_dart_weight_update_math():
+    """DART normalization (Vinayak & Gilad-Bachrach 2015 §3): k dropped
+    trees scale by k/(k+lr), the new tree enters at lr/(k+lr); k=0 is
+    plain shrinkage."""
+    from mbfbigdatarandomforest_spark.ml.regressors import _dart_weight_update
+
+    w = [1.0, 0.5, 0.25]
+    assert _dart_weight_update(w, [], 0.3) == 0.3 and w == [1.0, 0.5, 0.25]
+    w = [1.0, 0.5, 0.25]
+    new = _dart_weight_update(w, [0, 2], 1.0)
+    assert new == 1.0 / 3 and w == [2.0 / 3, 0.5, 0.25 * 2 / 3]
+
+
+def test_dart_against_mllib_gbt_gradient_convention(spark, toy):
+    """Cross-engine pin for the boosting core (dropout off, lr=1):
+    iteration 0 trees are IDENTICAL to MLlib GBT's (both fit the raw
+    label), and iteration 1 leaf values differ by EXACTLY the factor 2
+    of the gradient conventions — MLlib fits -∇L = 2(y-pred), DART (the
+    paper) fits the residual. Same splits, exactly-doubled leaves: the
+    tree induction and the residual bookkeeping are both right."""
+    from mbfbigdatarandomforest_spark.ml.regressors import train_dart
+
+    fp = build_feature_pipeline(["cat"], ["x1", "x2"], one_hot=False)
+    feat = fp.fit(toy).transform(toy).select("features", "label").cache()
+    dart, w = train_dart(
+        feat, max_iter=2, max_depth=3, dropout_rate=0.0, learning_rate=1.0, seed=7
+    )
+    gbt = make_regressor(
+        "gbt", maxIter=2, maxDepth=3, stepSize=1.0, subsamplingRate=1.0, seed=7
+    ).fit(feat)
+    assert w == [1.0, 1.0]
+    a0 = [r["__pred"] for r in dart.trees[0].transform(feat).select("__pred").collect()]
+    b0 = [r["prediction"] for r in gbt.trees[0].transform(feat).select("prediction").collect()]
+    assert a0 == b0
+    a1 = [r["__pred"] for r in dart.trees[1].transform(feat).select("__pred").collect()]
+    b1 = [r["prediction"] for r in gbt.trees[1].transform(feat).select("prediction").collect()]
+    assert all(abs(2 * x - y) < 1e-12 for x, y in zip(a1, b1))
+    feat.unpersist()
+
+
+def test_dart_packed_model_is_exact_weighted_sum(spark, toy):
+    """The returned GBTRegressionModel (JVM ensemble constructor) must
+    score EXACTLY Σ wᵢ·treeᵢ(x), and train RMSE must improve over the
+    single-tree baseline (boosting works)."""
+    import math
+
+    from mbfbigdatarandomforest_spark.ml.regressors import train_dart
+
+    fp = build_feature_pipeline(["cat"], ["x1", "x2"], one_hot=False)
+    feat = fp.fit(toy).transform(toy).select("features", "label").cache()
+    model, w = train_dart(
+        feat, max_iter=6, max_depth=3, dropout_rate=0.3, learning_rate=0.7, seed=11
+    )
+    preds = [r["prediction"] for r in model.transform(feat).select("prediction").collect()]
+    manual = [0.0] * len(preds)
+    for wi, tree in zip(w, model.trees):
+        col = [r["__pred"] for r in tree.transform(feat).select("__pred").collect()]
+        manual = [m + wi * c for m, c in zip(manual, col)]
+    assert all(abs(p - m) < 1e-9 for p, m in zip(preds, manual))
+    y = [r["label"] for r in feat.select("label").collect()]
+    rmse = math.sqrt(sum((p - v) ** 2 for p, v in zip(preds, y)) / len(y))
+    t0 = [r["__pred"] for r in model.trees[0].transform(feat).select("__pred").collect()]
+    rmse_single = math.sqrt(sum((p - v) ** 2 for p, v in zip(t0, y)) / len(y))
+    assert rmse < rmse_single
+    # MLWritable for free: the packed ensemble is a stock GBT model
+    assert model.getNumTrees == 6 and list(model.treeWeights) == w
+    feat.unpersist()
+
+
+def test_dart_dropout_limits_and_determinism(spark, toy):
+    """dropout_rate=1 is the paper's random-forest limit: every
+    iteration drops ALL prior trees, so each tree refits the raw label
+    — with a deterministic fit they come out identical. Same seed →
+    identical model; dropout on vs off → different ensembles."""
+    from mbfbigdatarandomforest_spark.ml.regressors import train_dart
+
+    fp = build_feature_pipeline(["cat"], ["x1", "x2"], one_hot=False)
+    feat = fp.fit(toy).transform(toy).select("features", "label").cache()
+    m1, w1 = train_dart(
+        feat, max_iter=4, max_depth=3, dropout_rate=1.0, learning_rate=1.0, seed=3
+    )
+    p0 = [r["__pred"] for r in m1.trees[0].transform(feat).select("__pred").collect()]
+    for t in m1.trees[1:]:
+        assert [r["__pred"] for r in t.transform(feat).select("__pred").collect()] == p0
+    m2, w2 = train_dart(
+        feat, max_iter=4, max_depth=3, dropout_rate=1.0, learning_rate=1.0, seed=3
+    )
+    assert w1 == w2
+    a = [r["prediction"] for r in m1.transform(feat).select("prediction").collect()]
+    b = [r["prediction"] for r in m2.transform(feat).select("prediction").collect()]
+    assert a == b
+    m3, _ = train_dart(
+        feat, max_iter=4, max_depth=3, dropout_rate=0.0, learning_rate=1.0, seed=3
+    )
+    c = [r["prediction"] for r in m3.transform(feat).select("prediction").collect()]
+    assert a != c
+    feat.unpersist()
