@@ -412,6 +412,8 @@ def train_dart(
     from pyspark import SparkContext
     from pyspark.ml.regression import DecisionTreeRegressor, GBTRegressionModel
 
+    if max_iter < 1:
+        raise ValueError(f"train_dart needs max_iter >= 1, got {max_iter}")
     rng = _random.Random(seed)
     df = feat.select(features_col, F.col(label_col).alias("__y")).cache()
     trees: list = []
