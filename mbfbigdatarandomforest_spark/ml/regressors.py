@@ -71,6 +71,14 @@ def make_regressor(
         return LinearRegression(
             labelCol=label_col, featuresCol=features_col, **defaults
         )
+    if kind == "dart":
+        # the reference's booster='dart' switch (04_1_XGB_traintest.
+        # R:249) — from-scratch dropout boosting, see train_dart
+        defaults = dict(max_iter=20, max_depth=5, dropout_rate=0.1)
+        defaults.update(params)
+        return DartRegressor(
+            label_col=label_col, features_col=features_col, seed=seed, **defaults
+        )
     raise ValueError(f"unknown regressor kind {kind!r}")
 
 
@@ -460,3 +468,40 @@ def train_dart(
     )
     df.unpersist()
     return GBTRegressionModel(jm), weights
+
+
+class DartRegressor:
+    """Estimator-style wrapper over :func:`train_dart` so the DART
+    booster rides the SAME interface as every other regressor kind
+    (``make_regressor('dart', ...)`` → ``.fit(feat)`` →
+    ``GBTRegressionModel``) — the switch a reference user makes with
+    ``booster='dart'`` (04_1_XGB_traintest.R:249) is one string here
+    too. ``fit`` returns the packed stock model; the final per-tree
+    weights are kept on ``self.weights_``."""
+
+    def __init__(
+        self,
+        *,
+        label_col: str = "label",
+        features_col: str = "features",
+        seed: int = 123,
+        max_iter: int = 20,
+        max_depth: int = 5,
+        dropout_rate: float = 0.1,
+        learning_rate: float = 1.0,
+    ):
+        self._kw = dict(
+            label_col=label_col,
+            features_col=features_col,
+            seed=seed,
+            max_iter=max_iter,
+            max_depth=max_depth,
+            dropout_rate=dropout_rate,
+            learning_rate=learning_rate,
+        )
+        self.weights_: list[float] | None = None
+
+    def fit(self, feat: DataFrame):
+        model, weights = train_dart(feat, **self._kw)
+        self.weights_ = weights
+        return model

@@ -415,3 +415,23 @@ def test_dart_dropout_limits_and_determinism(spark, toy):
     c = [r["prediction"] for r in m3.transform(feat).select("prediction").collect()]
     assert a != c
     feat.unpersist()
+
+
+def test_dart_rides_the_common_regressor_interface(spark, toy):
+    """kind='dart' — the reference user's booster='dart' switch — flows
+    through make_regressor AND train_and_evaluate unchanged: fitted
+    pipeline scores, metrics come back on both splits."""
+    fitted, metrics = train_and_evaluate(
+        toy,
+        kind="dart",
+        label_col="label",
+        categorical=["cat"],
+        numeric=["x1", "x2"],
+        max_iter=4,
+        max_depth=3,
+        dropout_rate=0.2,
+    )
+    assert metrics["train_rmse"] > 0 and metrics["test_rmse"] > 0
+    out = fitted.transform(toy)
+    assert out.select("prediction").count() == 400
+    assert fitted.stages[-1].getNumTrees == 4
