@@ -435,3 +435,21 @@ def test_dart_rides_the_common_regressor_interface(spark, toy):
     out = fitted.transform(toy)
     assert out.select("prediction").count() == 400
     assert fitted.stages[-1].getNumTrees == 4
+
+
+def test_dart_learning_curve_free_integration(spark, toy):
+    """Because the DART ensemble packs into a stock GBTRegressionModel,
+    L9's learning_curve (evaluateEachIteration) works on it with zero
+    extra code — one loss row per boosting iteration."""
+    fitted, _ = train_and_evaluate(
+        toy,
+        kind="dart",
+        label_col="label",
+        categorical=["cat"],
+        numeric=["x1", "x2"],
+        max_iter=3,
+        max_depth=3,
+        dropout_rate=0.2,
+    )
+    curve = learning_curve(fitted, toy).collect()
+    assert len([r for r in curve if r["split"] == "train"]) == 3
