@@ -1,0 +1,82 @@
+"""Pin bench.py's driver-facing output under the harness's tail window.
+
+The round harness records only the LAST 2000 BYTES of bench stdout and
+parses the JSON line from that tail. Round 6's single ~4.5 KB line was
+truncated mid-JSON and the official perf record came back
+``"parsed": null``. These tests pin the round-7 fix: the final stdout
+line (``compact_record``) must stay parseable and under the window for
+any realistic registry size — including a registry far larger than
+today's, with pathologically long query names and error entries.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from bench import COMPACT_BYTE_BUDGET, compact_record
+
+
+def _fake_out(n_queries: int, name_len: int = 40, with_errors: bool = True) -> dict:
+    names = [f"q{i:03d}_" + "x" * name_len for i in range(n_queries)]
+    timings: dict[str, object] = {n: round(0.5 + i * 0.137, 3) for i, n in enumerate(names)}
+    errors = 0
+    if with_errors:
+        for n in names[:5]:
+            timings[n] = {"error": "AnalysisException: " + "y" * 250}
+            errors += 1
+    out = {
+        "metric": "registry_queries_total_wall",
+        "value": 123.456,
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+        "reps": 3,
+        "n_queries": n_queries,
+        "headline_total": 23.9,
+        "excluded": {},
+        "rep_spread": {n: 1.0 + (i % 17) / 10 for i, n in enumerate(names)},
+    }
+    if errors:
+        out["errors"] = errors
+    return out
+
+
+@pytest.mark.parametrize("n_queries", [10, 74, 200, 1000])
+def test_compact_line_fits_driver_window(n_queries: int) -> None:
+    line = compact_record(_fake_out(n_queries))
+    assert len(line.encode()) < COMPACT_BYTE_BUDGET
+    assert "\n" not in line  # must be ONE line — the driver parses lines
+
+    parsed = json.loads(line)
+    # Schema the driver expects, plus the pointer to the full record.
+    assert parsed["metric"] == "registry_queries_total_wall"
+    assert parsed["value"] == 123.456
+    assert parsed["unit"] == "sec"
+    assert parsed["sf"] == 0.1
+    assert parsed["n_queries"] == n_queries
+    assert parsed["full"] == "BENCH_FULL.json"
+    assert len(parsed["queries"]) <= 10
+    # Only successful timings appear; error dicts never leak into the
+    # compact map (they'd blow the budget and aren't sortable).
+    assert all(isinstance(v, (int, float)) for v in parsed["queries"].values())
+    # The compact map carries the SLOWEST queries — the triage set.
+    if parsed["queries"]:
+        ok = {n: t for n, t in _fake_out(n_queries)["queries"].items() if isinstance(t, (int, float))}
+        slowest = max(ok.values())
+        assert slowest in parsed["queries"].values()
+    assert set(parsed["rep_spread"]) == set(parsed["queries"])
+
+
+def test_compact_line_shrinks_under_extreme_names() -> None:
+    # 200-char names would make even 10 entries exceed the budget; the
+    # builder must shrink the slowest-list rather than overflow.
+    line = compact_record(_fake_out(74, name_len=200))
+    assert len(line.encode()) < COMPACT_BYTE_BUDGET
+    assert json.loads(line)["value"] == 123.456
+
+
+def test_compact_line_reports_error_count() -> None:
+    assert json.loads(compact_record(_fake_out(74)))["errors"] == 5
+    assert json.loads(compact_record(_fake_out(74, with_errors=False)))["errors"] == 0
