@@ -94,7 +94,14 @@ def learning_curve(
     04_1_XGB_traintest.R:319-326). Works for iterative models (GBT)
     via ``evaluateEachIteration``; RandomForest has no iteration axis.
     Returns a long frame (iteration, split, loss) ready for A5 unpivot
-    consumers."""
+    consumers.
+
+    DART caveat: on a packed DART ensemble the prefix sums use the FINAL
+    post-dropout-rescaled tree weights, so the curve is a prefix
+    decomposition of the final model, not the watchlist trajectory seen
+    during training (identical only at dropout_rate=0). Record
+    validation loss inside ``train_dart`` if the training-time
+    trajectory is needed."""
     *feature_stages, model = fitted_pipeline.stages
     if not hasattr(model, "evaluateEachIteration"):
         raise ValueError(
@@ -120,20 +127,38 @@ def learning_curve(
     return spark.createDataFrame(rows, ["iteration", "split", "loss"])
 
 
-def _truncate_gbt_model(gbt_full, n_trees: int):
-    """Exact early-stopped GBT without a second fit.
+#: Spark minor versions on which ``test_gbt_truncation_equals_refit``
+#: has validated that truncating the probe ensemble is bit-identical to
+#: a ``maxIter=best_iter`` refit (the stronger claim — it depends on the
+#: undocumented MLlib invariant that per-iteration tree seeds don't vary
+#: with ``maxIter``). The truncation itself is maxIter-free xgboost
+#: semantics and safe on ANY version; this set only scopes the
+#: refit-equivalence claim in docs/tests.
+TRUNCATION_REFIT_EQUIV_VALIDATED = ("4.1",)
 
-    Boosting is strictly sequential: tree ``i`` depends only on the data,
-    the previous ``i-1`` trees, and a per-iteration seed that does NOT
-    depend on ``maxIter``. Hence the first ``n_trees`` trees of the
-    ``max_iter`` probe run ARE the ``maxIter=n_trees`` model — the same
-    truncation xgboost's ``best_ntree_limit`` applies. Built by slicing
-    the trained ensemble through the JVM constructor (Scala
-    ``private[ml]`` compiles to a public constructor), which turns the
-    former refit — a second sequential pass of ``best_iter`` distributed
-    tree fits — into an O(trees) driver-side array copy.
-    ``test_gbt_truncation_equals_refit`` pins prediction equality with
-    an actual refit."""
+
+def _truncate_gbt_model(gbt_full, n_trees: int):
+    """Early-stopped GBT by ensemble truncation — no second fit.
+
+    Semantics first: keeping the first ``best_iter`` trees of the
+    ``max_iter`` probe is exactly what xgboost's ``best_ntree_limit`` /
+    ``iteration_range`` does after early stopping — truncation IS the
+    reference behavior being reproduced, independent of any refit.
+    Built by slicing the trained ensemble through the JVM constructor
+    (Scala ``private[ml]`` compiles to a public constructor): an
+    O(trees) driver-side array copy instead of a second sequential pass
+    of ``best_iter`` distributed tree fits.
+
+    The STRONGER property — that the truncated model is also
+    bit-identical to a ``maxIter=n_trees`` refit — additionally relies
+    on MLlib seeding each boosting iteration independently of
+    ``maxIter``, which is undocumented.
+    ``test_gbt_truncation_equals_refit`` pins that equivalence on every
+    Spark version the suite runs against (validated so far:
+    ``TRUNCATION_REFIT_EQUIV_VALIDATED``); a Spark upgrade that changes
+    iteration seeding fails that test loudly rather than shipping a
+    silently-different model, and would demote the docs' claim — not
+    the early-stopping semantics, which remain correct truncation."""
     from pyspark import SparkContext
     from pyspark.ml.regression import GBTRegressionModel
 
@@ -151,6 +176,113 @@ def _truncate_gbt_model(gbt_full, n_trees: int):
         jm.uid(), j_trees, j_weights, jm.numFeatures()
     )
     return GBTRegressionModel(new_jm)
+
+
+def _fit_layout(feat_df: DataFrame, parts: int) -> DataFrame:
+    """Rows-sized partition layout for sequential boosting fits.
+
+    ``repartition``, not ``coalesce``: coalesce can only REDUCE the
+    partition count — after the upstream widen to defaultParallelism a
+    coalesce would cap fit partitions at min(defaultParallelism,
+    rows-target), so at cluster scale the layout would stop being
+    rows-proportional exactly when it matters. Coalesce also propagates
+    upstream into the transform lineage, throttling the featurize pass
+    itself to the fit layout. The round-robin exchange of the slim
+    (features, label) projection is one cheap shuffle paid once before
+    the many sequential tree passes it serves.
+    """
+    return feat_df.repartition(parts)
+
+
+class TreeFeaturePrep:
+    """Output of :func:`prep_tree_features` — the featurized splits plus
+    a single handle to release every cache the prologue pinned."""
+
+    def __init__(self, fp_model, feat_train, feat_val, feat_test, n_rows, caches):
+        self.fp_model = fp_model
+        self.feat_train = feat_train
+        self.feat_val = feat_val
+        self.feat_test = feat_test
+        self.n_rows = n_rows
+        self._caches = caches
+
+    def unpersist(self) -> None:
+        for c in self._caches:
+            c.unpersist()
+
+
+def prep_tree_features(
+    df: DataFrame,
+    *,
+    label_col: str,
+    categorical: list[str],
+    numeric: list[str],
+    train_fraction: float,
+    val_fraction: float = 0.0,
+    seed: int = 123,
+    split: str = "hash",
+    rows_per_fit_partition: int = 65536,
+) -> TreeFeaturePrep:
+    """Shared prologue of the boosting-family trainers (GBT early-stop,
+    DART): na.drop → widen to cluster parallelism → cache → deterministic
+    hash split → feature-pipeline fit on train → featurized splits in the
+    rows-sized boosting fit layout (``_fit_layout``).
+
+    Extracted from the formerly-duplicated inline prep of
+    ``train_gbt_with_early_stopping`` and ``plans.ml_queries.
+    ml_dart_metrics`` so the two queries measure the same prologue and a
+    layout fix lands in both. Boosting is a long chain of SMALL
+    sequential jobs (maxDepth levels × max_iter trees): per-level stats
+    aggregation and scheduling cost scale with partition count, so the
+    fit layout targets ROWS (~64k/partition), not core count — measured
+    2× at sf0.1 (12.7 s → 6.6 s for maxIter=20; and 6 parts beat both 2
+    and 32 in the round-7 sweep). RandomForest is the opposite (parallel
+    trees saturate cores), so ``train_and_evaluate`` keeps the wide
+    layout. At cluster scale the row target keeps fit partitions
+    proportional to data — 10¹⁰ rows → ~115k partitions — because the
+    layout is a repartition, not a coalesce capped at the current count.
+    """
+    cols = [label_col] + categorical + numeric
+    data = df.na.drop(subset=cols)
+    parallelism = data.sparkSession.sparkContext.defaultParallelism
+    if data.rdd.getNumPartitions() < parallelism:
+        data = data.repartition(parallelism)
+    # cache the slim post-drop frame once — every split below re-derives
+    # its rows by filtering the cached frame, not re-running scan+join
+    data = data.cache()
+    if split == "hash":
+        from .splits import tag_split
+
+        tagged = tag_split(
+            data, cols, train_fraction, val_fraction=val_fraction,
+            salt=f"mlsplit{seed}",
+        )
+        train = tagged.filter(F.col("__split") == "train").drop("__split")
+        val = tagged.filter(F.col("__split") == "val").drop("__split")
+        test = tagged.filter(F.col("__split") == "test").drop("__split")
+    else:
+        fracs = [train_fraction, val_fraction, 1 - train_fraction - val_fraction]
+        if val_fraction > 0:
+            train, val, test = data.randomSplit(fracs, seed=seed)
+        else:
+            train, test = data.randomSplit([fracs[0], fracs[2]], seed=seed)
+            val = None
+    fp_model = build_feature_pipeline(categorical, numeric, one_hot=False).fit(train)
+    n_rows = data.count()  # one pass; also fills the cache explicitly
+    fit_parts = max(2, -(-int(n_rows * train_fraction) // rows_per_fit_partition))
+    feat_train = _fit_layout(
+        fp_model.transform(train).select("features", label_col), fit_parts
+    ).cache()
+    caches = [data, feat_train]
+    feat_val = None
+    if val_fraction > 0 and val is not None:
+        feat_val = _fit_layout(
+            fp_model.transform(val).select("features", label_col),
+            max(2, fit_parts // 3),
+        ).cache()
+        caches.append(feat_val)
+    feat_test = fp_model.transform(test).select("features", label_col)
+    return TreeFeaturePrep(fp_model, feat_train, feat_val, feat_test, n_rows, caches)
 
 
 def train_gbt_with_early_stopping(
@@ -185,53 +317,21 @@ def train_gbt_with_early_stopping(
     Returns (fitted_pipeline, metrics, stop_info) where stop_info has
     best_iter / stopped_iter / max_iter.
     """
-    cols = [label_col] + categorical + numeric
-    data = df.na.drop(subset=cols)
-    parallelism = data.sparkSession.sparkContext.defaultParallelism
-    if data.rdd.getNumPartitions() < parallelism:
-        data = data.repartition(parallelism)
-    # cache the slim post-drop frame once — train/val/test branches all
-    # re-derive their split from the cached rows (see train_and_evaluate)
-    data = data.cache()
-    if split == "hash":
-        # 60/20/20 deterministic hash tag (see ml.splits): three filters
-        # on the cached frame, no per-branch randomSplit sorts; seed
-        # varies the split via the salt
-        from .splits import tag_split
-
-        tagged = tag_split(data, cols, 0.6, val_fraction=0.2, salt=f"mlsplit{seed}")
-        train = tagged.filter(F.col("__split") == "train").drop("__split")
-        val = tagged.filter(F.col("__split") == "val").drop("__split")
-        test = tagged.filter(F.col("__split") == "test").drop("__split")
-    else:
-        train, val, test = data.randomSplit([0.6, 0.2, 0.2], seed=seed)
-    # featurize once; BOTH fits (probe at max_iter, final at best_iter)
-    # and all evaluation passes read the cached slim vectors
-    fp_model = build_feature_pipeline(categorical, numeric, one_hot=False).fit(train)
-    # Boosting is a long chain of SMALL sequential jobs (maxDepth levels
-    # × max_iter trees): per-level stats aggregation and scheduling cost
-    # scale with partition count, so size the fit layout to ROWS
-    # (~64k/partition), not core count — measured 2× at sf0.1 (12.7 s →
-    # 6.6 s for maxIter=20, 360k rows). RandomForest is the opposite
-    # (parallel trees saturate cores; 32 parts beat 8 by 1.5×), so this
-    # stays GBT-local. At cluster scale the row target keeps partitions
-    # proportional to data, capped below by 2 and above by nothing —
-    # 10¹⁰ rows still get ~150k partitions' worth of parallelism.
-    n_rows = data.count()  # one pass; also fills the cache explicitly
-    fit_parts = max(2, -(-int(n_rows * 0.6) // 65536))
-    feat_train = (
-        fp_model.transform(train)
-        .select("features", label_col)
-        .coalesce(fit_parts)
-        .cache()
+    # 60/20/20 deterministic split + featurize once (shared prologue);
+    # BOTH fits (probe at max_iter, final at best_iter) and all
+    # evaluation passes read the cached slim vectors
+    prep = prep_tree_features(
+        df,
+        label_col=label_col,
+        categorical=categorical,
+        numeric=numeric,
+        train_fraction=0.6,
+        val_fraction=0.2,
+        seed=seed,
+        split=split,
     )
-    feat_val = (
-        fp_model.transform(val)
-        .select("features", label_col)
-        .coalesce(max(2, fit_parts // 3))
-        .cache()
-    )
-    feat_test = fp_model.transform(test).select("features", label_col)
+    fp_model = prep.fp_model
+    feat_train, feat_val, feat_test = prep.feat_train, prep.feat_val, prep.feat_test
 
     gbt_full = make_regressor(
         "gbt", label_col=label_col, seed=seed, maxIter=max_iter, **params
@@ -265,9 +365,7 @@ def train_gbt_with_early_stopping(
         tag, metric = key.split("_", 1)
         m, s = tag.split(":")
         (metrics if m == "best" else full_metrics)[f"{s}_{metric}"] = v
-    feat_train.unpersist()
-    feat_val.unpersist()
-    data.unpersist()
+    prep.unpersist()
     return final, metrics, {
         "best_iter": best_iter,
         "stopped_iter": stopped_iter,
@@ -355,13 +453,21 @@ def train_and_evaluate(
 
 
 def _dart_weight_update(weights: list[float], dropped: list[int], lr: float) -> float:
-    """DART normalization (Vinayak & Gilad-Bachrach 2015, §3; xgboost
-    ``normalize_type='tree'``): after fitting the new tree against the
-    dropout-residual, the new tree enters with weight ``lr/(k+lr)`` and
-    every dropped tree is rescaled by ``k/(k+lr)`` (k = |dropped|), so
-    the expected ensemble output is preserved. k=0 degenerates to plain
-    shrinkage-``lr`` boosting. Mutates ``weights`` in place; returns the
-    new tree's weight. Pure math — unit-tested directly."""
+    """DART normalization — the paper's expectation-preserving scheme
+    for a FULL-residual fit (Vinayak & Gilad-Bachrach 2015, §3): after
+    fitting the new tree against the dropout-residual, the new tree
+    enters with weight ``lr/(k+lr)`` and every dropped tree is rescaled
+    by ``k/(k+lr)`` (k = |dropped|), so the expected ensemble output is
+    preserved given that the new tree estimates the whole dropped sum.
+    k=0 degenerates to plain shrinkage-``lr`` boosting.
+
+    Convention note: xgboost's ``normalize_type='tree'`` assigns the new
+    tree ``1/(k+learning_rate)`` because its tree is already scaled by
+    ``lr`` internally — the two coincide only at ``learning_rate=1``.
+    This implementation is internally consistent with its own
+    full-residual fit; it is NOT a parameter-for-parameter xgboost
+    match away from lr=1. Mutates ``weights`` in place; returns the new
+    tree's weight. Pure math — unit-tested directly."""
     k = len(dropped)
     if k == 0:
         return lr

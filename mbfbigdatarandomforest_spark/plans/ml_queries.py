@@ -414,38 +414,27 @@ def ml_grouped_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query("ml_dart_metrics", tags=("L5", "L7", "dart"))
 def ml_dart_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    from ..ml.features import build_feature_pipeline
     from ..ml.metrics import regression_metrics_tagged
-    from ..ml.regressors import train_dart
-    from ..ml.splits import tag_split
+    from ..ml.regressors import prep_tree_features, train_dart
 
-    df = _lineitem_features(spark, sf_dir)
-    cols = df.columns
-    data = df.na.drop(subset=cols).cache()
-    tagged = tag_split(data, cols, 0.75, salt="mlsplit123")
-    train = tagged.filter(F.col("__split") == "train").drop("__split")
-    test = tagged.filter(F.col("__split") == "test").drop("__split")
-    fp = build_feature_pipeline(
-        ["p_brand", "p_type"],
-        ["l_quantity", "l_discount", "l_tax", "p_retailprice"],
-        one_hot=False,
-    ).fit(train)
-    # same rows-sized fit layout as the GBT path (sequential small jobs)
-    n_rows = data.count()
-    fit_parts = max(2, -(-int(n_rows * 0.75) // 65536))
-    feat_train = (
-        fp.transform(train).select("features", "label").coalesce(fit_parts).cache()
+    # shared boosting prologue (same helper as the GBT early-stop path:
+    # na.drop → widen → cache → hash split → featurize → rows-sized fit
+    # layout) — the two tree-metric queries now measure one prep cost
+    prep = prep_tree_features(
+        _lineitem_features(spark, sf_dir),
+        label_col="label",
+        categorical=["p_brand", "p_type"],
+        numeric=["l_quantity", "l_discount", "l_tax", "p_retailprice"],
+        train_fraction=0.75,
+        seed=123,
     )
-    feat_test = fp.transform(test).select("features", "label")
     # max_iter=5: each DART iteration is an independent
     # DecisionTreeRegressor.fit whose wall is job-scheduling-bound
     # (~1 s/iteration on local[32] regardless of SF); the pytest suite
     # exercises the algorithm at 2-6 iterations, this entry proves the
     # full pipeline at fact scale
     model, weights = train_dart(
-        feat_train,
+        prep.feat_train,
         max_iter=5,
         max_depth=4,
         dropout_rate=0.1,
@@ -453,12 +442,14 @@ def ml_dart_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=123,
     )
     metrics = regression_metrics_tagged(
-        {"train": model.transform(feat_train), "test": model.transform(feat_test)},
+        {
+            "train": model.transform(prep.feat_train),
+            "test": model.transform(prep.feat_test),
+        },
         label_col="label",
         n_features=6,
     )
-    feat_train.unpersist()
-    data.unpersist()
+    prep.unpersist()
     names = sorted(metrics)
     return spark.createDataFrame(
         [

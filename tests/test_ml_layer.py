@@ -70,9 +70,25 @@ def test_gbt_truncation_equals_refit(spark, toy):
     """The truncation that replaced the early-stopping refit must be
     EXACT: slicing the max_iter probe's first n trees produces the same
     predictions as an actual maxIter=n fit on the same data/seed
-    (boosting is sequential; per-iteration seeding is maxIter-free)."""
+    (boosting is sequential; per-iteration seeding is maxIter-free —
+    an UNDOCUMENTED MLlib invariant, which is exactly why this test
+    exists: a Spark upgrade that changes iteration seeding fails HERE,
+    loudly, instead of shipping a silently-different model. On a new
+    Spark minor: if this test still passes, append the version to
+    TRUNCATION_REFIT_EQUIV_VALIDATED; if it fails, the refit-equivalence
+    claim is demoted (truncation itself stays correct xgboost
+    best_ntree_limit semantics)."""
+    import pyspark
+
     from mbfbigdatarandomforest_spark.ml.regressors import (
+        TRUNCATION_REFIT_EQUIV_VALIDATED,
         _truncate_gbt_model,
+    )
+
+    minor = ".".join(pyspark.__version__.split(".")[:2])
+    assert minor in TRUNCATION_REFIT_EQUIV_VALIDATED, (
+        f"Spark {minor} not yet validated for truncation≡refit — run this "
+        "test, then extend TRUNCATION_REFIT_EQUIV_VALIDATED"
     )
 
     fp = build_feature_pipeline(["cat"], ["x1", "x2"], one_hot=False)
@@ -439,8 +455,19 @@ def test_dart_rides_the_common_regressor_interface(spark, toy):
 
 def test_dart_learning_curve_free_integration(spark, toy):
     """Because the DART ensemble packs into a stock GBTRegressionModel,
-    L9's learning_curve (evaluateEachIteration) works on it with zero
-    extra code — one loss row per boosting iteration."""
+    L9's learning_curve (evaluateEachIteration) runs on it with zero
+    extra code — one loss row per boosting iteration.
+
+    Semantics caveat (deliberate): evaluateEachIteration computes prefix
+    sums with the FINAL post-dropout-rescaled weights, so for DART this
+    curve is a prefix decomposition of the final ensemble — NOT the
+    per-iteration watchlist trajectory the reference's evaluation_log
+    records during training (04_1_XGB_traintest.R:319-326), because the
+    ensemble that existed at iteration k carried pre-rescale weights.
+    The two coincide exactly for dropout_rate=0 (plain boosting; pinned
+    by test_learning_curve_gbt_decreasing). A caller needing the true
+    training trajectory should record validation loss inside the
+    train_dart loop; the docs in learning_curve state the same."""
     fitted, _ = train_and_evaluate(
         toy,
         kind="dart",
