@@ -939,19 +939,26 @@ def simhash_signatures(
     """Per-doc SimHash signature.
 
     Plan (r6): explode the distinct feature set, xxhash64 per feature,
-    ONE map-side-combined ``groupBy(id)`` with ``bits`` conditional
+    ONE map-side-combined grouped aggregate with ``bits`` conditional
     sums — whole-stage codegen throughout. The Column-valued
     ``simhash()`` expression builds ``bits`` separate higher-order
     F.aggregate traversals of the feature array, which the interpreter
     evaluates at ~4 ms/doc at bits=32 (measured 19.9 s for 5 000 docs at
     sf0.1); this plan computes identical signatures in <1 s. The explode
-    costs one shuffle on the doc id, with partial aggregation doing most
-    of the work map-side — the standard trade at 100 TB.
+    costs one shuffle on the group key, with partial aggregation doing
+    most of the work map-side — the standard trade at 100 TB.
 
-    ``id_col`` values must be unique per document (they key the
-    aggregate). Docs with an empty/NULL feature set (empty text under
-    ``ngram``) vanish at explode and are re-joined with signature 0 —
-    the same value the expression form assigns them.
+    Duplicate ``id_col`` values are safe (r7): the aggregate keys on
+    ``(id, xxhash64(text))``, so two rows sharing an id but carrying
+    different text keep their own per-row signatures — the old
+    per-row-expression semantics — instead of silently merging into one
+    combined-feature signature as a bare ``groupBy(id)`` would. Rows
+    identical in BOTH id and text collapse in the aggregate, which is
+    harmless: their feature multisets are equal, every per-bit majority
+    vote doubles on both sides, and the join fans the one signature back
+    out to each input row. Docs with an empty/NULL feature set (empty
+    text under ``ngram``) vanish at explode and are re-joined with
+    signature 0 — the same value the expression form assigns them.
     """
     if not 1 <= bits <= 63:
         raise ValueError(f"simhash bits must be in [1, 63], got {bits}")
@@ -960,13 +967,14 @@ def simhash_signatures(
         feats = F.array_distinct(F.split(F.trim(F.lower(base)), r"\s+"))
     else:
         feats = F.array_distinct(token_shingles(base, ngram))
-    ex = df.select(F.col(id_col), F.explode(feats).alias("__f")).withColumn(
-        "__h", F.xxhash64("__f")
-    )
+    text_key = F.xxhash64(F.col(text_col))
+    ex = df.select(
+        F.col(id_col), text_key.alias("__tk"), F.explode(feats).alias("__f")
+    ).withColumn("__h", F.xxhash64("__f"))
     # per-bit set-counts: bit i of the signature is set iff more than
     # half the features carry it (2·count_set > n ⟺ the ±1 sign-sum of
     # the classic formulation is positive — identical tie behavior).
-    counts = ex.groupBy(id_col).agg(
+    counts = ex.groupBy(id_col, "__tk").agg(
         F.count(F.lit(1)).alias("__n"),
         *[
             F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))).alias(
@@ -980,13 +988,20 @@ def simhash_signatures(
         sig = sig + F.when(
             F.col(f"__b{i}") * 2 > F.col("__n"), F.lit(1 << i).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    sigs = counts.select(F.col(id_col).alias("__sid"), sig.alias("simhash"))
+    sigs = counts.select(
+        F.col(id_col).alias("__sid"), F.col("__tk").alias("__stk"), sig.alias("simhash")
+    )
     # null-safe equality: a NULL id is a legal (if unwise) key — plain
     # equi-join would drop its aggregate row and silently assign it the
     # empty-doc signature 0, diverging from the expression form
     return (
-        df.select(id_col)
-        .join(sigs, F.col(id_col).eqNullSafe(F.col("__sid")), "left")
+        df.select(F.col(id_col), text_key.alias("__tk"))
+        .join(
+            sigs,
+            F.col(id_col).eqNullSafe(F.col("__sid"))
+            & F.col("__tk").eqNullSafe(F.col("__stk")),
+            "left",
+        )
         .select(
             F.col(id_col),
             F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"),
@@ -1009,7 +1024,13 @@ def simhash_pairs(
     max_hamming < bands, any qualifying pair agrees EXACTLY on ≥1 band →
     join on (band_id, band_bits) finds all of them without n² work, then
     bit_count(xor) verifies the true distance. All codegen expressions;
-    shuffles key on band values (uniform)."""
+    shuffles key on band values (uniform).
+
+    ``id_col`` SHOULD be unique per document here: signatures stay
+    per-row under duplicate ids (see ``simhash_signatures``), but the
+    pair output identifies documents by id alone, so two distinct docs
+    sharing an id are unreportable as a pair (``id_a < id_b`` drops
+    self-pairs) and their matches are indistinguishable downstream."""
     if max_hamming >= bands:
         raise ValueError("pigeonhole requires max_hamming < bands")
     band_width = bits // bands

@@ -327,6 +327,30 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     assert sum(recalls) / len(recalls) >= 0.4
 
 
+def test_simhash_duplicate_ids_keep_per_row_signatures(spark):
+    """r7 (review item): the grouped-aggregate plan must NOT merge rows
+    that share an id but carry different text — the aggregate keys on
+    (id, xxhash64(text)), preserving the old per-row expression
+    semantics. Identical (id, text) rows may collapse and fan back out;
+    each input row still gets exactly one output row."""
+    df = spark.createDataFrame(
+        [(0, "aa bb cc"), (0, "xx yy zz"), (1, "aa bb cc"), (1, "aa bb cc")],
+        ["doc_id", "text"],
+    )
+    rows = dd.simhash_signatures(df, bits=16).collect()
+    assert len(rows) == 4  # one output row per input row
+    sigs0 = sorted(r["simhash"] for r in rows if r["doc_id"] == 0)
+    sigs1 = [r["simhash"] for r in rows if r["doc_id"] == 1]
+    # per-row reference signatures from the expression form's semantics:
+    # doc 0's two texts produce the same sigs a unique-id frame would
+    uniq = spark.createDataFrame(
+        [(10, "aa bb cc"), (11, "xx yy zz")], ["doc_id", "text"]
+    )
+    ref = {r["doc_id"]: r["simhash"] for r in dd.simhash_signatures(uniq, bits=16).collect()}
+    assert sigs0 == sorted([ref[10], ref[11]])
+    assert sigs1 == [ref[10], ref[10]]
+
+
 def test_simhash_rejects_overflowing_bits():
     """bits=64 would build a 1<<63 literal that overflows LongType."""
     with pytest.raises(ValueError, match="63"):
