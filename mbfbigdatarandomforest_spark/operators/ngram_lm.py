@@ -261,13 +261,21 @@ def _vocab_mapped_ngrams(
     )
     n = F.size(F.col("__mt"))
     ctx_len = order - 1
-    padded = F.concat(
-        F.array_repeat(F.lit(BOS), ctx_len), F.col("__mt")
-    )  # padded[i .. i+ctx_len-1] is the context of target __mt[i] (0-based)
+    # padded[i .. i+ctx_len-1] is the context of target __mt[i] (0-based).
+    # MUST be materialized as a column before the sliding transform: a
+    # lambda body re-evaluates every non-bound expression PER ELEMENT in
+    # the interpreter, so referencing the concat(array_repeat, __mt)
+    # expression inside the lambda rebuilt the whole padded array once
+    # per position — O(tokens²) per document (measured: 64 s → 3 s for
+    # 2.2 M grams at order 5 when the column reference replaced the
+    # inline expression, r7).
+    mapped_arrays = mapped_arrays.withColumn(
+        "__pad", F.concat(F.array_repeat(F.lit(BOS), ctx_len), F.col("__mt"))
+    )
     grams = F.transform(
         F.sequence(F.lit(1), n),
         lambda i: F.struct(
-            F.array_join(F.slice(padded, i, ctx_len), " ").alias("w1"),
+            F.array_join(F.slice(F.col("__pad"), i, ctx_len), " ").alias("w1"),
             F.element_at(F.col("__mt"), i).alias("w2"),
             F.element_at(F.col("__oov"), i).alias("is_oov"),
         ),
@@ -474,14 +482,19 @@ class BackoffLM:
     total: int
     #: smoothing vocabulary size for the add-one unigram ground.
     v: int
+    #: the cached master frames the per-order views filter (r7 fused
+    #: training); unpersisting these releases every view at once.
+    masters: tuple[DataFrame, ...] = ()
 
     def unpersist(self) -> None:
-        for d in (self.counts, self.contexts):
-            for frame in d.values():
-                try:
-                    frame.unpersist()
-                except Exception:
-                    pass
+        frames = list(self.masters) or [
+            f for d in (self.counts, self.contexts) for f in d.values()
+        ]
+        for frame in frames:
+            try:
+                frame.unpersist()
+            except Exception:
+                pass
 
 
 def train_backoff_lm(
@@ -493,33 +506,66 @@ def train_backoff_lm(
 ) -> BackoffLM:
     """Count grams of every context length 0..order−1 from one mapped
     explode of the training corpus (the longest-order mapper runs once;
-    shorter contexts are string-suffix projections of its rows — no
-    re-scan per order). All count frames are bounded model artifacts."""
+    shorter contexts are suffix projections of its rows — no re-scan
+    per order). All count frames are bounded model artifacts.
+
+    Plan (r7): the projections for ALL orders land in ONE aggregate.
+    The former shape derived each shorter order with its own sequential
+    ``groupBy`` over the cached full-order table — 8 blocking stages
+    whose post-shuffle side AQE coalesced to a single task each
+    (measured: 86 s of the 94 s order-5 published-params wall was
+    training, dominated by those serial one-task aggregates). Now each
+    full-order count row explodes into its ``order`` suffix
+    projections (a bounded ×order fan-out of the MODEL table, never the
+    corpus) and one ``groupBy(order_len, ctx, w)`` builds every count
+    table in a single parallel exchange; context totals are one more
+    grouped pass over that master. Per-order frames are filter views of
+    the two cached masters — ``masters`` carries the cache handles."""
     if order < 2:
         raise ValueError(f"order must be >= 2, got {order}")
     vocab, n_words = _build_vocab(docs, text_col, vocab_size)
     full = order - 1
     mapped = _mapped_grams(docs, vocab, text_col, [], order)
-    counts: dict[int, DataFrame] = {}
-    contexts: dict[int, DataFrame] = {}
-    # ONE corpus-scale aggregate (the full-order counts); every shorter
-    # context's counts are exact suffix projections of that BOUNDED
-    # table — re-aggregating the corpus once per order would scan the
-    # mapped frame |order| times for identical totals.
-    counts[full] = (
-        mapped.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).cache()
+    # ONE corpus-scale aggregate (the full-order counts) ...
+    top = mapped.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # explicit widen between the two aggregates: AQE coalesces the
+    # grouped output to ~1 partition at probe scale, which would run the
+    # ×order suffix explode single-task; an explicit repartition is
+    # AQE-exempt and costs one exchange of the bounded model table
+    top = top.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # ... then ONE bounded explode/re-aggregate for every order at once
+    proj = top.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _ctx_suffix(F.col("w1"), j, full).alias("w1"),
+                    )
+                    for j in range(full + 1)
+                ]
+            )
+        ).alias("p"),
+        "w2",
+        "c12",
     )
-    for j in range(full - 1, -1, -1):
-        counts[j] = (
-            counts[full]
-            .groupBy(_ctx_suffix(F.col("w1"), j, full).alias("w1"), "w2")
-            .agg(F.sum("c12").alias("c12"))
-            .cache()
-        )
-    for j in range(full, -1, -1):
-        contexts[j] = (
-            counts[j].groupBy("w1").agg(F.sum("c12").alias("c1")).cache()
-        )
+    all_counts = (
+        proj.select(F.col("p.j").alias("__j"), F.col("p.w1").alias("w1"), "w2", "c12")
+        .groupBy("__j", "w1", "w2")
+        .agg(F.sum("c12").alias("c12"))
+        .cache()
+    )
+    all_contexts = (
+        all_counts.groupBy("__j", "w1").agg(F.sum("c12").alias("c1")).cache()
+    )
+    counts = {
+        j: all_counts.filter(F.col("__j") == j).drop("__j")
+        for j in range(full + 1)
+    }
+    contexts = {
+        j: all_contexts.filter(F.col("__j") == j).drop("__j")
+        for j in range(full + 1)
+    }
     total = counts[0].agg(F.sum("c12")).first()[0] or 0
     return BackoffLM(
         counts=counts,
@@ -529,6 +575,7 @@ def train_backoff_lm(
         alpha=alpha,
         total=int(total),
         v=n_words + 1,
+        masters=(all_counts, all_contexts),
     )
 
 
@@ -558,55 +605,78 @@ def score_stupid_backoff(
     document: duplicates would splice two documents' token streams into
     cross-document n-grams in the rebuild.
 
-    Plan: ONE mapped explode of the candidate corpus at full order, 2
-    joins per order (counts + context totals; broadcast when
-    ``broadcast_lm``), one codegen CASE cascade, one ``groupBy(doc)``.
-    Unlike the bigram LM, ``counts[full]`` scales with the TRAINING
-    corpus's distinct full-order grams (not |V|-bounded in practice) —
-    pass ``broadcast_lm=False`` to shuffle-join on the gram key when a
-    large training corpus makes the per-order broadcasts unreasonable;
-    the candidate corpus then pays one shuffle per order."""
+    Plan (r7 — KenLM-style fused score tables, Heafield 2011's
+    one-value-per-gram layout adapted to the fixed-order scorer): each
+    order's counts and context totals are PRE-JOINED model-side into one
+    bounded table ``(gram_key, log α^(full−j)·c(g)/c(ctx))`` — the
+    backoff discount is baked in because ``full`` is a train-time
+    constant — so the corpus-scale frame pays ONE join per order
+    (``full+1`` total; the former cascade paid two, 10 joins at order 5
+    and 94.3 s for 10 k docs, SCALE.md §11) plus one codegen coalesce
+    cascade and one ``groupBy(doc)``. The context token array is split
+    once per row; the old plan re-split it per order. Unlike the bigram
+    LM, ``counts[full]`` scales with the TRAINING corpus's distinct
+    full-order grams (not |V|-bounded in practice) — pass
+    ``broadcast_lm=False`` to shuffle-join on the gram key when a large
+    training corpus makes the per-order broadcasts unreasonable; the
+    candidate corpus then pays one shuffle per order (half the former
+    two)."""
     full = lm.order - 1
     mapped = _mapped_grams(docs, lm.vocab, text_col, [id_col], lm.order)
     maybe_bc = F.broadcast if broadcast_lm else (lambda df: df)
-    for j in range(full, -1, -1):
-        ctx_j = _ctx_suffix(F.col("w1"), j, full)
-        cj = maybe_bc(
-            lm.counts[j].select(
-                F.col("w1").alias(f"__ctx{j}"),
-                F.col("w2").alias("w2"),
-                F.col("c12").alias(f"__c12_{j}"),
-            )
-        )
-        tj = maybe_bc(
-            lm.contexts[j].select(
-                F.col("w1").alias(f"__ctx{j}"), F.col("c1").alias(f"__c1_{j}")
-            )
-        )
-        mapped = (
-            mapped.withColumn(f"__ctx{j}", ctx_j)
-            .join(cj, [f"__ctx{j}", "w2"], "left")
-            .join(tj, [f"__ctx{j}"], "left")
-        )
-    # cascade, built bottom-up so higher orders take precedence: the
-    # highest j with an observed gram count wins, discounted by
-    # α^(levels skipped). The unigram ground is add-one smoothed over
-    # (N + V): a candidate word absent even from the unigram counts
-    # (UNK when the training vocab was never capped) still gets a
-    # finite score — the one departure from the paper, which leaves
-    # OOV grounding unspecified.
-    ground = F.log(
-        F.lit(float(lm.alpha**full))
-        * (F.coalesce(F.col("__c12_0"), F.lit(0)) + F.lit(1.0))
-        / F.lit(float(lm.total + lm.v))
-    )
-    score = ground
-    for j in range(1, full + 1):
+    # context token array computed ONCE per gram row; per-order suffix
+    # keys are slices of it. Tokens contain no spaces (tokenizer
+    # contract), so "j context tokens + word" joined on single spaces is
+    # an unambiguous key within each order's table.
+    mapped = mapped.withColumn("__ctxa", F.split(F.col("w1"), " "))
+    for j in range(full, 0, -1):
         backoff = float(lm.alpha ** (full - j))
-        level = F.log(
-            F.lit(backoff) * F.col(f"__c12_{j}") / F.col(f"__c1_{j}")
+        tbl = (
+            lm.counts[j]
+            .join(lm.contexts[j], "w1")  # model-side, bounded
+            .select(
+                F.concat_ws(" ", "w1", "w2").alias(f"__g{j}"),
+                F.log(F.lit(backoff) * F.col("c12") / F.col("c1")).alias(
+                    f"__s{j}"
+                ),
+            )
         )
-        score = F.when(F.col(f"__c12_{j}").isNotNull(), level).otherwise(score)
+        key = (
+            F.concat_ws(" ", F.col("w1"), F.col("w2"))
+            if j == full
+            else F.concat_ws(
+                " ",
+                F.array_join(F.slice("__ctxa", full - j + 1, j), " "),
+                F.col("w2"),
+            )
+        )
+        mapped = mapped.withColumn(f"__g{j}", key).join(
+            maybe_bc(tbl), f"__g{j}", "left"
+        )
+    # unigram ground, add-one smoothed over (N + V): a candidate word
+    # absent even from the unigram counts (UNK when the training vocab
+    # was never capped) still gets a finite score via the constant
+    # fallback — the one departure from the paper, which leaves OOV
+    # grounding unspecified.
+    uni = lm.counts[0].select(
+        F.col("w2").alias("__g0"),
+        F.log(
+            F.lit(float(lm.alpha**full))
+            * (F.col("c12") + F.lit(1.0))
+            / F.lit(float(lm.total + lm.v))
+        ).alias("__s0"),
+    )
+    mapped = mapped.withColumn("__g0", F.col("w2")).join(
+        maybe_bc(uni), "__g0", "left"
+    )
+    oov_ground = F.log(
+        F.lit(float(lm.alpha**full)) * F.lit(1.0) / F.lit(float(lm.total + lm.v))
+    )
+    # highest observed order wins — every discount is already inside its
+    # table's score, so precedence is one codegen COALESCE
+    score = F.coalesce(
+        *[F.col(f"__s{j}") for j in range(full, -1, -1)], oov_ground
+    )
     agg = (
         mapped.select(id_col, "is_oov", score.alias("__logs"))
         .groupBy(id_col)
