@@ -58,10 +58,16 @@ def _dsum_sql(expr: str) -> str:
 
 
 # --------------------------------------------------------------------------
-# Q1 — pricing summary (P4 scalar filter, A1/A2/A3 group aggs, O1 sort)
+# Q1 family — single-table scan-agg suite (P4 scalar filter, A1/A2/A3
+# group aggs, O1 sort, + the former q6_discount_revenue gate's pure
+# predicate-pushdown global agg as a 'Q6' section row — fused r7 to
+# free a driver-window slot for tpch_ansi_suite2 without losing the q6
+# values from the hash gate; same consolidation pattern as r2/r4).
 # Reference analogues: filter 02_DataCleaning.R:139; group-sum
 # 01_DataMerge.R:69-72; group-mean/count 03_LinearRegression.R:133-143.
 # --------------------------------------------------------------------------
+
+
 @query(
     "q1_pricing_summary",
     oracle=f"""
@@ -79,15 +85,32 @@ SELECT
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
+UNION ALL
+SELECT
+  'Q6' AS l_returnflag,
+  '_'  AS l_linestatus,
+  CAST(NULL AS DOUBLE)                        AS sum_qty,
+  CAST(NULL AS DOUBLE)                        AS sum_base_price,
+  {_dsum_sql('l_extendedprice * l_discount')} AS sum_disc_price,
+  CAST(NULL AS DOUBLE)                        AS sum_charge,
+  CAST(NULL AS DOUBLE)                        AS avg_qty,
+  CAST(NULL AS DOUBLE)                        AS avg_price,
+  CAST(NULL AS DOUBLE)                        AS avg_disc,
+  COUNT(*)                                    AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
 ORDER BY l_returnflag, l_linestatus
 """,
-    tags=("P4", "A1", "A2", "A3", "O1"),
+    tags=("P4", "A1", "A2", "A3", "O1", "pushdown"),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     n = F.count(F.lit(1))
-    return (
+    q1 = (
         li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -100,8 +123,24 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (_dsum("l_discount") / n).alias("avg_disc"),
             n.alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
+    # the 'Q6' section keeps its own independent scan branch, so the
+    # three-predicate parquet pushdown (plan-asserted in
+    # tests/test_plan_shape.py) is unchanged by the fusion
+    null_d = F.lit(None).cast("double")
+    q6 = q6_discount_revenue(spark, sf_dir).select(
+        F.lit("Q6").alias("l_returnflag"),
+        F.lit("_").alias("l_linestatus"),
+        null_d.alias("sum_qty"),
+        null_d.alias("sum_base_price"),
+        F.col("revenue").alias("sum_disc_price"),
+        null_d.alias("sum_charge"),
+        null_d.alias("avg_qty"),
+        null_d.alias("avg_price"),
+        null_d.alias("avg_disc"),
+        F.col("n_rows").alias("count_order"),
+    )
+    return q1.unionByName(q6).orderBy("l_returnflag", "l_linestatus")
 
 
 # --------------------------------------------------------------------------
@@ -111,21 +150,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reader (PushedFilters; plan-asserted in tests/test_plan_shape.py), so
 # at 100 TB this reads only row groups whose min/max stats survive the
 # cuts.
+# NOT registered since r7: its values are hash-gated as the 'Q6'
+# section of q1_pricing_summary (the fusion freed the driver-window
+# slot now held by tpch_ansi_suite2); this standalone remains the
+# user-facing operator and the plan-shape test target.
 # --------------------------------------------------------------------------
-@query(
-    "q6_discount_revenue",
-    oracle=f"""
-SELECT
-  {_dsum_sql('l_extendedprice * l_discount')} AS revenue,
-  COUNT(*)                                    AS n_rows
-FROM lineitem
-WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
-  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
-  AND l_discount BETWEEN 0.05 AND 0.07
-  AND l_quantity < 24
-""",
-    tags=("P4", "A1", "pushdown"),
-)
 def q6_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -1581,7 +1610,15 @@ ORDER BY section, k
 """
 
 
-@query("tpch_ansi_suite2", tags=("SQL-surface", "q8", "q10", "q14", "q16", "q19"))
+@query(
+    "tpch_ansi_suite2",
+    # r7: promoted to a value-hash gate — the slot came from fusing
+    # q6_discount_revenue into the q1 family. Same ONE-text contract as
+    # tpch_correlated_suite: the driver executes this exact SQL in
+    # DuckDB against the Spark run of the same text.
+    oracle=TPCH_ANSI_SUITE2_SQL,
+    tags=("SQL-surface", "q8", "q10", "q14", "q16", "q19"),
+)
 def tpch_ansi_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.catalog import register_views
 

@@ -82,10 +82,15 @@ def test_registry_fits_driver_window():
     # Pin the exact tallies so COVERAGE.md can't drift from the registry
     # (round-5 verdict nit: the doc said 71 when the registry held 72).
     # Update BOTH this assertion and COVERAGE.md when (de)registering.
-    assert len(names) == 74, f"registry holds {len(names)} queries, docs say 74"
+    assert len(names) == 73, f"registry holds {len(names)} queries, docs say 73"
     assert len(oracles) == 50, f"{len(oracles)} oracle gates, docs say 50"
     # Round-6 gate swap (verdict item 2): the constants-oracle invariants
     # probe is rows-only; the ANSI correlated-subquery suite holds a
     # value-hash slot instead.
     assert SPECS["sample_and_split_sizes"].oracle is None
     assert SPECS["tpch_correlated_suite"].oracle is not None
+    # Round-7 gate swap (verdict item 4): q6_discount_revenue fused into
+    # the q1 family's 'Q6' section (values still hash-gated there); the
+    # freed slot promotes the second ANSI suite to a value-hash gate.
+    assert "q6_discount_revenue" not in SPECS
+    assert SPECS["tpch_ansi_suite2"].oracle is not None
