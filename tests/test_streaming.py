@@ -614,3 +614,102 @@ def test_streaming_text_ingest_matches_batch(spark, tmp_path):
     got = {(r.doc_id, r.source) for r in streamed.select("doc_id", "source").collect()}
     want = {(r.doc_id, r.source) for r in batch.select("doc_id", "source").collect()}
     assert got == want and len(got) == 12  # 2 junk files dropped
+
+
+def test_streaming_curation_composition_matches_batch(spark, tmp_path):
+    """r7 (verdict item 5): ingest → Gopher → watermarked exact dedup →
+    decontamination as ONE continuous query over a dump tree that grows
+    across three arrival waves. Cross-batch duplicates must be dropped
+    by the dedup STATE (not within-batch luck), contaminated docs must
+    never land, and the surviving fingerprint set must equal the batch
+    composition over the final tree."""
+    from mbfbigdatarandomforest_spark.operators.dedup import exact_dedup
+    from mbfbigdatarandomforest_spark.operators.text import (
+        gopher_quality_filter,
+    )
+    from mbfbigdatarandomforest_spark.sources.readers import (
+        ingest_text_documents,
+    )
+    from mbfbigdatarandomforest_spark.streaming.curation import (
+        start_curation_stream,
+    )
+    from mbfbigdatarandomforest_spark.streaming.decontam import (
+        benchmark_gram_set,
+        decontaminate_batch,
+    )
+
+    def good(tag: str) -> str:
+        return (
+            f"the steady document number {tag} continues with many plain "
+            "ordinary words about data and the pipeline so the gopher "
+            "rules accept it without any complaint at all here"
+        )
+
+    secret = (
+        "the secret benchmark passage that must never leak into any "
+        "training corpus under the published decontamination rule"
+    )
+    benchmark = spark.createDataFrame(
+        [(999_000, secret, "benchmark", "en")],
+        ["doc_id", "text", "source", "lang"],
+    )
+    kw = dict(min_words=20, min_stopword_hits=1, min_alpha_word_frac=0.5)
+
+    base = tmp_path / "dump"
+    (base / "web").mkdir(parents=True)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    # wave 1: 4 good docs, 1 junk, 1 in-wave duplicate of doc0
+    for i in range(4):
+        (base / "web" / f"w1_{i}.txt").write_text(good(f"w1{i}") + "\n")
+    (base / "web" / "w1_junk.txt").write_text("### ### ###\n")
+    (base / "web" / "w1_dup0.txt").write_text(good("w10") + "\n")
+
+    q = start_curation_stream(
+        spark, str(base), benchmark, out, ckpt,
+        watermark="1 hour", n=5, query_name="curation_test", **kw,
+    )
+    try:
+        q.processAllAvailable()
+        # wave 2: 2 new docs, a CROSS-BATCH duplicate of w1's doc1, and
+        # a contaminated doc quoting the benchmark verbatim
+        for i in range(2):
+            (base / "web" / f"w2_{i}.txt").write_text(good(f"w2{i}") + "\n")
+        (base / "web" / "w2_dup1.txt").write_text(good("w11") + "\n")
+        (base / "web" / "w2_contam.txt").write_text(
+            good("w2c") + " " + secret + "\n"
+        )
+        q.processAllAvailable()
+        # wave 3: one more doc
+        (base / "web" / "w3_0.txt").write_text(good("w30") + "\n")
+        q.processAllAvailable()
+        progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+
+    streamed = spark.read.parquet(out)
+    got_fp = {r["fp"] for r in streamed.select("fp").collect()}
+
+    # batch composition over the FINAL tree: ingest → gopher → keep one
+    # row per fingerprint → decontaminate with the same gram set
+    docs = gopher_quality_filter(
+        ingest_text_documents(spark, str(base)), **kw
+    ).filter("quality_pass")
+    keep = exact_dedup(docs).select("fp", F.col("keep_id").alias("doc_id"))
+    kept = docs.join(keep, "doc_id").select("doc_id", "text", "fp")
+    grams = benchmark_gram_set(benchmark, n=5)
+    clean = decontaminate_batch(kept, grams, "text", "doc_id", n=5)
+    want_fp = {r["fp"] for r in clean.select("fp").collect()}
+
+    assert got_fp == want_fp
+    # 4 + 2 + 1 distinct good docs; junk, both dups, contaminated gone
+    assert streamed.count() == 7
+    # the cross-batch duplicate was dropped by STATE: wave-2's batch had
+    # input rows but w1_dup-equivalent text appears exactly once overall
+    assert streamed.filter(F.col("text").contains("number w11")).count() == 1
+    assert streamed.filter(F.col("text").contains(secret)).count() == 0
+    # the state operator reports rows retained across triggers
+    assert any(
+        (p.get("stateOperators") or [{}])[0].get("numRowsTotal", 0) > 0
+        for p in progresses
+    )
