@@ -11,9 +11,11 @@ Decode support in this environment (no PIL/opencv/ffmpeg):
 
 - **BMP (24-bit uncompressed)** — REAL decoder/encoder in pure numpy
   (header parse + bottom-up row-padded pixel array).
+- **PNG (8-bit, non-interlaced, all five filter types, color types
+  0/2/3/4/6)** — REAL decoder/encoder on stdlib ``zlib`` + numpy (r7).
 - **WAV (16-bit PCM)** — REAL decoder via the stdlib ``wave`` module +
   numpy ``frombuffer``.
-- jpeg/png/mp4 — require native codecs; ``decode_image_stub`` raises a
+- jpeg/mp4 — require native codecs; ``decode_image_stub`` raises a
   clear error, and the deterministic fake embedding (hash-seeded PRNG)
   keeps the Spark-side plumbing testable for those formats.
 
@@ -34,6 +36,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -94,6 +97,162 @@ def encode_bmp(rgb: np.ndarray) -> bytes:
     return header + pixel_bytes
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: channels per PNG color type (8-bit depth): gray, RGB, palette,
+#: gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG → (height, width, 3) uint8 RGB.
+
+    Stdlib ``zlib`` + numpy only (r7 — retires the png half of the
+    compressed-image stub; jpeg stays honestly env-gated on a real
+    codec library). Full filter support: None/Sub/Up/Average/Paeth
+    (spec §9), color types 0/2/3/4/6; alpha is dropped, gray broadcast
+    to RGB, palette indices resolved through PLTE. Filters None/Up
+    reconstruct vectorized; Sub/Average/Paeth carry an intra-row
+    sequential dependency, so those rows reconstruct in a per-byte
+    loop — correctness-first; this kernel feeds Arrow-batched
+    ``extract_features``, where per-blob Python is already the model."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, palette, ihdr = 8, b"", None, None
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + CRC
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise ValueError(
+            f"only 8-bit non-interlaced PNG supported (depth={depth}, "
+            f"color_type={ctype}, interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        row = np.frombuffer(raw, np.uint8, stride, p + 1).astype(np.int32)
+        p += 1 + stride
+        if f == 0:  # None
+            rec = row
+        elif f == 2:  # Up
+            rec = (row + prev) & 255
+        elif f == 1:  # Sub
+            rec = row.copy()
+            for i in range(ch, stride):
+                rec[i] = (rec[i] + rec[i - ch]) & 255
+        elif f == 3:  # Average
+            rec = row.copy()
+            for i in range(stride):
+                left = rec[i - ch] if i >= ch else 0
+                rec[i] = (rec[i] + ((left + prev[i]) >> 1)) & 255
+        elif f == 4:  # Paeth
+            rec = row.copy()
+            for i in range(stride):
+                a = rec[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (rec[i] + pred) & 255
+        else:
+            raise ValueError(f"unknown PNG filter type {f} on row {y}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    arr = out.reshape(h, w, ch)
+    if ctype == 2:
+        return arr.copy()
+    if ctype == 6:
+        return arr[:, :, :3].copy()
+    if ctype == 0:
+        return np.repeat(arr, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(arr[:, :, :1], 3, axis=2)
+    if palette is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    return palette[arr[:, :, 0]]
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    crc = zlib.crc32(typ + data) & 0xFFFFFFFF
+    return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", crc)
+
+
+def encode_png(rgb: np.ndarray, row_filters: list[int] | None = None) -> bytes:
+    """Encode (h, w, 3) uint8 RGB → PNG bytes (color type 2, 8-bit).
+
+    ``row_filters`` (one of 0..4 per row, default all-None) applies the
+    spec's forward filters — test fixtures use it to exercise every
+    reconstruction path in ``decode_png`` without an external encoder."""
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    filters = row_filters if row_filters is not None else [0] * h
+    if len(filters) != h:
+        raise ValueError(f"need {h} row filters, got {len(filters)}")
+    flat = rgb.reshape(h, w * 3).astype(np.int32)
+    prev = np.zeros(w * 3, np.int32)
+    body = bytearray()
+    for y, f in enumerate(filters):
+        cur = flat[y]
+        left = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+        upleft = np.concatenate([np.zeros(3, np.int32), prev[:-3]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - ((left + prev) >> 1)
+        elif f == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = cur - pred
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        body.append(f)
+        body.extend((enc & 255).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(body)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Route a binary image payload to its real decoder (BMP or PNG)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    raise ValueError("unsupported image container (BMP and PNG decode natively)")
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode 16-bit PCM WAV → (float32 mono samples in [-1, 1],
     sample_rate). Stdlib ``wave`` + numpy; multi-channel is averaged."""
@@ -134,9 +293,10 @@ def resize_image(rgb: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 # Feature kernels on the real decoders.
 # --------------------------------------------------------------------------
 def image_features(payload: bytes, grid: int = 4) -> list[float]:
-    """BMP → grid×grid mean-pooled RGB (grid²·3 dims) + global mean/std
-    per channel (6 dims). Resolution-independent and deterministic."""
-    rgb = decode_bmp(payload).astype(np.float64) / 255.0
+    """BMP/PNG → grid×grid mean-pooled RGB (grid²·3 dims) + global
+    mean/std per channel (6 dims). Resolution-independent and
+    deterministic."""
+    rgb = decode_image(payload).astype(np.float64) / 255.0
     h, w, _ = rgb.shape
     pooled = np.zeros((grid, grid, 3))
     hb = np.linspace(0, h, grid + 1).astype(int)
@@ -176,11 +336,15 @@ def audio_features(payload: bytes, n_bands: int = 8) -> list[float]:
 # --------------------------------------------------------------------------
 def sniff_media_meta(payload: bytes) -> tuple[str, int, int, int, int]:
     """(format, width, height, n_frames, sample_rate) from container
-    headers. BMP and WAV are parsed for real; anything else gets a
+    headers. BMP, PNG and WAV are parsed for real; anything else gets a
     deterministic hash-derived placeholder tagged format='unknown'."""
     if payload[:2] == b"BM" and len(payload) >= 26:
         width, height = struct.unpack_from("<ii", payload, 18)
         return ("bmp", int(width), abs(int(height)), 1, 0)
+    if payload[:8] == _PNG_SIG and len(payload) >= 24:
+        # IHDR is always the first chunk: width/height at offsets 16/20
+        width, height = struct.unpack_from(">II", payload, 16)
+        return ("png", int(width), int(height), 1, 0)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         try:
             with wave.open(io.BytesIO(payload), "rb") as w:
@@ -339,12 +503,12 @@ def extract_features(
 
 
 def decode_image_stub(payload: bytes) -> list[float]:  # pragma: no cover
-    """Placeholder for compressed-image decoders (jpeg/png need PIL or
-    opencv, absent in this container). BMP decodes for real — see
-    ``decode_bmp`` / ``image_features``."""
+    """Placeholder for the remaining compressed-image decoder (jpeg
+    needs PIL/opencv, absent in this container). BMP and PNG decode for
+    real — see ``decode_image`` / ``image_features``."""
     raise NotImplementedError(
-        "jpeg/png decoding requires PIL/opencv; BMP is supported natively "
-        "(decode=image_features), or pass decode=<kernel>"
+        "jpeg decoding requires PIL/opencv; BMP and PNG are supported "
+        "natively (decode=image_features), or pass decode=<kernel>"
     )
 
 

@@ -258,3 +258,131 @@ def test_sizing_partitions_needs_no_scan(spark, tmp_path):
     p = str(tmp_path / "blobs")
     df.write.parquet(p)
     assert _sizing_partitions(spark.read.parquet(p), 64, 256, None) == 1
+
+
+# --------------------------------------------------------------------------
+# r7: real PNG codec (stdlib zlib + filter reconstruction)
+# --------------------------------------------------------------------------
+def test_png_golden_all_filter_types():
+    """Hand-built golden: a known pixel array encoded with every spec
+    filter type (None/Sub/Up/Average/Paeth, one per row) must decode
+    back to the exact array — exercising each reconstruction path
+    against the same data."""
+    from mbfbigdatarandomforest_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    png = encode_png(img, row_filters=[0, 1, 2, 3, 4])
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    out = decode_png(png)
+    assert out.dtype == np.uint8 and out.shape == (5, 6, 3)
+    assert np.array_equal(out, img)
+
+
+def test_png_roundtrip_each_filter_uniformly():
+    """Every filter type applied to EVERY row must round-trip on
+    gradient data (worst case for prediction filters), including a
+    width that stresses the first-pixel (no-left-neighbor) branches."""
+    from mbfbigdatarandomforest_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    h, w = 7, 4
+    img = (
+        np.arange(h * w * 3, dtype=np.int64).reshape(h, w, 3) * 37 % 256
+    ).astype(np.uint8)
+    for f in range(5):
+        out = decode_png(encode_png(img, row_filters=[f] * h))
+        assert np.array_equal(out, img), f"filter {f} failed"
+
+
+def test_png_color_types_gray_alpha_palette():
+    """Non-RGB color types: gray broadcast to RGB, alpha dropped,
+    palette resolved through PLTE. Chunks hand-assembled so no external
+    encoder is needed."""
+    import struct
+    import zlib
+
+    from mbfbigdatarandomforest_spark.operators.multimodal import (
+        _png_chunk,
+        decode_png,
+    )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def build(w, h, ctype, body_rows, plte=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        raw = b"".join(b"\x00" + r for r in body_rows)
+        chunks = [_png_chunk(b"IHDR", ihdr)]
+        if plte is not None:
+            chunks.append(_png_chunk(b"PLTE", plte))
+        chunks += [_png_chunk(b"IDAT", zlib.compress(raw)), _png_chunk(b"IEND", b"")]
+        return sig + b"".join(chunks)
+
+    # grayscale (type 0): value v → (v, v, v)
+    g = decode_png(build(3, 2, 0, [bytes([10, 20, 30]), bytes([40, 50, 60])]))
+    assert np.array_equal(g[0, 1], [20, 20, 20]) and np.array_equal(g[1, 2], [60, 60, 60])
+    # gray+alpha (type 4): alpha dropped
+    ga = decode_png(build(2, 1, 4, [bytes([100, 255, 200, 0])]))
+    assert np.array_equal(ga[0, 0], [100, 100, 100])
+    assert np.array_equal(ga[0, 1], [200, 200, 200])
+    # RGBA (type 6): alpha dropped
+    rgba = decode_png(build(1, 1, 6, [bytes([1, 2, 3, 128])]))
+    assert np.array_equal(rgba[0, 0], [1, 2, 3])
+    # palette (type 3): indices through PLTE
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    pal = decode_png(build(3, 1, 3, [bytes([2, 0, 1])], plte=plte))
+    assert np.array_equal(pal[0], [[0, 0, 255], [255, 0, 0], [0, 255, 0]])
+
+
+def test_png_rejects_unsupported():
+    from mbfbigdatarandomforest_spark.operators.multimodal import decode_png
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BM123456")
+    # 16-bit depth rejected via a hand-built header
+    import struct
+    import zlib
+
+    from mbfbigdatarandomforest_spark.operators.multimodal import _png_chunk
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    bad = sig + _png_chunk(b"IHDR", ihdr) + _png_chunk(
+        b"IDAT", zlib.compress(b"\x00" + b"\x00" * 6)
+    ) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="only 8-bit"):
+        decode_png(bad)
+
+
+def test_png_sniff_and_feature_pipeline(spark):
+    """The Spark-side plumbing runs on PNG payloads end-to-end: sniff
+    reports the real header, and image_features through the Arrow
+    extract_features path equals the direct kernel call — with BMP and
+    PNG payloads of the SAME image producing identical features."""
+    from mbfbigdatarandomforest_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        sniff_media_meta,
+    )
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(8, 9, 3), dtype=np.uint8)
+    png, bmp = encode_png(img, row_filters=[4] * 8), encode_bmp(img)
+
+    assert sniff_media_meta(png) == ("png", 9, 8, 1, 0)
+
+    df = spark.createDataFrame([(0, png), (1, bmp)], "id long, payload binary")
+    got = {
+        r["id"]: r["features"]
+        for r in extract_features(
+            df, decode=image_features, n_rows=2
+        ).collect()
+    }
+    direct = image_features(png)
+    assert np.allclose(got[0], direct)
+    assert np.allclose(got[0], got[1])  # same pixels, either container
