@@ -58,6 +58,7 @@ def start_curation_stream(
     watermark: str = "1 hour",
     n: int = 13,
     query_name: str = "curation_stream",
+    source_options: dict[str, str] | None = None,
     **gopher_kwargs,
 ):
     """Start the continuous curation query over a growing dump tree.
@@ -73,7 +74,9 @@ def start_curation_stream(
     bench_grams = benchmark_gram_set(benchmark, "text", "doc_id", n).cache()
     bench_grams.count()  # eager: one shingle pass total, not one per batch
 
-    docs = read_document_stream(spark, text_dir, lang=lang)
+    docs = read_document_stream(
+        spark, text_dir, lang=lang, source_options=source_options
+    )
     curated = gopher_quality_filter(docs, **gopher_kwargs).filter("quality_pass")
     arrived = curated.withColumn("__arrival", F.current_timestamp())
     deduped = streaming_exact_dedup(

@@ -26,10 +26,29 @@ from ..operators.text import gopher_quality_filter
 from ..sources.readers import documents_projection
 
 
-def read_document_stream(spark, text_dir: str, *, lang: str = "en") -> DataFrame:
+def read_document_stream(
+    spark,
+    text_dir: str,
+    *,
+    lang: str = "en",
+    source_options: dict[str, str] | None = None,
+) -> DataFrame:
     """Unbounded documents frame over a crawl-dump directory tree —
-    same shape and same doc ids as the batch ``ingest_text_documents``."""
-    raw = spark.readStream.text(
+    same shape and same doc ids as the batch ``ingest_text_documents``.
+
+    ``source_options`` passes through to the file source. The one that
+    matters at crawl scale: ``cleanSource='archive'`` (+
+    ``sourceArchiveDir``) or ``'delete'`` moves/removes files after
+    their micro-batch commits, so the per-trigger directory listing
+    stays O(unprocessed files) instead of O(every file ever landed) —
+    measured in SCALE.md §13, the listing growth is exactly what
+    degraded wave throughput 104→54 docs/s on an append-only tree.
+    Archive (not delete) is the production default posture: the raw
+    dump remains replayable from the archive dir."""
+    reader = spark.readStream
+    for k, v in (source_options or {}).items():
+        reader = reader.option(k, v)
+    raw = reader.text(
         f"{text_dir.rstrip('/')}/*/*.txt", wholetext=True
     ).withColumn("source_file", F.input_file_name())
     return documents_projection(raw, lang=lang)

@@ -6,10 +6,14 @@ a crawl-dump tree that grows in waves, and records per-trigger
 throughput (docs/s) and dedup state-store size from the query's own
 progress objects.
 
-Usage: python scripts/streaming_curation_probe.py [docs_per_wave] [waves]
+Usage: python scripts/streaming_curation_probe.py [docs_per_wave] [waves] [clean]
 Defaults: 2000 docs/wave, 3 waves. Each wave re-emits ~10% duplicates
 of earlier waves (cross-trigger state work) and carries the realistic
-corpus's contaminated docs (decontamination work).
+corpus's contaminated docs (decontamination work). Pass ``clean`` as
+the third arg to enable ``cleanSource=delete`` on the file source —
+the listing-boundedness fix (SCALE.md §13): processed files leave the
+watched tree after their batch commits, so per-trigger listing cost
+stays O(new files) instead of O(all files ever).
 """
 
 from __future__ import annotations
@@ -36,6 +40,7 @@ from mbfbigdatarandomforest_spark.streaming.curation import (  # noqa: E402
 def main() -> None:
     docs_per_wave = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     waves = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    clean = len(sys.argv) > 3 and sys.argv[3] == "clean"
     rows, bench = generate(CorpusSpec(n_docs=docs_per_wave * waves, seed=11))
 
     spark = get_spark(app_name="streaming-curation-probe")
@@ -58,10 +63,12 @@ def main() -> None:
         watermark="1 hour",
         n=13,
         query_name="curation_probe",
+        source_options={"cleanSource": "delete"} if clean else None,
     )
     report: dict = {
         "docs_per_wave": docs_per_wave,
         "waves": waves,
+        "clean_source": clean,
         "triggers": [],
     }
     seen_batches: set[int] = set()

@@ -713,3 +713,49 @@ def test_streaming_curation_composition_matches_batch(spark, tmp_path):
         (p.get("stateOperators") or [{}])[0].get("numRowsTotal", 0) > 0
         for p in progresses
     )
+
+
+def test_curation_stream_clean_source_bounds_listing(spark, tmp_path):
+    """cleanSource=delete passthrough: processed files leave the
+    watched tree after their batch commits (per-trigger listing stays
+    O(new files) — the SCALE.md §13 throughput fix), and the curated
+    output is identical to the append-only run."""
+    from mbfbigdatarandomforest_spark.streaming.curation import (
+        start_curation_stream,
+    )
+
+    def good(tag: str) -> str:
+        return (
+            f"the steady document number {tag} continues with many plain "
+            "ordinary words about data and the pipeline so the gopher "
+            "rules accept it without any complaint at all here"
+        )
+
+    benchmark = spark.createDataFrame(
+        [(1, "completely unrelated benchmark text nothing quotes this")],
+        ["doc_id", "text"],
+    )
+    base = tmp_path / "dump"
+    (base / "web").mkdir(parents=True)
+    for i in range(3):
+        (base / "web" / f"a{i}.txt").write_text(good(f"a{i}") + "\n")
+
+    q = start_curation_stream(
+        spark, str(base), benchmark,
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        watermark="1 hour", n=5, query_name="curation_clean",
+        source_options={"cleanSource": "delete"},
+        min_words=20, min_stopword_hits=1, min_alpha_word_frac=0.5,
+    )
+    try:
+        q.processAllAvailable()
+        # second wave proves the stream keeps running after deletion
+        (base / "web" / "b0.txt").write_text(good("b0") + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    remaining = list((base / "web").glob("*.txt"))
+    assert remaining == []  # every processed file was cleaned up
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 4
