@@ -1290,3 +1290,29 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kept")
     )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing over the documents corpus (r7 — the standard pre-release
+# redaction step). Rows-only: the regexp chain's value oracle is the
+# cross-engine same-pattern DuckDB twin in tests/test_pii.py (the
+# synthetic corpus carries no PII, so a sf-dir hash gate would pin a
+# zero vector; the pytest corpus carries every kind). This entry runs
+# the codegen scrub at fact scale — a pure projection, cost = the scan.
+# --------------------------------------------------------------------------
+@query("text_pii_scrub", tags=("pii", "text", "F4"))
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pii import PII_ORDER, scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = scrub_pii(docs, "text", out_col="scrubbed")
+    return (
+        scrubbed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[F.sum(f"n_{k}").alias(f"total_{k}") for k in PII_ORDER],
+            F.sum("pii_chars_delta").alias("chars_removed"),
+            F.sum(F.length("scrubbed")).alias("chars_out"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,101 @@
+"""PII scrubbing oracles: cross-engine value equality (the same pattern
+text executed by Spark's Java regex AND DuckDB's RE2 must scrub
+identically), attribution ordering, and plan shape (pure projection).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mbfbigdatarandomforest_spark.operators.pii import (
+    PII_ORDER,
+    pii_twin_sql,
+    scrub_pii,
+)
+
+CORPUS = [
+    (0, "contact alice.smith+spam@example.co.uk or bob@sub.domain.org today"),
+    (1, "server at 192.168.1.254 and 10.0.0.1 answered"),
+    (2, "ssn 123-45-6789 on file; call +1 (555) 123-4567 or 555 867 5309"),
+    (3, "no identifiers here, just words and the number 42"),
+    (4, "mixed: eve@host.io from 8.8.8.8 dialed 020-7946-0958, ssn 987-65-4321"),
+    (5, ""),
+    (6, "edge: a@b.cc x@y.museum 1.2.3.4.5 12-34-5678 is not an ssn"),
+]
+
+
+@pytest.fixture(scope="module")
+def scrubbed_rows(spark):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    return {
+        r["doc_id"]: r
+        for r in scrub_pii(df, "text", out_col="scrubbed").collect()
+    }
+
+
+def test_pii_scrub_matches_duckdb_twin(spark, scrubbed_rows):
+    """Same pattern text, both engines, value-equal: scrubbed string and
+    every per-kind count."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE corpus (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO corpus VALUES (?, ?)", CORPUS)
+    twin = pii_twin_sql("text")
+    want = con.sql(
+        "SELECT doc_id, "
+        + ", ".join(f"{twin[f'n_{k}']} AS n_{k}" for k in PII_ORDER)
+        + f", {twin['scrubbed']} AS scrubbed FROM corpus"
+    ).df()
+    for _, w in want.iterrows():
+        got = scrubbed_rows[w["doc_id"]]
+        assert got["scrubbed"] == w["scrubbed"], w["doc_id"]
+        for k in PII_ORDER:
+            assert got[f"n_{k}"] == w[f"n_{k}"], (w["doc_id"], k)
+
+
+def test_pii_scrub_values_and_attribution(scrubbed_rows):
+    r = scrubbed_rows[0]
+    assert r["scrubbed"] == "contact <EMAIL> or <EMAIL> today"
+    assert r["n_email"] == 2 and r["n_phone"] == 0
+
+    r = scrubbed_rows[2]
+    assert "<SSN>" in r["scrubbed"] and "<PHONE>" in r["scrubbed"]
+    assert "123-45-6789" not in r["scrubbed"]
+    # the SSN is counted once as ssn, never double-counted as phone
+    assert r["n_ssn"] == 1 and r["n_phone"] == 2
+
+    r = scrubbed_rows[4]
+    assert r["n_email"] == 1 and r["n_ipv4"] == 1
+    assert r["n_ssn"] == 1 and r["n_phone"] == 1
+
+    r = scrubbed_rows[3]
+    assert r["scrubbed"] == CORPUS[3][1]  # untouched
+    assert r["pii_chars_delta"] == 0
+
+    assert scrubbed_rows[5]["scrubbed"] == ""
+
+
+def test_pii_chars_delta_positive_when_scrubbed(scrubbed_rows):
+    assert scrubbed_rows[0]["pii_chars_delta"] > 0
+    assert scrubbed_rows[2]["pii_chars_delta"] > 0
+
+
+def test_pii_scrub_is_pure_projection(spark):
+    """No exchange, no UDF — the scrub must compose into a one-pass
+    funnel for free."""
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    plan = (
+        scrub_pii(df, "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pii_rejects_unknown_kind(spark):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    with pytest.raises(ValueError, match="unknown PII kinds"):
+        scrub_pii(df, kinds=("email", "passport"))
