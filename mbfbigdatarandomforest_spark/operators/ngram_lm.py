@@ -485,6 +485,10 @@ class BackoffLM:
     #: the cached master frames the per-order views filter (r7 fused
     #: training); unpersisting these releases every view at once.
     masters: tuple[DataFrame, ...] = ()
+    #: total gram rows across ALL orders — drives the automatic
+    #: broadcast-vs-shuffle scoring decision (0 = unknown → broadcast,
+    #: the pre-r7 behavior).
+    n_gram_rows: int = 0
 
     def unpersist(self) -> None:
         frames = list(self.masters) or [
@@ -566,16 +570,22 @@ def train_backoff_lm(
         j: all_contexts.filter(F.col("__j") == j).drop("__j")
         for j in range(full + 1)
     }
-    total = counts[0].agg(F.sum("c12")).first()[0] or 0
+    # one grouped pass over the cached master: N (the j=0 sum) and the
+    # total gram-row count that sizes the scoring join strategy
+    stats = all_counts.agg(
+        F.sum(F.when(F.col("__j") == 0, F.col("c12"))).alias("total"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).first()
     return BackoffLM(
         counts=counts,
         contexts=contexts,
         vocab=vocab,
         order=order,
         alpha=alpha,
-        total=int(total),
+        total=int(stats["total"] or 0),
         v=n_words + 1,
         masters=(all_counts, all_contexts),
+        n_gram_rows=int(stats["n_rows"]),
     )
 
 
@@ -590,12 +600,20 @@ def _ctx_suffix(ctx: Column, j: int, full: int) -> Column:
     return F.array_join(F.slice(F.split(ctx, " "), full - j + 1, j), " ")
 
 
+#: above this many total gram rows the per-order score-table broadcasts
+#: stop being "small side" material (measured: ~8 M rows of 5-gram
+#: strings at 13 k training docs drove >0.5 GB broadcast allocations
+#: and GC thrash on the 128 GB local JVM) and scoring auto-switches to
+#: shuffle joins on the gram key.
+BROADCAST_GRAM_ROWS_MAX = 3_000_000
+
+
 def score_stupid_backoff(
     lm: BackoffLM,
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    broadcast_lm: bool = True,
+    broadcast_lm: bool | None = None,
 ) -> DataFrame:
     """Per-doc mean negative log stupid-backoff score (pseudo-cross-
     entropy): highest-order observed count wins, each level of backoff
@@ -620,8 +638,18 @@ def score_stupid_backoff(
     ``broadcast_lm=False`` to shuffle-join on the gram key when a large
     training corpus makes the per-order broadcasts unreasonable; the
     candidate corpus then pays one shuffle per order (half the former
-    two)."""
+    two).
+
+    ``broadcast_lm=None`` (default, r7) decides automatically from the
+    model's recorded gram-row count (``BROADCAST_GRAM_ROWS_MAX``): a
+    10 k-doc training corpus broadcasts, a 40 k-doc one shuffle-joins —
+    the 40 k ladder probe showed the forced broadcast GC-thrashing the
+    JVM with >0.5 GB allocations. Explicit True/False still overrides."""
     full = lm.order - 1
+    if broadcast_lm is None:
+        broadcast_lm = (
+            lm.n_gram_rows == 0 or lm.n_gram_rows <= BROADCAST_GRAM_ROWS_MAX
+        )
     mapped = _mapped_grams(docs, lm.vocab, text_col, [id_col], lm.order)
     maybe_bc = F.broadcast if broadcast_lm else (lambda df: df)
     # context token array computed ONCE per gram row; per-order suffix
