@@ -1,6 +1,8 @@
 """Benchmark harness: runs EVERY registered query at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+local[$SPARK_GRAFT_CPUS]. Stdout carries the full JSON record first
+and ENDS with a compact (<1900-byte) JSON summary line — the line the
+round harness parses; the full record also lands in BENCH_FULL.json.
 
 Round 6 widened coverage from the 22-query headline set to the full
 registry (72 queries, named exclusion list: EMPTY) — an unbenched query

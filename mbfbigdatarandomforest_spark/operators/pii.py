@@ -55,8 +55,10 @@ def scrub_pii(
 
     Output columns: ``out_col`` (defaults to replacing ``text_col``)
     plus, when ``with_counts``, one ``n_<kind>`` int per kind and
-    ``pii_chars_removed`` (original length − scrubbed length + token
-    lengths — the audit trail a datasheet reports). One codegen
+    ``pii_chars_removed`` — the number of ORIGINAL characters that were
+    inside redacted spans (original length − scrubbed length + the
+    inserted token lengths), which is ≥ 0 even when a token is longer
+    than the span it replaced (``a@b.cc`` → ``<EMAIL>``). One codegen
     projection; no shuffle, no UDF."""
     out_col = out_col or text_col
     unknown = [k for k in kinds if k not in PII_PATTERNS]
@@ -73,9 +75,12 @@ def scrub_pii(
     proj = [F.col(c) for c in cols] + [scrubbed.alias(out_col)]
     if with_counts:
         proj += [counts[k].alias(f"n_{k}") for k in kinds]
+        token_chars = sum(
+            (counts[k] * len(pii_token(k)) for k in kinds), F.lit(0)
+        )
         proj.append(
-            (F.length(F.col(text_col)) - F.length(scrubbed)).alias(
-                "pii_chars_delta"
+            (F.length(F.col(text_col)) - F.length(scrubbed) + token_chars).alias(
+                "pii_chars_removed"
             )
         )
     return df.select(*proj)

@@ -1311,7 +1311,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             *[F.sum(f"n_{k}").alias(f"total_{k}") for k in PII_ORDER],
-            F.sum("pii_chars_delta").alias("chars_removed"),
+            F.sum("pii_chars_removed").alias("chars_removed"),
             F.sum(F.length("scrubbed")).alias("chars_out"),
         )
         .orderBy("source")

@@ -419,7 +419,12 @@ def ml_dart_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # shared boosting prologue (same helper as the GBT early-stop path:
     # na.drop → widen → cache → hash split → featurize → rows-sized fit
-    # layout) — the two tree-metric queries now measure one prep cost
+    # layout) — the two tree-metric queries now measure one prep cost.
+    # NOTE (r7): the helper keys the hash split on [label]+cat+numeric;
+    # this query previously keyed on df.columns order, so the 75/25
+    # membership (and therefore the reported metric VALUES) shifted
+    # once at the r6→r7 boundary. Deliberate: rows-only gate, and one
+    # shared key convention beats per-query drift.
     prep = prep_tree_features(
         _lineitem_features(spark, sf_dir),
         label_col="label",

@@ -45,6 +45,7 @@ from ..operators.text import gopher_quality_filter
 from .decontam import benchmark_gram_set, decontaminate_batch
 from .dedup import streaming_exact_dedup
 from .ingest import read_document_stream
+from .sinks import write_batch_idempotent
 
 
 def start_curation_stream(
@@ -70,7 +71,12 @@ def start_curation_stream(
     throughput and state-size measurement.
 
     ``n=13`` is the published decontamination gram length the batch
-    gate validated (SCALE.md §11)."""
+    gate validated (SCALE.md §11).
+
+    The returned query carries the cached gram set as ``bench_grams``;
+    callers that start many streams in one long-lived session should
+    ``q.bench_grams.unpersist()`` after ``q.stop()`` (the probe and
+    tests do) — the cache is otherwise pinned until session end."""
     bench_grams = benchmark_gram_set(benchmark, "text", "doc_id", n).cache()
     bench_grams.count()  # eager: one shingle pass total, not one per batch
 
@@ -87,11 +93,17 @@ def start_curation_stream(
         clean = decontaminate_batch(
             batch_df.drop("__arrival"), bench_grams, "text", "doc_id", n
         )
-        clean.write.mode("append").parquet(out_dir)
+        # idempotent per-batch partition overwrite (streaming/sinks.py):
+        # a micro-batch REPLAYED after failure recovery replaces its own
+        # partition instead of appending duplicates — plain append here
+        # would break the stream≡batch contract exactly once per crash
+        write_batch_idempotent(clean, batch_id, out_dir)
 
-    return (
+    q = (
         deduped.writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint_dir)
         .queryName(query_name)
         .start()
     )
+    q.bench_grams = bench_grams
+    return q

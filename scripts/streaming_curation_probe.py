@@ -103,6 +103,7 @@ def main() -> None:
             )
     finally:
         q.stop()
+        q.bench_grams.unpersist()
 
     curated = spark.read.parquet(str(out))
     report["curated_docs"] = curated.count()

@@ -85,12 +85,6 @@ def test_gbt_truncation_equals_refit(spark, toy):
         _truncate_gbt_model,
     )
 
-    minor = ".".join(pyspark.__version__.split(".")[:2])
-    assert minor in TRUNCATION_REFIT_EQUIV_VALIDATED, (
-        f"Spark {minor} not yet validated for truncation≡refit — run this "
-        "test, then extend TRUNCATION_REFIT_EQUIV_VALIDATED"
-    )
-
     fp = build_feature_pipeline(["cat"], ["x1", "x2"], one_hot=False)
     feat = fp.fit(toy).transform(toy).select("features", "label").cache()
     full = make_regressor("gbt", maxIter=12, maxDepth=3, seed=7).fit(feat)
@@ -102,6 +96,14 @@ def test_gbt_truncation_equals_refit(spark, toy):
         b = [r["prediction"] for r in trunc.transform(feat).collect()]
         assert a == b
     feat.unpersist()
+    # membership check LAST, so a new Spark minor runs the equivalence
+    # evidence above before this fails — if everything above passed,
+    # the fix is literally appending the version to the constant
+    minor = ".".join(pyspark.__version__.split(".")[:2])
+    assert minor in TRUNCATION_REFIT_EQUIV_VALIDATED, (
+        f"Spark {minor}: truncation≡refit just VERIFIED above — append "
+        f"'{minor}' to TRUNCATION_REFIT_EQUIV_VALIDATED to validate it"
+    )
 
 
 def test_pipeline_model_save_load_roundtrip(spark, toy, tmp_path):

@@ -71,14 +71,26 @@ def test_pii_scrub_values_and_attribution(scrubbed_rows):
 
     r = scrubbed_rows[3]
     assert r["scrubbed"] == CORPUS[3][1]  # untouched
-    assert r["pii_chars_delta"] == 0
+    assert r["pii_chars_removed"] == 0
 
     assert scrubbed_rows[5]["scrubbed"] == ""
 
 
-def test_pii_chars_delta_positive_when_scrubbed(scrubbed_rows):
-    assert scrubbed_rows[0]["pii_chars_delta"] > 0
-    assert scrubbed_rows[2]["pii_chars_delta"] > 0
+def test_pii_chars_removed_counts_original_span_chars(scrubbed_rows):
+    # doc 0: both redacted emails' original characters, exactly
+    emails = ["alice.smith+spam@example.co.uk", "bob@sub.domain.org"]
+    assert scrubbed_rows[0]["pii_chars_removed"] == sum(len(e) for e in emails)
+    assert scrubbed_rows[2]["pii_chars_removed"] > 0
+
+
+def test_pii_chars_removed_nonnegative_for_short_spans(spark):
+    # token longer than the span it replaced: 'a@b.cc' (6) -> '<EMAIL>' (7)
+    from mbfbigdatarandomforest_spark.operators.pii import scrub_pii
+
+    df = spark.createDataFrame([(0, "a@b.cc")], ["doc_id", "text"])
+    r = scrub_pii(df, "text", out_col="scrubbed").collect()[0]
+    assert r["scrubbed"] == "<EMAIL>"
+    assert r["pii_chars_removed"] == 6
 
 
 def test_pii_scrub_is_pure_projection(spark):

@@ -686,6 +686,7 @@ def test_streaming_curation_composition_matches_batch(spark, tmp_path):
         progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
     finally:
         q.stop()
+        q.bench_grams.unpersist()
 
     streamed = spark.read.parquet(out)
     got_fp = {r["fp"] for r in streamed.select("fp").collect()}
@@ -754,6 +755,7 @@ def test_curation_stream_clean_source_bounds_listing(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
+        q.bench_grams.unpersist()
 
     remaining = list((base / "web").glob("*.txt"))
     assert remaining == []  # every processed file was cleaned up
