@@ -10,6 +10,12 @@ can silently regress 10× between rounds (this round's sweep caught
 dedup_simhash_pairs at 41 s). The former headline subset's subtotal is
 still reported (``headline_total``) for cross-round comparability.
 
+Headline-set change (round 7): ``q1_pricing_summary`` absorbed the former
+``q6_discount_revenue`` scan as its method-tagged 'Q6' section, so
+``headline_total`` from r7 onward includes that scan inside q1's figure
+and is NOT like-for-like with r6-and-earlier headlines (shift ≈ +1 s;
+the fused q1 is itself cheaper than the former q1+q6 pair).
+
 Each query is fully materialized via the noop sink (forces every column
 and operator to execute — ``count()`` alone would let Catalyst prune
 expensive expressions).

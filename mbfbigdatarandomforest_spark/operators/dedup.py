@@ -1,18 +1,31 @@
 """Deduplication operators (north-star extension; BASELINE.json).
 
-Four tiers, in increasing fuzziness:
+Eight operators, document-level first, then sub-document, then cross-corpus:
 
-- exact        : hash-groupBy on a normalized fingerprint. One shuffle on
-                 the 32-hex-char hash (uniform keys → no skew).
-- ngram_jaccard: token-shingle inverted index + pair aggregation; exact
-                 Jaccard on candidate pairs that share ≥1 shingle.
-- minhash_lsh  : pyspark.ml MinHashLSH banding — the 100 TB path (cost
-                 bounded by bucket collisions, not n²).
-- simhash      : 64-bit sign-sum of per-token hashes; near-dups differ in
-                 few bits. Hamming distance on bucketed prefixes.
+- exact_dedup          : hash-groupBy on a normalized xxhash64 fingerprint
+                         (``text.fingerprint``). One shuffle on the 64-bit
+                         key (uniform → no skew).
+- ngram_jaccard_pairs  : token-shingle inverted index + pair aggregation;
+                         exact Jaccard on candidate pairs sharing ≥1
+                         shingle, hot shingles capped by ``max_doc_freq``.
+- minhash_lsh_pairs    : banded b×r MinHash — the 100 TB path (cost
+                         bounded by (band, bucket) collisions, not n²;
+                         hot buckets capped by ``max_bucket_size``).
+- simhash_pairs        : 64-bit sign-sum of per-token hashes; near-dups
+                         differ in few bits. Pigeonhole-banded candidate
+                         join, exact Hamming verify.
+- near_dup_clusters    : connected components over any pair list
+                         (large-star/small-star, O(log n) rounds).
+- line_dedup / span_dedup / intra_span_dedup
+                       : sub-document dedup on 128-bit gram hashes; the
+                         boilerplate set lives on the exchange, never in
+                         a broadcast.
+- decontaminate        : cross-corpus n-gram overlap vs a (small,
+                         broadcast) benchmark set; streaming twin in
+                         ``streaming/decontam.py``.
 
-All shuffles key on hashes/shingles (uniform). The brute-force variants
-exist as correctness oracles for the LSH paths at test scale.
+All shuffles key on hashes/shingles/grams (uniform). The brute-force
+variants exist as correctness oracles for the banded paths at test scale.
 """
 
 from __future__ import annotations

@@ -121,11 +121,24 @@ def decode_png(payload: bytes) -> np.ndarray:
     while pos + 8 <= len(payload):
         ln = int.from_bytes(payload[pos : pos + 4], "big")
         typ = payload[pos + 4 : pos + 8]
+        # malformed inputs must surface as the codec's ValueError
+        # contract, not a downstream numpy/struct/zlib error (ADVICE r7)
+        if pos + 12 + ln > len(payload):
+            raise ValueError(
+                f"PNG chunk {typ!r} length {ln} overruns payload "
+                f"({len(payload)} bytes)"
+            )
         data = payload[pos + 8 : pos + 8 + ln]
         pos += 12 + ln  # length + type + data + CRC
         if typ == b"IHDR":
+            if ln != 13:
+                raise ValueError(f"PNG IHDR must be 13 bytes, got {ln}")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif typ == b"PLTE":
+            if ln == 0 or ln % 3 != 0:
+                raise ValueError(
+                    f"PNG PLTE length {ln} not a positive multiple of 3"
+                )
             palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat += data
@@ -141,7 +154,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         )
     ch = _PNG_CHANNELS[ctype]
     stride = w * ch
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT stream corrupt: {e}") from e
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG IDAT length mismatch")
     out = np.zeros((h, stride), np.uint8)
@@ -189,7 +205,14 @@ def decode_png(payload: bytes) -> np.ndarray:
         return np.repeat(arr[:, :, :1], 3, axis=2)
     if palette is None:
         raise ValueError("palette PNG missing PLTE chunk")
-    return palette[arr[:, :, 0]]
+    idx = arr[:, :, 0]
+    top = int(idx.max()) if idx.size else 0
+    if top >= len(palette):
+        raise ValueError(
+            f"PNG palette index {top} out of range (PLTE has "
+            f"{len(palette)} entries)"
+        )
+    return palette[idx]
 
 
 def _png_chunk(typ: bytes, data: bytes) -> bytes:

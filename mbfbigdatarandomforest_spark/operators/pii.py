@@ -33,7 +33,28 @@ PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
-    "phone": r"\b\+?\d[\d() .-]{6,14}\d\b",
+    # Phone is precision-first: the earlier free-form character-class
+    # pattern over-matched generic numeric runs (ISO dates/timestamps
+    # like '2026-08-14 12' were rewritten as <PHONE>, destructively and
+    # consistently across both engines, so the twin oracle could not
+    # catch it). Now four structured shapes only:
+    #   1. international, separated: '+' country code then 2-4
+    #      separator-led digit groups (+44 20 7946 0958) — the leading
+    #      separator is REQUIRED so '+2026-08-14'-style '+date' text
+    #      cannot re-chunk into groups,
+    #   2. international, glued: '+' then 8-14 digits (+491701234567),
+    #   3. parenthesized area code, optional intl prefix
+    #      (+1 (555) 123-4567, (555) 123-4567),
+    #   4. separator-delimited 3 - 3/4 - 4 (555-123-4567, 020-7946-0958).
+    # Bare unseparated digit runs are deliberately NOT claimed — a
+    # 10-digit run is indistinguishable from an epoch timestamp or an
+    # ID number, and scrubbing those corrupts training text.
+    "phone": (
+        r"\+\d{1,3}(?:[ .-]\d{2,4}){2,4}\b"
+        r"|\+\d{8,14}\b"
+        r"|(?:\+\d{1,3}[ .-]?)?\(\d{3}\)[ .-]?\d{3}[ .-]\d{4}\b"
+        r"|\b\d{3}[ .-]\d{3,4}[ .-]\d{4}\b"
+    ),
 }
 
 #: specificity order — see module docstring.
@@ -64,14 +85,27 @@ def scrub_pii(
     unknown = [k for k in kinds if k not in PII_PATTERNS]
     if unknown:
         raise ValueError(f"unknown PII kinds {unknown}; have {sorted(PII_PATTERNS)}")
+    cols = [c for c in df.columns if c != out_col]
+    if with_counts:
+        added = [f"n_{k}" for k in kinds] + ["pii_chars_removed"]
+        clash = sorted(set(added) & set(cols))
+        if clash:
+            raise ValueError(
+                f"scrub_pii count columns {clash} already exist in the input; "
+                "rename them or call with with_counts=False"
+            )
     scrubbed: Column = F.col(text_col)
     counts: dict[str, Column] = {}
     for kind in kinds:
         pat = PII_PATTERNS[kind]
         if with_counts:
-            counts[kind] = F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0)))
+            # NULL text must count as 0, not NULL — NULL counts silently
+            # vanish from downstream sums (the funnel's corpus totals).
+            counts[kind] = F.coalesce(
+                F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0))),
+                F.lit(0),
+            )
         scrubbed = F.regexp_replace(scrubbed, pat, pii_token(kind))
-    cols = [c for c in df.columns if c != out_col]
     proj = [F.col(c) for c in cols] + [scrubbed.alias(out_col)]
     if with_counts:
         proj += [counts[k].alias(f"n_{k}") for k in kinds]
@@ -79,9 +113,10 @@ def scrub_pii(
             (counts[k] * len(pii_token(k)) for k in kinds), F.lit(0)
         )
         proj.append(
-            (F.length(F.col(text_col)) - F.length(scrubbed) + token_chars).alias(
-                "pii_chars_removed"
-            )
+            F.coalesce(
+                F.length(F.col(text_col)) - F.length(scrubbed) + token_chars,
+                F.lit(0),
+            ).alias("pii_chars_removed")
         )
     return df.select(*proj)
 
@@ -98,7 +133,7 @@ def pii_twin_sql(
     for kind in kinds:
         pat = PII_PATTERNS[kind].replace("'", "''")
         out[f"n_{kind}"] = (
-            f"len(regexp_extract_all({scrubbed}, '{pat}'))"
+            f"coalesce(len(regexp_extract_all({scrubbed}, '{pat}')), 0)"
         )
         scrubbed = (
             f"regexp_replace({scrubbed}, '{pat}', '{pii_token(kind)}', 'g')"

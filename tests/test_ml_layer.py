@@ -96,14 +96,20 @@ def test_gbt_truncation_equals_refit(spark, toy):
         b = [r["prediction"] for r in trunc.transform(feat).collect()]
         assert a == b
     feat.unpersist()
-    # membership check LAST, so a new Spark minor runs the equivalence
-    # evidence above before this fails — if everything above passed,
-    # the fix is literally appending the version to the constant
+    # Membership check LAST, so a new Spark minor runs the equivalence
+    # evidence above first. If everything above passed on an unlisted
+    # minor, the PROPERTY holds — warn (don't fail: ADVICE r7 — a
+    # guaranteed red suite on every upgrade is a false positive) and
+    # direct the maintainer to append the verified version.
     minor = ".".join(pyspark.__version__.split(".")[:2])
-    assert minor in TRUNCATION_REFIT_EQUIV_VALIDATED, (
-        f"Spark {minor}: truncation≡refit just VERIFIED above — append "
-        f"'{minor}' to TRUNCATION_REFIT_EQUIV_VALIDATED to validate it"
-    )
+    if minor not in TRUNCATION_REFIT_EQUIV_VALIDATED:
+        import warnings
+
+        warnings.warn(
+            f"Spark {minor}: truncation≡refit just VERIFIED above — append "
+            f"'{minor}' to TRUNCATION_REFIT_EQUIV_VALIDATED to record it",
+            stacklevel=1,
+        )
 
 
 def test_pipeline_model_save_load_roundtrip(spark, toy, tmp_path):

@@ -359,6 +359,47 @@ def test_png_rejects_unsupported():
         decode_png(bad)
 
 
+def test_png_malformed_inputs_raise_valueerror():
+    """ADVICE r7: malformed chunks must surface as the codec's
+    ValueError contract, never a raw numpy/struct/zlib error — the
+    quarantine path in extract_features keys on ValueError."""
+    import struct
+    import zlib
+
+    from mbfbigdatarandomforest_spark.operators.multimodal import (
+        _png_chunk,
+        decode_png,
+    )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def build(chunks):
+        return sig + b"".join(chunks)
+
+    ihdr_pal = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 1, 8, 3, 0, 0, 0))
+    idat_pal = _png_chunk(b"IDAT", zlib.compress(b"\x00" + bytes([2, 0, 1])))
+    iend = _png_chunk(b"IEND", b"")
+
+    # PLTE length not a multiple of 3
+    with pytest.raises(ValueError, match="PLTE length"):
+        decode_png(build([ihdr_pal, _png_chunk(b"PLTE", b"\xff\x00"), idat_pal, iend]))
+    # palette index out of range (PLTE has 2 entries, index 2 used)
+    plte2 = _png_chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0]))
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(build([ihdr_pal, plte2, idat_pal, iend]))
+    # chunk length overruns the payload
+    over = struct.pack(">I", 1 << 20) + b"IDAT" + b"\x00" * 8
+    with pytest.raises(ValueError, match="overruns"):
+        decode_png(build([ihdr_pal, over]))
+    # IHDR wrong size
+    with pytest.raises(ValueError, match="IHDR must be 13"):
+        decode_png(build([_png_chunk(b"IHDR", b"\x00" * 5), iend]))
+    # corrupt IDAT stream
+    ihdr_rgb = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+    with pytest.raises(ValueError, match="IDAT stream corrupt"):
+        decode_png(build([ihdr_rgb, _png_chunk(b"IDAT", b"\x13\x37\x00\x00"), iend]))
+
+
 def test_png_sniff_and_feature_pipeline(spark):
     """The Spark-side plumbing runs on PNG payloads end-to-end: sniff
     reports the real header, and image_features through the Arrow

@@ -23,6 +23,11 @@ CORPUS = [
     (4, "mixed: eve@host.io from 8.8.8.8 dialed 020-7946-0958, ssn 987-65-4321"),
     (5, ""),
     (6, "edge: a@b.cc x@y.museum 1.2.3.4.5 12-34-5678 is not an ssn"),
+    # negative fixtures (ADVICE r7): generic numeric runs must survive —
+    # ISO dates/timestamps, epoch seconds, version strings, ID numbers.
+    (7, "logged 2026-08-14 12:30:45 then 2026-08-14 12 epoch 1723622400"),
+    (8, "order 4711234567890 on 14-08-2026, kernel 6.18.5 build +7"),
+    (9, None),
 ]
 
 
@@ -105,6 +110,57 @@ def test_pii_scrub_is_pure_projection(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pii_phone_does_not_scrub_dates_timestamps_ids(scrubbed_rows):
+    """ADVICE r7: the old free-form phone pattern rewrote ISO dates,
+    epoch seconds, and plain ID digit runs as <PHONE>, consistently in
+    both engines (invisible to the twin oracle). Pin that generic
+    numeric text survives the structured pattern untouched."""
+    for doc_id in (7, 8):
+        r = scrubbed_rows[doc_id]
+        assert r["scrubbed"] == CORPUS[doc_id][1], doc_id
+        assert r["pii_chars_removed"] == 0
+        for k in PII_ORDER:
+            assert r[f"n_{k}"] == 0, (doc_id, k)
+
+
+def test_pii_phone_still_catches_real_formats(spark):
+    phones = [
+        "+44 20 7946 0958",
+        "+491701234567",
+        "+1 (555) 123-4567",
+        "(555) 123-4567",
+        "555-123-4567",
+        "555.123.4567",
+        "020-7946-0958",
+    ]
+    df = spark.createDataFrame(
+        [(i, f"call {p} now") for i, p in enumerate(phones)],
+        ["doc_id", "text"],
+    )
+    rows = scrub_pii(df, "text", out_col="scrubbed").collect()
+    for r in rows:
+        assert r["scrubbed"] == "call <PHONE> now", phones[r["doc_id"]]
+        assert r["n_phone"] == 1
+
+
+def test_pii_null_text_counts_are_zero(scrubbed_rows):
+    """NULL text must yield 0 counts (not NULL — NULL vanishes from
+    downstream sums) and a NULL scrubbed string."""
+    r = scrubbed_rows[9]
+    assert r["scrubbed"] is None
+    assert r["pii_chars_removed"] == 0
+    for k in PII_ORDER:
+        assert r[f"n_{k}"] == 0, k
+
+
+def test_pii_raises_on_count_column_collision(spark):
+    df = spark.createDataFrame(
+        [(0, "hi", 3)], ["doc_id", "text", "n_email"]
+    )
+    with pytest.raises(ValueError, match="n_email"):
+        scrub_pii(df, "text", out_col="scrubbed")
 
 
 def test_pii_rejects_unknown_kind(spark):
