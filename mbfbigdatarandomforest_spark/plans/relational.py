@@ -1144,76 +1144,91 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# As-of join — for each 'error' event, the user's latest 'click' at or
-# before it (trade/quote pattern). Spark side: union + window scan (one
-# shuffle); oracle: DuckDB's native ASOF LEFT JOIN.
+# Temporal-join suite (r8 fusion, verdict item 2): as-of join and range
+# join over the same two event slices, method-tagged by a `section`
+# column — the same consolidation move that promoted suite2 in r7.
+# Fusing frees one driver-window slot without dropping either shape
+# from the hash gate.
+#
+# Section 1 (asof_latest_click): for each 'error' event, the user's
+# latest 'click' at or before it (trade/quote pattern). Spark side:
+# union + window scan (one shuffle); oracle: DuckDB's native ASOF LEFT
+# JOIN.
+# Section 2 (range_1h_pairs): (error, click) event pairs of the same
+# user within a 1-hour tolerance. Spark side: time-bucketed join (each
+# row touches ≤3 buckets); oracle: plain theta join (fine at oracle
+# scale).
+#
+# Row order is deterministic in BOTH engines despite NULL-ordering
+# differences: event_id is unique within the asof section (event_id_r
+# all NULL there, never consulted) and (event_id, event_id_r) is unique
+# and non-NULL within the range section.
 # --------------------------------------------------------------------------
 @query(
-    "events_asof_join",
+    "events_temporal_suite",
     oracle="""
-SELECT
-  e.event_id,
-  e.user_id,
-  STRFTIME(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
-  c.value AS value_asof
-FROM (SELECT * FROM events WHERE event_type = 'error') e
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-  ON e.user_id = c.user_id AND e.ts >= c.ts
-ORDER BY e.event_id
-""",
-    tags=("J-asof", "extension"),
+WITH asof_side AS (
+  SELECT
+    'asof_latest_click' AS section,
+    e.event_id AS event_id,
+    CAST(NULL AS BIGINT) AS event_id_r,
+    e.user_id AS user_id,
+    STRFTIME(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+    c.value AS value_asof
+  FROM (SELECT * FROM events WHERE event_type = 'error') e
+  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON e.user_id = c.user_id AND e.ts >= c.ts
+), range_side AS (
+  SELECT
+    'range_1h_pairs' AS section,
+    e.event_id AS event_id,
+    c.event_id AS event_id_r,
+    e.user_id AS user_id,
+    CAST(NULL AS VARCHAR) AS ts,
+    CAST(NULL AS DOUBLE) AS value_asof
+  FROM (SELECT * FROM events WHERE event_type = 'error') e
+  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON e.user_id = c.user_id
+   AND ABS(EPOCH(e.ts) - EPOCH(c.ts)) <= 3600
 )
-def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.temporal import asof_join
+SELECT * FROM asof_side
+UNION ALL SELECT * FROM range_side
+ORDER BY section, event_id, event_id_r
+""",
+    tags=("J-asof", "J-range", "extension"),
+)
+def events_temporal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import asof_join, range_join
 
     ev = _t(spark, sf_dir, "events")
     errors = ev.filter(F.col("event_type") == "error")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "value"
-    )
-    joined = asof_join(errors, clicks, ["user_id"], ts_col="ts")
-    return joined.select(
+    clicks = ev.filter(F.col("event_type") == "click")
+
+    asof = asof_join(
+        errors, clicks.select("user_id", "ts", "value"), ["user_id"], ts_col="ts"
+    ).select(
+        F.lit("asof_latest_click").alias("section"),
         "event_id",
+        F.lit(None).cast("long").alias("event_id_r"),
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
         "value_asof",
-    ).orderBy("event_id")
-
-
-# --------------------------------------------------------------------------
-# Range join — (error, click) event pairs of the same user within a
-# 1-hour tolerance. Spark side: time-bucketed join (each row touches ≤3
-# buckets); oracle: plain theta join (fine at oracle scale).
-# --------------------------------------------------------------------------
-@query(
-    "events_range_join",
-    oracle="""
-SELECT
-  e.event_id  AS event_id,
-  c.event_id  AS event_id_r,
-  e.user_id   AS user_id
-FROM (SELECT * FROM events WHERE event_type = 'error') e
-JOIN (SELECT * FROM events WHERE event_type = 'click') c
-  ON e.user_id = c.user_id
- AND ABS(EPOCH(e.ts) - EPOCH(c.ts)) <= 3600
-ORDER BY event_id, event_id_r
-""",
-    tags=("J-range", "extension"),
-)
-def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.temporal import range_join
-
-    ev = _t(spark, sf_dir, "events")
-    errors = ev.filter(F.col("event_type") == "error").select(
-        "user_id", "ts", "event_id"
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id"
+    rng = range_join(
+        errors.select("user_id", "ts", "event_id"),
+        clicks.select("user_id", "ts", "event_id"),
+        ["user_id"],
+        ts_col="ts",
+        tolerance_seconds=3600,
+    ).select(
+        F.lit("range_1h_pairs").alias("section"),
+        "event_id",
+        F.col("event_id_r"),
+        "user_id",
+        F.lit(None).cast("string").alias("ts"),
+        F.lit(None).cast("double").alias("value_asof"),
     )
-    joined = range_join(errors, clicks, ["user_id"], ts_col="ts", tolerance_seconds=3600)
-    return joined.select(
-        "event_id", F.col("event_id_r"), "user_id"
-    ).orderBy("event_id", "event_id_r")
+    return asof.unionByName(rng).orderBy("section", "event_id", "event_id_r")
 
 
 # --------------------------------------------------------------------------
@@ -1633,8 +1648,9 @@ def tpch_ansi_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Third ANSI suite (TPC-H q9/q12/q15/q20/q21 shapes on the available
 # columns) — same contract as the first two: ONE text executed verbatim
-# by both engines, decimal-sum portable amounts, rows-only in the
-# registry (window full) with an exact same-text pytest twin
+# by both engines, decimal-sum portable amounts, a value-hash gate
+# since r8 (slot freed by the events_temporal_suite fusion) with an
+# exact same-text pytest twin
 # (tests/test_tpch_correlated.py). Completes the TPC-H shape inventory
 # the first two suites left out: multi-dimension expression grouping
 # over a 4-table chain (q9), conditional counting against a joined
@@ -1718,7 +1734,16 @@ ORDER BY section, k
 """
 
 
-@query("tpch_ansi_suite3", tags=("SQL-surface", "q9", "q12", "q15", "q20", "q21"))
+@query(
+    "tpch_ansi_suite3",
+    # r8: promoted to a value-hash gate — the slot came from fusing
+    # events_asof_join + events_range_join into events_temporal_suite.
+    # Same ONE-text contract as the first two suites: the driver
+    # executes this exact SQL in DuckDB against the Spark run of the
+    # same text.
+    oracle=TPCH_ANSI_SUITE3_SQL,
+    tags=("SQL-surface", "q9", "q12", "q15", "q20", "q21"),
+)
 def tpch_ansi_suite3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.catalog import register_views
 
