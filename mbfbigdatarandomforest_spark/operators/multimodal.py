@@ -15,9 +15,11 @@ Decode support in this environment (no PIL/opencv/ffmpeg):
   0/2/3/4/6)** — REAL decoder/encoder on stdlib ``zlib`` + numpy (r7).
 - **WAV (16-bit PCM)** — REAL decoder via the stdlib ``wave`` module +
   numpy ``frombuffer``.
-- jpeg/mp4 — require native codecs; ``decode_image_stub`` raises a
-  clear error, and the deterministic fake embedding (hash-seeded PRNG)
-  keeps the Spark-side plumbing testable for those formats.
+- progressive jpeg / mp4 — require native codecs; ``decode_image_stub``
+  raises a clear error, and the deterministic fake embedding
+  (hash-seeded PRNG) keeps the Spark-side plumbing testable for those
+  formats. Baseline sequential JPEG decodes for real since r8
+  (``decode_jpeg``), as PNG has since r7.
 
 Feature kernels built on the real decoders:
 - ``image_features``: decode → fixed GRID×GRID mean-pool per channel +
@@ -267,13 +269,529 @@ def encode_png(rgb: np.ndarray, row_filters: list[int] | None = None) -> bytes:
     )
 
 
+# --------------------------------------------------------------------------
+# Baseline JPEG (ITU T.81 sequential DCT, JFIF container) — stdlib +
+# numpy only, same pattern as the r7 PNG codec. Scope: 8-bit baseline
+# (SOF0), grayscale / 4:4:4 / 4:2:0 (and any h×v ≤ 2 sampling),
+# restart markers honored. Progressive (SOF2), arithmetic coding, and
+# 12-bit remain out of scope → ValueError.
+# --------------------------------------------------------------------------
+
+#: zigzag order: _ZIGZAG[i] = raster index of the i-th zigzag element
+_ZIGZAG = np.array(
+    [
+        0,  1,  8, 16,  9,  2,  3, 10,
+       17, 24, 32, 25, 18, 11,  4,  5,
+       12, 19, 26, 33, 40, 48, 41, 34,
+       27, 20, 13,  6,  7, 14, 21, 28,
+       35, 42, 49, 56, 57, 50, 43, 36,
+       29, 22, 15, 23, 30, 37, 44, 51,
+       58, 59, 52, 45, 38, 31, 39, 46,
+       53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+#: Annex K.1 quantization tables (luminance, chrominance), raster order
+_JPEG_QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+).reshape(8, 8)
+_JPEG_QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int32,
+).reshape(8, 8)
+
+#: Annex K.3 typical Huffman tables as (bits[1..16], huffval) pairs
+_JPEG_HUFF = {
+    ("dc", 0): (
+        [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+        list(range(12)),
+    ),
+    ("dc", 1): (
+        [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+        list(range(12)),
+    ),
+    ("ac", 0): (
+        [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+        [
+            0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+            0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+            0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+            0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+            0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+            0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+            0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+            0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+            0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+            0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+            0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+            0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+            0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+            0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+            0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+            0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+            0xF9, 0xFA,
+        ],
+    ),
+    ("ac", 1): (
+        [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+        [
+            0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06,
+            0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81,
+            0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+            0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+            0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26, 0x27, 0x28,
+            0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+            0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56,
+            0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+            0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+            0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92,
+            0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+            0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+            0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+            0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+            0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+            0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+            0xF9, 0xFA,
+        ],
+    ),
+}
+
+
+def _huff_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
+    """T.81 C.2: symbol → (code, length) in canonical code order."""
+    out: dict[int, tuple[int, int]] = {}
+    code, i = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[huffval[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _idct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT basis M (M @ f @ M.T = forward DCT;
+    M.T @ F @ M = inverse)."""
+    u, x = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    m[0, :] *= 1.0 / np.sqrt(2.0)
+    return m
+
+
+_DCT_M = _idct_matrix()
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; stops at any non-RST marker."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf, self.pos = buf, pos
+        self.acc, self.nbits = 0, 0
+
+    def _fill(self) -> None:
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise ValueError("JPEG entropy stream ended at a marker")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        return v
+
+    def align_restart(self) -> None:
+        """Byte-align and consume one RSTn marker."""
+        self.acc, self.nbits = 0, 0
+        if (
+            self.buf[self.pos] == 0xFF
+            and 0xD0 <= self.buf[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise ValueError("JPEG restart marker expected")
+
+    def decode_huff(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length < 17:
+            code = (code << 1) | self.read(1)
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the s received bits to a signed value."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline sequential JFIF/JPEG → (h, w, 3) uint8 RGB.
+
+    Stdlib + numpy only (r8 — retires the jpeg half of the image stub;
+    mp4 stays honestly env-gated). Scope: 8-bit baseline DCT (SOF0),
+    1 or 3 components, sampling factors ≤ 2 (covers 4:4:4, 4:2:2,
+    4:2:0), DRI/RSTn honored. Huffman + dequant + exact float64 IDCT +
+    nearest-neighbor chroma upsample + BT.601 YCbCr→RGB. Grayscale is
+    broadcast to RGB, matching ``decode_png``'s gray handling.
+    Progressive / arithmetic / 12-bit → ValueError."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[str, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (h, w, [(comp_id, hs, vs, tq)])
+    restart_interval = 0
+    scan = None
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at byte {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        if pos + 2 + seg_len > n:
+            raise ValueError(
+                f"JPEG segment 0x{marker:02x} length {seg_len} overruns payload"
+            )
+        data = payload[pos + 4 : pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 15
+                if pq != 0:
+                    raise ValueError("only 8-bit JPEG quant tables supported")
+                tbl = np.zeros(64, np.int32)
+                tbl[_ZIGZAG] = np.frombuffer(data, np.uint8, 64, i + 1)
+                quant[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 15
+                bits = list(data[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(data[i + 17 : i + 17 + nv])
+                codes = _huff_codes(bits, vals)
+                huff[("dc" if tc == 0 else "ac", th)] = {
+                    (ln, code): sym for sym, (code, ln) in codes.items()
+                }
+                i += 17 + nv
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"only baseline sequential JPEG (SOF0) supported, got SOF "
+                f"marker 0x{marker:02x}"
+            )
+        elif marker == 0xC0:  # SOF0
+            precision = data[0]
+            if precision != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            fh = int.from_bytes(data[1:3], "big")
+            fw = int.from_bytes(data[3:5], "big")
+            ncomp = data[5]
+            if ncomp not in (1, 3):
+                raise ValueError("only 1- or 3-component JPEG supported")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = data[6 + 3 * c], data[7 + 3 * c], data[8 + 3 * c]
+                hs, vs = hv >> 4, hv & 15
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                    raise ValueError("JPEG sampling factors must be 1 or 2")
+                comps.append((cid, hs, vs, tq))
+            frame = (fh, fw, comps)
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(data[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = data[0]
+            sel = {}
+            for c in range(ns):
+                cid, tt = data[1 + 2 * c], data[2 + 2 * c]
+                sel[cid] = (tt >> 4, tt & 15)
+            scan = (sel, pos)
+            break
+        # APPn / COM / others: skipped
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    fh, fw, comps = frame
+    if fh == 0 or fw == 0:
+        raise ValueError("JPEG has zero dimensions")
+    sel, data_pos = scan
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    reader = _JpegBitReader(payload, data_pos)
+    planes = []
+    for _, hs, vs, _ in comps:
+        planes.append(np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), np.float64))
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.align_restart()
+                preds = [0] * len(comps)
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                if tq not in quant:
+                    raise ValueError(f"JPEG quant table {tq} missing")
+                dc_t, ac_t = sel[cid]
+                dc_table = huff.get(("dc", dc_t))
+                ac_table = huff.get(("ac", ac_t))
+                if dc_table is None or ac_table is None:
+                    raise ValueError("JPEG Huffman table missing")
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = np.zeros(64, np.float64)
+                        s = reader.decode_huff(dc_table)
+                        diff = _extend(reader.read(s), s) if s else 0
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_huff(ac_table)
+                            r, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflows block")
+                            zz[k] = _extend(reader.read(size), size)
+                            k += 1
+                        coeff = np.zeros(64, np.float64)
+                        coeff[_ZIGZAG] = zz
+                        block = coeff.reshape(8, 8) * quant[tq]
+                        pix = _DCT_M.T @ block @ _DCT_M + 128.0
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+            mcu_count += 1
+    # upsample to full resolution and trim
+    full = []
+    for ci, (_, hs, vs, _) in enumerate(comps):
+        p = planes[ci]
+        if hs < hmax:
+            p = np.repeat(p, hmax // hs, axis=1)
+        if vs < vmax:
+            p = np.repeat(p, vmax // vs, axis=0)
+        full.append(p[:fh, :fw])
+    if len(full) == 1:
+        g = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc, self.nbits = 0, 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _jpeg_scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling of an Annex K table (quality 1..100)."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    tbl = (base * scale + 50) // 100
+    return np.clip(tbl, 1, 255).astype(np.int32)
+
+
+def encode_jpeg(
+    rgb: np.ndarray, quality: int = 90, subsample: bool = False,
+    gray: bool = False,
+) -> bytes:
+    """Encode (h, w, 3) uint8 RGB → baseline JFIF bytes — the fixture
+    generator for ``decode_jpeg`` (same role ``encode_png`` plays for
+    the PNG decoder; quality/subsample exercise the dequant and 4:2:0
+    paths, ``gray`` the 1-component path). Annex K quant (IJG quality
+    scaling) + typical Huffman tables; 4:4:4 by default,
+    ``subsample=True`` emits 4:2:0 with 2×2 chroma averaging."""
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8).astype(np.float64)
+    h, w, _ = rgb.shape
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    ql = _jpeg_scaled_quant(_JPEG_QUANT_LUMA, quality)
+    qc = _jpeg_scaled_quant(_JPEG_QUANT_CHROMA, quality)
+    enc_tabs = {k: _huff_codes(*v) for k, v in _JPEG_HUFF.items()}
+
+    if gray:
+        comp_planes = [(y, 1, 1, 0)]
+    elif subsample:
+        ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+        cb_p = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+        cr_p = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+        cb_s = cb_p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr_s = cr_p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        comp_planes = [(y, 2, 2, 0), (cb_s, 1, 1, 1), (cr_s, 1, 1, 1)]
+    else:
+        comp_planes = [(y, 1, 1, 0), (cb, 1, 1, 1), (cr, 1, 1, 1)]
+    hmax = max(c[1] for c in comp_planes)
+    vmax = max(c[2] for c in comp_planes)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    padded = []
+    for plane, hs, vs, tq in comp_planes:
+        th, tw = mcus_y * vs * 8, mcus_x * hs * 8
+        p = np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        )
+        padded.append((p, hs, vs, tq))
+
+    def _bitlen(v: int) -> int:
+        return int(v).bit_length()
+
+    writer = _JpegBitWriter()
+    preds = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (p, hs, vs, tq) in enumerate(padded):
+                qt = ql if tq == 0 else qc
+                dc_tab = enc_tabs[("dc", tq)]
+                ac_tab = enc_tabs[("ac", tq)]
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0, x0 = (my * vs + by) * 8, (mx * hs + bx) * 8
+                        block = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coeff = _DCT_M @ block @ _DCT_M.T
+                        qz = np.rint(coeff / qt).astype(np.int64)
+                        zz = qz.reshape(-1)[_ZIGZAG]
+                        diff = int(zz[0]) - preds[ci]
+                        preds[ci] = int(zz[0])
+                        s = _bitlen(abs(diff))
+                        code, ln = dc_tab[s]
+                        writer.write(code, ln)
+                        if s:
+                            writer.write(
+                                diff if diff > 0 else diff + (1 << s) - 1, s
+                            )
+                        run = 0
+                        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+                        for k in range(1, 64):
+                            v = int(zz[k])
+                            if k > last_nz:
+                                break
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = ac_tab[0xF0]
+                                writer.write(code, ln)
+                                run -= 16
+                            s = _bitlen(abs(v))
+                            code, ln = ac_tab[(run << 4) | s]
+                            writer.write(code, ln)
+                            writer.write(v if v > 0 else v + (1 << s) - 1, s)
+                            run = 0
+                        if last_nz < 63:
+                            code, ln = ac_tab[0x00]  # EOB
+                            writer.write(code, ln)
+    writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    used_tq = {tq for _, _, _, tq in padded}
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, qt in ((0, ql), (1, qc)):
+        if tq in used_tq:
+            out += seg(
+                0xDB, bytes([tq]) + bytes(qt.reshape(-1)[_ZIGZAG].astype(np.uint8))
+            )
+    sof = (
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([len(padded)])
+    )
+    for cid, (_, hs, vs, tq) in enumerate(padded, start=1):
+        sof += bytes([cid, (hs << 4) | vs, tq])
+    out += seg(0xC0, sof)
+    for (kind, th), (bits, vals) in _JPEG_HUFF.items():
+        if th in used_tq:
+            tc = 0 if kind == "dc" else 1
+            out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    sos = bytes([len(padded)])
+    for cid, (_, _, _, tq) in enumerate(padded, start=1):
+        sos += bytes([cid, (tq << 4) | tq])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Route a binary image payload to its real decoder (BMP or PNG)."""
+    """Route a binary image payload to its real decoder (BMP, PNG, or
+    baseline JPEG)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
-    raise ValueError("unsupported image container (BMP and PNG decode natively)")
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
+    raise ValueError(
+        "unsupported image container (BMP, PNG and baseline JPEG decode natively)"
+    )
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -368,6 +886,20 @@ def sniff_media_meta(payload: bytes) -> tuple[str, int, int, int, int]:
         # IHDR is always the first chunk: width/height at offsets 16/20
         width, height = struct.unpack_from(">II", payload, 16)
         return ("png", int(width), int(height), 1, 0)
+    if payload[:2] == b"\xff\xd8":
+        # walk segments to the first SOFn for dimensions
+        pos = 2
+        while pos + 9 <= len(payload) and payload[pos] == 0xFF:
+            marker = payload[pos + 1]
+            if marker in (0xD9, 0xDA):
+                break
+            seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                fh = int.from_bytes(payload[pos + 5 : pos + 7], "big")
+                fw = int.from_bytes(payload[pos + 7 : pos + 9], "big")
+                return ("jpeg", fw, fh, 1, 0)
+            pos += 2 + seg_len
+        return ("jpeg", 0, 0, 1, 0)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         try:
             with wave.open(io.BytesIO(payload), "rb") as w:
@@ -526,12 +1058,14 @@ def extract_features(
 
 
 def decode_image_stub(payload: bytes) -> list[float]:  # pragma: no cover
-    """Placeholder for the remaining compressed-image decoder (jpeg
-    needs PIL/opencv, absent in this container). BMP and PNG decode for
-    real — see ``decode_image`` / ``image_features``."""
+    """Placeholder for image formats beyond the native codecs (BMP,
+    PNG, baseline JPEG all decode for real — see ``decode_image`` /
+    ``image_features``). Remaining gaps: progressive JPEG, WebP, ...,
+    which need libjpeg-turbo/PIL, absent in this container."""
     raise NotImplementedError(
-        "jpeg decoding requires PIL/opencv; BMP and PNG are supported "
-        "natively (decode=image_features), or pass decode=<kernel>"
+        "progressive-JPEG/WebP decoding requires PIL/opencv; BMP, PNG and "
+        "baseline JPEG are supported natively (decode=image_features), or "
+        "pass decode=<kernel>"
     )
 
 

@@ -191,6 +191,33 @@ def _sq_dists(x, cent, c_sq=None):
     return (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cent.T) + c_sq[None, :]
 
 
+#: Size-keyed IVF sizing (round-8; the BROADCAST_GRAM_ROWS_MAX
+#: precedent): when a caller does not pin ``n_clusters``, pick
+#: ceil(n / ANN_TARGET_CELL_ROWS) cells clamped to [MIN, MAX]. The
+#: cell-local verify is O(cell²) work per cell — a FIXED cluster count
+#: grows verify cost quadratically with the corpus (measured: the 40×
+#: probe in SCALE.md §14), while a fixed TARGET CELL SIZE keeps
+#: per-cell work constant and total work linear. The MIN floor keeps
+#: every ≤16k-row corpus (all test/oracle scales) on exactly the
+#: legacy k=16, so auto mode is behavior-identical where the hash
+#: gates run.
+ANN_TARGET_CELL_ROWS = 1024
+ANN_MIN_CLUSTERS = 16
+ANN_MAX_CLUSTERS = 4096
+
+
+def _auto_n_clusters(corpus: DataFrame, n_clusters: int | None) -> int:
+    if n_clusters is not None:
+        return n_clusters
+    import math
+
+    n = corpus.count()
+    return max(
+        ANN_MIN_CLUSTERS,
+        min(ANN_MAX_CLUSTERS, math.ceil(n / ANN_TARGET_CELL_ROWS)),
+    )
+
+
 def _fit_centroids_sampled(
     corpus: DataFrame,
     *,
@@ -257,7 +284,7 @@ def _fit_centroids_sampled(
 def ann_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     n_probe: int = 6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -286,7 +313,8 @@ def ann_dup_pairs(
     import pandas as pd
 
     centroids = _fit_centroids_sampled(
-        corpus, vec_col=vec_col, id_col=id_col, k=n_clusters,
+        corpus, vec_col=vec_col, id_col=id_col,
+        k=_auto_n_clusters(corpus, n_clusters),
         seed=seed, max_iter=kmeans_max_iter,
     )
     k = centroids.shape[0]
@@ -381,7 +409,7 @@ def semantic_dedup(
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     n_probe: int = 6,
     seed: int = 42,
     kmeans_max_iter: int = 20,
@@ -417,7 +445,7 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     n_probe: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -436,7 +464,8 @@ def ivf_topk(
     import pandas as pd
 
     cent = _fit_centroids_sampled(
-        corpus, vec_col=vec_col, id_col=id_col, k=n_clusters,
+        corpus, vec_col=vec_col, id_col=id_col,
+        k=_auto_n_clusters(corpus, n_clusters),
         seed=seed, max_iter=20,
     )
 

@@ -427,3 +427,104 @@ def test_png_sniff_and_feature_pipeline(spark):
     direct = image_features(png)
     assert np.allclose(got[0], direct)
     assert np.allclose(got[0], got[1])  # same pixels, either container
+
+
+def test_jpeg_roundtrip_quality_ladder():
+    """decode(encode(img)) stays within quantization tolerance across
+    quality levels and odd (non-multiple-of-8/16) dimensions; the IDCT
+    basis is orthonormal so q=100 on noise is near-exact."""
+    from mbfbigdatarandomforest_spark.operators.multimodal import (
+        _DCT_M,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    assert np.allclose(_DCT_M @ _DCT_M.T, np.eye(8), atol=1e-12)
+    h, w = 24, 33
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    img = np.stack(
+        [
+            xx * 255 / (w - 1),
+            yy * 255 / (h - 1),
+            (xx + yy) * 255 / (w + h - 2),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    for q, sub, tol in ((95, False, 6), (90, True, 12), (50, False, 20)):
+        out = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= tol, (q, sub)
+    rng = np.random.default_rng(7)
+    noisy = rng.integers(0, 256, size=(17, 19, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(noisy, quality=100))
+    assert np.abs(out.astype(int) - noisy.astype(int)).max() <= 2
+
+
+def test_jpeg_grayscale_single_component():
+    """1-component JPEG broadcasts gray to RGB, matching decode_png's
+    gray handling."""
+    from mbfbigdatarandomforest_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    g = np.linspace(0, 255, 16 * 11).reshape(16, 11).astype(np.uint8)
+    img = np.repeat(g[:, :, None], 3, axis=2)
+    out = decode_jpeg(encode_jpeg(img, quality=95, gray=True))
+    assert out.shape == (16, 11, 3)
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+    assert np.array_equal(out[:, :, 0], out[:, :, 2])
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 4
+
+
+def test_jpeg_rejects_unsupported_and_malformed():
+    from mbfbigdatarandomforest_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"BM000000")
+    img = np.zeros((8, 8, 3), np.uint8)
+    good = bytearray(encode_jpeg(img))
+    # flip SOF0 (0xFFC0) to progressive SOF2 (0xFFC2)
+    sof = good.find(b"\xff\xc0")
+    prog = good[:sof] + b"\xff\xc2" + good[sof + 2 :]
+    with pytest.raises(ValueError, match="SOF0"):
+        decode_jpeg(bytes(prog))
+    # truncated segment: chop inside the huffman tables
+    dht = good.find(b"\xff\xc4")
+    with pytest.raises(ValueError, match="overruns|missing SOF0/SOS"):
+        decode_jpeg(bytes(good[: dht + 6]))
+
+
+def test_jpeg_sniff_and_container_equivalence(spark):
+    """sniff reports real SOF dimensions, and a JPEG payload flows
+    through the Arrow extract_features path alongside BMP/PNG of the
+    same pixels with near-equal features (JPEG is lossy — tolerance,
+    where PNG/BMP assert exact equality)."""
+    from mbfbigdatarandomforest_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_png,
+        sniff_media_meta,
+    )
+
+    h, w = 16, 9
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    img = np.stack(
+        [xx * 20, yy * 12, xx * 10 + yy * 6], axis=2
+    ).astype(np.uint8)
+    jpg = encode_jpeg(img, quality=95)
+    assert sniff_media_meta(jpg) == ("jpeg", w, h, 1, 0)
+
+    df = spark.createDataFrame(
+        [(0, jpg), (1, encode_bmp(img)), (2, encode_png(img))],
+        "id long, payload binary",
+    )
+    got = {
+        r["id"]: np.array(r["features"])
+        for r in extract_features(df, decode=image_features, n_rows=3).collect()
+    }
+    assert np.allclose(got[1], got[2])  # lossless twins exact
+    # lossy twin: mean-pooled features move by at most a few gray levels
+    assert np.abs(got[0] - got[1]).max() <= 4.0 / 255.0

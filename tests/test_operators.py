@@ -239,6 +239,28 @@ def test_ann_dup_pairs_equal_exact(spark):
     assert ann == exact  # oracle-parity guard (stronger than recall)
 
 
+def test_auto_n_clusters_size_keyed(spark, monkeypatch):
+    """r8: unset n_clusters resolves from corpus size — constant target
+    cell size keeps the O(cell²) verify linear in the corpus (the 40×
+    probe measured a fixed cluster count going quadratic, SCALE.md §14).
+    The MIN floor keeps every test/oracle-scale corpus on the legacy
+    k=16 exactly, so auto mode cannot shift a hash gate."""
+    from mbfbigdatarandomforest_spark.operators import similarity as sim
+
+    df = spark.range(100).select(F.col("id").alias("vec_id"))
+    # explicit passthrough
+    assert sim._auto_n_clusters(df, 7) == 7
+    # small corpus → the floor (legacy test-scale behavior)
+    assert sim._auto_n_clusters(df, None) == sim.ANN_MIN_CLUSTERS
+    # above the floor: ceil(n / target), clamped to MAX
+    monkeypatch.setattr(sim, "ANN_TARGET_CELL_ROWS", 30)
+    assert sim._auto_n_clusters(df, None) == 16  # ceil(100/30)=4 < floor
+    monkeypatch.setattr(sim, "ANN_TARGET_CELL_ROWS", 3)
+    assert sim._auto_n_clusters(df, None) == 34  # ceil(100/3)
+    monkeypatch.setattr(sim, "ANN_MAX_CLUSTERS", 20)
+    assert sim._auto_n_clusters(df, None) == 20  # clamped
+
+
 def test_semantic_dedup_matches_brute_force(spark):
     """semantic_dedup's keep list must equal the exact construction:
     all-pairs cosine >= t, union-find transitive closure, min-id kept
