@@ -85,6 +85,7 @@ class CorpusSpec:
             "contaminated": 0.03,
             "exact_dup": 0.03,
             "near_dup": 0.03,
+            "pii": 0.03,
         }
     )
     n_benchmark: int = 50
@@ -205,6 +206,54 @@ def generate(spec: CorpusSpec | None = None) -> tuple[list[dict], list[dict]]:
         span = bench_toks[start : start + 30]
         pos = int(rng.integers(0, len(base)))
         add("contaminated", " ".join(base[:pos] + span + base[pos:]))
+    # pii: natural prose with KNOWN counts of each identifier kind
+    # injected at random token positions — the ground truth for the
+    # scrub's recovery precision/recall (r8 verdict item 5). The
+    # formats cover every alternation of operators/pii.PII_PATTERNS;
+    # counts ride the row as want_n_<kind> (named so they can never
+    # collide with scrub_pii's own n_<kind> outputs, which raise on
+    # collision). Every other class carries zeros — natural text has no
+    # PII-shaped runs by construction, so a nonzero count on a non-pii
+    # doc at probe scale is a false positive, the over-match defect
+    # class ADVICE r7 flagged.
+    def _pii_items(n_each: int) -> dict[str, list[str]]:
+        def word() -> str:
+            return vocab[int(rng.integers(len(vocab)))]
+
+        def d(lo: int, hi: int) -> int:
+            return int(rng.integers(lo, hi))
+
+        phones = [
+            lambda: f"{d(200, 999)}-{d(200, 999)}-{d(1000, 9999)}",
+            lambda: f"({d(200, 999)}) {d(200, 999)}-{d(1000, 9999)}",
+            lambda: f"+{d(1, 99)} {d(20, 99)} {d(1000, 9999)} {d(1000, 9999)}",
+            lambda: f"+{d(10 ** 9, 10 ** 10)}",
+            lambda: f"{d(100, 999)}.{d(100, 999)}.{d(1000, 9999)}",
+        ]
+        return {
+            "email": [f"{word()}.{word()}@{word()}.com" for _ in range(n_each)],
+            "ssn": [
+                f"{d(100, 999)}-{d(10, 99)}-{d(1000, 9999)}"
+                for _ in range(n_each)
+            ],
+            "ipv4": [
+                f"{d(1, 255)}.{d(0, 255)}.{d(0, 255)}.{d(1, 255)}"
+                for _ in range(n_each)
+            ],
+            "phone": [
+                phones[int(rng.integers(len(phones)))]() for _ in range(n_each)
+            ],
+        }
+
+    for _ in range(counts.get("pii", 0)):
+        toks = _natural_tokens(rng, vocab, p, doc_len())
+        truth: dict[str, int] = {}
+        for kind, items in _pii_items(int(rng.integers(1, 4))).items():
+            truth[f"want_n_{kind}"] = len(items)
+            for item in items:
+                toks.insert(int(rng.integers(len(toks) + 1)), item)
+        add("pii", _render(toks))
+        rows[-1].update(truth)
     for _ in range(counts["exact_dup"]):
         src = int(rng.integers(len(naturals)))
         add("exact_dup", naturals[src], dup_of=f"doc{src:05d}")
@@ -216,4 +265,6 @@ def generate(spec: CorpusSpec | None = None) -> tuple[list[dict], list[dict]]:
         add("near_dup", " ".join(toks), dup_of=f"doc{src:05d}")
     for r in rows:
         r.setdefault("dup_of", None)
+        for kind in ("email", "ssn", "ipv4", "phone"):
+            r.setdefault(f"want_n_{kind}", 0)
     return rows, benchmark

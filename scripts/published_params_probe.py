@@ -31,7 +31,10 @@ from mbfbigdatarandomforest_spark.sources.realistic_corpus import (  # noqa: E40
     generate,
 )
 
-SCHEMA = "doc_id string, kind string, lang string, text string, dup_of string"
+SCHEMA = (
+    "doc_id string, kind string, lang string, text string, dup_of string, "
+    "want_n_email int, want_n_ssn int, want_n_ipv4 int, want_n_phone int"
+)
 
 
 def main() -> None:
@@ -91,6 +94,34 @@ def main() -> None:
     )
     report["lm5_wall_sec"] = round(time.time() - t0, 2)
     lm.unpersist()
+
+    # PII scrub recovery (r8 verdict item 5): the generator plants
+    # known counts of every identifier kind in the 'pii' class and
+    # zeros everywhere else; recall = recovered/planted, precision =
+    # recovered/claimed, per kind, over the WHOLE corpus — so a
+    # date/ID over-match anywhere (the ADVICE r7 defect) costs
+    # precision, and a missed injected format costs recall.
+    from mbfbigdatarandomforest_spark.operators.pii import PII_ORDER, scrub_pii
+
+    t0 = time.time()
+    scrubbed = scrub_pii(corpus, "text", out_col="scrubbed")
+    agg = scrubbed.agg(
+        *[
+            F.sum(F.least(F.col(f"n_{k}"), F.col(f"want_n_{k}"))).alias(f"hit_{k}")
+            for k in PII_ORDER
+        ],
+        *[F.sum(f"n_{k}").alias(f"got_{k}") for k in PII_ORDER],
+        *[F.sum(f"want_n_{k}").alias(f"want_{k}") for k in PII_ORDER],
+    ).collect()[0]
+    report["pii_recovery"] = {
+        k: {
+            "recall": round(agg[f"hit_{k}"] / max(agg[f"want_{k}"], 1), 4),
+            "precision": round(agg[f"hit_{k}"] / max(agg[f"got_{k}"], 1), 4),
+            "planted": int(agg[f"want_{k}"]),
+        }
+        for k in PII_ORDER
+    }
+    report["pii_wall_sec"] = round(time.time() - t0, 2)
 
     print(json.dumps(report))
     spark.stop()

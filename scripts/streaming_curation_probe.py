@@ -6,14 +6,18 @@ a crawl-dump tree that grows in waves, and records per-trigger
 throughput (docs/s) and dedup state-store size from the query's own
 progress objects.
 
-Usage: python scripts/streaming_curation_probe.py [docs_per_wave] [waves] [clean]
+Usage: python scripts/streaming_curation_probe.py [docs_per_wave] [waves] [clean|archive]
 Defaults: 2000 docs/wave, 3 waves. Each wave re-emits ~10% duplicates
 of earlier waves (cross-trigger state work) and carries the realistic
-corpus's contaminated docs (decontamination work). Pass ``clean`` as
-the third arg to enable ``cleanSource=delete`` on the file source —
-the listing-boundedness fix (SCALE.md §13): processed files leave the
-watched tree after their batch commits, so per-trigger listing cost
-stays O(new files) instead of O(all files ever).
+corpus's contaminated docs (decontamination work). The third arg picks
+the listing-boundedness posture (SCALE.md §13): ``clean`` enables
+``cleanSource=delete`` (processed files leave the watched tree after
+their batch commits — per-trigger listing cost stays O(new files)
+instead of O(all files ever)); ``archive`` enables
+``cleanSource=archive`` + ``sourceArchiveDir`` — the PRODUCTION
+posture (the raw dump stays replayable), which pays one rename per
+processed file per trigger (a copy on object stores) — this probe
+measures that delta (r8 verdict item 3).
 """
 
 from __future__ import annotations
@@ -40,7 +44,9 @@ from mbfbigdatarandomforest_spark.streaming.curation import (  # noqa: E402
 def main() -> None:
     docs_per_wave = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     waves = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    clean = len(sys.argv) > 3 and sys.argv[3] == "clean"
+    mode = sys.argv[3] if len(sys.argv) > 3 else "append"
+    if mode not in ("append", "clean", "archive"):
+        raise SystemExit(f"unknown mode {mode!r}: append|clean|archive")
     rows, bench = generate(CorpusSpec(n_docs=docs_per_wave * waves, seed=11))
 
     spark = get_spark(app_name="streaming-curation-probe")
@@ -53,6 +59,15 @@ def main() -> None:
     work = Path(tempfile.mkdtemp(prefix="curation_probe_"))
     dump, out, ckpt = work / "dump", work / "out", work / "ckpt"
     (dump / "web").mkdir(parents=True)
+    archive = work / "archive"
+    source_options = None
+    if mode == "clean":
+        source_options = {"cleanSource": "delete"}
+    elif mode == "archive":
+        source_options = {
+            "cleanSource": "archive",
+            "sourceArchiveDir": str(archive),
+        }
 
     q = start_curation_stream(
         spark,
@@ -63,12 +78,12 @@ def main() -> None:
         watermark="1 hour",
         n=13,
         query_name="curation_probe",
-        source_options={"cleanSource": "delete"} if clean else None,
+        source_options=source_options,
     )
     report: dict = {
         "docs_per_wave": docs_per_wave,
         "waves": waves,
-        "clean_source": clean,
+        "mode": mode,
         "triggers": [],
     }
     seen_batches: set[int] = set()
@@ -108,6 +123,9 @@ def main() -> None:
     curated = spark.read.parquet(str(out))
     report["curated_docs"] = curated.count()
     report["input_docs"] = docs_per_wave * waves
+    if mode == "archive":
+        report["archived_files"] = sum(1 for _ in archive.rglob("*.txt"))
+        report["remaining_in_dump"] = sum(1 for _ in dump.rglob("*.txt"))
     print(json.dumps(report))
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()

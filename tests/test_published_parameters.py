@@ -39,7 +39,10 @@ from mbfbigdatarandomforest_spark.sources.realistic_corpus import (
 )
 
 SPEC = CorpusSpec(n_docs=1200, seed=7)
-SCHEMA = "doc_id string, kind string, lang string, text string, dup_of string"
+SCHEMA = (
+    "doc_id string, kind string, lang string, text string, dup_of string, "
+    "want_n_email int, want_n_ssn int, want_n_ipv4 int, want_n_phone int"
+)
 
 
 @pytest.fixture(scope="module")
@@ -268,3 +271,27 @@ def test_funnel_composition_at_published_parameters(spark, corpus, bench_docs):
     n_nat_surv = e3.filter(s4 & (F.col("kind") == "natural")).count()
     assert n_nat_surv / n_nat >= 0.5, (n_nat_surv, n_nat)
     assert manifest.select(F.count_distinct("block_id")).first()[0] > 0
+
+
+def test_pii_scrub_recovers_injected_identifiers(corpus):
+    """r8 item 5: the generator plants known counts of every PII kind
+    in the 'pii' class and zeros elsewhere. Per-kind recovery must be
+    EXACT per doc (the formats cover every pattern alternation), and
+    every non-pii class must come back untouched — natural prose,
+    numeric docs, dates and ID runs are the precision side of the
+    ADVICE-r7 over-match defect."""
+    from mbfbigdatarandomforest_spark.operators.pii import PII_ORDER, scrub_pii
+
+    scrubbed = scrub_pii(corpus, "text", out_col="scrubbed")
+    bad = scrubbed.filter(
+        " OR ".join(f"n_{k} != want_n_{k}" for k in PII_ORDER)
+    )
+    assert bad.count() == 0, bad.select(
+        "doc_id", "kind", *[c for k in PII_ORDER for c in (f"n_{k}", f"want_n_{k}")]
+    ).limit(5).collect()
+    untouched = scrubbed.filter(
+        (F.col("kind") != "pii") & (F.col("pii_chars_removed") > 0)
+    )
+    assert untouched.count() == 0
+    n_pii = scrubbed.filter(F.col("kind") == "pii").count()
+    assert n_pii == int(round(SPEC.shares["pii"] * SPEC.n_docs))
