@@ -1654,7 +1654,9 @@ def tpch_ansi_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tests/test_tpch_correlated.py). Completes the TPC-H shape inventory
 # the first two suites left out: multi-dimension expression grouping
 # over a 4-table chain (q9), conditional counting against a joined
-# date predicate (q12), max-of-aggregate scalar subquery over a CTE
+# date predicate (q12), HAVING against a scalar-subquery fraction of
+# a global sum (q11 — added r8, completing all 22 TPC-H shapes across
+# the three suites), max-of-aggregate scalar subquery over a CTE
 # (q15), semijoin through a HAVING aggregate (q20), and the hardest
 # decorrelation shape in the benchmark — EXISTS + NOT EXISTS both
 # correlated on (orderkey, suppkey<>suppkey) against the fact table
@@ -1706,6 +1708,13 @@ WITH s9 AS (
     HAVING SUM(l_quantity) > 300
   )
   GROUP BY n_name
+), s11 AS (
+  SELECT 'q11_value_concentration' AS section, n_name AS k, COUNT(*) AS n,
+         CAST(SUM(CAST(s_acctbal AS DECIMAL(28,8))) AS DOUBLE) AS amount
+  FROM supplier s JOIN nation nt ON s.s_nationkey = nt.n_nationkey
+  GROUP BY n_name
+  HAVING SUM(CAST(s_acctbal AS DECIMAL(28,8))) >
+    (SELECT SUM(CAST(s_acctbal AS DECIMAL(28,8))) * 0.04 FROM supplier)
 ), s21 AS (
   SELECT 'q21_waiting_supplier' AS section, s_name AS k, COUNT(*) AS n,
          CAST(NULL AS DOUBLE) AS amount
@@ -1726,6 +1735,7 @@ WITH s9 AS (
   GROUP BY s_name
 )
 SELECT * FROM s9
+UNION ALL SELECT * FROM s11
 UNION ALL SELECT * FROM s12
 UNION ALL SELECT * FROM s15
 UNION ALL SELECT * FROM s20
@@ -1742,7 +1752,7 @@ ORDER BY section, k
     # executes this exact SQL in DuckDB against the Spark run of the
     # same text.
     oracle=TPCH_ANSI_SUITE3_SQL,
-    tags=("SQL-surface", "q9", "q12", "q15", "q20", "q21"),
+    tags=("SQL-surface", "q9", "q11", "q12", "q15", "q20", "q21"),
 )
 def tpch_ansi_suite3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.catalog import register_views

@@ -70,6 +70,7 @@ def test_ansi_suite3_same_text_both_engines_exact(spark, duck):
     sections = {g[0] for g in got}
     assert sections == {
         "q9_profit_nation_year",
+        "q11_value_concentration",
         "q12_priority_by_linestatus",
         "q15_top_supplier",
         "q20_bulk_suppliers",
