@@ -267,6 +267,11 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parameters) — so the registered probe count is generous; recall
     # is exactly 1.0 at both oracle scales and session-independent
     # (fixed internal partitioning; pytest guards equality).
+    # The pinned n_clusters=16 is the ORACLE config, right for ≤16k-row
+    # corpora only: the r8 40× probe measured it quadratic (SCALE.md
+    # §14). Production callers omit n_clusters — it then auto-sizes to
+    # a constant target cell size (similarity._auto_n_clusters), which
+    # the probe measured linear.
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.ann_dup_pairs(
         emb, threshold=0.4, n_clusters=16, n_probe=14, kmeans_max_iter=8
