@@ -528,3 +528,39 @@ def test_jpeg_sniff_and_container_equivalence(spark):
     assert np.allclose(got[1], got[2])  # lossless twins exact
     # lossy twin: mean-pooled features move by at most a few gray levels
     assert np.abs(got[0] - got[1]).max() <= 4.0 / 255.0
+
+
+def test_jpeg_decodes_real_world_files_when_available():
+    """Independent-encoder evidence: the roundtrip tests share the
+    encoder's conventions, so a symmetric bug (e.g. a mirrored zigzag
+    on both sides) would cancel there. Real libjpeg-encoded files on
+    this host cannot share such a bug. Skips where none exist."""
+    import os
+
+    from mbfbigdatarandomforest_spark.operators.multimodal import (
+        decode_jpeg,
+        sniff_media_meta,
+    )
+
+    candidates = [
+        "/usr/lib/google-cloud-sdk/platform/gsutil/third_party/requests/ext/flower-of-life.jpg",
+        "/usr/lib/google-cloud-sdk/platform/gsutil/third_party/pyparsing/docs/_static/pyparsingClassDiagram_1.5.2.jpg",
+    ]
+    found = [p for p in candidates if os.path.exists(p)]
+    if not found:
+        pytest.skip("no third-party baseline JPEGs on this host")
+    decoded = 0
+    for p in found:
+        payload = open(p, "rb").read()
+        fmt, w, h, _, _ = sniff_media_meta(payload)
+        assert fmt == "jpeg" and w > 0 and h > 0
+        try:
+            img = decode_jpeg(payload)
+        except ValueError as e:
+            assert "SOF0" in str(e)  # progressive is out of scope, loudly
+            continue
+        assert img.shape == (h, w, 3) and img.dtype == np.uint8
+        assert img.std() > 0  # a real picture, not a constant field
+        decoded += 1
+    if found and not decoded:
+        pytest.skip("only progressive JPEGs on this host")
