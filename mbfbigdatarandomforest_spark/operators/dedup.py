@@ -101,13 +101,25 @@ def token_shingles(col, n: int = 3):
     return _shingles_from_tokens(_tokens(col), n)
 
 
+#: Default inverted-index doc-freq cap for ``ngram_jaccard_pairs``.
+#: The r8 40× probe OOM'd the 128 GB JVM on the UNCAPPED index: the
+#: replicated corpus held boilerplate-grade shingles in ~12 k docs each
+#: (Σ df² = 4.8 G candidate join pairs at just 50 k docs). At 256 the
+#: same corpus's candidate volume is 26 M (measured, SCALE.md §14),
+#: while every driver-gate scale (max df: 7 at sf0.01, 25 at sf0.1)
+#: sits far below the cap — capped and uncapped results are identical
+#: where the oracle hash runs. Pass ``max_doc_freq=None`` explicitly
+#: for the unguarded exact index.
+NGRAM_MAX_DOC_FREQ = 256
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = NGRAM_MAX_DOC_FREQ,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle.
 
@@ -116,16 +128,19 @@ def ngram_jaccard_pairs(
     shingles per pair → Jaccard = shared / (|A| + |B| - shared).
     Quadratic only within a shingle bucket.
 
-    ``max_doc_freq`` is the 100 TB guardrail: shingles occurring in
-    more than that many documents (stopword shingles — each costs
-    O(doc_freq²) join pairs) are dropped from the INVERTED INDEX only,
-    and surviving candidate pairs are re-verified on their full shingle
-    sets, so every emitted jaccard value stays exact. The only
+    ``max_doc_freq`` is the 100 TB guardrail, ON BY DEFAULT since r8
+    (the beyond-SF probe measured the uncapped index OOM a 128 GB heap
+    at 50 k docs — see ``NGRAM_MAX_DOC_FREQ``): shingles occurring in
+    more than that many documents (stopword/boilerplate shingles — each
+    costs O(doc_freq²) join pairs) are dropped from the INVERTED INDEX
+    only, and surviving candidate pairs are re-verified on their full
+    shingle sets, so every emitted jaccard value stays exact. The only
     approximation is recall: a pair whose shared shingles are ALL
     ultra-common is missed — at dedup-grade thresholds such pairs are
     overwhelmingly boilerplate, and the cap is what makes the index
     buildable at web scale (cf. the band-bucket bound in
-    ``banded_minhash_pairs``)."""
+    ``banded_minhash_pairs``). ``None`` disables the guard (exact
+    candidates regardless of cost)."""
     shingled = (
         _widen(df)
         .withColumn("__toks", _tokens(text_col))
@@ -142,16 +157,24 @@ def ngram_jaccard_pairs(
         "id", "n_shingles", F.explode("shingles").alias("shingle")
     ).cache()
     index = exploded
+    guarded = False
     if max_doc_freq is not None:
         # one map-side-combined count per shingle; the surviving index
-        # is what both join sides read
+        # is what both join sides read. Engage the guarded plan ONLY
+        # when hot shingles actually exist: the guard's distinct +
+        # re-verify joins cost ~7× at corpora with no hot shingle
+        # (11.7 s vs 1.7 s at sf0.1, r8 probe), and when nothing
+        # exceeds the cap the single-pass aggregation is already exact.
+        # The probe costs one small job over the cached index.
         common = (
             exploded.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("__df"))
             .filter(F.col("__df") > max_doc_freq)
             .select("shingle")
         )
-        index = exploded.join(broadcast(common), "shingle", "left_anti")
+        guarded = common.limit(1).count() > 0
+        if guarded:
+            index = exploded.join(broadcast(common), "shingle", "left_anti")
     a = index.select(
         F.col("id").alias("id_a"),
         F.col("n_shingles").alias("n_a"),
@@ -162,7 +185,7 @@ def ngram_jaccard_pairs(
         F.col("n_shingles").alias("n_b"),
         "shingle",
     )
-    if max_doc_freq is not None:
+    if guarded:
         # capped index undercounts shared shingles — use it only for
         # candidate ids, then recompute jaccard exactly per pair
         cand = (
@@ -1022,6 +1045,19 @@ def simhash_signatures(
     )
 
 
+#: Default (band, bits) bucket cap for ``simhash_pairs``. The r8 40×
+#: probe measured the UNCAPPED banded join superlinear (16 s → 252 s
+#: for a 4× step): band width is fixed (32/8 = 4 bits → 16 values), so
+#: bucket population grows linearly with the corpus and the self-join
+#: quadratically (max bucket 30 251, Σ size² = 23.6 G at 200 k docs —
+#: SCALE.md §14). Every gate scale sits far below the cap (max bucket
+#: 446 at sf0.1), so capped ≡ uncapped where pytest floors run. The
+#: recall trade degrades gracefully: a hamming≤h pair agrees on
+#: ≥ bands−h bands and is lost only if ALL of those bands' buckets are
+#: hot. ``None`` restores the unguarded join.
+SIMHASH_MAX_BUCKET_SIZE = 4096
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -1030,6 +1066,7 @@ def simhash_pairs(
     bands: int = 4,
     max_hamming: int = 3,
     ngram: int | None = None,
+    max_bucket_size: int | None = SIMHASH_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """SimHash near-dup pairs: Hamming distance ≤ max_hamming.
 
@@ -1038,6 +1075,12 @@ def simhash_pairs(
     join on (band_id, band_bits) finds all of them without n² work, then
     bit_count(xor) verifies the true distance. All codegen expressions;
     shuffles key on band values (uniform).
+
+    ``max_bucket_size`` is the web-scale hot-bucket guard (ON by
+    default since r8 — see ``SIMHASH_MAX_BUCKET_SIZE``), the exact
+    analogue of ``banded_minhash_pairs``'s: buckets larger than the cap
+    are dropped before the self-join, bounding per-bucket cost at
+    O(cap²) regardless of corpus size.
 
     ``id_col`` SHOULD be unique per document here: signatures stay
     per-row under duplicate ids (see ``simhash_signatures``), but the
@@ -1061,6 +1104,17 @@ def simhash_pairs(
     buckets = sigs.select(
         "id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
     ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
+    if max_bucket_size is not None:
+        # same one-exchange window idiom as banded_minhash_pairs: size
+        # over the very (band, bits) partitioning the self-join keys on
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bits")
+        buckets = (
+            buckets.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     left = buckets.select(
         F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "band", "bits"
     )

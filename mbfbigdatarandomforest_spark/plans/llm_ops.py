@@ -309,10 +309,19 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ngram=3: signatures over the SAME shingle features as the
     # Jaccard ground truth — unigram-token signatures on this
     # shared-vocabulary corpus flagged ~9% of all pairs (precision
-    # 0.002); shingle signatures reach precision 1.0 / recall 0.93,
-    # floors pinned by tests/test_operators.py::test_simhash_precision_recall_floor
+    # 0.002); shingle signatures reach precision 1.0 / recall ~0.9,
+    # floors pinned by tests/test_operators.py::test_simhash_precision_recall_floor.
+    # r8 re-parameterization (Manku-style wide fingerprints): the old
+    # (bits=32, bands=8) meant 4-bit band keys — 16 values, so bucket
+    # population grows n/16 and the banded self-join quadratically; the
+    # 40× probe went superlinear (16→252 s for a 4× step) and the
+    # hot-bucket cap alone zeroed the output (EVERY bucket hot at 200 k
+    # docs). (bits=63, bands=9, hamming≤8) keeps the same angular cut
+    # (hamming scales with bits) and the same pigeonhole guarantee
+    # (8 < 9) with 7-bit band keys — 8× the selectivity — measured
+    # precision 1.0 / recall .89/.92/.95 at sf0.001/0.01/0.1.
     return dd.simhash_pairs(
-        docs, bits=32, bands=8, max_hamming=3, ngram=3
+        docs, bits=63, bands=9, max_hamming=8, ngram=3
     ).orderBy("id_a", "id_b")
 
 

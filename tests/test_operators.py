@@ -651,11 +651,37 @@ def test_decontaminate_ngram_overlap(spark):
     assert got == {0: (2, True), 1: (0, False), 2: (0, False), 3: (0, False)}
 
 
+def test_simhash_bucket_cap_default_is_invisible_at_small_scale(spark):
+    """r8: the default SIMHASH_MAX_BUCKET_SIZE guard (the 40×-probe
+    superlinearity fix) must be a no-op wherever no bucket exceeds the
+    cap — capped ≡ uncapped pair-for-pair at test scale — and an
+    aggressive cap yields a strict subset (recall-only trade)."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta doc{i} "
+             f"iota kappa w{i % 7} lambda") for i in range(60)],
+        ["doc_id", "text"],
+    )
+    kw = dict(bits=32, bands=8, max_hamming=3, ngram=3)
+    default = {(r.id_a, r.id_b) for r in dd.simhash_pairs(docs, **kw).collect()}
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dd.simhash_pairs(docs, max_bucket_size=None, **kw).collect()
+    }
+    assert default == uncapped
+    tiny = {
+        (r.id_a, r.id_b)
+        for r in dd.simhash_pairs(docs, max_bucket_size=2, **kw).collect()
+    }
+    assert tiny <= uncapped
+
+
 def test_simhash_precision_recall_floor(spark):
-    """The registered dedup_simhash_pairs parameters (bits=32, bands=8,
-    hamming≤3, shingle features) must stay selective against the exact
+    """The registered dedup_simhash_pairs parameters (bits=63, bands=9,
+    hamming≤8, shingle features — the r8 wide-fingerprint config; the
+    hamming cut scales with bits so the angular threshold matches the
+    old 32/8/3) must stay selective against the exact
     shingle-Jaccard≥0.2 pair set on the sf0.001 corpus: precision ≥ 0.9
-    and recall ≥ 0.8 (measured 1.0 / 0.93 — SimHash is an angular
+    and recall ≥ 0.8 (measured 1.0 / 0.89 — SimHash is an angular
     sketch, so a handful of genuine Jaccard pairs legitimately land
     past the hamming cut). A failure here means either the corpus or
     the parameters drifted; re-tune before trusting the rows-only gate."""
@@ -670,7 +696,7 @@ def test_simhash_precision_recall_floor(spark):
     got = {
         (r["id_a"], r["id_b"])
         for r in dd.simhash_pairs(
-            docs, bits=32, bands=8, max_hamming=3, ngram=3
+            docs, bits=63, bands=9, max_hamming=8, ngram=3
         ).collect()
     }
     assert exact, "fixture corpus should contain near-dup pairs"
