@@ -109,8 +109,9 @@ def decode_png(payload: bytes) -> np.ndarray:
     """Decode an 8-bit non-interlaced PNG → (height, width, 3) uint8 RGB.
 
     Stdlib ``zlib`` + numpy only (r7 — retires the png half of the
-    compressed-image stub; jpeg stays honestly env-gated on a real
-    codec library). Full filter support: None/Sub/Up/Average/Paeth
+    compressed-image stub; r8's ``decode_jpeg`` below retired the
+    baseline-JPEG half, so only progressive-JPEG/WebP stay gated).
+    Full filter support: None/Sub/Up/Average/Paeth
     (spec §9), color types 0/2/3/4/6; alpha is dropped, gray broadcast
     to RGB, palette indices resolved through PLTE. Filters None/Up
     reconstruct vectorized; Sub/Average/Paeth carry an intra-row
@@ -411,8 +412,12 @@ class _JpegBitReader:
         self.acc, self.nbits = 0, 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.buf):
+            raise ValueError("JPEG entropy stream truncated")
         b = self.buf[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.buf):
+                raise ValueError("JPEG entropy stream truncated")
             nxt = self.buf[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -428,11 +433,18 @@ class _JpegBitReader:
             self._fill()
         self.nbits -= n
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        # Drop the consumed high bits: without this, acc grows by one
+        # byte per _fill for the life of the scan and every shift above
+        # costs O(bytes consumed), making decode quadratic in stream
+        # size (measured 48.7 s on a 236 KB photo before the trim).
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def align_restart(self) -> None:
         """Byte-align and consume one RSTn marker."""
         self.acc, self.nbits = 0, 0
+        if self.pos + 1 >= len(self.buf):
+            raise ValueError("JPEG entropy stream truncated")
         if (
             self.buf[self.pos] == 0xFF
             and 0xD0 <= self.buf[self.pos + 1] <= 0xD7
@@ -551,6 +563,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if fh == 0 or fw == 0:
         raise ValueError("JPEG has zero dimensions")
     sel, data_pos = scan
+    missing = [cid for cid, _, _, _ in comps if cid not in sel]
+    if missing:
+        raise ValueError(f"JPEG SOS omits frame component ids {missing}")
     hmax = max(hs for _, hs, _, _ in comps)
     vmax = max(vs for _, _, vs, _ in comps)
     mcus_x = -(-fw // (8 * hmax))
@@ -637,6 +652,9 @@ class _JpegBitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # Trim emitted high bits so acc stays <2 bytes; an untrimmed
+        # bigint makes encode quadratic in entropy-stream length.
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> None:
         if self.nbits:

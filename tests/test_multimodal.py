@@ -498,6 +498,55 @@ def test_jpeg_rejects_unsupported_and_malformed():
         decode_jpeg(bytes(good[: dht + 6]))
 
 
+def test_jpeg_bit_accumulators_stay_bounded():
+    """The r8 codec kept every consumed byte in the Python bigint acc,
+    so each shift cost O(bytes-so-far) and decode/encode were quadratic
+    in entropy-stream size (48.7 s for a 236 KB photo). The r9 trim
+    keeps acc under 3 bytes; this pins it so the quadratic can't
+    silently return."""
+    from mbfbigdatarandomforest_spark.operators.multimodal import (
+        _JpegBitReader,
+        _JpegBitWriter,
+    )
+
+    reader = _JpegBitReader(b"\x55" * 10_000, 0)
+    for _ in range(9_000):
+        reader.read(8)
+        assert reader.acc.bit_length() <= 24
+    writer = _JpegBitWriter()
+    for i in range(9_000):
+        writer.write(i & 0x1F, 5)
+        assert writer.acc.bit_length() <= 24
+
+
+def test_jpeg_malformed_entropy_raises_valueerror():
+    """Truncation inside the entropy stream and an SOS referencing a
+    component id absent from SOF must both surface as the documented
+    ValueError (not IndexError/KeyError) so decode_image callers that
+    key on ValueError — and extract_features' quarantine — behave."""
+    from mbfbigdatarandomforest_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    good = bytearray(encode_jpeg(img))
+    sos = good.find(b"\xff\xda")
+    assert sos > 0
+    # chop mid-entropy-stream: must be ValueError, never IndexError
+    with pytest.raises(ValueError, match="truncated|marker"):
+        decode_jpeg(bytes(good[: sos + 30]))
+    # remap the SOS component ids (1,2,3 -> 7,8,9): ids no longer match
+    # SOF; must be ValueError, never KeyError
+    bad = bytearray(good)
+    ns = bad[sos + 4]
+    for c in range(ns):
+        bad[sos + 5 + 2 * c] += 6
+    with pytest.raises(ValueError, match="SOS omits"):
+        decode_jpeg(bytes(bad))
+
+
 def test_jpeg_sniff_and_container_equivalence(spark):
     """sniff reports real SOF dimensions, and a JPEG payload flows
     through the Arrow extract_features path alongside BMP/PNG of the
