@@ -120,8 +120,23 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = NGRAM_MAX_DOC_FREQ,
+    adaptive: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle.
+
+    NOT a fully lazy builder under the defaults: with a df-cap set and
+    ``adaptive=True`` this call runs ONE eager Spark job at
+    plan-construction time (a hot-shingle probe over the exploded
+    index, cached first so the probe's work feeds the returned plan)
+    to decide guarded vs single-pass — and that cache stays pinned for
+    the life of the returned DataFrame's plan (a few hundred MB at
+    sf0.1; both self-join sides re-read it). The guarded/unguarded
+    choice is frozen at call time, so build the plan against the data
+    you will execute it on. Callers in lazy/streaming contexts should
+    pass ``adaptive=False``: no probe, no cache pin, always-guarded
+    plan (exact results regardless; costs ~7× at corpora with no hot
+    shingle — the price of laziness), or ``max_doc_freq=None`` for the
+    lazy uncapped plan.
 
     Plan shape: explode distinct shingles → self-join on shingle
     (inverted index; shuffle keyed on shingle hash) → count shared
@@ -152,13 +167,27 @@ def ngram_jaccard_pairs(
         )
         .withColumn("n_shingles", F.size("shingles"))
     )
-    # both sides of the self-join read this — avoid re-shingling
+    # both sides of the self-join read this — avoid re-shingling.
+    # Cached only on the adaptive path, where the eager probe both
+    # materializes it and justifies the pin (see docstring).
     exploded = shingled.select(
         "id", "n_shingles", F.explode("shingles").alias("shingle")
-    ).cache()
+    )
+    if max_doc_freq is not None and adaptive:
+        exploded = exploded.cache()
     index = exploded
     guarded = False
-    if max_doc_freq is not None:
+    if max_doc_freq is not None and not adaptive:
+        # lazy always-guarded plan: no probe, no cache pin
+        common = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("shingle")
+        )
+        index = exploded.join(broadcast(common), "shingle", "left_anti")
+        guarded = True
+    elif max_doc_freq is not None:
         # one map-side-combined count per shingle; the surviving index
         # is what both join sides read. Engage the guarded plan ONLY
         # when hot shingles actually exist: the guard's distinct +

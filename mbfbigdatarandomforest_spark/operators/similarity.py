@@ -206,16 +206,27 @@ ANN_MIN_CLUSTERS = 16
 ANN_MAX_CLUSTERS = 4096
 
 
-def _auto_n_clusters(corpus: DataFrame, n_clusters: int | None) -> int:
-    if n_clusters is not None:
-        return n_clusters
+def _clusters_for_n(n: int) -> int:
+    """The sizing formula on a KNOWN row count (no Spark job)."""
     import math
 
-    n = corpus.count()
     return max(
         ANN_MIN_CLUSTERS,
         min(ANN_MAX_CLUSTERS, math.ceil(n / ANN_TARGET_CELL_ROWS)),
     )
+
+
+def _auto_n_clusters(corpus: DataFrame, n_clusters: int | None) -> int:
+    """Resolve an explicit/auto cluster count. NOTE: the auto path runs
+    one eager count() job. The IVF builders no longer call this at
+    plan-build time — ``_fit_centroids_sampled`` derives n from the
+    centroid-fit sample it must collect anyway (exact whenever the
+    corpus fits the 65536-row sample cap) and counts only the
+    cap-overflow case. Kept for callers that already hold a corpus and
+    want the same sizing."""
+    if n_clusters is not None:
+        return n_clusters
+    return _clusters_for_n(corpus.count())
 
 
 def _fit_centroids_sampled(
@@ -223,13 +234,21 @@ def _fit_centroids_sampled(
     *,
     vec_col: str,
     id_col: str,
-    k: int,
+    k: int | None,
     seed: int,
     max_iter: int,
     sample_cap: int = 65536,
 ):
     """Train IVF centroids on a bounded, deterministic sample with
     driver-side Lloyd iterations (numpy).
+
+    ``k=None`` auto-sizes via ``_clusters_for_n`` — and derives the row
+    count from the sample this fit must collect anyway: when the corpus
+    fits under ``sample_cap`` the sample length IS the exact count
+    (zero extra jobs — the r8 design ran a full-scan count() on every
+    default-parameter call); only a cap-overflowing corpus pays one
+    column-pruned counting job, and there the count is a vanishing
+    fraction of the IVF work that follows.
 
     This is the standard IVF construction (FAISS trains coarse
     quantizers on a sample, not the corpus): centroid quality needs
@@ -249,6 +268,16 @@ def _fit_centroids_sampled(
         .limit(sample_cap)
         .collect()
     )
+    if k is None:
+        if len(rows) < sample_cap:
+            corpus_n = len(rows)  # the sample IS the corpus — exact
+        else:
+            corpus_n = (
+                corpus.where(F.col(vec_col).isNotNull())
+                .select(id_col)
+                .count()
+            )
+        k = _clusters_for_n(corpus_n)
     # quarantine contract: NULLs are filtered Spark-side above; ragged
     # or non-finite vectors are dropped from the fit sample here (the
     # assignment pass marks them cluster −1)
@@ -313,8 +342,7 @@ def ann_dup_pairs(
     import pandas as pd
 
     centroids = _fit_centroids_sampled(
-        corpus, vec_col=vec_col, id_col=id_col,
-        k=_auto_n_clusters(corpus, n_clusters),
+        corpus, vec_col=vec_col, id_col=id_col, k=n_clusters,
         seed=seed, max_iter=kmeans_max_iter,
     )
     k = centroids.shape[0]
@@ -464,8 +492,7 @@ def ivf_topk(
     import pandas as pd
 
     cent = _fit_centroids_sampled(
-        corpus, vec_col=vec_col, id_col=id_col,
-        k=_auto_n_clusters(corpus, n_clusters),
+        corpus, vec_col=vec_col, id_col=id_col, k=n_clusters,
         seed=seed, max_iter=20,
     )
 

@@ -142,6 +142,31 @@ def test_ngram_jaccard_doc_freq_cap(spark):
         assert v == pytest.approx(uncapped[k])
 
 
+def test_ngram_jaccard_lazy_mode_matches_adaptive(spark):
+    """adaptive=False (the lazy/streaming-safe plan: no plan-time probe
+    job, no pinned cache, always-guarded) must emit identical pairs and
+    values as the default adaptive plan — both when the cap bites and
+    when nothing is hot."""
+    from conftest import SF_DIR_SMALL
+    from mbfbigdatarandomforest_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents")
+    for cap in (3, dd.NGRAM_MAX_DOC_FREQ):
+        eager = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dd.ngram_jaccard_pairs(
+                docs, threshold=0.2, max_doc_freq=cap
+            ).collect()
+        }
+        lazy = dd.ngram_jaccard_pairs(
+            docs, threshold=0.2, max_doc_freq=cap, adaptive=False
+        )
+        got = {(r.id_a, r.id_b): r.jaccard for r in lazy.collect()}
+        assert set(got) == set(eager)
+        for k, v in got.items():
+            assert v == pytest.approx(eager[k])
+
+
 def test_minhash_finds_exact_jaccard_pairs(spark):
     """LSH candidates must cover the high-similarity pairs found by the
     exact operator (recall check at small scale)."""
@@ -259,6 +284,32 @@ def test_auto_n_clusters_size_keyed(spark, monkeypatch):
     assert sim._auto_n_clusters(df, None) == 34  # ceil(100/3)
     monkeypatch.setattr(sim, "ANN_MAX_CLUSTERS", 20)
     assert sim._auto_n_clusters(df, None) == 20  # clamped
+
+
+def test_auto_k_fit_derives_count_from_sample(spark, monkeypatch):
+    """r9: k=None resolves inside the centroid fit from the sample it
+    already collects — a corpus under the sample cap must yield the
+    exact size-keyed k with no separate count() scan (the r8 shape ran
+    a full extra input scan per default-parameter IVF call)."""
+    import numpy as np
+    from mbfbigdatarandomforest_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(3)
+    df = spark.createDataFrame(
+        [(i, rng.normal(size=4).tolist()) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    monkeypatch.setattr(sim, "ANN_TARGET_CELL_ROWS", 3)
+    cent = sim._fit_centroids_sampled(
+        df, vec_col="embedding", id_col="vec_id", k=None, seed=1, max_iter=2
+    )
+    assert cent.shape[0] == 34  # ceil(100/3), derived from the sample
+    # cap-overflow path: sample hits the cap, count job sizes k exactly
+    cent2 = sim._fit_centroids_sampled(
+        df, vec_col="embedding", id_col="vec_id", k=None, seed=1,
+        max_iter=2, sample_cap=40,
+    )
+    assert cent2.shape[0] == 34  # ceil(100/3) from the pruned count
 
 
 def test_semantic_dedup_matches_brute_force(spark):
