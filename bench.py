@@ -88,6 +88,43 @@ EXCLUDED: dict[str, str] = {}
 #: trailing newline and any stray stderr interleaving.
 COMPACT_BYTE_BUDGET = 1900
 
+#: Rows of fixed CPU-bound work for the calibration sentinel (~0.85 s
+#: nominal on this host warm — long enough to be CPU-dominated, short
+#: enough that reps cost ~3 s per bench run).
+CALIB_ROWS = 48_000_000
+
+#: The sentinel's nominal wall on an unloaded host (min-of-3, measured
+#: at introduction, r9). Not used in any computation — recorded so a
+#: future reader can normalize: effective_steal ≈ calib_s / this.
+CALIB_NOMINAL_S = 0.85
+
+
+def run_calibration(spark, reps: int) -> tuple[float, float]:
+    """Fixed-work steal detector (r9, verdict item: BENCH_r08 recorded
+    a 1.35× host-steal-inflated wall and only a forensic diff against a
+    same-code builder run proved it). This times a CONSTANT CPU-bound
+    query on literal data — no files, no SF dependence, no shuffle —
+    identically to the real queries (min over ``reps``, noop sink). Any
+    round's record can then be normalized to known-work units:
+    a high ``calib_s`` (vs ``CALIB_NOMINAL_S``) with uniform per-query
+    inflation is host steal, not a code regression.
+
+    Returns (min_seconds, spread) like a regular query row."""
+    from pyspark.sql import functions as F
+
+    best, worst = None, None
+    for _ in range(max(1, reps)):
+        t0 = time.perf_counter()
+        spark.range(0, CALIB_ROWS, 1, 32).select(
+            F.sum(
+                F.crc32(F.sha2(F.col("id").cast("string"), 256))
+            ).alias("x")
+        ).write.mode("overwrite").format("noop").save()
+        elapsed = time.perf_counter() - t0
+        best = elapsed if best is None else min(best, elapsed)
+        worst = elapsed if worst is None else max(worst, elapsed)
+    return round(best, 3), round(worst / best, 2) if best else 1.0
+
 
 def compact_record(out: dict) -> str:
     """Build the driver-facing final JSON line, guaranteed < 1900 bytes.
@@ -112,6 +149,9 @@ def compact_record(out: dict) -> str:
             "n_queries": out["n_queries"],
             "headline_total": out["headline_total"],
             "errors": out.get("errors", 0),
+            "calib_s": out.get("calib_s"),
+            "calib_spread": out.get("calib_spread"),
+            "spread_med": out.get("spread_med"),
             "queries": {n: ok[n] for n in top},
             "rep_spread": {n: out["rep_spread"].get(n) for n in top},
             "full": "BENCH_FULL.json",
@@ -223,6 +263,14 @@ def main() -> None:
         else:
             errors += 1
             timings[name] = {"error": err}
+    # Calibration sentinel AFTER the sweep: it shares the same host
+    # window as the timings it normalizes (steal at minute 0 vs minute
+    # 20 can differ; the sweep's tail is where the slow ML queries sit).
+    try:
+        calib_s, calib_spread = run_calibration(spark, reps)
+    except Exception as exc:  # noqa: BLE001 — never cost the record
+        print(f"bench: calibration failed (continuing): {exc}", file=sys.stderr)
+        calib_s, calib_spread = None, None
     total = round(sum(t for t in timings.values() if isinstance(t, (int, float))), 3)
     headline_total = round(
         sum(
@@ -243,6 +291,16 @@ def main() -> None:
         "headline_total": headline_total,
         "excluded": EXCLUDED,
         "rep_spread": spreads,
+        "calib_s": calib_s,
+        "calib_spread": calib_spread,
+        "calib_nominal_s": CALIB_NOMINAL_S,
+        # Median rep spread across successful queries — the one-number
+        # host-noise summary (≈1 quiet, ≥1.3 noisy window).
+        "spread_med": (
+            round(sorted(spreads.values())[len(spreads) // 2], 2)
+            if spreads
+            else None
+        ),
     }
     if errors:
         out["errors"] = errors

@@ -37,6 +37,10 @@ def _fake_out(n_queries: int, name_len: int = 40, with_errors: bool = True) -> d
         "headline_total": 23.9,
         "excluded": {},
         "rep_spread": {n: 1.0 + (i % 17) / 10 for i, n in enumerate(names)},
+        "calib_s": 1.234,
+        "calib_spread": 1.61,
+        "calib_nominal_s": 1.2,
+        "spread_med": 1.31,
     }
     if errors:
         out["errors"] = errors
@@ -57,6 +61,12 @@ def test_compact_line_fits_driver_window(n_queries: int) -> None:
     assert parsed["sf"] == 0.1
     assert parsed["n_queries"] == n_queries
     assert parsed["full"] == "BENCH_FULL.json"
+    # r9 steal-legibility fields: the fixed-work sentinel and the
+    # median rep spread ride the compact line so any official record
+    # can be normalized without forensics against a builder re-run.
+    assert parsed["calib_s"] == 1.234
+    assert parsed["calib_spread"] == 1.61
+    assert parsed["spread_med"] == 1.31
     assert len(parsed["queries"]) <= 10
     # Only successful timings appear; error dicts never leak into the
     # compact map (they'd blow the budget and aren't sortable).
