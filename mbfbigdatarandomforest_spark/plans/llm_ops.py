@@ -1232,11 +1232,50 @@ def text_lm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Corpus datasheet — the per-source report a data team publishes with a
 # corpus ("datasheets for datasets"): volume, token budget, language
-# mix, exact-dup rate, PII incidence — ONE grouped scan. Rows-only in
-# the registry (window full); the pytest twin runs a full DuckDB
-# implementation and compares integers exactly, ratios at 1e-12.
+# mix, exact-dup rate, PII incidence — ONE grouped scan. Value-hash
+# gate since r9 (slot freed by fusing the A8 frequency table into the
+# pivot gate); the oracle is the full DuckDB implementation the pytest
+# twin ran at 1e-12 since r5 — token counts share the `tokens()`
+# contract, the fingerprint is md5 over the same normalization, and
+# dup_rate is one IEEE double division on exact integers in both
+# engines (the repo's never-ROUND policy).
 # --------------------------------------------------------------------------
-@query("corpus_datasheet", tags=("text", "reporting", "datasheet"))
+@query(
+    "corpus_datasheet",
+    oracle=r"""
+WITH per_doc AS (
+  SELECT source, lang,
+         len(list_filter(
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+           t -> t != ''
+         )) AS n_tok,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         CASE WHEN regexp_matches(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') THEN 1 ELSE 0
+         END AS has_email
+  FROM documents
+), lang_stats AS (
+  SELECT source, lang, COUNT(*) AS n, SUM(n_tok) AS tok
+  FROM per_doc GROUP BY 1, 2
+), per_source AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+         CAST(SUM(tok) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_langs,
+         MIN(struct_pack(negn := -n, lang := lang)).lang AS top_lang
+  FROM lang_stats GROUP BY 1
+), fp_stats AS (
+  SELECT source,
+         1.0 - COUNT(DISTINCT fp) * 1.0 / COUNT(*) AS dup_rate,
+         CAST(SUM(has_email) AS BIGINT) AS n_docs_with_email
+  FROM per_doc GROUP BY 1
+)
+SELECT p.source, p.n_docs, p.n_tokens, p.n_langs, p.top_lang,
+       f.dup_rate, f.n_docs_with_email
+FROM per_source p JOIN fp_stats f USING (source)
+ORDER BY p.source
+""",
+    tags=("text", "reporting", "datasheet"),
+)
 def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import EMAIL_PATTERN, fingerprint, tokens
 

@@ -279,7 +279,14 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Pivot — A4 (01_DataMerge.R:78-79) with explicit value list + P8 NA→0
-# (01_DataMerge.R:82).
+# (01_DataMerge.R:82). Since r9 this gate also carries the A8 frequency
+# table (02_DataCleaning.R:243) as its `share` column — the former
+# standalone `priority_frequency_table` grouped the SAME orders scan by
+# the SAME key, so the fusion (the r7-suite2/r8-temporal consolidation
+# move) costs nothing and frees a driver-window slot for the corpus
+# datasheet. The A8 method is unchanged: the grand total rides as a
+# broadcast 1-row aggregate (the oracle's scalar subquery), never a
+# second .count() scan.
 # --------------------------------------------------------------------------
 @query(
     "pivot_status_by_priority",
@@ -288,20 +295,34 @@ SELECT
   o_orderpriority,
   COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
   COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
-  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P,
+  COUNT(*) * 1.0 / (SELECT COUNT(*) FROM orders) AS share
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """,
-    tags=("A4", "P8"),
+    tags=("A4", "P8", "A8"),
 )
 def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
+    total = orders.agg(F.count(F.lit(1)).alias("__total"))
     return (
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])  # explicit levels: deterministic
         .agg(F.count(F.lit(1)))
         .na.fill(0)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "o_orderpriority",
+            "F",
+            "O",
+            "P",
+            # integer-sum-then-divide: bit-identical to the oracle's
+            # COUNT(*)*1.0/total (both are one IEEE double division)
+            ((F.col("F") + F.col("O") + F.col("P")) / F.col("__total")).alias(
+                "share"
+            ),
+        )
         .orderBy("o_orderpriority")
     )
 
@@ -355,36 +376,9 @@ def na_share_per_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Frequency table — A8 (02_DataCleaning.R:243), drives F7.
+# Frequency table — A8 (02_DataCleaning.R:243), drives F7. Registered
+# inside `pivot_status_by_priority` since r9 (same scan, same key).
 # --------------------------------------------------------------------------
-@query(
-    "priority_frequency_table",
-    oracle="""
-SELECT
-  o_orderpriority,
-  COUNT(*) * 1.0 / (SELECT COUNT(*) FROM orders) AS share
-FROM orders
-GROUP BY o_orderpriority
-ORDER BY o_orderpriority
-""",
-    tags=("A8",),
-)
-def priority_frequency_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # single Spark job: the total rides as a broadcast 1-row aggregate
-    # (mirrors the oracle's scalar subquery) instead of a separate
-    # .count() action scanning the table twice
-    orders = _t(spark, sf_dir, "orders")
-    total = orders.agg(F.count(F.lit(1)).alias("__total"))
-    return (
-        orders.groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .crossJoin(F.broadcast(total))
-        .select(
-            "o_orderpriority",
-            (F.col("__n") / F.col("__total")).alias("share"),
-        )
-        .orderBy("o_orderpriority")
-    )
 
 
 # --------------------------------------------------------------------------

