@@ -502,6 +502,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Min-label connected components over an undirected pair list.
 
@@ -531,7 +532,14 @@ def connected_components(
 
     Returns (node, component) for every node that appears in ``pairs``;
     ``component`` is the smallest node id in the connected component.
+
+    ``stats``, when passed, is filled in place with the iteration
+    diagnostics the r9 beyond-SF probe reads (``rounds``, per-round
+    ``edge_counts`` and ``round_walls_s``) — the edge count rides the
+    convergence fingerprint that already runs every round, so the
+    instrumentation adds zero Spark jobs.
     """
+    import time as _time
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
@@ -555,7 +563,12 @@ def connected_components(
 
     cur = edges.localCheckpoint()
     prev_fp = _fingerprint(cur)
+    if stats is not None:
+        stats["rounds"] = 0
+        stats["edge_counts"] = [prev_fp[0]]
+        stats["round_walls_s"] = []
     for _ in range(max_iter):
+        t0 = _time.perf_counter()
         sym = _sym(cur)
         # large-star: m(u) = min(N(u) ∪ {u}); emit (v, m) for v > u
         mins = (
@@ -587,6 +600,12 @@ def connected_components(
         )
         fp = _fingerprint(nxt)
         cur = nxt
+        if stats is not None:
+            stats["rounds"] += 1
+            stats["edge_counts"].append(fp[0])
+            stats["round_walls_s"].append(
+                round(_time.perf_counter() - t0, 3)
+            )
         if fp == prev_fp:
             break
         prev_fp = fp

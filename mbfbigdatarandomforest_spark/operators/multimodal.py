@@ -15,11 +15,16 @@ Decode support in this environment (no PIL/opencv/ffmpeg):
   0/2/3/4/6)** — REAL decoder/encoder on stdlib ``zlib`` + numpy (r7).
 - **WAV (16-bit PCM)** — REAL decoder via the stdlib ``wave`` module +
   numpy ``frombuffer``.
-- progressive jpeg / mp4 — require native codecs; ``decode_image_stub``
-  raises a clear error, and the deterministic fake embedding
-  (hash-seeded PRNG) keeps the Spark-side plumbing testable for those
-  formats. Baseline sequential JPEG decodes for real since r8
-  (``decode_jpeg``), as PNG has since r7.
+- **MP4 (ISO-BMFF) container metadata** — REAL parser on stdlib
+  ``struct`` (r9): box tree, brand, movie duration, per-track
+  dimensions / sample rate / sample count (``parse_mp4_meta``); the
+  mdat SAMPLES stay opaque (h264/vp9 need ffmpeg) — the same honest
+  split as WAV (header real, payload math real, codec gated).
+- progressive jpeg / webp / mp4 sample decode — require native codecs;
+  ``decode_image_stub`` raises a clear error, and the deterministic
+  fake embedding (hash-seeded PRNG) keeps the Spark-side plumbing
+  testable for those formats. Baseline sequential JPEG decodes for
+  real since r8 (``decode_jpeg``), as PNG has since r7.
 
 Feature kernels built on the real decoders:
 - ``image_features``: decode → fixed GRID×GRID mean-pool per channel +
@@ -890,8 +895,153 @@ def audio_features(payload: bytes, n_bands: int = 8) -> list[float]:
 
 
 # --------------------------------------------------------------------------
-# Metadata: REAL header sniffing for BMP/WAV; hash-derived fake for
-# formats whose codecs aren't in this environment.
+# ISO-BMFF (MP4) container metadata — stdlib struct only (r9, the WAV
+# split applied to video: the CONTAINER layer is fully parseable
+# without any codec — box tree, movie header, track headers, sample
+# counts — while the mdat SAMPLES stay opaque; ``decode_video_frame``
+# remains honestly gated on a real h264/vp9 decoder). Box grammar per
+# ISO/IEC 14496-12 §4.2: [size:4][type:4], size==1 → 64-bit largesize
+# follows, size==0 → box runs to end of file.
+# --------------------------------------------------------------------------
+_MP4_CONTAINER_BOXES = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _iter_mp4_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, content_start, box_end) for each box in [start, end);
+    malformed sizes raise ValueError (the quarantine contract)."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(buf[pos : pos + 4], "big")
+        btype = buf[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("MP4 largesize header truncated")
+            size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("MP4 box overruns payload")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def parse_mp4_meta(payload: bytes) -> dict:
+    """Parse ftyp/moov metadata from an ISO-BMFF payload: brand, movie
+    timescale/duration, and per-track (kind, width, height, timescale,
+    n_samples). Raises ValueError on non-MP4 or malformed boxes.
+
+    n_samples comes from each track's stsz sample_count — the REAL
+    frame count for video / sample-block count for audio, so
+    ``frame_sample``'s index contract works on genuine mp4 metadata.
+    An audio track's mdhd timescale IS its sample rate (14496-12
+    §8.4.2)."""
+    if len(payload) < 12 or payload[4:8] not in (b"ftyp", b"styp"):
+        raise ValueError("not an ISO-BMFF (mp4) payload")
+    brand = payload[8:12].decode("latin1")
+    meta: dict = {"brand": brand, "timescale": 0, "duration": 0, "tracks": []}
+
+    def _walk(start: int, end: int, track: dict | None) -> None:
+        for btype, c0, c1 in _iter_mp4_boxes(payload, start, end):
+            if btype == b"trak":
+                t = {"kind": "", "width": 0, "height": 0,
+                     "timescale": 0, "n_samples": 0}
+                meta["tracks"].append(t)
+                _walk(c0, c1, t)
+            elif btype in _MP4_CONTAINER_BOXES:
+                _walk(c0, c1, track)
+            elif btype == b"mvhd":
+                ver = payload[c0]
+                if ver == 1:
+                    meta["timescale"] = int.from_bytes(payload[c0 + 20 : c0 + 24], "big")
+                    meta["duration"] = int.from_bytes(payload[c0 + 24 : c0 + 32], "big")
+                else:
+                    meta["timescale"] = int.from_bytes(payload[c0 + 12 : c0 + 16], "big")
+                    meta["duration"] = int.from_bytes(payload[c0 + 16 : c0 + 20], "big")
+            elif btype == b"tkhd" and track is not None:
+                ver = payload[c0]
+                off = c0 + (88 if ver == 1 else 76)
+                # 16.16 fixed-point presentation dimensions
+                track["width"] = int.from_bytes(payload[off : off + 4], "big") >> 16
+                track["height"] = int.from_bytes(payload[off + 4 : off + 8], "big") >> 16
+            elif btype == b"mdhd" and track is not None:
+                ver = payload[c0]
+                off = c0 + (20 if ver == 1 else 12)
+                track["timescale"] = int.from_bytes(payload[off : off + 4], "big")
+            elif btype == b"hdlr" and track is not None:
+                track["kind"] = payload[c0 + 8 : c0 + 12].decode("latin1")
+            elif btype == b"stsz" and track is not None:
+                track["n_samples"] = int.from_bytes(payload[c0 + 8 : c0 + 12], "big")
+
+    _walk(0, len(payload), None)
+    meta["duration_s"] = (
+        meta["duration"] / meta["timescale"] if meta["timescale"] else 0.0
+    )
+    meta["n_tracks"] = len(meta["tracks"])
+    return meta
+
+
+def _mp4_box(btype: bytes, content: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(content)) + btype + content
+
+
+def encode_mp4_container(
+    video: tuple[int, int, int] | None = (640, 360, 90),
+    audio_rate: int = 0,
+    audio_samples: int = 0,
+    duration_s: float = 3.0,
+    mdat: bytes = b"\x00" * 64,
+) -> bytes:
+    """Fixture generator for the ISO-BMFF parser (the role encode_png /
+    encode_jpeg play for the image decoders): a structurally valid
+    ftyp+moov+mdat file whose CONTAINER metadata is real — brand,
+    mvhd, per-track tkhd/mdhd/hdlr/stsz — while mdat holds opaque
+    bytes (no codec; samples are NOT decodable, matching the honest
+    split ``parse_mp4_meta`` documents). ``video=(w, h, n_frames)``."""
+    movie_ts = 1000
+    tracks = b""
+
+    def _trak(kind: bytes, w: int, h: int, ts: int, n: int) -> bytes:
+        tkhd = _mp4_box(
+            b"tkhd",
+            b"\x00\x00\x00\x07" + b"\x00" * 72
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        mdhd = _mp4_box(
+            b"mdhd",
+            b"\x00\x00\x00\x00" + b"\x00" * 8 + struct.pack(">I", ts)
+            + struct.pack(">I", int(duration_s * ts)) + b"\x55\xc4\x00\x00",
+        )
+        hdlr = _mp4_box(
+            b"hdlr", b"\x00\x00\x00\x00" + b"\x00" * 4 + kind + b"\x00" * 13
+        )
+        stsz = _mp4_box(
+            b"stsz", b"\x00\x00\x00\x00" + struct.pack(">II", 0, n)
+        )
+        stbl = _mp4_box(b"stbl", stsz)
+        minf = _mp4_box(b"minf", stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        return _mp4_box(b"trak", tkhd + mdia)
+
+    if video is not None:
+        w, h, n_frames = video
+        tracks += _trak(b"vide", w, h, movie_ts, n_frames)
+    if audio_rate:
+        tracks += _trak(b"soun", 0, 0, audio_rate, audio_samples)
+    mvhd = _mp4_box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + b"\x00" * 8
+        + struct.pack(">II", movie_ts, int(duration_s * movie_ts))
+        + b"\x00" * 80,
+    )
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2mp41")
+    return ftyp + _mp4_box(b"moov", mvhd + tracks) + _mp4_box(b"mdat", mdat)
+
+
+# --------------------------------------------------------------------------
+# Metadata: REAL header sniffing for BMP/PNG/JPEG/WAV/MP4; hash-derived
+# fake for formats whose codecs aren't in this environment.
 # --------------------------------------------------------------------------
 def sniff_media_meta(payload: bytes) -> tuple[str, int, int, int, int]:
     """(format, width, height, n_frames, sample_rate) from container
@@ -924,6 +1074,20 @@ def sniff_media_meta(payload: bytes) -> tuple[str, int, int, int, int]:
                 return ("wav", 0, 0, w.getnframes(), w.getframerate())
         except wave.Error:
             pass
+    if len(payload) >= 12 and payload[4:8] in (b"ftyp", b"styp"):
+        try:
+            m = parse_mp4_meta(payload)
+        except ValueError:
+            return ("mp4", 0, 0, 0, 0)  # mp4 brand, malformed boxes
+        vids = [t for t in m["tracks"] if t["kind"] == "vide"]
+        auds = [t for t in m["tracks"] if t["kind"] == "soun"]
+        return (
+            "mp4",
+            vids[0]["width"] if vids else 0,
+            vids[0]["height"] if vids else 0,
+            vids[0]["n_samples"] if vids else 0,
+            auds[0]["timescale"] if auds else 0,
+        )
     if payload[:4] == b"MBFV" and len(payload) >= 12:
         n_frames, frame_len = struct.unpack_from("<II", payload, 4)
         w = h = 0

@@ -579,6 +579,88 @@ def test_jpeg_sniff_and_container_equivalence(spark):
     assert np.abs(got[0] - got[1]).max() <= 4.0 / 255.0
 
 
+def test_mp4_container_metadata_parses_for_real():
+    """r9: the WAV honest-split applied to video — ISO-BMFF box tree,
+    mvhd, per-track tkhd/mdhd/hdlr/stsz all parse with stdlib struct
+    (no codec), while mdat samples stay opaque and decode_video_frame
+    stays gated."""
+    from mbfbigdatarandomforest_spark.operators.multimodal import (
+        encode_mp4_container,
+        parse_mp4_meta,
+        sniff_media_meta,
+    )
+
+    p = encode_mp4_container(
+        video=(1280, 720, 300), audio_rate=44100, audio_samples=431,
+        duration_s=10.0,
+    )
+    m = parse_mp4_meta(p)
+    assert m["brand"] == "isom" and m["duration_s"] == 10.0
+    assert m["n_tracks"] == 2
+    vide, soun = m["tracks"]
+    assert (vide["kind"], vide["width"], vide["height"], vide["n_samples"]) == (
+        "vide", 1280, 720, 300,
+    )
+    # an audio track's mdhd timescale IS its sample rate (14496-12)
+    assert (soun["kind"], soun["timescale"], soun["n_samples"]) == (
+        "soun", 44100, 431,
+    )
+    assert sniff_media_meta(p) == ("mp4", 1280, 720, 300, 44100)
+    # audio-only variant
+    assert sniff_media_meta(
+        encode_mp4_container(video=None, audio_rate=16000, audio_samples=50)
+    ) == ("mp4", 0, 0, 0, 16000)
+
+
+def test_mp4_malformed_boxes_keep_valueerror_contract():
+    from mbfbigdatarandomforest_spark.operators.multimodal import (
+        encode_mp4_container,
+        parse_mp4_meta,
+        sniff_media_meta,
+    )
+
+    p = encode_mp4_container()
+    with pytest.raises(ValueError, match="not an ISO-BMFF"):
+        parse_mp4_meta(b"\x00" * 32)
+    # corrupt the moov size: parse raises, sniff degrades to zeros
+    bad = p[:28] + b"\xff\xff\xff\xf0" + p[32:]
+    with pytest.raises(ValueError, match="overruns"):
+        parse_mp4_meta(bad)
+    assert sniff_media_meta(bad) == ("mp4", 0, 0, 0, 0)
+    # truncated 64-bit largesize header
+    with pytest.raises(ValueError, match="largesize"):
+        parse_mp4_meta(p[:28] + b"\x00\x00\x00\x01" + p[32:40])
+
+
+def test_mp4_and_mbfv_share_the_frame_sample_contract(spark):
+    """Container equivalence: an mp4 and an MBFV blob with the same
+    frame count flow through attach_media_metadata -> frame_sample and
+    emit IDENTICAL sampled-index arrays — the Spark-side contract is
+    container-agnostic, only the (gated) pixel decode differs."""
+    from mbfbigdatarandomforest_spark.operators.multimodal import (
+        attach_media_metadata,
+        encode_mp4_container,
+        encode_video,
+        frame_sample,
+    )
+
+    n_frames = 91
+    frames = [np.zeros((4, 4, 3), np.uint8)] * n_frames
+    df = spark.createDataFrame(
+        [(0, encode_mp4_container(video=(4, 4, n_frames))),
+         (1, encode_video(frames))],
+        "id long, payload binary",
+    )
+    rows = (
+        frame_sample(attach_media_metadata(df), every_nth=30)
+        .select("id", "media_meta.format", "sampled_frames")
+        .collect()
+    )
+    got = {r["id"]: (r["format"], r["sampled_frames"]) for r in rows}
+    assert got[0][0] == "mp4" and got[1][0] == "mbfv"
+    assert got[0][1] == got[1][1] == [0, 30, 60, 90]
+
+
 def test_jpeg_decodes_real_world_files_when_available():
     """Independent-encoder evidence: the roundtrip tests share the
     encoder's conventions, so a symmetric bug (e.g. a mirrored zigzag
