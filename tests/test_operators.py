@@ -984,6 +984,45 @@ def test_connected_components_multi_cluster(spark):
     assert got == want
 
 
+def test_connected_components_rounds_stay_logarithmic(spark):
+    """r9 probe regression pin (SCALE.md §15): on the planted-structure
+    graph (giant path + chains + stars + pairs, ids scrambled) the
+    alternating-star rounds must stay within a small constant of
+    log2(diameter) — the property the 10x/40x probe measured (15/19/21
+    rounds for diameters 15k/150k/600k) — and the per-round edge frame
+    must stay flat after the first contraction (the shuffle-volume
+    invariant). A regression to diameter-bound propagation would blow
+    the max_iter=25 cap long before it blew this assertion."""
+    import math
+    import sys
+
+    sys.path.insert(0, "scripts")
+    from cc_scale_probe import planted_graph
+
+    n = 5000  # giant path diameter 1500
+    edges, want_hist = planted_graph(spark, n)
+    stats: dict = {}
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    got_hist = {
+        int(r["cluster_size"]): int(r["n"])
+        for r in dd.dedup_clusters(
+            docs, dd.connected_components(edges, stats=stats)
+            .select(F.col("node").alias("id_a"), F.col("component").alias("id_b"))
+        )
+        .groupBy("cluster_size")
+        .agg((F.count(F.lit(1)) / F.col("cluster_size")).alias("n"))
+        .collect()
+    }
+    assert got_hist == want_hist
+    diameter = (3 * n) // 10
+    assert stats["rounds"] <= math.ceil(math.log2(diameter)) + 4
+    # after round 1 the edge frame contracts to (nodes-in-pairs −
+    # components) and must stay EXACTLY flat — any growth means the
+    # star rounds are re-expanding intermediate state
+    tail = stats["edge_counts"][1:]
+    assert len(set(tail)) == 1
+
+
 def test_dedup_clusters_vs_union_find_oracle(spark):
     """dedup_clusters on real corpus pairs (exact n-gram Jaccard at
     sf0.001) must agree with a pure-Python union-find, including
