@@ -310,6 +310,75 @@ def _fit_centroids_sampled(
     return cent
 
 
+def fit_ivf_index(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int | None = None,
+    seed: int = 42,
+    max_iter: int = 20,
+):
+    """Train IVF coarse-quantizer centroids once, for reuse across
+    query batches (public face of ``_fit_centroids_sampled``). At
+    100 TB the fit is the expensive one-off — production runs persist
+    the result with :func:`save_ivf_index` and pass it back to
+    ``ann_dup_pairs`` / ``semantic_dedup`` / ``ivf_topk`` via their
+    ``centroids=`` parameter instead of refitting per call (the FAISS
+    train-once/search-many split; cf. the reference's model sink S5,
+    `04_1_XGB_traintest.R:260`, which persists the trained artifact for
+    the scoring run)."""
+    return _fit_centroids_sampled(
+        corpus, vec_col=vec_col, id_col=id_col, k=n_clusters,
+        seed=seed, max_iter=max_iter,
+    )
+
+
+def save_ivf_index(spark, centroids, path: str) -> None:
+    """Persist (k, dim) float64 centroids through Spark's Hadoop
+    filesystem layer (the ``save_lm`` convention: one filesystem
+    whether ``path`` is local, HDFS, or s3a; doubles ride parquet, so
+    the reload is bit-identical)."""
+    import json
+
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    rows = [(i, [float(x) for x in cent[i]]) for i in range(cent.shape[0])]
+    spark.createDataFrame(
+        rows, "cluster int, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    meta = json.dumps(
+        {"kind": "ivf", "k": int(cent.shape[0]), "dim": int(cent.shape[1])}
+    )
+    spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(f"{path}/meta")
+
+
+def load_ivf_index(spark, path: str):
+    """Reload centroids saved by :func:`save_ivf_index` — validated
+    against the meta (kind/k/dim) and returned as the same (k, dim)
+    float64 array, bit-identical to the fit."""
+    import json
+
+    import numpy as np
+
+    meta = json.loads(spark.read.text(f"{path}/meta").first()["value"])
+    if meta.get("kind") != "ivf":
+        raise ValueError(
+            f"{path} does not hold an IVF index (kind={meta.get('kind')})"
+        )
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
+    cent = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    if cent.shape != (int(meta["k"]), int(meta["dim"])):
+        raise ValueError(
+            f"IVF index shape {cent.shape} does not match meta "
+            f"({meta['k']}, {meta['dim']})"
+        )
+    return cent
+
+
 def ann_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,
@@ -319,6 +388,7 @@ def ann_dup_pairs(
     id_col: str = "vec_id",
     seed: int = 42,
     kmeans_max_iter: int = 20,
+    centroids=None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via IVF candidates + exact
     verify — the 100 TB path (the all-pairs ``cosine_dup_pairs`` is the
@@ -341,10 +411,11 @@ def ann_dup_pairs(
     import numpy as np
     import pandas as pd
 
-    centroids = _fit_centroids_sampled(
-        corpus, vec_col=vec_col, id_col=id_col, k=n_clusters,
-        seed=seed, max_iter=kmeans_max_iter,
-    )
+    if centroids is None:
+        centroids = _fit_centroids_sampled(
+            corpus, vec_col=vec_col, id_col=id_col, k=n_clusters,
+            seed=seed, max_iter=kmeans_max_iter,
+        )
     k = centroids.shape[0]
     n_probe = min(n_probe, k)
     thr = float(threshold)
@@ -441,6 +512,7 @@ def semantic_dedup(
     n_probe: int = 6,
     seed: int = 42,
     kmeans_max_iter: int = 20,
+    centroids=None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — cluster embeddings, drop within-cluster
@@ -465,6 +537,7 @@ def semantic_dedup(
         id_col=id_col,
         seed=seed,
         kmeans_max_iter=kmeans_max_iter,
+        centroids=centroids,
     )
     return dedup_filter(corpus, pairs, id_col=id_col)
 
@@ -478,6 +551,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    centroids=None,
 ) -> DataFrame:
     """IVF-style approximate kNN: KMeans-partition the corpus, probe
     only the ``n_probe`` nearest centroids per query.
@@ -491,9 +565,13 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
-    cent = _fit_centroids_sampled(
-        corpus, vec_col=vec_col, id_col=id_col, k=n_clusters,
-        seed=seed, max_iter=20,
+    cent = (
+        centroids
+        if centroids is not None
+        else _fit_centroids_sampled(
+            corpus, vec_col=vec_col, id_col=id_col, k=n_clusters,
+            seed=seed, max_iter=20,
+        )
     )
 
     def _assign(batches):

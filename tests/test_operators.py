@@ -312,6 +312,54 @@ def test_auto_k_fit_derives_count_from_sample(spark, monkeypatch):
     assert cent2.shape[0] == 34  # ceil(100/3) from the pruned count
 
 
+def test_ivf_index_persist_roundtrip(spark, tmp_path):
+    """r9 (S5 extension to similarity): fit-once/search-many — saved
+    centroids reload bit-identically and drive ann_dup_pairs/ivf_topk
+    to EXACTLY the refit results, so a persisted index replaces the
+    per-call fit with zero behavioral drift."""
+    import numpy as np
+    from conftest import SF_DIR_SMALL
+    from mbfbigdatarandomforest_spark.operators import similarity as sim
+    from mbfbigdatarandomforest_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR_SMALL, "embeddings")
+    # max_iter left at 20: matches the builders' internal fit so the
+    # refit-vs-loaded comparisons below are exact
+    cent = sim.fit_ivf_index(emb, n_clusters=8, seed=3)
+    path = str(tmp_path / "ivf")
+    sim.save_ivf_index(spark, cent, path)
+    back = sim.load_ivf_index(spark, path)
+    assert back.dtype == np.float64 and np.array_equal(back, cent)
+
+    fit_pairs = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in sim.ann_dup_pairs(
+            emb, threshold=0.8, n_clusters=8, seed=3
+        ).collect()
+    }
+    loaded_pairs = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in sim.ann_dup_pairs(emb, threshold=0.8, centroids=back).collect()
+    }
+    assert loaded_pairs == fit_pairs
+
+    q = emb.limit(5).select("vec_id", "embedding")
+    refit = sim.ivf_topk(
+        emb, q, k=3, n_clusters=8, seed=3
+    ).collect()
+    loaded = sim.ivf_topk(emb, q, k=3, centroids=back).collect()
+    assert sorted(map(tuple, loaded)) == sorted(map(tuple, refit))
+
+    # wrong-kind artifact is rejected loudly
+    import json as _json
+
+    spark.createDataFrame(
+        [(_json.dumps({"kind": "ngram"}),)], "meta string"
+    ).coalesce(1).write.mode("overwrite").text(str(tmp_path / "notivf") + "/meta")
+    with pytest.raises(ValueError, match="does not hold an IVF"):
+        sim.load_ivf_index(spark, str(tmp_path / "notivf"))
+
+
 def test_semantic_dedup_matches_brute_force(spark):
     """semantic_dedup's keep list must equal the exact construction:
     all-pairs cosine >= t, union-find transitive closure, min-id kept
