@@ -159,7 +159,25 @@ def _ann_auto_t09(spark, sf_dir):
     )
 
 
-EXTRA = {"ann_auto_t09": _ann_auto_t09}
+def _semantic_auto_t09(spark, sf_dir):
+    """Probe-only variant (r9): the FULL SemDeDup closure — ANN pairs
+    at the production config (auto n_clusters, threshold 0.9) →
+    connected components → min-id keep → anti-join prune. Complements
+    the §15 planted-structure CC probe: there the edge list was
+    synthetic with known components; here it is the real ANN output
+    over the replicated embeddings, so this measures the registered
+    `dedup_semantic_keep` COMPOSITION at production parameters (the
+    registered query pins the k=16/t=0.4 oracle config — quadratic by
+    construction at probe scale, documented in plans/llm_ops.py)."""
+    from mbfbigdatarandomforest_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(
+        emb, threshold=0.9, n_clusters=None, n_probe=4, kmeans_max_iter=8
+    )
+
+
+EXTRA = {"ann_auto_t09": _ann_auto_t09, "semantic_auto_t09": _semantic_auto_t09}
 
 
 def main() -> None:
