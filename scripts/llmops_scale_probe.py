@@ -218,7 +218,7 @@ def main() -> None:
                 continue
             out[q][k] = {
                 "in_rows": base["embeddings"] * k
-                if q in ("dedup_embedding_ann", "ann_auto_t09")
+                if q in ("dedup_embedding_ann", "ann_auto_t09", "semantic_auto_t09")
                 else base["documents"] * k,
                 "out_rows": rows,
                 "wall_sec": round(min(walls), 2),
