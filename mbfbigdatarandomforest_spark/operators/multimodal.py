@@ -942,15 +942,20 @@ def parse_mp4_meta(payload: bytes) -> dict:
     brand = payload[8:12].decode("latin1")
     meta: dict = {"brand": brand, "timescale": 0, "duration": 0, "tracks": []}
 
-    def _walk(start: int, end: int, track: dict | None) -> None:
+    def _walk(start: int, end: int, track: dict | None, depth: int) -> None:
+        # real files nest ~5 deep (moov/trak/mdia/minf/stbl); a crafted
+        # payload nesting thousands of container boxes must fail as the
+        # documented ValueError, not RecursionError
+        if depth > 16:
+            raise ValueError("MP4 box tree nested too deep")
         for btype, c0, c1 in _iter_mp4_boxes(payload, start, end):
             if btype == b"trak":
                 t = {"kind": "", "width": 0, "height": 0,
                      "timescale": 0, "n_samples": 0}
                 meta["tracks"].append(t)
-                _walk(c0, c1, t)
+                _walk(c0, c1, t, depth + 1)
             elif btype in _MP4_CONTAINER_BOXES:
-                _walk(c0, c1, track)
+                _walk(c0, c1, track, depth + 1)
             elif btype == b"mvhd":
                 ver = payload[c0]
                 if ver == 1:
@@ -974,7 +979,7 @@ def parse_mp4_meta(payload: bytes) -> dict:
             elif btype == b"stsz" and track is not None:
                 track["n_samples"] = int.from_bytes(payload[c0 + 8 : c0 + 12], "big")
 
-    _walk(0, len(payload), None)
+    _walk(0, len(payload), None, 0)
     meta["duration_s"] = (
         meta["duration"] / meta["timescale"] if meta["timescale"] else 0.0
     )

@@ -573,6 +573,31 @@ def ivf_topk(
             seed=seed, max_iter=20,
         )
     )
+    assigned = ivf_assign(corpus, cent, vec_col=vec_col, id_col=id_col)
+    return ivf_topk_assigned(
+        assigned, cent, queries, k=k, n_probe=n_probe,
+        vec_col=vec_col, id_col=id_col,
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The static half of IVF search: route every corpus vector to its
+    nearest cell in ONE narrow vectorized pass. Split out (r9) so a
+    long-lived serving layer — notably the stream-static scorer in
+    ``streaming/similarity.py`` — can compute/cache the assignment
+    once per persisted index and reuse it across query micro-batches
+    instead of re-routing the corpus per batch.
+    Returns (neighbor_id, c_vec, cluster)."""
+    import numpy as np
+    import pandas as pd
+
+    cent = np.asarray(centroids, dtype=np.float64)
 
     def _assign(batches):
         cent_sq = (cent * cent).sum(axis=1)
@@ -595,14 +620,30 @@ def ivf_topk(
                 }
             )
 
-    assigned = corpus.select(
+    return corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("c_vec"),
     ).mapInPandas(
         _assign, schema="neighbor_id long, c_vec array<double>, cluster int"
     )
 
-    spark = corpus.sparkSession
+
+def ivf_topk_assigned(
+    assigned: DataFrame,
+    centroids,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The per-query-batch half of IVF search over a pre-assigned
+    corpus (see :func:`ivf_assign`); plan identical to what
+    ``ivf_topk`` builds, so batch and streaming callers share one
+    scoring body."""
+    cent = centroids
+    spark = assigned.sparkSession
     cent_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
         ["cluster", "centroid"],

@@ -630,6 +630,14 @@ def test_mp4_malformed_boxes_keep_valueerror_contract():
     # truncated 64-bit largesize header
     with pytest.raises(ValueError, match="largesize"):
         parse_mp4_meta(p[:28] + b"\x00\x00\x00\x01" + p[32:40])
+    # a crafted deep-nest payload must fail as ValueError, never
+    # RecursionError (the quarantine contract)
+    deep = b""
+    for i in range(64):
+        inner = len(deep) + 8
+        deep = (inner.to_bytes(4, "big") + b"moov") + deep
+    with pytest.raises(ValueError, match="nested too deep"):
+        parse_mp4_meta(p[:28] + deep)
 
 
 def test_mp4_and_mbfv_share_the_frame_sample_contract(spark):

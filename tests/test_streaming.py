@@ -343,6 +343,48 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path):
     assert len(want_clean) < corpus.count()  # fixture really drops docs
 
 
+def test_streaming_ivf_topk_matches_batch(spark, tmp_path):
+    """r9: query vectors drained through the stream-static IVF scorer
+    (persisted index, corpus assignment cached once at stream start)
+    must emit EXACTLY the batch ivf_topk results for the same queries
+    — across multiple micro-batches."""
+    from mbfbigdatarandomforest_spark.operators import similarity as sim
+    from mbfbigdatarandomforest_spark.streaming.similarity import (
+        run_ivf_topk_available_now,
+    )
+
+    emb = load_table(spark, SF_DIR_SMALL, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    queries = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    cent = sim.fit_ivf_index(corpus, n_clusters=8, seed=3)
+    idx = str(tmp_path / "ivf_idx")
+    sim.save_ivf_index(spark, cent, idx)
+
+    src = tmp_path / "query_stream"
+    queries.repartition(2).write.parquet(str(src))  # ≥2 micro-batches
+    got = run_ivf_topk_available_now(
+        spark,
+        str(src),
+        queries.schema,
+        corpus,
+        idx,
+        str(tmp_path / "topk_out"),
+        k=3,
+        n_probe=2,
+        query_name="t_ivf_stream",
+    )
+    want = {
+        tuple(r)
+        for r in sim.ivf_topk(
+            corpus, queries, k=3, n_probe=2, centroids=cent
+        ).collect()
+    }
+    got_rows = [tuple(r) for r in got.collect()]
+    assert len(got_rows) == len(set(got_rows))  # no duplicate emission
+    assert set(got_rows) == want
+    assert want  # fixture really scores something
+
+
 def test_streaming_rollup_survives_ts_encodings(spark, tmp_path):
     """read_event_stream must normalize ts exactly like the batch
     loader for BOTH parquet encodings the generator has shipped
