@@ -149,6 +149,7 @@ def compact_record(out: dict) -> str:
             "n_queries": out["n_queries"],
             "headline_total": out["headline_total"],
             "errors": out.get("errors", 0),
+            "calib_pre_s": out.get("calib_pre_s"),
             "calib_s": out.get("calib_s"),
             "calib_spread": out.get("calib_spread"),
             "spread_med": out.get("spread_med"),
@@ -210,11 +211,21 @@ def main() -> None:
         spark.catalog.clearCache()
     except Exception as exc:  # noqa: BLE001
         print(f"bench: warmup failed (continuing): {exc}", file=sys.stderr)
+    # Pre-sweep calibration: steal varies over the ~5-minute sweep
+    # window (r9's first record: post-sweep calib read nominal while
+    # untouched queries ran uniformly ~1.2× the r8 builder record), so
+    # ONE sentinel can miss a transient. The pre/post pair brackets
+    # the window; read max(calib_pre_s, calib_s) as the floor steal.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    try:
+        calib_pre, _ = run_calibration(spark, reps)
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: pre-calibration failed (continuing): {exc}", file=sys.stderr)
+        calib_pre = None
     # Per-query fault isolation: one broken query must never erase the
     # round's whole performance record (round-3 lesson — a single loader
     # regression left BENCH_r03.json with rc=1 and no timings at all).
     # Failures are reported as {"error": ...}; total sums the successes.
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     # Bench order: headline first (cross-round comparability — those
     # timings keep their historical position right after warmup), then
     # every remaining registered query in registry order. An optional
@@ -291,6 +302,7 @@ def main() -> None:
         "headline_total": headline_total,
         "excluded": EXCLUDED,
         "rep_spread": spreads,
+        "calib_pre_s": calib_pre,
         "calib_s": calib_s,
         "calib_spread": calib_spread,
         "calib_nominal_s": CALIB_NOMINAL_S,

@@ -37,6 +37,7 @@ def _fake_out(n_queries: int, name_len: int = 40, with_errors: bool = True) -> d
         "headline_total": 23.9,
         "excluded": {},
         "rep_spread": {n: 1.0 + (i % 17) / 10 for i, n in enumerate(names)},
+        "calib_pre_s": 0.911,
         "calib_s": 1.234,
         "calib_spread": 1.61,
         "calib_nominal_s": 1.2,
@@ -64,6 +65,7 @@ def test_compact_line_fits_driver_window(n_queries: int) -> None:
     # r9 steal-legibility fields: the fixed-work sentinel and the
     # median rep spread ride the compact line so any official record
     # can be normalized without forensics against a builder re-run.
+    assert parsed["calib_pre_s"] == 0.911
     assert parsed["calib_s"] == 1.234
     assert parsed["calib_spread"] == 1.61
     assert parsed["spread_med"] == 1.31
