@@ -562,9 +562,6 @@ def ivf_topk(
     ``_fit_centroids_sampled``) and broadcast; assignment is one narrow
     vectorized pass; scoring is codegen'd array expressions.
     Returns (query_id, neighbor_id, cosine_sim, rank)."""
-    import numpy as np
-    import pandas as pd
-
     cent = (
         centroids
         if centroids is not None
