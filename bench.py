@@ -93,10 +93,13 @@ COMPACT_BYTE_BUDGET = 1900
 #: enough that reps cost ~3 s per bench run).
 CALIB_ROWS = 48_000_000
 
-#: The sentinel's nominal wall on an unloaded host (min-of-3, measured
-#: at introduction, r9). Not used in any computation — recorded so a
-#: future reader can normalize: effective_steal ≈ calib_s / this.
-CALIB_NOMINAL_S = 0.85
+#: The sentinel's nominal wall on an unloaded host — the MINIMUM ever
+#: observed (0.699 s in the r9 A/B runs; the first estimate of 0.85
+#: was itself taken under load, which is exactly the failure mode the
+#: sentinel exists to expose). Not used in any computation — recorded
+#: so a future reader can normalize: effective_steal ≈ calib_s / this.
+#: Ratchet DOWN if a future run reads lower; never up.
+CALIB_NOMINAL_S = 0.70
 
 
 def run_calibration(spark, reps: int) -> tuple[float, float]:
