@@ -1,0 +1,173 @@
+"""WARC (Web ARChive, ISO 28500) ingestion — the entry point of a
+web-crawl training-data pipeline (crawl dump → records → HTML →
+text → curation funnel).
+
+Stdlib-only record parsing: a WARC file is a concatenation of
+records, each `WARC/1.x\\r\\n` + header lines + `\\r\\n\\r\\n` +
+exactly `Content-Length` payload bytes + `\\r\\n\\r\\n`. For
+``WARC-Type: response`` records the payload is an HTTP message whose
+body (after ITS header block) is the document the pipeline wants.
+
+Spark shape: crawl dumps ship as many ~1 GB shard files, so
+``spark.read.format("binaryFile")`` — one task per shard, records
+split INSIDE the task by a generator that never materializes more
+than one record's payload beyond the shard bytes Spark already
+holds — is the natural scale unit (the same per-blob batching
+posture as ``operators/multimodal.py``). Whole-file gzip shards
+(the CommonCrawl layout is member-concatenated gzip, which stdlib
+zlib also inflates end-to-end) are decompressed in-task.
+
+The fixture encoder ``encode_warc`` plays the role encode_png /
+encode_mp4_container play for the other binary parsers: spec-shaped
+bytes for tests, no external tooling.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CRLF = b"\r\n"
+
+
+def parse_warc_records(payload: bytes) -> Iterator[dict]:
+    """Yield {'record_type', 'url', 'date', 'status', 'headers',
+    'body'} per record. HTTP response payloads are split into status +
+    body; non-HTTP payloads (warcinfo, metadata) pass through whole
+    with status None. Malformed framing raises ValueError (the
+    quarantine contract shared by every binary parser in this repo)."""
+    if payload[:2] == b"\x1f\x8b":  # whole-file (or member-concat) gzip
+        payload = gzip.decompress(payload)
+    pos, n = 0, len(payload)
+    while pos < n:
+        # tolerate inter-record padding
+        while pos < n and payload[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        head_end = payload.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            raise ValueError("WARC record header block unterminated")
+        head_lines = payload[pos:head_end].decode("utf-8", "replace").split("\r\n")
+        if not head_lines[0].startswith("WARC/"):
+            raise ValueError("WARC version line missing")
+        headers: dict[str, str] = {}
+        for line in head_lines[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError("WARC record missing a valid Content-Length")
+        body_start = head_end + 4
+        if body_start + length > n:
+            raise ValueError("WARC record payload overruns file")
+        raw = payload[body_start : body_start + length]
+        status: int | None = None
+        body = raw
+        if headers.get("content-type", "").startswith("application/http"):
+            split = raw.find(_CRLF + _CRLF)
+            if split >= 0:
+                status_line = raw[:split].split(_CRLF, 1)[0].decode("latin1")
+                parts = status_line.split()
+                if len(parts) >= 2 and parts[1].isdigit():
+                    status = int(parts[1])
+                body = raw[split + 4 :]
+        yield {
+            "record_type": headers.get("warc-type", ""),
+            "url": headers.get("warc-target-uri", ""),
+            "date": headers.get("warc-date", ""),
+            "status": status,
+            "body": body,
+        }
+        pos = body_start + length
+
+
+def encode_warc(records: list[dict], compress: bool = False) -> bytes:
+    """Fixture generator: spec-shaped WARC bytes from
+    [{'url', 'body', 'record_type'?, 'date'?, 'status'?}, ...] —
+    response records wrap the body in a minimal HTTP message."""
+    out = bytearray()
+    for r in records:
+        rtype = r.get("record_type", "response")
+        body = r["body"] if isinstance(r["body"], bytes) else r["body"].encode()
+        if rtype == "response":
+            http = (
+                f"HTTP/1.1 {r.get('status', 200)} OK\r\n"
+                f"Content-Type: text/html\r\nContent-Length: {len(body)}\r\n\r\n"
+            ).encode() + body
+            ctype = "application/http; msgtype=response"
+        else:
+            http, ctype = body, "application/warc-fields"
+        head = (
+            "WARC/1.0\r\n"
+            f"WARC-Type: {rtype}\r\n"
+            f"WARC-Target-URI: {r.get('url', '')}\r\n"
+            f"WARC-Date: {r.get('date', '2020-01-01T00:00:00Z')}\r\n"
+            f"Content-Type: {ctype}\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        out += head + http + _CRLF + _CRLF
+    data = bytes(out)
+    if compress:
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(data)
+        data = buf.getvalue()
+    return data
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] = ("response",),
+) -> DataFrame:
+    """WARC shards → (shard, url, record_type, date, status, body).
+
+    One binaryFile row per shard (crawl shards are the unit of
+    parallelism — size `spark.sql.files.maxPartitionBytes` ≥ shard
+    size so a shard never splits), records split in-task, malformed
+    shards quarantined as a single (shard, error) row rather than
+    failing the scan — the multimodal `extract_features` posture."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def _split(batches):
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    for rec in parse_warc_records(bytes(content)):
+                        if rec["record_type"] in record_types:
+                            rows.append(
+                                (
+                                    fpath,
+                                    rec["url"],
+                                    rec["record_type"],
+                                    rec["date"],
+                                    rec["status"],
+                                    rec["body"],
+                                    None,
+                                )
+                            )
+                except ValueError as e:
+                    rows.append((fpath, None, None, None, None, None, str(e)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "shard", "url", "record_type", "date", "status",
+                    "body", "error",
+                ],
+            )
+
+    return files.select("path", "content").mapInPandas(
+        _split,
+        schema=(
+            "shard string, url string, record_type string, date string, "
+            "status int, body binary, error string"
+        ),
+    )
