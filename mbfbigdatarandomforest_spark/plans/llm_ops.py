@@ -1347,13 +1347,43 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # PII scrubbing over the documents corpus (r7 — the standard pre-release
-# redaction step). Rows-only: the regexp chain's value oracle is the
-# cross-engine same-pattern DuckDB twin in tests/test_pii.py (the
-# synthetic corpus carries no PII, so a sf-dir hash gate would pin a
-# zero vector; the pytest corpus carries every kind). This entry runs
-# the codegen scrub at fact scale — a pure projection, cost = the scan.
+# redaction step). r10: promoted to a value-hash gate (slot freed by
+# fusing q13 into tpch_ansi_suite2). The oracle is the SAME pattern
+# text the Spark chain runs — built from pii_twin_sql, the twin that
+# has matched in tests/test_pii.py on a PII-bearing corpus since r7;
+# the sf-dir gate additionally pins the (near-)zero vector on the
+# synthetic corpus plus the real n_docs/chars_out totals. This entry
+# runs the codegen scrub at fact scale — a pure projection, cost = the
+# scan.
 # --------------------------------------------------------------------------
-@query("text_pii_scrub", tags=("pii", "text", "F4"))
+def _pii_scrub_oracle() -> str:
+    from ..operators.pii import PII_ORDER, pii_token, pii_twin_sql
+
+    exprs = pii_twin_sql("text")
+    n_cols = ",\n         ".join(f"{exprs[f'n_{k}']} AS n_{k}" for k in PII_ORDER)
+    token_chars = " + ".join(f"n_{k} * {len(pii_token(k))}" for k in PII_ORDER)
+    sums = ",\n  ".join(
+        f"CAST(SUM(n_{k}) AS BIGINT) AS total_{k}" for k in PII_ORDER
+    )
+    return f"""
+WITH scrub AS (
+  SELECT source, length(text) AS len_in,
+         {n_cols},
+         length({exprs['scrubbed']}) AS len_out
+  FROM documents
+)
+SELECT source,
+  COUNT(*) AS n_docs,
+  {sums},
+  CAST(SUM(COALESCE(len_in - len_out + {token_chars}, 0)) AS BIGINT) AS chars_removed,
+  CAST(SUM(len_out) AS BIGINT) AS chars_out
+FROM scrub
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("text_pii_scrub", oracle=_pii_scrub_oracle(), tags=("pii", "text", "F4"))
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pii import PII_ORDER, scrub_pii
 
@@ -1368,4 +1398,47 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("scrubbed")).alias("chars_out"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# WARC ingestion (r10 — wires sources/warc.py, the crawl→curation entry
+# point). The documents corpus is deterministically encoded into WARC
+# shard blobs in-Spark (one applyInPandas task per shard, gzip on odd
+# shard ids so both decode paths run), split back into records by the
+# same mapInPandas splitter read_warc uses over binaryFile, and rolled
+# up per HTTP status. Rows-only: the shard encode/parse roundtrip is
+# not SQL-expressible, but because the derivation from documents is
+# deterministic the rollup has an exact DuckDB twin in
+# tests/test_warc.py (status/record counts/body octet totals computed
+# straight off the documents table).
+# --------------------------------------------------------------------------
+#: deterministic fixture derivation shared by the query and its DuckDB
+#: twin (tests/test_warc.py): status 404 every 37th doc, 16 shards.
+WARC_STATUS_MOD = 37
+WARC_N_SHARDS = 16
+
+
+@query("warc_ingest_stats", tags=("warc", "ingestion", "S-source"))
+def warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.warc import encode_warc_shards, split_warc_records
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://corpus.example/doc/"), F.col("doc_id")).alias("url"),
+        F.when(F.col("doc_id") % WARC_STATUS_MOD == 0, F.lit(404))
+        .otherwise(F.lit(200))
+        .alias("status"),
+        F.encode("text", "UTF-8").alias("body"),
+        (F.col("doc_id") % WARC_N_SHARDS).alias("shard_id"),
+    )
+    recs = split_warc_records(encode_warc_shards(docs))
+    return (
+        recs.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum(F.length("body")).alias("total_body_bytes"),
+            F.countDistinct("shard").alias("n_shards"),
+            F.sum(F.col("error").isNotNull().cast("long")).alias("n_quarantined"),
+        )
+        .orderBy("status")
     )

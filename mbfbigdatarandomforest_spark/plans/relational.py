@@ -1364,37 +1364,12 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Q13-ish — customer order-count distribution INCLUDING zero-order
-# customers (left join, count of non-null keys, second grouping).
+# Q13 (customer order-count distribution INCLUDING zero-order
+# customers — left join, count of non-null keys, second grouping) was
+# fused into TPCH_ANSI_SUITE2_SQL as its 's13' section in r10 (same
+# ONE-text contract; values still hash-gated there); the freed slot
+# promotes text_pii_scrub to a value-hash gate.
 # --------------------------------------------------------------------------
-@query(
-    "q13_order_count_distribution",
-    oracle="""
-WITH per_cust AS (
-  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
-  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-  GROUP BY c.c_custkey
-)
-SELECT c_count, COUNT(*) AS n_customers
-FROM per_cust
-GROUP BY c_count
-ORDER BY n_customers DESC, c_count DESC
-""",
-    tags=("J1", "A3", "q13"),
-)
-def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer").select("c_custkey")
-    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
-    per_cust = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return (
-        per_cust.groupBy("c_count")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
-        .orderBy(F.desc("n_customers"), F.desc("c_count"))
-    )
 
 
 # --------------------------------------------------------------------------
@@ -1609,12 +1584,23 @@ WITH s14 AS (
   JOIN region r ON n.n_regionkey = r.r_regionkey
   WHERE r.r_name = (SELECT MIN(r_name) FROM region)
   GROUP BY n_name
+), s13 AS (
+  SELECT 'q13_order_count_distribution' AS section,
+         CAST(c_count AS STRING) AS k, COUNT(*) AS n,
+         CAST(NULL AS DOUBLE) AS amount
+  FROM (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+  ) per_cust
+  GROUP BY c_count
 )
 SELECT * FROM s14
 UNION ALL SELECT * FROM s10
 UNION ALL SELECT * FROM s16
 UNION ALL SELECT * FROM s19
 UNION ALL SELECT * FROM s8
+UNION ALL SELECT * FROM s13
 ORDER BY section, k
 """
 

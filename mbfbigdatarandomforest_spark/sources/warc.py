@@ -15,7 +15,11 @@ than one record's payload beyond the shard bytes Spark already
 holds — is the natural scale unit (the same per-blob batching
 posture as ``operators/multimodal.py``). Whole-file gzip shards
 (the CommonCrawl layout is member-concatenated gzip, which stdlib
-zlib also inflates end-to-end) are decompressed in-task.
+gzip also inflates end-to-end) are decompressed in-task. The record
+splitter is factored over any (shard, content) frame so the
+registered ``warc_ingest_stats`` query can drive it from in-Spark
+fixture shards (``encode_warc_shards``) without touching the
+filesystem; ``read_warc`` is the binaryFile front door.
 
 The fixture encoder ``encode_warc`` plays the role encode_png /
 encode_mp4_container play for the other binary parsers: spec-shaped
@@ -26,11 +30,20 @@ from __future__ import annotations
 
 import gzip
 import io
+import zlib
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _CRLF = b"\r\n"
+
+#: output schema of the record splitter — one row per kept record,
+#: plus one (shard, error) quarantine row per malformed shard.
+RECORD_SCHEMA = (
+    "shard string, url string, record_type string, date string, "
+    "status int, body binary, error string"
+)
 
 
 def parse_warc_records(payload: bytes) -> Iterator[dict]:
@@ -38,9 +51,15 @@ def parse_warc_records(payload: bytes) -> Iterator[dict]:
     'body'} per record. HTTP response payloads are split into status +
     body; non-HTTP payloads (warcinfo, metadata) pass through whole
     with status None. Malformed framing raises ValueError (the
-    quarantine contract shared by every binary parser in this repo)."""
+    quarantine contract shared by every binary parser in this repo) —
+    including corrupt/truncated gzip shards, which stdlib surfaces as
+    OSError/EOFError/zlib.error and would otherwise escape per-shard
+    quarantine."""
     if payload[:2] == b"\x1f\x8b":  # whole-file (or member-concat) gzip
-        payload = gzip.decompress(payload)
+        try:
+            payload = gzip.decompress(payload)
+        except (OSError, EOFError, zlib.error) as e:
+            raise ValueError(f"WARC gzip shard corrupt: {e}") from e
     pos, n = 0, len(payload)
     while pos < n:
         # tolerate inter-record padding
@@ -120,26 +139,26 @@ def encode_warc(records: list[dict], compress: bool = False) -> bytes:
     return data
 
 
-def read_warc(
-    spark: SparkSession,
-    path: str,
+def split_warc_records(
+    shards: DataFrame,
     record_types: tuple[str, ...] = ("response",),
+    shard_col: str = "shard",
+    content_col: str = "content",
 ) -> DataFrame:
-    """WARC shards → (shard, url, record_type, date, status, body).
+    """(shard, content-binary) frame → one row per WARC record.
 
-    One binaryFile row per shard (crawl shards are the unit of
-    parallelism — size `spark.sql.files.maxPartitionBytes` ≥ shard
-    size so a shard never splits), records split in-task, malformed
-    shards quarantined as a single (shard, error) row rather than
-    failing the scan — the multimodal `extract_features` posture."""
+    Records are split in-task by an Arrow-batched generator; a
+    malformed shard becomes a single (shard, error) quarantine row
+    rather than failing the scan — the multimodal ``extract_features``
+    posture. Works identically over ``binaryFile`` output (via
+    :func:`read_warc`) and in-Spark fixture shards
+    (:func:`encode_warc_shards`)."""
     import pandas as pd
-
-    files = spark.read.format("binaryFile").load(path)
 
     def _split(batches):
         for pdf in batches:
             rows = []
-            for fpath, content in zip(pdf["path"], pdf["content"]):
+            for fpath, content in zip(pdf[shard_col], pdf[content_col]):
                 try:
                     for rec in parse_warc_records(bytes(content)):
                         if rec["record_type"] in record_types:
@@ -164,10 +183,61 @@ def read_warc(
                 ],
             )
 
-    return files.select("path", "content").mapInPandas(
-        _split,
-        schema=(
-            "shard string, url string, record_type string, date string, "
-            "status int, body binary, error string"
-        ),
+    return shards.select(shard_col, content_col).mapInPandas(
+        _split, schema=RECORD_SCHEMA
+    )
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] = ("response",),
+) -> DataFrame:
+    """WARC shard files → (shard, url, record_type, date, status, body).
+
+    One binaryFile row per shard (crawl shards are the unit of
+    parallelism — size `spark.sql.files.maxPartitionBytes` ≥ shard
+    size so a shard never splits), records split in-task by
+    :func:`split_warc_records`."""
+    files = spark.read.format("binaryFile").load(path)
+    return split_warc_records(
+        files.select(F.col("path").alias("shard"), "content"),
+        record_types=record_types,
+    )
+
+
+def encode_warc_shards(
+    df: DataFrame,
+    shard_col: str = "shard_id",
+    url_col: str = "url",
+    status_col: str = "status",
+    body_col: str = "body",
+    compress_odd: bool = True,
+) -> DataFrame:
+    """Documents → WARC shard blobs, one row per shard: the in-Spark
+    twin of a crawl dump for the registered ingestion query.
+
+    Groups by ``shard_col`` (applyInPandas — one task per shard, the
+    same unit of parallelism real crawl shards have), sorts each group
+    by ``url_col`` so shard bytes are deterministic, and gzip-wraps odd
+    shard ids so the registered query exercises both the plain and the
+    compressed decode path in one run. ``body_col`` may be binary or
+    string."""
+    import pandas as pd
+
+    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(url_col, kind="mergesort")
+        sid = int(pdf[shard_col].iloc[0])
+        compress = compress_odd and sid % 2 == 1
+        records = [
+            {"url": u, "status": int(s), "body": b}
+            for u, s, b in zip(pdf[url_col], pdf[status_col], pdf[body_col])
+        ]
+        name = f"shard-{sid:05d}.warc" + (".gz" if compress else "")
+        return pd.DataFrame(
+            {"shard": [name], "content": [encode_warc(records, compress=compress)]}
+        )
+
+    return df.groupBy(shard_col).applyInPandas(
+        _encode, schema="shard string, content binary"
     )

@@ -94,9 +94,17 @@ def test_registry_fits_driver_window():
     # freed slot promotes the second ANSI suite to a value-hash gate.
     assert "q6_discount_revenue" not in SPECS
     assert SPECS["tpch_ansi_suite2"].oracle is not None
-    # r7 addition: PII scrub registers rows-only (cross-engine twin in
-    # tests/test_pii.py; the sf corpus is PII-free by construction)
-    assert SPECS["text_pii_scrub"].oracle is None
+    # Round-10 gate swap (verdict item 2): q13_order_count_distribution
+    # fused into tpch_ansi_suite2 as its 's13' section (values still
+    # hash-gated there); the freed slot promotes text_pii_scrub — its
+    # DuckDB twin (same pattern text) has matched on a PII-bearing
+    # corpus in tests/test_pii.py since r7.
+    assert "q13_order_count_distribution" not in SPECS
+    assert "'q13_order_count_distribution' AS section" in SPECS["tpch_ansi_suite2"].oracle
+    assert SPECS["text_pii_scrub"].oracle is not None
+    # r10: WARC ingestion wired — rows-only (shard encode/parse is not
+    # SQL-expressible; exact DuckDB twin in tests/test_warc.py).
+    assert SPECS["warc_ingest_stats"].oracle is None
     # Round-8 gate swap (verdict item 2): events_asof_join +
     # events_range_join fused into the method-tagged
     # events_temporal_suite (both shapes still hash-gated there); the

@@ -1,0 +1,139 @@
+"""WARC ingestion oracle tests (sources/warc.py).
+
+Three layers, mirroring the other binary-parser suites
+(test_multimodal.py): (1) pure-Python encode→parse roundtrips
+including member-concatenated gzip and the malformed-framing
+ValueError contract, (2) the Spark scan path — read_warc over real
+shard files with a corrupt shard quarantined, (3) the registered
+``warc_ingest_stats`` query against its exact DuckDB twin computed
+straight off the documents table (the derivation is deterministic,
+so the twin needs no WARC parsing at all).
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from mbfbigdatarandomforest_spark.plans.llm_ops import (
+    WARC_N_SHARDS,
+    WARC_STATUS_MOD,
+)
+from mbfbigdatarandomforest_spark.registry import load_all
+from mbfbigdatarandomforest_spark.sources.warc import (
+    encode_warc,
+    parse_warc_records,
+    read_warc,
+)
+
+from conftest import SF_DIR_ORACLE
+
+RECORDS = [
+    {"url": "https://a.example/1", "status": 200, "body": b"<html>one</html>"},
+    {"url": "https://a.example/2", "status": 404, "body": "not føund"},
+    {
+        "url": "https://a.example/meta",
+        "record_type": "metadata",
+        "body": b"k: v\r\n",
+    },
+    {"url": "https://a.example/3", "status": 200, "body": b""},
+]
+
+
+def _bodies(records):
+    return [
+        r["body"] if isinstance(r["body"], bytes) else r["body"].encode()
+        for r in records
+    ]
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_roundtrip(compress):
+    blob = encode_warc(RECORDS, compress=compress)
+    got = list(parse_warc_records(blob))
+    assert [g["url"] for g in got] == [r["url"] for r in RECORDS]
+    assert [g["body"] for g in got] == _bodies(RECORDS)
+    assert [g["status"] for g in got] == [200, 404, None, 200]
+    assert [g["record_type"] for g in got] == [
+        "response", "response", "metadata", "response",
+    ]
+
+
+def test_member_concatenated_gzip():
+    """The CommonCrawl layout: one gzip member per record, shards are
+    raw concatenations of members — stdlib inflates end-to-end."""
+    blob = b"".join(encode_warc([r], compress=True) for r in RECORDS)
+    got = list(parse_warc_records(blob))
+    assert [g["url"] for g in got] == [r["url"] for r in RECORDS]
+    assert [g["body"] for g in got] == _bodies(RECORDS)
+
+
+@pytest.mark.parametrize(
+    "blob, msg",
+    [
+        (b"WARC/1.0\r\nContent-Length: 4\r\n", "unterminated"),
+        (b"HTTP/1.1 200 OK\r\n\r\n", "version line"),
+        (b"WARC/1.0\r\nWARC-Type: response\r\n\r\n", "Content-Length"),
+        (
+            encode_warc([{"url": "u", "body": b"full body here"}])[:-20],
+            "overruns",
+        ),
+        # corrupt gzip must surface as ValueError, not BadGzipFile /
+        # EOFError / zlib.error (the quarantine contract)
+        (b"\x1f\x8b" + b"\x00" * 30, "gzip shard corrupt"),
+        (encode_warc(RECORDS, compress=True)[:40], "gzip shard corrupt"),
+    ],
+)
+def test_malformed_raises_valueerror(blob, msg):
+    with pytest.raises(ValueError, match=msg):
+        list(parse_warc_records(blob))
+
+
+def test_gzip_magic_prefix_truncated_member():
+    """A shard whose trailing gzip member is cut mid-stream."""
+    good = encode_warc([RECORDS[0]], compress=True)
+    bad = good + gzip.compress(b"WARC/1.0\r\n")[:8]
+    with pytest.raises(ValueError, match="gzip shard corrupt"):
+        list(parse_warc_records(bad))
+
+
+def test_read_warc_quarantines_bad_shard(spark, tmp_path):
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "s0.warc").write_bytes(encode_warc(RECORDS))
+    (d / "s1.warc.gz").write_bytes(encode_warc(RECORDS, compress=True))
+    (d / "s2.warc").write_bytes(b"NOT A WARC AT ALL\r\n\r\n")
+    out = read_warc(spark, str(d)).toPandas()
+    good = out[out["error"].isnull()]
+    bad = out[out["error"].notnull()]
+    # response records only (metadata filtered by default), both shards
+    assert len(good) == 6
+    assert sorted(good["status"].unique().tolist()) == [200, 404]
+    resp_bodies = sorted(
+        _bodies([r for r in RECORDS if r.get("record_type", "response") == "response"])
+    )
+    for shard_suffix in ("s0.warc", "s1.warc.gz"):
+        shard_rows = good[good["shard"].str.endswith(shard_suffix)]
+        assert sorted(bytes(b) for b in shard_rows["body"]) == resp_bodies
+    assert len(bad) == 1
+    assert bad["shard"].iloc[0].endswith("s2.warc")
+    assert "version line" in bad["error"].iloc[0]
+
+
+def test_warc_ingest_stats_duckdb_twin(spark, duck):
+    spec = load_all()["warc_ingest_stats"]
+    got = spec.fn(spark, SF_DIR_ORACLE).toPandas()
+    want = duck.sql(f"""
+        SELECT CASE WHEN doc_id % {WARC_STATUS_MOD} = 0 THEN 404 ELSE 200 END AS status,
+               COUNT(*) AS n_records,
+               SUM(strlen(text)) AS total_body_bytes,
+               COUNT(DISTINCT doc_id % {WARC_N_SHARDS}) AS n_shards,
+               0 AS n_quarantined
+        FROM documents GROUP BY 1 ORDER BY status
+    """).df()
+    assert got["status"].tolist() == want["status"].tolist()
+    assert got["n_records"].tolist() == want["n_records"].tolist()
+    assert got["total_body_bytes"].tolist() == want["total_body_bytes"].tolist()
+    assert got["n_shards"].tolist() == want["n_shards"].tolist()
+    assert got["n_quarantined"].tolist() == want["n_quarantined"].tolist()
