@@ -942,6 +942,16 @@ def parse_mp4_meta(payload: bytes) -> dict:
     brand = payload[8:12].decode("latin1")
     meta: dict = {"brand": brand, "timescale": 0, "duration": 0, "tracks": []}
 
+    def _need(btype: bytes, c0: int, c1: int, nbytes: int) -> None:
+        # a full box shorter than the fields we are about to read must
+        # fail as the documented ValueError, not IndexError (nor parse
+        # an undersized slice silently as zeros) — ADVICE r9
+        if c1 - c0 < nbytes:
+            raise ValueError(
+                f"MP4 {btype.decode('latin1')} box content too short "
+                f"({c1 - c0} < {nbytes} bytes)"
+            )
+
     def _walk(start: int, end: int, track: dict | None, depth: int) -> None:
         # real files nest ~5 deep (moov/trak/mdia/minf/stbl); a crafted
         # payload nesting thousands of container boxes must fail as the
@@ -957,26 +967,35 @@ def parse_mp4_meta(payload: bytes) -> dict:
             elif btype in _MP4_CONTAINER_BOXES:
                 _walk(c0, c1, track, depth + 1)
             elif btype == b"mvhd":
+                _need(btype, c0, c1, 4)
                 ver = payload[c0]
                 if ver == 1:
+                    _need(btype, c0, c1, 32)
                     meta["timescale"] = int.from_bytes(payload[c0 + 20 : c0 + 24], "big")
                     meta["duration"] = int.from_bytes(payload[c0 + 24 : c0 + 32], "big")
                 else:
+                    _need(btype, c0, c1, 20)
                     meta["timescale"] = int.from_bytes(payload[c0 + 12 : c0 + 16], "big")
                     meta["duration"] = int.from_bytes(payload[c0 + 16 : c0 + 20], "big")
             elif btype == b"tkhd" and track is not None:
+                _need(btype, c0, c1, 4)
                 ver = payload[c0]
+                _need(btype, c0, c1, (96 if ver == 1 else 84))
                 off = c0 + (88 if ver == 1 else 76)
                 # 16.16 fixed-point presentation dimensions
                 track["width"] = int.from_bytes(payload[off : off + 4], "big") >> 16
                 track["height"] = int.from_bytes(payload[off + 4 : off + 8], "big") >> 16
             elif btype == b"mdhd" and track is not None:
+                _need(btype, c0, c1, 4)
                 ver = payload[c0]
+                _need(btype, c0, c1, (24 if ver == 1 else 16))
                 off = c0 + (20 if ver == 1 else 12)
                 track["timescale"] = int.from_bytes(payload[off : off + 4], "big")
             elif btype == b"hdlr" and track is not None:
+                _need(btype, c0, c1, 12)
                 track["kind"] = payload[c0 + 8 : c0 + 12].decode("latin1")
             elif btype == b"stsz" and track is not None:
+                _need(btype, c0, c1, 12)
                 track["n_samples"] = int.from_bytes(payload[c0 + 8 : c0 + 12], "big")
 
     _walk(0, len(payload), None, 0)

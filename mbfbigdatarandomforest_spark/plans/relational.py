@@ -286,7 +286,12 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # move) costs nothing and frees a driver-window slot for the corpus
 # datasheet. The A8 method is unchanged: the grand total rides as a
 # broadcast 1-row aggregate (the oracle's scalar subquery), never a
-# second .count() scan.
+# second .count() scan. r10 (ADVICE): share now divides a true
+# per-group COUNT(*) — not F+O+P, which would silently deflate on any
+# status outside the pivot's explicit domain. The scan pre-aggregates
+# once on (priority, status); pivot, per-group count, and grand total
+# all derive from that tiny frame (ReusedExchange; |prio|×|status|
+# rows), so the fix also drops the second orders scan branch.
 # --------------------------------------------------------------------------
 @query(
     "pivot_status_by_priority",
@@ -305,23 +310,28 @@ ORDER BY o_orderpriority
 )
 def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-    total = orders.agg(F.count(F.lit(1)).alias("__total"))
-    return (
-        orders.groupBy("o_orderpriority")
+    per = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wide = (
+        per.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])  # explicit levels: deterministic
-        .agg(F.count(F.lit(1)))
+        .sum("c")
         .na.fill(0)
+    )
+    cnt = per.groupBy("o_orderpriority").agg(F.sum("c").alias("__cnt"))
+    total = per.agg(F.sum("c").alias("__total"))
+    return (
+        wide.join(F.broadcast(cnt), "o_orderpriority")
         .crossJoin(F.broadcast(total))
         .select(
             "o_orderpriority",
             "F",
             "O",
             "P",
-            # integer-sum-then-divide: bit-identical to the oracle's
+            # long-count-then-divide: bit-identical to the oracle's
             # COUNT(*)*1.0/total (both are one IEEE double division)
-            ((F.col("F") + F.col("O") + F.col("P")) / F.col("__total")).alias(
-                "share"
-            ),
+            (F.col("__cnt") / F.col("__total")).alias("share"),
         )
         .orderBy("o_orderpriority")
     )

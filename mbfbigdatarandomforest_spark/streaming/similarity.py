@@ -35,6 +35,8 @@ Spark reference: Structured Streaming programming guide,
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 from ..operators.similarity import ivf_assign, ivf_topk_assigned, load_ivf_index
@@ -56,7 +58,21 @@ def run_ivf_topk_available_now(
     """Drain the parquet directory of query vectors through IVF top-k
     against the static ``corpus`` + the index persisted at
     ``index_path``, appending (query_id, neighbor_id, cosine_sim,
-    rank) to ``out_dir`` (bounded run of the unbounded plan)."""
+    rank) to ``out_dir`` (bounded run of the unbounded plan).
+
+    ``out_dir`` must be fresh per run: per-batch appends against a
+    pre-existing directory would silently mix a prior run's results
+    into the returned frame (ADVICE r9). A zero-batch drain returns an
+    empty correctly-typed frame instead of failing the final read on
+    the never-created directory."""
+    if os.path.isdir(out_dir) and any(
+        not f.startswith(("_", ".")) for f in os.listdir(out_dir)
+    ):
+        raise ValueError(
+            f"out_dir {out_dir!r} already holds results from a prior "
+            "run; streaming appends would silently mix runs — pass a "
+            "fresh directory"
+        )
     centroids = load_ivf_index(spark, index_path)
     assigned = ivf_assign(corpus, centroids, vec_col=vec_col, id_col=id_col).cache()
     assigned.count()  # eager: one corpus routing pass, not one per batch
@@ -77,4 +93,12 @@ def run_ivf_topk_available_now(
     )
     q.awaitTermination()
     assigned.unpersist()
+    if not os.path.isdir(out_dir):
+        # zero micro-batches: nothing was ever appended — return an
+        # empty frame with the scoring schema instead of an
+        # AnalysisException on the absent path
+        return spark.createDataFrame(
+            [],
+            schema="query_id long, neighbor_id long, cosine_sim double, rank long",
+        )
     return spark.read.parquet(out_dir)

@@ -638,6 +638,20 @@ def test_mp4_malformed_boxes_keep_valueerror_contract():
         deep = (inner.to_bytes(4, "big") + b"moov") + deep
     with pytest.raises(ValueError, match="nested too deep"):
         parse_mp4_meta(p[:28] + deep)
+    # undersized full boxes (ADVICE r9): a zero-content mvhd as the
+    # LAST box must fail as ValueError, not IndexError; an undersized
+    # tkhd/mdhd/hdlr/stsz must not silently parse short slices as zeros
+    ftyp = (16).to_bytes(4, "big") + b"ftyp" + b"isom" + b"\x00" * 4
+    zero_mvhd = (8).to_bytes(4, "big") + b"mvhd"
+    moov = (16).to_bytes(4, "big") + b"moov" + zero_mvhd
+    with pytest.raises(ValueError, match="mvhd box content too short"):
+        parse_mp4_meta(ftyp + moov)
+    for btype in (b"tkhd", b"mdhd", b"hdlr", b"stsz"):
+        short = (12).to_bytes(4, "big") + btype + b"\x00\x00\x00\x00"
+        trak = (20).to_bytes(4, "big") + b"trak" + short
+        moov = (28).to_bytes(4, "big") + b"moov" + trak
+        with pytest.raises(ValueError, match="box content too short"):
+            parse_mp4_meta(ftyp + moov)
 
 
 def test_mp4_and_mbfv_share_the_frame_sample_contract(spark):

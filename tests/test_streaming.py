@@ -384,6 +384,28 @@ def test_streaming_ivf_topk_matches_batch(spark, tmp_path):
     assert set(got_rows) == want
     assert want  # fixture really scores something
 
+    # re-running against the SAME out_dir must refuse, not silently mix
+    # this run's appends with the last one's (ADVICE r9)
+    with pytest.raises(ValueError, match="fresh directory"):
+        run_ivf_topk_available_now(
+            spark, str(src), queries.schema, corpus, idx,
+            str(tmp_path / "topk_out"), k=3, n_probe=2,
+            query_name="t_ivf_stream_rerun",
+        )
+
+    # a zero-batch drain (empty source dir) must return an empty,
+    # correctly-typed frame — not AnalysisException on the absent
+    # out_dir (ADVICE r9)
+    empty_src = tmp_path / "query_stream_empty"
+    empty_src.mkdir()
+    out = run_ivf_topk_available_now(
+        spark, str(empty_src), queries.schema, corpus, idx,
+        str(tmp_path / "topk_out_empty"), k=3, n_probe=2,
+        query_name="t_ivf_stream_empty",
+    )
+    assert out.columns == ["query_id", "neighbor_id", "cosine_sim", "rank"]
+    assert out.count() == 0
+
 
 def test_streaming_rollup_survives_ts_encodings(spark, tmp_path):
     """read_event_stream must normalize ts exactly like the batch
