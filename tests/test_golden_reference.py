@@ -16,6 +16,10 @@ mean absolute forecast deviation below 0.05 — a loose envelope because
 R's RNG, xgboost's histogram binning and MLlib's trees legitimately
 differ; the join itself (same counties, same scale of values) is the
 real regression guard.
+
+Since r10 the file also carries a NON-skipped synthetic-scale golden:
+the engine's own pipeline outputs on the deterministic fixture
+generator, pinned as committed CSVs under tests/golden/.
 """
 
 from __future__ import annotations
@@ -23,8 +27,10 @@ from __future__ import annotations
 import os
 from pathlib import Path
 
+import pandas as pd
 import pytest
 
+GOLDEN_DIR = Path(__file__).resolve().parent / "golden"
 REAL_DATA_DIR = os.environ.get("SPARK_GRAFT_REAL_DATA_DIR", "")
 REFERENCE_MODELS = Path(
     os.environ.get("SPARK_GRAFT_REFERENCE_MODELS", "/root/reference/models")
@@ -105,3 +111,52 @@ def test_ols_forecast_matches_reference_golden(spark):
         F.avg(F.abs(F.col("forecast_eng") - F.col("forecast_ref")))
     ).first()[0]
     assert mad < 0.05
+
+
+def test_synthetic_ols_pipeline_matches_repo_golden(spark):
+    """Synthetic-scale golden (r10, verdict item 5): the engine's OWN
+    election-pipeline outputs are pinned as committed CSVs
+    (tests/golden/synthetic_ols_*.csv), the reference's committed
+    ``models/*.csv`` practice (05_OutcomeAndVisualization.R:21-41,
+    SURVEY §5.1) applied to our pipeline. This catches silent drift in
+    the F9/F10/J5/L2 composition (enrich → clean → split → Gram OLS →
+    forecast) that no single-operator gate sees. Tolerance 1e-6: the
+    composition is deterministic up to double-summation order in the
+    Gram aggregate (partition scheduling), everything else is exact."""
+    import pyspark.sql.functions as F
+
+    from mbfbigdatarandomforest_spark.plans import election as el
+    from mbfbigdatarandomforest_spark.sources import synthetic as syn
+
+    polygons = spark.createDataFrame(syn.county_polygons())
+    votes_p = spark.createDataFrame(syn.votes_precinct())
+    votes_s = spark.createDataFrame(syn.votes_state())
+    listings = spark.createDataFrame(syn.listings()).withColumn(
+        "listed_date", F.col("listed_date").cast("date")
+    )
+    enriched = el.enrich_listings(
+        listings, polygons, el.county_ratios(votes_p), el.state_ratios(votes_s)
+    )
+    clean = el.clean_listings(enriched, rare_threshold=0.02).cache()
+    result = el.ols_county_forecast(clean, min_obs=20)
+
+    for key, fname in (
+        ("forecast", "synthetic_ols_forecast.csv"),
+        ("eval_out_of_sample", "synthetic_ols_eval.csv"),
+        ("metrics", "synthetic_ols_metrics.csv"),
+    ):
+        got = result[key].toPandas()
+        want = pd.read_csv(GOLDEN_DIR / fname)
+        sort_cols = [c for c in got.columns if got[c].dtype == object] or list(
+            got.columns
+        )
+        got = got.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        assert list(got.columns) == list(want.columns), key
+        assert len(got) == len(want), key
+        for c in got.columns:
+            if got[c].dtype == object:
+                assert got[c].tolist() == want[c].tolist(), (key, c)
+            else:
+                diff = (got[c].astype(float) - want[c].astype(float)).abs().max()
+                assert diff < 1e-6, (key, c, diff)
+    clean.unpersist()
