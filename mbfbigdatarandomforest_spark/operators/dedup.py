@@ -535,9 +535,18 @@ def connected_components(
 
     ``stats``, when passed, is filled in place with the iteration
     diagnostics the r9 beyond-SF probe reads (``rounds``, per-round
-    ``edge_counts`` and ``round_walls_s``) — the edge count rides the
-    convergence fingerprint that already runs every round, so the
-    instrumentation adds zero Spark jobs.
+    ``edge_counts`` and ``round_walls_s``; r10 adds
+    ``live_ckpt_rdds`` — persisted checkpoint-RDD count after each
+    round) — the edge count rides the convergence fingerprint that
+    already runs every round, so the instrumentation adds zero Spark
+    jobs.
+
+    Checkpoint storage is freed DETERMINISTICALLY (r10): each round
+    unpersists the previous round's checkpoint RDD as soon as the new
+    one is materialized. Without this, cleanup rides Python refcount →
+    py4j detach → ContextCleaner's weak-ref queue, which only drains
+    on a JVM GC — at 100 TB an unlucky GC schedule would accumulate
+    rounds×O(E) executor storage instead of 2×O(E).
     """
     import time as _time
     edges = (
@@ -546,6 +555,27 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+
+    jsc = pairs.sparkSession.sparkContext._jsc
+
+    def _persisted_ids() -> set[int]:
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _ckpt(df: DataFrame) -> tuple[DataFrame, set[int]]:
+        # localCheckpoint is eager: the new RDD registers in the
+        # persistence map at the call, so a before/after diff isolates
+        # exactly the id(s) THIS checkpoint created (never a caller's
+        # cached frames)
+        before = _persisted_ids()
+        out = df.localCheckpoint()
+        return out, _persisted_ids() - before
+
+    def _free(ids: set[int]) -> None:
+        jmap = jsc.getPersistentRDDs()
+        for i in ids:
+            jrdd = jmap.get(i)
+            if jrdd is not None:
+                jrdd.unpersist(False)
 
     def _sym(e: DataFrame) -> DataFrame:
         return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).filter(
@@ -561,12 +591,15 @@ def connected_components(
         ).collect()[0]
         return int(row["n"]), int(row["chk"])
 
-    cur = edges.localCheckpoint()
+    ckpt_baseline = len(_persisted_ids())  # caller-owned persists
+    cur, cur_ckpt_ids = _ckpt(edges)
     prev_fp = _fingerprint(cur)
     if stats is not None:
         stats["rounds"] = 0
         stats["edge_counts"] = [prev_fp[0]]
         stats["round_walls_s"] = []
+        stats["ckpt_baseline"] = ckpt_baseline
+        stats["live_ckpt_rdds"] = []
     for _ in range(max_iter):
         t0 = _time.perf_counter()
         sym = _sym(cur)
@@ -591,20 +624,25 @@ def connected_components(
             .select("u", F.least("mv", "u").alias("m"))
         )
         linked = lo.join(lo_mins, "u")
-        nxt = (
+        nxt, nxt_ckpt_ids = _ckpt(
             linked.select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(linked.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
         fp = _fingerprint(nxt)
-        cur = nxt
+        # the new checkpoint is materialized — the prior round's blocks
+        # are dead; free them now instead of waiting on a JVM GC
+        _free(cur_ckpt_ids)
+        cur, cur_ckpt_ids = nxt, nxt_ckpt_ids
         if stats is not None:
             stats["rounds"] += 1
             stats["edge_counts"].append(fp[0])
             stats["round_walls_s"].append(
                 round(_time.perf_counter() - t0, 3)
+            )
+            stats["live_ckpt_rdds"].append(
+                len(_persisted_ids()) - ckpt_baseline
             )
         if fp == prev_fp:
             break

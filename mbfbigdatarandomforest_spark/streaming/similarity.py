@@ -54,11 +54,19 @@ def run_ivf_topk_available_now(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_name: str = "ivf_topk_stream",
+    source_options: dict | None = None,
+    progress: list | None = None,
 ) -> DataFrame:
     """Drain the parquet directory of query vectors through IVF top-k
     against the static ``corpus`` + the index persisted at
     ``index_path``, appending (query_id, neighbor_id, cosine_sim,
     rank) to ``out_dir`` (bounded run of the unbounded plan).
+
+    ``source_options`` passes file-source options through (e.g.
+    ``maxFilesPerTrigger`` to control micro-batch granularity);
+    ``progress``, when given, receives the query's recentProgress
+    objects after termination (per-batch rows/durations — the
+    serving-rate evidence SCALE.md §16 reads).
 
     ``out_dir`` must be fresh per run: per-batch appends against a
     pre-existing directory would silently mix a prior run's results
@@ -84,7 +92,11 @@ def run_ivf_topk_available_now(
         )
         topk.write.mode("append").parquet(out_dir)
 
-    stream = spark.readStream.schema(schema).parquet(src_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .options(**(source_options or {}))
+        .parquet(src_dir)
+    )
     q = (
         stream.writeStream.foreachBatch(_process)
         .queryName(query_name)
@@ -92,6 +104,8 @@ def run_ivf_topk_available_now(
         .start()
     )
     q.awaitTermination()
+    if progress is not None:
+        progress.extend(q.recentProgress)
     assigned.unpersist()
     if not os.path.isdir(out_dir):
         # zero micro-batches: nothing was ever appended — return an

@@ -171,6 +171,12 @@ def main() -> None:
             "rounds": stats.get("rounds"),
             "edge_counts": stats.get("edge_counts"),
             "round_walls_s": stats.get("round_walls_s"),
+            # r10 (verdict item 4): persisted checkpoint RDDs live above
+            # the caller baseline after each round — must stay ≤2 (the
+            # prior round's blocks are now unpersisted deterministically,
+            # not left to ContextCleaner's GC-driven queue)
+            "live_ckpt_per_round": stats.get("live_ckpt_rdds"),
+            "live_ckpt_max": max(stats.get("live_ckpt_rdds") or [0]),
             "hist_ok": got_hist == want_hist,
             "components": sum(want_hist.values()),
         }

@@ -1069,6 +1069,12 @@ def test_connected_components_rounds_stay_logarithmic(spark):
     # star rounds are re-expanding intermediate state
     tail = stats["edge_counts"][1:]
     assert len(set(tail)) == 1
+    # r10: checkpoint storage is freed deterministically — after every
+    # round at most the current checkpoint plus the one being swapped
+    # in may be live ABOVE the caller's baseline (≤2), never
+    # rounds×O(E) accumulation riding on an eventual JVM GC
+    assert stats["live_ckpt_rdds"], "instrumentation missing"
+    assert max(stats["live_ckpt_rdds"]) <= 2, stats["live_ckpt_rdds"]
 
 
 def test_dedup_clusters_vs_union_find_oracle(spark):
