@@ -634,15 +634,155 @@ def ivf_topk_assigned(
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    bounded_queries: bool = True,
 ) -> DataFrame:
     """The per-query-batch half of IVF search over a pre-assigned
-    corpus (see :func:`ivf_assign`); plan identical to what
-    ``ivf_topk`` builds, so batch and streaming callers share one
-    scoring body."""
-    cent = centroids
+    corpus (see :func:`ivf_assign`), shared by batch (``ivf_topk``)
+    and streaming (``streaming/similarity.py``) callers.
+
+    Default kernel (r10, ``bounded_queries=True`` — the serving
+    contract every in-repo caller meets: gate queries and stream
+    micro-batches are small): queries are collected once, centroid
+    ranking happens driver-side (q×cells, trivial), and scoring is
+    ONE Arrow pass over the JVM-literal-pruned probe cells with a
+    per-cell GEMM — the ``cosine_topk`` posture applied to IVF. The
+    r10 probe measured the previous expression-eval join kernel at
+    21 q/s (80 k corpus): ``F.aggregate``/``zip_with`` dot products
+    are interpreted per candidate row, not codegen, so the per-pair
+    math dominated. GEMM keeps the identical IEEE operation order
+    (dimension-sequential accumulation, see ``_seq_norm``) so results
+    are bit-exact vs the expression twin — pytest pins equality.
+
+    ``bounded_queries=False`` keeps the expression-join plan: probes
+    ranked by a broadcast crossJoin + window, candidates by a
+    broadcast hash join — the shape for an UNBOUNDED query frame
+    (nothing in-repo needs it today; corpus-vs-corpus search goes
+    through ``ann_dup_pairs``)."""
+    spark = assigned.sparkSession
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+
+    def _finish(scored: DataFrame) -> DataFrame:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round("cosine_sim", 6).alias("cosine_sim"),
+                F.col("rank").cast("long").alias("rank"),
+            )
+        )
+
+    if not bounded_queries:
+        return _finish(
+            _ivf_scored_join(assigned, centroids, queries, n_probe, vec_col, id_col)
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    q_rows = sorted(
+        queries.select(F.col(id_col), F.col(vec_col)).collect(),
+        key=lambda r: r[0],
+    )
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank long"
+        )
+    cent = np.asarray(centroids, dtype=np.float64)
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    nq, dim = q_mat.shape
+    q_nrm = _seq_norm(q_mat)
+    c_nrm = _seq_norm(cent)
+    # centroid ranking driver-side, same comparator as the expression
+    # twin: cosine desc, cluster asc, first n_probe
+    dots = np.zeros((nq, len(cent)), dtype=np.float64)
+    for d in range(dim):
+        dots += q_mat[:, d][:, None] * cent[:, d][None, :]
+    c_sims = dots / (q_nrm[:, None] * c_nrm[None, :])
+    cluster_ids = np.arange(len(cent))
+    probe_lists: dict[int, list[int]] = {}
+    for j in range(nq):
+        for c in np.lexsort((cluster_ids, -c_sims[j]))[:n_probe]:
+            probe_lists.setdefault(int(c), []).append(j)
+    probes_bc = spark.sparkContext.broadcast(
+        {c: np.array(js, dtype=np.int64) for c, js in probe_lists.items()}
+    )
+
+    # JVM-side cell prune (literal IN over ≤ q·n_probe cluster ids) —
+    # non-probed cells never reach Arrow
+    cand = assigned.filter(
+        F.col("cluster").isin(sorted(probe_lists))
+    ).select("neighbor_id", "c_vec", "cluster")
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            per_ids: list[list] = [[] for _ in range(nq)]
+            per_sims: list[list] = [[] for _ in range(nq)]
+            for c, grp in pdf.groupby("cluster"):
+                js = probes_bc.value.get(int(c))
+                if js is None:
+                    continue
+                vecs = np.array(grp["c_vec"].tolist(), dtype=np.float64)
+                nrm = _seq_norm(vecs)
+                qm = q_mat[js]
+                dots = np.zeros((len(grp), len(js)), dtype=np.float64)
+                for d in range(dim):  # sequential over dims = exact order
+                    dots += vecs[:, d][:, None] * qm[:, d][None, :]
+                sims = dots / (q_nrm[js][None, :] * nrm[:, None])
+                ids = grp["neighbor_id"].to_numpy()
+                for col, j in enumerate(js):
+                    per_ids[j].append(ids)
+                    per_sims[j].append(sims[:, col])
+            qs, ns, ss = [], [], []
+            for j in range(nq):
+                if not per_ids[j]:
+                    continue
+                cid = np.concatenate(per_ids[j])
+                csim = np.concatenate(per_sims[j])
+                keep = cid != q_ids[j]
+                cid, csim = cid[keep], csim[keep]
+                # local top-k by (sim desc, id asc): any global top-k
+                # row is a local top-k row under the same comparator,
+                # so the exact window below sees every contender
+                order = np.lexsort((cid, -csim))[:k]
+                qs.append(np.full(len(order), q_ids[j]))
+                ns.append(cid[order])
+                ss.append(csim[order])
+            if qs:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(qs),
+                        "neighbor_id": np.concatenate(ns),
+                        "cosine_sim": np.concatenate(ss),
+                    }
+                )
+
+    scored = cand.mapInPandas(
+        _score, schema="query_id long, neighbor_id long, cosine_sim double"
+    )
+    return _finish(scored)
+
+
+def _ivf_scored_join(
+    assigned: DataFrame,
+    centroids,
+    queries: DataFrame,
+    n_probe: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Expression-join scoring body (the pre-r10 kernel): the
+    unbounded-query-frame twin of the GEMM path, and its bit-exactness
+    oracle in pytest."""
     spark = assigned.sparkSession
     cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         ["cluster", "centroid"],
     )
 
@@ -665,7 +805,7 @@ def ivf_topk_assigned(
         .filter(F.col("__r") <= n_probe)
         .select("query_id", "q_vec", "cluster")
     )
-    scored = (
+    return (
         assigned.join(broadcast(probes), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
@@ -675,17 +815,6 @@ def ivf_topk_assigned(
                 _dot(F.col("q_vec"), F.col("c_vec"))
                 / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
             ).alias("cosine_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cosine_sim", 6).alias("cosine_sim"),
-            F.col("rank").cast("long").alias("rank"),
         )
     )
 

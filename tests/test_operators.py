@@ -855,6 +855,26 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     assert sum(recalls) / len(recalls) >= 0.8  # clustered data: high recall
 
 
+def test_ivf_gemm_kernel_exactly_equals_join_kernel(spark):
+    """r10: ivf_topk_assigned's default bounded-query GEMM kernel must
+    emit BIT-IDENTICAL rows to the expression-join twin
+    (bounded_queries=False, the pre-r10 kernel) — same probes, same
+    cosines (dimension-sequential IEEE order), same tie-breaks — on
+    the real embeddings table including self-match exclusion."""
+    from conftest import SF_DIR_SMALL
+
+    emb = spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 37 == 0)  # 14 queries
+    cent = sim.fit_ivf_index(emb, n_clusters=8, seed=3)
+    assigned = sim.ivf_assign(emb, cent)
+    gemm = sim.ivf_topk_assigned(assigned, cent, q, k=7, n_probe=3).collect()
+    join = sim.ivf_topk_assigned(
+        assigned, cent, q, k=7, n_probe=3, bounded_queries=False
+    ).collect()
+    assert sorted(map(tuple, gemm)) == sorted(map(tuple, join))
+    assert gemm  # fixture really scores something
+
+
 def test_asof_join_semantics(spark):
     """As-of: latest right at-or-before left, equal timestamps visible,
     no prior right → NULL."""
