@@ -219,6 +219,126 @@ def redact_pii(
     )
 
 
+# --------------------------------------------------------------------------
+# HTML → text extraction (r10): the step between WARC record bodies and
+# the curation funnel — "crawl dump → records → HTML → text" becomes a
+# complete in-repo story (sources/warc.py cites it). Same design rules
+# as the PII scrub: ONE codegen regexp_replace projection, zero Python
+# in the hot path, patterns restricted to the RE2∩Java subset so the
+# DuckDB twin in tests runs the SAME chain. This is deliberately the
+# boilerplate-stripping CLASS of extractor (jusText/trafilatura solve a
+# harder readability problem with DOM parsing — that would be a per-row
+# Python UDF, the slow path, for a quality gain the downstream Gopher/
+# quality filters already partly recover).
+# --------------------------------------------------------------------------
+#: (pattern, replacement) chain — ORDER IS THE CONTRACT (mirrored by
+#: html_twin_sql consumers in tests). Blocks whose CONTENT must vanish
+#: go first; entity decode runs after tag stripping ('&amp;' last so
+#: double-encoded entities decode exactly one level, the single-pass
+#: convention).
+#: whitespace normalization (the chain's tail, shared with
+#: ``normalize_ws`` so the WARC/HTML roundtrip oracle can normalize
+#: the source text identically): horizontal runs → one space, spaces
+#: around newlines dropped, ≥3 newlines → paragraph break.
+WS_NORM_CHAIN: tuple[tuple[str, str], ...] = (
+    (r"[ \t\r\f]+", " "),
+    (r" *\n *", "\n"),
+    (r"\n{3,}", "\n\n"),
+    # SQL trim() strips only spaces — newlines need the anchored strip
+    (r"^\s+|\s+$", ""),
+)
+
+HTML_STRIP_CHAIN: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
+    (r"(?is)<head\b[^>]*>.*?</head\s*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    # block-level closers and <br> become newlines so paragraphs survive
+    (r"(?i)</(?:p|div|h[1-6]|li|tr|table|ul|ol|blockquote)\s*>|<br\s*/?>", "\n"),
+    (r"<[^>]*>", " "),
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),
+) + WS_NORM_CHAIN
+
+
+def html_to_text(
+    df: DataFrame, html_col: str = "html", out_col: str = "text"
+) -> DataFrame:
+    """Extract visible text from an HTML column: script/style/head and
+    comments dropped wholesale, block boundaries kept as newlines,
+    remaining tags stripped, the five standard entities decoded,
+    whitespace normalized. One whole-stage-codegen projection — at
+    100 TB this composes into the ingest funnel without adding a
+    stage (the ``scrub_pii`` posture)."""
+    c: Column = F.col(html_col)
+    for pat, repl in HTML_STRIP_CHAIN:
+        c = F.regexp_replace(c, pat, repl)
+    return df.withColumn(out_col, F.trim(c))
+
+
+def html_title(col: Column | str) -> Column:
+    """<title> text (head is dropped by the body chain, so the title is
+    extracted separately — the two-field contract real extractors
+    emit)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_extract(c, r"(?is)<title[^>]*>(.*?)</title\s*>", 1))
+
+
+def _chain_twin_sql(expr: str, chain: tuple[tuple[str, str], ...]) -> str:
+    out = expr
+    for pat, repl in chain:
+        pat_sql = pat.replace("'", "''")
+        if "\n" in repl:
+            repl_sql = " || ".join(
+                "chr(10)" if ch == "\n" else f"'{ch}'" for ch in repl
+            )
+            if " || " in repl_sql:
+                repl_sql = f"({repl_sql})"
+        else:
+            repl_sql = "'" + repl.replace("'", "''") + "'"
+        out = f"regexp_replace({out}, '{pat_sql}', {repl_sql}, 'g')"
+    return f"trim({out})"
+
+
+def html_twin_sql(expr: str) -> str:
+    """The DuckDB twin of :func:`html_to_text` as one nested SQL
+    expression — the SAME chain text, global-replace flag, newline
+    replacements via chr(10) (portable across SQL literal dialects).
+    The cross-engine oracle form the PII scrub established."""
+    return _chain_twin_sql(expr, HTML_STRIP_CHAIN)
+
+
+def ws_norm_twin_sql(expr: str) -> str:
+    """DuckDB twin of :func:`normalize_ws` (the roundtrip oracle's
+    source-side normalization)."""
+    return _chain_twin_sql(expr, WS_NORM_CHAIN)
+
+
+def normalize_ws(col: Column | str) -> Column:
+    """The chain-tail whitespace normalization alone — applied to raw
+    source text, yields exactly what :func:`html_to_text` emits for a
+    page whose body is that text escaped (the roundtrip property the
+    WARC/HTML oracle pins)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in WS_NORM_CHAIN:
+        c = F.regexp_replace(c, pat, repl)
+    return F.trim(c)
+
+
+def html_escape(col: Column | str) -> Column:
+    """Fixture-side escape (& first, the inverse of the decode order) —
+    used by the WARC/HTML roundtrip oracle to build spec-shaped pages
+    from raw text."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"&", "&amp;")
+    c = F.regexp_replace(c, r"<", "&lt;")
+    return F.regexp_replace(c, r">", "&gt;")
+
+
 def _lines(col: Column | str) -> Column:
     """Non-empty trimmed lines of a document as an array column."""
     c = F.col(col) if isinstance(col, str) else col

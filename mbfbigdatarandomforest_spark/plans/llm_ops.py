@@ -1419,6 +1419,86 @@ WARC_STATUS_MOD = 37
 WARC_N_SHARDS = 16
 
 
+#: HTML page template shared by the warc_html_extract query and its
+#: DuckDB twin (tests/test_html.py) — head (title+style) to drop, a
+#: comment, the escaped body text, a script with '<'/'&' traps that
+#: must vanish BEFORE tag stripping.
+WARC_HTML_PRE_TITLE = "<html><head><title>doc "
+WARC_HTML_POST_TITLE = (
+    "</title><style>p{margin:0}</style></head>\n"
+    "<body><!-- crawl fixture --><p>"
+)
+WARC_HTML_SUFFIX = "</p><script>var x = 1<2 && 3>2;</script></body></html>"
+
+
+@query("warc_html_extract", tags=("warc", "html", "text", "ingestion"))
+def warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl → curation, the missing middle (r10): documents rendered
+    as spec-shaped HTML pages, encoded into WARC shards, read back as
+    records, and run through the codegen html_to_text chain. The
+    rollup pins the ROUNDTRIP property per language — extracted text
+    must equal the whitespace-normalized source for every page (head/
+    script/comment content dropped, entities decoded, title recovered
+    separately) — so n_roundtrip_exact == n_docs is the correctness
+    claim, checked cross-engine by the DuckDB twin in
+    tests/test_html.py."""
+    from ..operators.text import (
+        html_escape,
+        html_title,
+        html_to_text,
+        normalize_ws,
+    )
+    from ..sources.warc import encode_warc_shards, split_warc_records
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://corpus.example/page/"), F.col("doc_id")).alias(
+            "url"
+        ),
+        F.lit(200).alias("status"),
+        F.encode(
+            F.concat(
+                F.lit(WARC_HTML_PRE_TITLE),
+                F.col("doc_id"),
+                F.lit(WARC_HTML_POST_TITLE),
+                html_escape(F.col("text")),
+                F.lit(WARC_HTML_SUFFIX),
+            ),
+            "UTF-8",
+        ).alias("body"),
+        (F.col("doc_id") % WARC_N_SHARDS).alias("shard_id"),
+    )
+    recs = split_warc_records(encode_warc_shards(pages))
+    extracted = html_to_text(
+        recs.select("url", F.decode("body", "UTF-8").alias("html")),
+        "html",
+        "extracted",
+    ).select("url", "extracted", html_title(F.col("html")).alias("title"))
+    source = docs.select(
+        F.concat(F.lit("https://corpus.example/page/"), F.col("doc_id")).alias(
+            "url"
+        ),
+        "lang",
+        F.concat(F.lit("doc "), F.col("doc_id")).alias("want_title"),
+        normalize_ws(F.col("text")).alias("norm_text"),
+    )
+    return (
+        extracted.join(source, "url")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("extracted") == F.col("norm_text")).cast("long")).alias(
+                "n_roundtrip_exact"
+            ),
+            F.sum((F.col("title") == F.col("want_title")).cast("long")).alias(
+                "n_title_ok"
+            ),
+            F.sum(F.length("extracted")).alias("chars_extracted"),
+        )
+        .orderBy("lang")
+    )
+
+
 @query("warc_ingest_stats", tags=("warc", "ingestion", "S-source"))
 def warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.warc import encode_warc_shards, split_warc_records
