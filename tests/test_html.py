@@ -106,6 +106,51 @@ def test_html_chain_duckdb_twin(spark, duck):
     assert got == want
 
 
+ADVERSARIAL_TEXTS = [
+    "literal &amp; stays one level",          # pre-encoded entity
+    "literal &lt;tag&gt; text",               # entity-looking source
+    "has a real <script>alert(1)</script>",   # markup INSIDE source text
+    "angle math: 1<2 && 3>2",
+    "&nbsp; leading entity",
+    "tabs\tand\r\nwindows  newlines\n\n\n\nmany",
+    "unicode: føund — 的是了 🎈",
+    "trailing spaces   ",
+    "   leading spaces",
+    "quote \" and apostrophe ' mix",
+    "a&b&c&&d",
+    "</p> stray closer in text",
+    "<",
+    "&",
+    "",
+]
+
+
+def test_escape_extract_roundtrip_adversarial(spark):
+    """Escape → template → extract must invert to normalize_ws(text)
+    even for source text full of markup, entities, and stray angle
+    brackets — the escape layer is what makes the chain safe."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ADVERSARIAL_TEXTS)], "i long, text string"
+    )
+    pages = df.select(
+        "i",
+        F.concat(
+            F.lit(WARC_HTML_PRE_TITLE),
+            F.col("i"),
+            F.lit(WARC_HTML_POST_TITLE),
+            html_escape(F.col("text")),
+            F.lit(WARC_HTML_SUFFIX),
+        ).alias("html"),
+        normalize_ws(F.col("text")).alias("norm_text"),
+    )
+    rows = html_to_text(pages, "html", "extracted").collect()
+    assert len(rows) == len(ADVERSARIAL_TEXTS)
+    for r in rows:
+        assert r["extracted"] == r["norm_text"], (
+            r["i"], ADVERSARIAL_TEXTS[r["i"]], r["extracted"], r["norm_text"]
+        )
+
+
 def test_escape_extract_roundtrip_on_corpus(spark, duck):
     """Roundtrip property at corpus scale: wrap every document's text
     in the WARC page template (escaped), extract, compare to the
