@@ -98,6 +98,47 @@ def test_gzip_magic_prefix_truncated_member():
         list(parse_warc_records(bad))
 
 
+def test_roundtrip_arbitrary_binary_bodies():
+    """Content-Length framing must survive bodies containing CRLF,
+    CRLFCRLF, gzip magic, WARC version lines — any bytes at all."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.binary(min_size=0, max_size=200).map(
+                lambda b: {"url": "u", "body": b}
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        st.booleans(),
+    )
+    def check(records, compress):
+        got = list(parse_warc_records(encode_warc(records, compress=compress)))
+        assert [g["body"] for g in got] == [r["body"] for r in records]
+
+    check()
+
+
+def test_roundtrip_trap_bodies():
+    """The specific framing traps, deterministically (hypothesis may
+    not generate them): CRLFCRLF inside a body, a body that IS a WARC
+    version line, gzip magic mid-body."""
+    traps = [
+        b"\r\n\r\n",
+        b"x\r\n\r\nWARC/1.0\r\nContent-Length: 0\r\n\r\n",
+        b"WARC/1.0",
+        b"\x1f\x8b\x08\x00",
+        b"HTTP/1.1 500 Oops\r\n\r\nbody",
+    ]
+    records = [{"url": f"t{i}", "body": b} for i, b in enumerate(traps)]
+    for compress in (False, True):
+        got = list(parse_warc_records(encode_warc(records, compress=compress)))
+        assert [g["body"] for g in got] == traps
+
+
 def test_read_warc_quarantines_bad_shard(spark, tmp_path):
     d = tmp_path / "crawl"
     d.mkdir()
