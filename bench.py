@@ -5,7 +5,7 @@ and ENDS with a compact (<1900-byte) JSON summary line — the line the
 round harness parses; the full record also lands in BENCH_FULL.json.
 
 Round 6 widened coverage from the 22-query headline set to the full
-registry (73 queries, named exclusion list: EMPTY) — an unbenched query
+registry (74 queries, named exclusion list: EMPTY) — an unbenched query
 can silently regress 10× between rounds (this round's sweep caught
 dedup_simhash_pairs at 41 s). The former headline subset's subtotal is
 still reported (``headline_total``) for cross-round comparability.

@@ -1419,6 +1419,87 @@ WARC_STATUS_MOD = 37
 WARC_N_SHARDS = 16
 
 
+# --------------------------------------------------------------------------
+# URL curation (r10): normalize → registered domain → exact per-domain
+# cap over a deterministic messy-URL fixture derived from doc_id —
+# mixed-case scheme/host, default and explicit ports, trailing
+# slashes, tracking params in first and last position, fragments, one
+# hot domain holding ~half the corpus (the blogspot shape the
+# skew-hardened cap exists for). The SAME derivation is pinned as SQL
+# (SYNTH_URL_SQL) so the pytest twin rebuilds every URL verbatim in
+# DuckDB; rows-only here (window full) with the exact
+# ROW_NUMBER-oracle twin in tests/test_urls.py.
+# --------------------------------------------------------------------------
+SYNTH_URL_SQL = """
+CASE WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'http' END || '://' ||
+CASE WHEN doc_id % 2 = 0 THEN 'Mega-Portal.Example.COM'
+     WHEN doc_id % 3 = 0 THEN 'news.site-' || (doc_id % 7) || '.co.uk'
+     ELSE 'blog-' || (doc_id % 23) || '.example.org' END ||
+CASE WHEN doc_id % 4 = 0 AND doc_id % 5 != 0 THEN ':80'
+     WHEN doc_id % 8 = 1 THEN ':8080' ELSE '' END ||
+'/Articles/' || doc_id ||
+CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END ||
+CASE WHEN doc_id % 9 = 0 THEN '?utm_source=feed&id=' || doc_id
+     WHEN doc_id % 9 = 1 THEN '?id=' || doc_id || '&utm_campaign=x'
+     ELSE '' END ||
+CASE WHEN doc_id % 10 = 0 THEN '#section-2' ELSE '' END
+""".strip()
+
+URL_CAP = 30
+
+
+def synth_url_col() -> "F.Column":
+    """Spark twin of SYNTH_URL_SQL (same CASE arms, same concat)."""
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    host = (
+        F.when(did % 2 == 0, F.lit("Mega-Portal.Example.COM"))
+        .when(
+            did % 3 == 0,
+            F.concat(F.lit("news.site-"), s(did % 7), F.lit(".co.uk")),
+        )
+        .otherwise(
+            F.concat(F.lit("blog-"), s(did % 23), F.lit(".example.org"))
+        )
+    )
+    return F.concat(
+        F.when(did % 5 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://"),
+        host,
+        F.when((did % 4 == 0) & (did % 5 != 0), F.lit(":80"))
+        .when(did % 8 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/Articles/"),
+        s(did),
+        F.when(did % 6 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 9 == 0, F.concat(F.lit("?utm_source=feed&id="), s(did)))
+        .when(did % 9 == 1, F.concat(F.lit("?id="), s(did), F.lit("&utm_campaign=x")))
+        .otherwise(F.lit("")),
+        F.when(did % 10 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+
+
+@query("url_curation_stats", tags=("url", "curation", "dedup"))
+def url_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.urls import normalize_url, per_domain_cap
+
+    urls = (
+        load_table(spark, sf_dir, "documents")
+        .select(synth_url_col().alias("url"))
+        .withColumn("normalized", normalize_url("url"))
+    )
+    capped = per_domain_cap(urls, "url", cap=URL_CAP)
+    return (
+        capped.groupBy(F.col("__domain").alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.countDistinct("normalized").alias("n_normalized_distinct"),
+        )
+        .orderBy("domain")
+    )
+
+
 #: HTML page template shared by the warc_html_extract query and its
 #: DuckDB twin (tests/test_html.py) — head (title+style) to drop, a
 #: comment, the escaped body text, a script with '<'/'&' traps that

@@ -82,7 +82,7 @@ def test_registry_fits_driver_window():
     # Pin the exact tallies so COVERAGE.md can't drift from the registry
     # (round-5 verdict nit: the doc said 71 when the registry held 72).
     # Update BOTH this assertion and COVERAGE.md when (de)registering.
-    assert len(names) == 73, f"registry holds {len(names)} queries, docs say 73"
+    assert len(names) == 74, f"registry holds {len(names)} queries, docs say 74"
     assert len(oracles) == 50, f"{len(oracles)} oracle gates, docs say 50"
     # Round-6 gate swap (verdict item 2): the constants-oracle invariants
     # probe is rows-only; the ANSI correlated-subquery suite holds a
@@ -107,6 +107,7 @@ def test_registry_fits_driver_window():
     # tests/test_html.py for the HTML-extraction composition).
     assert SPECS["warc_ingest_stats"].oracle is None
     assert SPECS["warc_html_extract"].oracle is None
+    assert SPECS["url_curation_stats"].oracle is None
     # Round-8 gate swap (verdict item 2): events_asof_join +
     # events_range_join fused into the method-tagged
     # events_temporal_suite (both shapes still hash-gated there); the

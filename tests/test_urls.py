@@ -1,0 +1,182 @@
+"""URL curation oracle tests (operators/urls.py r10).
+
+Layers: (1) crafted-URL behavior of normalize/host/registered-domain,
+(2) cross-engine equality — the twin SQL from url_twin_sql on the same
+frame, (3) per_domain_cap vs the plain single-window oracle (the exact
+semantics it reimplements skew-hardened) AND vs DuckDB's ROW_NUMBER,
+(4) the registered url_curation_stats query vs its full DuckDB twin.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mbfbigdatarandomforest_spark.operators.urls import (
+    normalize_url,
+    per_domain_cap,
+    url_host,
+    url_registered_domain,
+    url_twin_sql,
+)
+from mbfbigdatarandomforest_spark.plans.llm_ops import (
+    SYNTH_URL_SQL,
+    URL_CAP,
+)
+from mbfbigdatarandomforest_spark.registry import load_all
+
+from conftest import SF_DIR_ORACLE
+
+# (url, host, registered_domain, normalized)
+CASES = [
+    (
+        "HTTP://User:Pw@WWW.Example.COM:80/Path/Index.HTML?utm_source=x&id=7#frag",
+        "www.example.com",
+        "example.com",
+        "http://www.example.com/Path/Index.HTML?id=7",
+    ),
+    (
+        "https://News.Site.CO.UK:443/a/b/",
+        "news.site.co.uk",
+        "site.co.uk",
+        "https://news.site.co.uk/a/b",
+    ),
+    (
+        "http://host.example.org:8080/x?id=1&utm_campaign=z",
+        "host.example.org",
+        "example.org",
+        "http://host.example.org:8080/x?id=1",
+    ),
+    (
+        "https://single-label/",
+        "single-label",
+        "single-label",
+        "https://single-label",
+    ),
+    (
+        "http://a.b.example.net/p?utm_a=1&utm_b=&ref=rss",
+        "a.b.example.net",
+        "example.net",
+        "http://a.b.example.net/p",
+    ),
+    ("http://plain.example.com", "plain.example.com", "example.com",
+     "http://plain.example.com"),
+]
+
+
+def test_url_parts_crafted(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _, _) in enumerate(CASES)], "i long, url string"
+    )
+    got = {
+        r["i"]: (r["h"], r["d"], r["n"])
+        for r in df.select(
+            "i",
+            url_host("url").alias("h"),
+            url_registered_domain("url").alias("d"),
+            normalize_url("url").alias("n"),
+        ).collect()
+    }
+    for i, (_, h, d, n) in enumerate(CASES):
+        assert got[i] == (h, d, n), (i, got[i])
+
+
+def test_url_twin_sql_duckdb_equality(spark, duck):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _, _) in enumerate(CASES)], "i long, url string"
+    )
+    got = {
+        r["i"]: (r["h"], r["d"], r["n"])
+        for r in df.select(
+            "i",
+            url_host("url").alias("h"),
+            url_registered_domain("url").alias("d"),
+            normalize_url("url").alias("n"),
+        ).collect()
+    }
+    duck.execute("CREATE OR REPLACE TABLE __urls(i BIGINT, url VARCHAR)")
+    duck.executemany(
+        "INSERT INTO __urls VALUES (?, ?)",
+        [(i, u) for i, (u, _, _, _) in enumerate(CASES)],
+    )
+    twin = url_twin_sql("url")
+    want = {
+        i: (h, d, n)
+        for i, h, d, n in duck.sql(
+            f"SELECT i, {twin['host']}, {twin['registered_domain']}, "
+            f"{twin['normalized']} FROM __urls"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_per_domain_cap_vs_plain_window_and_duckdb(spark, duck):
+    """The skew-hardened rank must reproduce the single-window oracle
+    EXACTLY (kept set identical), in Spark and in DuckDB."""
+    docs = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+    from mbfbigdatarandomforest_spark.plans.llm_ops import synth_url_col
+
+    urls = docs.select(synth_url_col().alias("url"))
+    capped = per_domain_cap(urls, "url", cap=URL_CAP)
+    got_kept = {
+        r["url"] for r in capped.filter(F.col("kept")).collect()
+    }
+    # plain-window oracle (the semantics, unhardened)
+    w = Window.partitionBy(url_registered_domain("url")).orderBy(
+        F.md5(F.col("url")), "url"
+    )
+    want_kept = {
+        r["url"]
+        for r in urls.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= URL_CAP)
+        .collect()
+    }
+    assert got_kept == want_kept
+    # DuckDB twin of the same selection
+    twin = url_twin_sql("url")
+    duck_kept = {
+        u
+        for (u,) in duck.sql(f"""
+            WITH u AS (SELECT {SYNTH_URL_SQL} AS url FROM documents),
+            r AS (
+              SELECT url, ROW_NUMBER() OVER (
+                PARTITION BY {twin['registered_domain']}
+                ORDER BY md5(url), url) AS rn
+              FROM u
+            )
+            SELECT url FROM r WHERE rn <= {URL_CAP}
+        """).fetchall()
+    }
+    assert got_kept == duck_kept
+
+
+def test_url_curation_stats_vs_duckdb_twin(spark, duck):
+    spec = load_all()["url_curation_stats"]
+    assert spec.oracle is None  # rows-only by design (window full)
+    got = spec.fn(spark, SF_DIR_ORACLE).toPandas()
+    twin = url_twin_sql("url")
+    want = duck.sql(f"""
+        WITH u AS (SELECT {SYNTH_URL_SQL} AS url FROM documents),
+        n AS (
+          SELECT url, {twin['normalized']} AS normalized,
+                 {twin['registered_domain']} AS domain
+          FROM u
+        ),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY domain ORDER BY md5(url), url) AS rn
+          FROM n
+        )
+        SELECT domain, COUNT(*) AS n_pages,
+               CAST(SUM((rn <= {URL_CAP})::BIGINT) AS BIGINT) AS n_kept,
+               COUNT(DISTINCT normalized) AS n_normalized_distinct
+        FROM r GROUP BY domain ORDER BY domain
+    """).df()
+    assert got["domain"].tolist() == want["domain"].tolist()
+    for c in ("n_pages", "n_kept", "n_normalized_distinct"):
+        assert got[c].tolist() == want[c].tolist(), c
+    # the fixture really exercises the cap: the hot domain must clip
+    hot = got[got["domain"] == "example.com"]
+    assert int(hot["n_pages"].iloc[0]) > URL_CAP
+    assert int(hot["n_kept"].iloc[0]) == URL_CAP
