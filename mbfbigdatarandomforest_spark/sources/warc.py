@@ -206,6 +206,37 @@ def read_warc(
     )
 
 
+def warc_to_documents(
+    spark: SparkSession,
+    path: str,
+    lang_col: bool = True,
+) -> DataFrame:
+    """Crawl dump → curation-ready documents frame: successful HTML
+    responses extracted to text (``operators.text.html_to_text``),
+    keyed by ``xxhash64(url)``, provenance = the URL's registered
+    domain, language via the marker heuristic. The frame matches the
+    ``documents`` table contract (doc_id, text, lang, source) so the
+    whole curation funnel — ``run_curation_pipeline.py --warc-dir`` —
+    runs off a dump directly."""
+    from ..operators.text import html_to_text, lang_id
+    from ..operators.urls import url_registered_domain
+
+    recs = read_warc(spark, path).filter(
+        F.col("error").isNull() & (F.col("status") == 200)
+    )
+    pages = recs.select(
+        F.xxhash64("url").alias("doc_id"),
+        "url",
+        F.decode("body", "UTF-8").alias("html"),
+    )
+    docs = html_to_text(pages, "html", "text").select(
+        "doc_id", "text", url_registered_domain("url").alias("source")
+    )
+    if lang_col:
+        docs = lang_id(docs, "text", out_col="lang")
+    return docs
+
+
 def encode_warc_shards(
     df: DataFrame,
     shard_col: str = "shard_id",

@@ -3,14 +3,18 @@ for the engine's training-data family (the analogue of
 ``run_election_pipeline.py`` for the north-star extension).
 
 Usage:
-    python run_curation_pipeline.py [--sf-dir DIR | --text-dir DIR]
+    python run_curation_pipeline.py [--sf-dir DIR | --text-dir DIR |
+        --warc-dir DIR [--benchmark-text-dir DIR]]
         [--out DIR] [--max-tokens N] [--keep-fraction F] [--lm-order N]
 
 ``--text-dir`` ingests raw crawl-dump text (one document per file,
 ``dir/<source>/<file>.txt``; a ``benchmark/`` subdir is the held-out
 eval text for decontamination) via ``sources.readers.
-ingest_text_documents`` — no parquet conversion step. The datasheet
-artifact is sf-dir-bound and skipped in this mode.
+ingest_text_documents`` — no parquet conversion step. ``--warc-dir``
+ingests an actual WARC crawl dump (records → HTML → text via
+``sources.warc.warc_to_documents``); decontamination uses
+``--benchmark-text-dir`` when given, else skips. The datasheet
+artifact is sf-dir-bound and skipped in both raw-ingest modes.
 
 One command drives the published-pipeline composition end to end —
 Gopher rules → n-gram-LM perplexity tail drop (CCNet) → exact dedup →
@@ -46,6 +50,16 @@ def main() -> None:
                     help="ingest raw .txt files (dir/<source>/<file>.txt, "
                     "one doc per file) instead of the sf-dir documents "
                     "table; a benchmark/ subdir feeds decontamination")
+    ap.add_argument("--warc-dir", default=None,
+                    help="ingest a WARC crawl dump (*.warc / *.warc.gz "
+                    "shards): records → HTML → text → funnel; doc_id = "
+                    "xxhash64(url), source = registered domain, lang via "
+                    "the marker heuristic. Decontamination runs against "
+                    "--benchmark-text-dir if given, else skips (empty "
+                    "benchmark).")
+    ap.add_argument("--benchmark-text-dir", default=None,
+                    help="held-out eval .txt tree for decontamination in "
+                    "--warc-dir mode")
     ap.add_argument("--out", default="./curation_out")
     ap.add_argument("--max-tokens", type=int, default=256)
     ap.add_argument("--keep-fraction", type=float, default=0.6,
@@ -74,18 +88,35 @@ def main() -> None:
     spark = get_spark(app_name="curation-pipeline")
     spark.sparkContext.setLogLevel("WARN")
 
-    if args.text_dir:
-        from mbfbigdatarandomforest_spark.sources.readers import (
-            ingest_text_documents,
+    if args.warc_dir:
+        from mbfbigdatarandomforest_spark.sources.warc import (
+            warc_to_documents,
         )
 
-        docs = ingest_text_documents(spark, args.text_dir)
-        bench_source = "benchmark"
+        corpus = warc_to_documents(spark, args.warc_dir).cache()
+        if args.benchmark_text_dir:
+            from mbfbigdatarandomforest_spark.sources.readers import (
+                ingest_text_documents,
+            )
+
+            bench = ingest_text_documents(
+                spark, args.benchmark_text_dir
+            ).select("doc_id", "text")
+        else:
+            bench = corpus.limit(0)  # no benchmark → nothing contaminates
     else:
-        docs = load_table(spark, args.sf_dir, "documents")
-        bench_source = "src0"
-    bench = docs.filter(F.col("source") == bench_source)
-    corpus = docs.filter(F.col("source") != bench_source).cache()
+        if args.text_dir:
+            from mbfbigdatarandomforest_spark.sources.readers import (
+                ingest_text_documents,
+            )
+
+            docs = ingest_text_documents(spark, args.text_dir)
+            bench_source = "benchmark"
+        else:
+            docs = load_table(spark, args.sf_dir, "documents")
+            bench_source = "src0"
+        bench = docs.filter(F.col("source") == bench_source)
+        corpus = docs.filter(F.col("source") != bench_source).cache()
     # text-dir mode mints a constant lang, so the LM/DSIR target is the
     # whole corpus; sf-dir documents carry a real lang column
     target = corpus.filter(F.col("lang") == "en")
@@ -145,7 +176,7 @@ def main() -> None:
     blocks = materialize_packed_blocks(kept, manifest)
 
     # --- artifacts
-    if not args.text_dir:  # the datasheet spec is sf-dir-bound
+    if not (args.text_dir or args.warc_dir):  # datasheet is sf-dir-bound
         specs = load_all()
         specs["corpus_datasheet"].fn(spark, args.sf_dir).write.mode(
             "overwrite"
@@ -182,7 +213,7 @@ def main() -> None:
 
     n_blocks = spark.read.parquet(str(out / "blocks")).count()
     summary = {
-        "input": args.text_dir or args.sf_dir,
+        "input": args.warc_dir or args.text_dir or args.sf_dir,
         "stages": {name: n for name, n, _ in funnel_rows},
         "n_blocks": n_blocks,
         "max_tokens": args.max_tokens,

@@ -177,7 +177,48 @@ def _semantic_auto_t09(spark, sf_dir):
     )
 
 
-EXTRA = {"ann_auto_t09": _ann_auto_t09, "semantic_auto_t09": _semantic_auto_t09}
+def _warc_scaled_shards(spark, sf_dir):
+    """Probe-only variant (r10): warc_ingest_stats with PRODUCTION
+    sharding — shard count grows with the corpus at a fixed
+    docs-per-shard (the registered query pins 16 shards for
+    determinism, which at 40× replication makes per-shard work grow
+    40× and caps parallelism at 16; real crawls ship more shards, not
+    bigger ones). Separates the fixture's sharding artifact from the
+    operator's scaling."""
+    from mbfbigdatarandomforest_spark.plans.llm_ops import WARC_STATUS_MOD
+    from mbfbigdatarandomforest_spark.sources.warc import (
+        encode_warc_shards,
+        split_warc_records,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_shards = max(16, docs.count() // 312)  # ≈ the sf0.1 docs/shard
+    d = docs.select(
+        F.concat(F.lit("https://corpus.example/doc/"), F.col("doc_id")).alias(
+            "url"
+        ),
+        F.when(F.col("doc_id") % WARC_STATUS_MOD == 0, F.lit(404))
+        .otherwise(F.lit(200))
+        .alias("status"),
+        F.encode("text", "UTF-8").alias("body"),
+        (F.col("doc_id") % n_shards).alias("shard_id"),
+    )
+    recs = split_warc_records(encode_warc_shards(d))
+    return (
+        recs.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum(F.length("body")).alias("total_body_bytes"),
+        )
+        .orderBy("status")
+    )
+
+
+EXTRA = {
+    "ann_auto_t09": _ann_auto_t09,
+    "semantic_auto_t09": _semantic_auto_t09,
+    "warc_scaled_shards": _warc_scaled_shards,
+}
 
 
 def main() -> None:

@@ -162,6 +162,48 @@ def test_read_warc_quarantines_bad_shard(spark, tmp_path):
     assert "version line" in bad["error"].iloc[0]
 
 
+def test_warc_to_documents_end_to_end(spark, tmp_path):
+    """Crawl dump → curation-ready documents (the --warc-dir CLI path):
+    HTML responses become (doc_id, text, source, lang) rows; non-200
+    responses and quarantined shards drop out; text is the extracted
+    visible content."""
+    from mbfbigdatarandomforest_spark.sources.warc import warc_to_documents
+
+    pages = [
+        {
+            "url": "https://en.blog.example.com/a",
+            "status": 200,
+            "body": "<html><body><p>the cat and the dog went home from work"
+                    "</p></body></html>",
+        },
+        {
+            "url": "https://de.example.org/b",
+            "status": 200,
+            "body": "<p>der Hund und die Katze sind nicht das Problem und</p>",
+        },
+        {
+            "url": "https://gone.example.net/c",
+            "status": 404,
+            "body": "<html>not found</html>",
+        },
+    ]
+    d = tmp_path / "dump"
+    d.mkdir()
+    (d / "s0.warc").write_bytes(encode_warc(pages[:2]))
+    (d / "s1.warc.gz").write_bytes(encode_warc(pages[2:], compress=True))
+    (d / "s2.warc").write_bytes(b"garbage shard")
+    docs = warc_to_documents(spark, str(d)).collect()
+    by_src = {r["source"]: r for r in docs}
+    assert set(by_src) == {"example.com", "example.org"}  # 404 + bad gone
+    en = by_src["example.com"]
+    assert en["text"] == "the cat and the dog went home from work"
+    assert en["lang"] == "en"
+    de = by_src["example.org"]
+    assert de["text"].startswith("der Hund")
+    assert de["lang"] == "de"
+    assert all(r["doc_id"] is not None for r in docs)
+
+
 def test_warc_ingest_stats_duckdb_twin(spark, duck):
     spec = load_all()["warc_ingest_stats"]
     got = spec.fn(spark, SF_DIR_ORACLE).toPandas()
