@@ -289,9 +289,10 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # second .count() scan. r10 (ADVICE): share now divides a true
 # per-group COUNT(*) — not F+O+P, which would silently deflate on any
 # status outside the pivot's explicit domain. The scan pre-aggregates
-# once on (priority, status); pivot, per-group count, and grand total
-# all derive from that tiny frame (ReusedExchange; |prio|×|status|
-# rows), so the fix also drops the second orders scan branch.
+# on (priority, status); pivot, per-group count, and grand total all
+# derive from that tiny frame (|prio|×|status| rows; AQE reuses the
+# shared aggregate exchange at runtime — verified ReusedExchange in
+# the executed plan).
 # --------------------------------------------------------------------------
 @query(
     "pivot_status_by_priority",
