@@ -46,17 +46,6 @@ def pagerank(
     Semantics (the standard formulation): uniform init 1/N;
     rank' = (1-d)/N + d·(Σ incoming rank/out_degree + dangling/N);
     stop when the L1 delta ≤ ``tol`` or at ``max_iter``."""
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-
     jsc = edges.sparkSession.sparkContext._jsc
 
     def _persisted_ids() -> set[int]:
@@ -74,6 +63,23 @@ def pagerank(
             if jrdd is not None:
                 jrdd.unpersist(False)
 
+    # the edge frame is reused EVERY round — checkpoint it once so the
+    # upstream plan (scan + derivation + distinct) runs once, not
+    # max_iter times; freed before returning (the result frame's
+    # lineage is truncated, it never reads e again)
+    e, e_ids = _ckpt(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # baseline AFTER the edge checkpoint: live_ckpt_rdds measures the
+    # per-ITERATION discipline (rank frames), with e a constant O(E)
+    # resident for the call's duration
     ckpt_baseline = len(_persisted_ids())
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     # node frame with out-degree (0 = dangling), checkpointed once —
@@ -90,23 +96,40 @@ def pagerank(
         stats["live_ckpt_rdds"] = []
         stats["n_nodes"] = n
     if n == 0:
-        _free(base_ids)
-        return edges.sparkSession.createDataFrame(
-            [], "node long, rank double"
+        _free(base_ids | e_ids)
+        # empty result typed from the INPUT edge column (string-keyed
+        # domain graphs must not come back long-keyed — ADVICE r10);
+        # built on the CALLER's lineage, never the freed checkpoints
+        return (
+            edges.select(F.col(src).alias("node"))
+            .limit(0)
+            .select("node", F.lit(0.0).alias("rank"))
         )
 
     ranks, rank_ids = _ckpt(
         base.select("node", "out_deg", F.lit(1.0 / n).alias("rank"))
     )
+    # the initial rank checkpoint is eager and truncates lineage, so the
+    # degree frame's blocks are dead from here — free them NOW (the CC
+    # discipline: never leave O(V) blocks to ride ContextCleaner's
+    # GC-driven queue; ADVICE r10)
+    _free(base_ids)
     d = float(damping)
+    # round-0 dangling mass; every later round's is folded into the
+    # SAME 1-row aggregate as the convergence delta (one driver action
+    # per round, not two — the scheduling floor for iterative jobs)
+    dangling_mass = float(
+        ranks.filter(F.col("out_deg") == 0)
+        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+        .collect()[0][0]
+    )
     for _ in range(max_iter):
-        dangling = ranks.filter(F.col("out_deg") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")
-        )
-        dangling_mass = float(dangling.collect()[0]["m"])
         contrib = (
             e.join(
-                ranks.select(
+                # dangling nodes carry no edges (their mass moves via the
+                # fused aggregate) — filtering first also keeps the
+                # division ANSI-safe
+                ranks.filter(F.col("out_deg") > 0).select(
                     F.col("node").alias("src"),
                     (F.col("rank") / F.col("out_deg")).alias("share"),
                 ),
@@ -128,11 +151,14 @@ def pagerank(
                 F.col("rank").alias("__prev"),
             )
         )
-        delta = float(
-            nxt.agg(F.sum(F.abs(F.col("rank") - F.col("__prev")))).collect()[
-                0
-            ][0]
-        )
+        fused = nxt.agg(
+            F.sum(F.abs(F.col("rank") - F.col("__prev"))).alias("delta"),
+            F.coalesce(
+                F.sum(F.when(F.col("out_deg") == 0, F.col("rank"))),
+                F.lit(0.0),
+            ).alias("dangling"),
+        ).collect()[0]
+        delta, dangling_mass = float(fused["delta"]), float(fused["dangling"])
         _free(rank_ids)
         ranks, rank_ids = nxt.select("node", "out_deg", "rank"), nxt_ids
         if stats is not None:
@@ -143,8 +169,9 @@ def pagerank(
             )
         if delta <= tol:
             break
-    out = ranks.select("node", "rank")
-    # NOTE: base stays persisted until the returned frame is consumed;
-    # it is O(V) like the result itself. Callers that materialize the
-    # result can drop it via spark.catalog.clearCache() or session end.
-    return out
+    # the final rank frame IS the checkpoint — O(V), same order as the
+    # result itself; every earlier round's blocks were freed in-loop,
+    # and the result's lineage is truncated so the edge checkpoint is
+    # dead too
+    _free(e_ids)
+    return ranks.select("node", "rank")

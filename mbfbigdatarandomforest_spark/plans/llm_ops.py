@@ -1448,9 +1448,13 @@ CASE WHEN doc_id % 10 = 0 THEN '#section-2' ELSE '' END
 URL_CAP = 30
 
 
-def synth_url_col() -> "F.Column":
-    """Spark twin of SYNTH_URL_SQL (same CASE arms, same concat)."""
-    did = F.col("doc_id")
+def synth_url_col(did: "F.Column | None" = None) -> "F.Column":
+    """Spark twin of SYNTH_URL_SQL (same CASE arms, same concat).
+    ``did`` defaults to the ``doc_id`` column; the link-graph query
+    passes shifted ids to derive deterministic edge endpoints (the
+    DuckDB twin does the same by re-aliasing doc_id in a subquery)."""
+    if did is None:
+        did = F.col("doc_id")
     s = lambda c: c.cast("string")  # noqa: E731
     host = (
         F.when(did % 2 == 0, F.lit("Mega-Portal.Example.COM"))
@@ -1479,7 +1483,37 @@ def synth_url_col() -> "F.Column":
     )
 
 
-@query("url_curation_stats", tags=("url", "curation", "dedup"))
+def _url_curation_oracle() -> str:
+    """Full DuckDB twin (value-hash gate since r11 — the kept SET is
+    cross-engine reproducible by construction: md5 ranking was chosen
+    for exactly this; the same SQL ran as the pytest twin in r10)."""
+    from ..operators.urls import url_twin_sql
+
+    twin = url_twin_sql("url")
+    return f"""
+WITH u AS (SELECT {SYNTH_URL_SQL} AS url FROM documents),
+n AS (
+  SELECT url, {twin['normalized']} AS normalized,
+         {twin['registered_domain']} AS domain
+  FROM u
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY domain ORDER BY md5(url), url) AS rn
+  FROM n
+)
+SELECT domain, COUNT(*) AS n_pages,
+       CAST(SUM((rn <= {URL_CAP})::BIGINT) AS BIGINT) AS n_kept,
+       COUNT(DISTINCT normalized) AS n_normalized_distinct
+FROM r GROUP BY domain ORDER BY domain
+"""
+
+
+@query(
+    "url_curation_stats",
+    oracle=_url_curation_oracle(),
+    tags=("url", "curation", "dedup"),
+)
 def url_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.urls import normalize_url, per_domain_cap
 
@@ -1602,4 +1636,64 @@ def warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("error").isNotNull().cast("long")).alias("n_quarantined"),
         )
         .orderBy("status")
+    )
+
+
+# --------------------------------------------------------------------------
+# Domain link graph (r11 — wires operators/linkgraph.py): the crawl-
+# frontier authority signal that feeds the URL-curation layer at
+# production scale (Page et al. 1999; frontier schedulers rank domains
+# by link authority before spending fetch budget). Edges are derived
+# deterministically from the SAME synth-URL fixture the curation query
+# uses: each document links its own registered domain to the domain of
+# doc_id+1 (the DuckDB/numpy twin in tests/test_linkgraph.py rebuilds
+# the identical edge list by re-aliasing doc_id in a subquery). Fixed
+# iteration count (tol=0) so the rank vector is deterministic across
+# engines to summation-order noise; rows-only here (rank via an
+# iterative driver loop is not single-statement SQL), with the exact
+# power-iteration oracle in pytest at 1e-9.
+# --------------------------------------------------------------------------
+PAGERANK_ITERS = 20
+PAGERANK_DAMPING = 0.85
+
+
+@query("url_pagerank_stats", tags=("url", "linkgraph", "curation"))
+def url_pagerank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkgraph import pagerank
+    from ..operators.urls import url_registered_domain
+
+    docs = load_table(spark, sf_dir, "documents")
+    dom = url_registered_domain(synth_url_col()).alias("domain")
+    edges = docs.select(
+        url_registered_domain(synth_url_col()).alias("src"),
+        url_registered_domain(synth_url_col(F.col("doc_id") + 1)).alias("dst"),
+    )
+    pr = pagerank(
+        edges,
+        damping=PAGERANK_DAMPING,
+        max_iter=PAGERANK_ITERS,
+        tol=0.0,
+    ).withColumnRenamed("node", "domain")
+    dedges = edges.filter(F.col("src") != F.col("dst")).distinct()
+    outd = dedges.groupBy(F.col("src").alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_out_domains")
+    )
+    ind = dedges.groupBy(F.col("dst").alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_in_domains")
+    )
+    pages = docs.select(dom).groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_pages")
+    )
+    return (
+        pr.join(outd, "domain", "left")
+        .join(ind, "domain", "left")
+        .join(pages, "domain", "left")
+        .select(
+            "domain",
+            F.round("rank", 9).alias("rank"),
+            F.coalesce("n_out_domains", F.lit(0)).alias("n_out_domains"),
+            F.coalesce("n_in_domains", F.lit(0)).alias("n_in_domains"),
+            F.coalesce("n_pages", F.lit(0)).alias("n_pages"),
+        )
+        .orderBy(F.desc("rank"), "domain")
     )

@@ -826,51 +826,50 @@ def null_keeping_value_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Anti join — P6-adjacent extension (split on key existence; the engine
-# uses keyed anti joins where the reference splits frames positionally,
-# 03_LinearRegression.R:37-38).
+# Semi + anti joins — P6-adjacent extension (split on key existence;
+# the engine uses keyed semi/anti joins where the reference splits
+# frames positionally, 03_LinearRegression.R:37-38). Method-tagged in
+# ONE gate (r11 fusion — the freed window slot hash-gates
+# url_curation_stats; same pattern as set_ops_suite / the q13 fusion).
 # --------------------------------------------------------------------------
 @query(
-    "orders_without_lineitems",
+    "semi_anti_suite",
     oracle="""
-SELECT o.o_orderkey, o.o_orderstatus
+SELECT 'anti:orders_without_lineitems' AS section,
+       o.o_orderkey AS key, o.o_orderstatus AS val
 FROM orders o
 WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
-ORDER BY o.o_orderkey
-""",
-    tags=("P6", "J-anti"),
-)
-def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
-    return (
-        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
-        .select("o_orderkey", "o_orderstatus")
-        .orderBy("o_orderkey")
-    )
-
-
-# --------------------------------------------------------------------------
-# Semi join — complement of the above.
-# --------------------------------------------------------------------------
-@query(
-    "customers_with_orders",
-    oracle="""
-SELECT c.c_custkey, c.c_name
+UNION ALL
+SELECT 'semi:customers_with_orders' AS section,
+       c.c_custkey AS key, c.c_name AS val
 FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-ORDER BY c.c_custkey
+ORDER BY section, key
 """,
-    tags=("J-semi",),
+    tags=("P6", "J-anti", "J-semi"),
 )
-def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").select("o_custkey")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+def semi_anti_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    anti = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .select(
+            F.lit("anti:orders_without_lineitems").alias("section"),
+            F.col("o_orderkey").alias("key"),
+            F.col("o_orderstatus").alias("val"),
+        )
     )
+    cust = _t(spark, sf_dir, "customer")
+    okeys = _t(spark, sf_dir, "orders").select("o_custkey")
+    semi = (
+        cust.join(okeys, cust.c_custkey == okeys.o_custkey, "left_semi")
+        .select(
+            F.lit("semi:customers_with_orders").alias("section"),
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("val"),
+        )
+    )
+    return anti.unionByName(semi).orderBy("section", "key")
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,193 @@
+"""PageRank oracle tests (operators/linkgraph.py, wired r11).
+
+Layers: (1) a pure-numpy power-iteration oracle implementing the SAME
+formulation (uniform init, damping, dangling redistribution, L1 stop)
+— Spark must match it to summation-order noise (1e-9) on crafted and
+seeded-random graphs; (2) closed-form cases (2-cycle = exactly 0.5
+each, complete graph = uniform); (3) input hygiene — self-loops
+dropped, parallel edges count once; (4) the empty string-keyed graph
+returns a string-typed node column (ADVICE r10); (5) the checkpoint
+discipline — live checkpointed RDDs above baseline stay ≤2 at every
+round (the CC posture, SCALE.md §15); (6) the registered
+``url_pagerank_stats`` query against the identical edge list rebuilt
+in DuckDB and ranked by the numpy oracle.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mbfbigdatarandomforest_spark.operators.linkgraph import pagerank
+from mbfbigdatarandomforest_spark.registry import load_all
+
+from conftest import SF_DIR_ORACLE
+
+
+def numpy_pagerank(edges, damping=0.85, max_iter=25, tol=1e-6):
+    """Reference power iteration — the module docstring's formulation,
+    executed densely in float64. Returns {node: rank}."""
+    e = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    if n == 0:
+        return {}
+    out_deg = Counter(s for s, _ in e)
+    deg = np.array([out_deg.get(v, 0) for v in nodes], dtype=np.float64)
+    src = np.array([idx[s] for s, _ in e], dtype=np.int64)
+    dst = np.array([idx[d] for _, d in e], dtype=np.int64)
+    d = float(damping)
+    r = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        dangling = float(r[deg == 0].sum())
+        nxt = np.full(n, (1.0 - d) / n + d * dangling / n)
+        np.add.at(nxt, dst, d * r[src] / deg[src])
+        delta = float(np.abs(nxt - r).sum())
+        r = nxt
+        if delta <= tol:
+            break
+    return {v: float(r[idx[v]]) for v in nodes}
+
+
+def _spark_ranks(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+
+
+def _close(got: dict, want: dict, tol=1e-9):
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) <= tol, (k, got[k], want[k])
+
+
+def test_two_cycle_closed_form(spark):
+    """a<->b is symmetric: exactly 0.5 each, any damping."""
+    got = _spark_ranks(spark, [(1, 2), (2, 1)])
+    _close(got, {1: 0.5, 2: 0.5}, tol=1e-12)
+
+
+def test_complete_graph_uniform(spark):
+    """K4: symmetry forces uniform 0.25 from the uniform start."""
+    edges = [(a, b) for a in range(4) for b in range(4) if a != b]
+    got = _spark_ranks(spark, edges)
+    _close(got, {v: 0.25 for v in range(4)}, tol=1e-12)
+
+
+def test_star_with_dangling_center_vs_numpy(spark):
+    """4 leaves -> center; the center has no out-links (dangling mass
+    redistribution path). Center must dominate; mass conserved."""
+    edges = [(i, 99) for i in range(1, 5)]
+    got = _spark_ranks(spark, edges)
+    _close(got, numpy_pagerank(edges))
+    assert got[99] == max(got.values())
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_chain_vs_numpy(spark):
+    edges = [(i, i + 1) for i in range(6)]
+    got = _spark_ranks(spark, edges)
+    _close(got, numpy_pagerank(edges))
+    # rank must be non-decreasing down a chain that ends dangling
+    order = [got[i] for i in range(7)]
+    assert order == sorted(order)
+
+
+def test_self_loops_and_parallel_edges_ignored(spark):
+    messy = [(1, 2), (1, 2), (2, 1), (1, 1), (2, 2), (2, 1)]
+    got = _spark_ranks(spark, messy)
+    _close(got, {1: 0.5, 2: 0.5}, tol=1e-12)
+
+
+def test_empty_string_keyed_graph_schema(spark):
+    """ADVICE r10: a string-keyed edge frame with no surviving edges
+    must return a STRING node column, not the old hardcoded long."""
+    df = spark.createDataFrame(
+        [("a.example", "a.example")], "src string, dst string"
+    )  # only a self-loop -> empty after hygiene
+    out = pagerank(df)
+    assert out.count() == 0
+    assert dict(out.dtypes) == {"node": "string", "rank": "double"}
+
+
+def test_seeded_random_graph_vs_numpy(spark):
+    rng = np.random.default_rng(1311)
+    n = 60
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, n, size=(400, 2))
+    ]
+    kw = dict(damping=0.85, max_iter=30, tol=1e-10)
+    got = _spark_ranks(spark, edges, **kw)
+    _close(got, numpy_pagerank(edges, **kw))
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_stats_hook_and_checkpoint_discipline(spark):
+    """The probe hook: rounds counted, L1 deltas shrink to tol, and the
+    persistence map never holds more than 2 checkpoint RDDs above
+    baseline (prior round freed deterministically — the r10 CC fix)."""
+    rng = np.random.default_rng(7)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 40, size=(200, 2))]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    stats: dict = {}
+    pagerank(df, max_iter=40, tol=1e-8, stats=stats).collect()
+    assert stats["rounds"] >= 2
+    assert stats["l1_deltas"][-1] <= 1e-8 or stats["rounds"] == 40
+    assert stats["l1_deltas"][0] > stats["l1_deltas"][-1]
+    assert max(stats["live_ckpt_rdds"]) <= 2, stats["live_ckpt_rdds"]
+
+
+def test_url_pagerank_stats_vs_duckdb_numpy_twin(spark, duck):
+    """The registered query (rows-only: iterative driver loop, not
+    single-statement SQL) against the full cross-engine twin: DuckDB
+    rebuilds the identical (src, dst) domain edge list from the synth
+    fixture — doc_id re-aliased to doc_id+1 for the dst endpoint — and
+    the numpy oracle ranks it with the query's fixed 20 iterations."""
+    from mbfbigdatarandomforest_spark.operators.urls import url_twin_sql
+    from mbfbigdatarandomforest_spark.plans.llm_ops import (
+        PAGERANK_DAMPING,
+        PAGERANK_ITERS,
+        SYNTH_URL_SQL,
+    )
+
+    spec = load_all()["url_pagerank_stats"]
+    assert spec.oracle is None  # rows-only by design
+    got = spec.fn(spark, SF_DIR_ORACLE).toPandas()
+
+    rd = url_twin_sql("url")["registered_domain"]
+    edges = duck.sql(f"""
+        WITH s AS (
+          SELECT doc_id, {rd} AS dom
+          FROM (SELECT doc_id, {SYNTH_URL_SQL} AS url FROM documents)
+        ),
+        t AS (
+          SELECT orig_id, {rd} AS dom FROM (
+            SELECT orig_id, {SYNTH_URL_SQL} AS url FROM (
+              SELECT doc_id AS orig_id, doc_id + 1 AS doc_id FROM documents
+            )
+          )
+        )
+        SELECT s.dom AS src, t.dom AS dst
+        FROM s JOIN t ON s.doc_id = t.orig_id
+    """).fetchall()
+    want = numpy_pagerank(
+        edges, damping=PAGERANK_DAMPING, max_iter=PAGERANK_ITERS, tol=0.0
+    )
+    got_ranks = dict(zip(got["domain"], got["rank"]))
+    assert set(got_ranks) == set(want)
+    for dom_name, rank in want.items():
+        assert abs(got_ranks[dom_name] - round(rank, 9)) <= 1e-9, dom_name
+    # degree columns against the same edge list, counted in Python
+    dedges = {(s, t) for s, t in edges if s != t}
+    outd = Counter(s for s, _ in dedges)
+    ind = Counter(t for _, t in dedges)
+    for _, row in got.iterrows():
+        assert row["n_out_domains"] == outd.get(row["domain"], 0)
+        assert row["n_in_domains"] == ind.get(row["domain"], 0)
+    # ordered by authority, descending
+    ranks = got["rank"].tolist()
+    assert ranks == sorted(ranks, reverse=True)

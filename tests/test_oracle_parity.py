@@ -84,6 +84,19 @@ def test_registry_fits_driver_window():
     # Update BOTH this assertion and COVERAGE.md when (de)registering.
     assert len(names) == 74, f"registry holds {len(names)} queries, docs say 74"
     assert len(oracles) == 50, f"{len(oracles)} oracle gates, docs say 50"
+    # Round-11 gate swap (verdict item 2): customers_with_orders +
+    # orders_without_lineitems fused into the method-tagged
+    # semi_anti_suite (both join methods still hash-gated there); the
+    # freed slot promotes url_curation_stats — its DuckDB twin (same
+    # SQL, md5-ranked kept set chosen for cross-engine reproducibility)
+    # had matched in tests/test_urls.py since r10.
+    assert "customers_with_orders" not in SPECS
+    assert "orders_without_lineitems" not in SPECS
+    assert SPECS["semi_anti_suite"].oracle is not None
+    # r11: PageRank wired — rows-only (iterative driver loop, not
+    # single-statement SQL; exact numpy power-iteration twin in
+    # tests/test_linkgraph.py).
+    assert SPECS["url_pagerank_stats"].oracle is None
     # Round-6 gate swap (verdict item 2): the constants-oracle invariants
     # probe is rows-only; the ANSI correlated-subquery suite holds a
     # value-hash slot instead.
@@ -107,7 +120,7 @@ def test_registry_fits_driver_window():
     # tests/test_html.py for the HTML-extraction composition).
     assert SPECS["warc_ingest_stats"].oracle is None
     assert SPECS["warc_html_extract"].oracle is None
-    assert SPECS["url_curation_stats"].oracle is None
+    assert SPECS["url_curation_stats"].oracle is not None  # gate since r11
     # Round-8 gate swap (verdict item 2): events_asof_join +
     # events_range_join fused into the method-tagged
     # events_temporal_suite (both shapes still hash-gated there); the

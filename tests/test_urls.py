@@ -153,7 +153,7 @@ def test_per_domain_cap_vs_plain_window_and_duckdb(spark, duck):
 
 def test_url_curation_stats_vs_duckdb_twin(spark, duck):
     spec = load_all()["url_curation_stats"]
-    assert spec.oracle is None  # rows-only by design (window full)
+    assert spec.oracle is not None  # value-hash gate since r11
     got = spec.fn(spark, SF_DIR_ORACLE).toPandas()
     twin = url_twin_sql("url")
     want = duck.sql(f"""
