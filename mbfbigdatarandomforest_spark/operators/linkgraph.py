@@ -114,61 +114,93 @@ def pagerank(
     # discipline: never leave O(V) blocks to ride ContextCleaner's
     # GC-driven queue; ADVICE r10)
     _free(base_ids)
+
+    # size the LOOP's shuffles to the graph: state is O(V), known here,
+    # and a domain graph is often tiny relative to the corpus that
+    # derived it — 20 rounds of session-default-width shuffle stages on
+    # a 9-node gate graph is pure scheduling overhead (measured 3x on
+    # the gate fixture). ~250k state rows per reduce task; restored in
+    # the finally. At 100 TB (V in the millions) this resolves to the
+    # session default again.
+    sess = edges.sparkSession
+    sp_key = "spark.sql.shuffle.partitions"
+    old_sp = sess.conf.get(sp_key)
+    loop_parts = max(1, min(int(old_sp), -(-n // 250_000)))
+    sess.conf.set(sp_key, str(loop_parts))
     d = float(damping)
-    # round-0 dangling mass; every later round's is folded into the
-    # SAME 1-row aggregate as the convergence delta (one driver action
-    # per round, not two — the scheduling floor for iterative jobs)
-    dangling_mass = float(
-        ranks.filter(F.col("out_deg") == 0)
-        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-        .collect()[0][0]
-    )
-    for _ in range(max_iter):
-        contrib = (
-            e.join(
-                # dangling nodes carry no edges (their mass moves via the
-                # fused aggregate) — filtering first also keeps the
-                # division ANSI-safe
-                ranks.filter(F.col("out_deg") > 0).select(
-                    F.col("node").alias("src"),
-                    (F.col("rank") / F.col("out_deg")).alias("share"),
-                ),
-                "src",
-            )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("share").alias("in_sum"))
+    try:
+        # round-0 dangling mass; every later round's is folded into the
+        # SAME 1-row aggregate as the convergence delta (one driver
+        # action per round, not two — the scheduling floor for
+        # iterative jobs)
+        dangling_mass = float(
+            ranks.filter(F.col("out_deg") == 0)
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
         )
-        base_term = (1.0 - d) / n + d * dangling_mass / n
-        nxt, nxt_ids = _ckpt(
-            ranks.join(contrib, "node", "left")
-            .select(
-                "node",
-                "out_deg",
-                (
-                    F.lit(base_term)
-                    + F.lit(d) * F.coalesce(F.col("in_sum"), F.lit(0.0))
-                ).alias("rank"),
-                F.col("rank").alias("__prev"),
+        for _ in range(max_iter):
+            contrib = (
+                e.join(
+                    # dangling nodes carry no edges (their mass moves
+                    # via the fused aggregate) — filtering first also
+                    # keeps the division ANSI-safe
+                    ranks.filter(F.col("out_deg") > 0).select(
+                        F.col("node").alias("src"),
+                        (F.col("rank") / F.col("out_deg")).alias("share"),
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("share").alias("in_sum"))
             )
-        )
-        fused = nxt.agg(
-            F.sum(F.abs(F.col("rank") - F.col("__prev"))).alias("delta"),
-            F.coalesce(
-                F.sum(F.when(F.col("out_deg") == 0, F.col("rank"))),
-                F.lit(0.0),
-            ).alias("dangling"),
-        ).collect()[0]
-        delta, dangling_mass = float(fused["delta"]), float(fused["dangling"])
-        _free(rank_ids)
-        ranks, rank_ids = nxt.select("node", "out_deg", "rank"), nxt_ids
-        if stats is not None:
-            stats["rounds"] += 1
-            stats["l1_deltas"].append(delta)
-            stats["live_ckpt_rdds"].append(
-                len(_persisted_ids()) - ckpt_baseline
+            base_term = (1.0 - d) / n + d * dangling_mass / n
+            nxt, nxt_ids = _ckpt(
+                ranks.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    "out_deg",
+                    (
+                        F.lit(base_term)
+                        + F.lit(d) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                    ).alias("rank"),
+                    F.col("rank").alias("__prev"),
+                )
             )
-        if delta <= tol:
-            break
+            # the 1-row convergence aggregate is needed to (a) decide a
+            # tol-stop, (b) refresh dangling mass, (c) feed the stats
+            # probe. In fixed-iteration mode (tol<=0) on a graph with NO
+            # dangling nodes (mass starts 0 and provably stays 0) with
+            # no probe attached, it is pure overhead — skip it and run
+            # ONE job per round (the eager checkpoint).
+            need_agg = tol > 0 or dangling_mass > 0 or stats is not None
+            if need_agg:
+                fused = nxt.agg(
+                    F.sum(F.abs(F.col("rank") - F.col("__prev"))).alias(
+                        "delta"
+                    ),
+                    F.coalesce(
+                        F.sum(F.when(F.col("out_deg") == 0, F.col("rank"))),
+                        F.lit(0.0),
+                    ).alias("dangling"),
+                ).collect()[0]
+                delta, dangling_mass = (
+                    float(fused["delta"]),
+                    float(fused["dangling"]),
+                )
+            else:
+                delta = float("inf")
+            _free(rank_ids)
+            ranks, rank_ids = nxt.select("node", "out_deg", "rank"), nxt_ids
+            if stats is not None:
+                stats["rounds"] += 1
+                stats["l1_deltas"].append(delta)
+                stats["live_ckpt_rdds"].append(
+                    len(_persisted_ids()) - ckpt_baseline
+                )
+            if delta <= tol:
+                break
+    finally:
+        sess.conf.set(sp_key, old_sp)
     # the final rank frame IS the checkpoint — O(V), same order as the
     # result itself; every earlier round's blocks were freed in-loop,
     # and the result's lineage is truncated so the edge checkpoint is

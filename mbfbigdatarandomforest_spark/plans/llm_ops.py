@@ -1663,11 +1663,14 @@ def url_pagerank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.urls import url_registered_domain
 
     docs = load_table(spark, sf_dir, "documents")
-    dom = url_registered_domain(synth_url_col()).alias("domain")
+    # one doc = one (src, dst) row; materialize ONCE (localCheckpoint)
+    # so the URL-expression tree — codegen-compile-bound, not row-bound
+    # — is compiled a single time for pagerank + both degree rollups +
+    # the page count, instead of once per consumer
     edges = docs.select(
         url_registered_domain(synth_url_col()).alias("src"),
         url_registered_domain(synth_url_col(F.col("doc_id") + 1)).alias("dst"),
-    )
+    ).localCheckpoint()
     pr = pagerank(
         edges,
         damping=PAGERANK_DAMPING,
@@ -1681,7 +1684,7 @@ def url_pagerank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ind = dedges.groupBy(F.col("dst").alias("domain")).agg(
         F.count(F.lit(1)).alias("n_in_domains")
     )
-    pages = docs.select(dom).groupBy("domain").agg(
+    pages = edges.groupBy(F.col("src").alias("domain")).agg(
         F.count(F.lit(1)).alias("n_pages")
     )
     return (
