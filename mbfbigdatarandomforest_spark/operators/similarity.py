@@ -635,6 +635,7 @@ def ivf_topk_assigned(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     bounded_queries: bool = True,
+    max_bounded_queries: int = 20_000,
 ) -> DataFrame:
     """The per-query-batch half of IVF search over a pre-assigned
     corpus (see :func:`ivf_assign`), shared by batch (``ivf_topk``)
@@ -657,7 +658,13 @@ def ivf_topk_assigned(
     ranked by a broadcast crossJoin + window, candidates by a
     broadcast hash join — the shape for an UNBOUNDED query frame
     (nothing in-repo needs it today; corpus-vs-corpus search goes
-    through ``ann_dup_pairs``)."""
+    through ``ann_dup_pairs``).
+
+    The bounded kernel's driver collect is GUARDED (ADVICE r10): the
+    collect is issued as ``limit(max_bounded_queries + 1)``, so a
+    caller handing an unexpectedly large query frame to the serving
+    path degrades to the scalable join kernel instead of materializing
+    the whole frame on the driver — one action either way."""
     spark = assigned.sparkSession
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -683,10 +690,16 @@ def ivf_topk_assigned(
     import numpy as np
     import pandas as pd
 
-    q_rows = sorted(
-        queries.select(F.col(id_col), F.col(vec_col)).collect(),
-        key=lambda r: r[0],
-    )
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).limit(
+        max_bounded_queries + 1
+    ).collect()
+    if len(q_rows) > max_bounded_queries:
+        # the frame exceeds the bounded-serving contract — degrade to
+        # the unbounded join kernel rather than risk a driver OOM
+        return _finish(
+            _ivf_scored_join(assigned, centroids, queries, n_probe, vec_col, id_col)
+        )
+    q_rows = sorted(q_rows, key=lambda r: r[0])
     if not q_rows:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine_sim double, rank long"
@@ -708,9 +721,11 @@ def ivf_topk_assigned(
     for j in range(nq):
         for c in np.lexsort((cluster_ids, -c_sims[j]))[:n_probe]:
             probe_lists.setdefault(int(c), []).append(j)
-    probes_bc = spark.sparkContext.broadcast(
-        {c: np.array(js, dtype=np.int64) for c, js in probe_lists.items()}
-    )
+    # plain closure variable, NOT a broadcast: the dict is ≤ q·n_probe
+    # int64 ids (bounded-serving contract), and a per-call broadcast
+    # would leak one handle per streaming micro-batch onto the
+    # GC-driven ContextCleaner queue (ADVICE r10)
+    probes = {c: np.array(js, dtype=np.int64) for c, js in probe_lists.items()}
 
     # JVM-side cell prune (literal IN over ≤ q·n_probe cluster ids) —
     # non-probed cells never reach Arrow
@@ -725,7 +740,7 @@ def ivf_topk_assigned(
             per_ids: list[list] = [[] for _ in range(nq)]
             per_sims: list[list] = [[] for _ in range(nq)]
             for c, grp in pdf.groupby("cluster"):
-                js = probes_bc.value.get(int(c))
+                js = probes.get(int(c))
                 if js is None:
                     continue
                 vecs = np.array(grp["c_vec"].tolist(), dtype=np.float64)

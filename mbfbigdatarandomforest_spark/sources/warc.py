@@ -210,6 +210,7 @@ def warc_to_documents(
     spark: SparkSession,
     path: str,
     lang_col: bool = True,
+    drop_invalid_utf8: bool = False,
 ) -> DataFrame:
     """Crawl dump → curation-ready documents frame: successful HTML
     responses extracted to text (``operators.text.html_to_text``),
@@ -217,17 +218,27 @@ def warc_to_documents(
     domain, language via the marker heuristic. The frame matches the
     ``documents`` table contract (doc_id, text, lang, source) so the
     whole curation funnel — ``run_curation_pipeline.py --warc-dir`` —
-    runs off a dump directly."""
+    runs off a dump directly.
+
+    Decoding is TOLERANT per record (ADVICE r10): real crawls carry
+    non-UTF-8 (latin-1 etc.) pages, and Spark 4's strict ``decode``
+    fails the whole scan on the first malformed body. Default: bad
+    bytes are replaced with U+FFFD (``make_valid_utf8`` — the C4/CCNet
+    posture of keeping the page and letting downstream quality filters
+    judge it); ``drop_invalid_utf8=True`` drops non-UTF-8 pages at the
+    scan instead (``is_valid_utf8``)."""
     from ..operators.text import html_to_text, lang_id
     from ..operators.urls import url_registered_domain
 
     recs = read_warc(spark, path).filter(
         F.col("error").isNull() & (F.col("status") == 200)
     )
+    if drop_invalid_utf8:
+        recs = recs.filter(F.expr("is_valid_utf8(body)"))
     pages = recs.select(
         F.xxhash64("url").alias("doc_id"),
         "url",
-        F.decode("body", "UTF-8").alias("html"),
+        F.expr("make_valid_utf8(cast(body as string))").alias("html"),
     )
     docs = html_to_text(pages, "html", "text").select(
         "doc_id", "text", url_registered_domain("url").alias("source")

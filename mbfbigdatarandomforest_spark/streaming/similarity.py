@@ -35,11 +35,32 @@ Spark reference: Structured Streaming programming guide,
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 
 from ..operators.similarity import ivf_assign, ivf_topk_assigned, load_ivf_index
+
+
+def _fs_and_path(spark, path_str: str):
+    """(FileSystem, Path) resolved through Hadoop — os.path would
+    silently mis-answer for any non-local URI (hdfs://, s3a://):
+    the stale-results guard would pass and the final read would treat
+    a successfully written remote directory as the zero-batch case
+    (ADVICE r10, medium)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def _dir_holds_results(spark, path_str: str) -> bool:
+    """True iff the directory exists and holds non-metadata entries."""
+    fs, path = _fs_and_path(spark, path_str)
+    if not fs.exists(path):
+        return False
+    return any(
+        not st.getPath().getName().startswith(("_", "."))
+        for st in fs.listStatus(path)
+    )
 
 
 def run_ivf_topk_available_now(
@@ -73,9 +94,7 @@ def run_ivf_topk_available_now(
     into the returned frame (ADVICE r9). A zero-batch drain returns an
     empty correctly-typed frame instead of failing the final read on
     the never-created directory."""
-    if os.path.isdir(out_dir) and any(
-        not f.startswith(("_", ".")) for f in os.listdir(out_dir)
-    ):
+    if _dir_holds_results(spark, out_dir):
         raise ValueError(
             f"out_dir {out_dir!r} already holds results from a prior "
             "run; streaming appends would silently mix runs — pass a "
@@ -107,10 +126,10 @@ def run_ivf_topk_available_now(
     if progress is not None:
         progress.extend(q.recentProgress)
     assigned.unpersist()
-    if not os.path.isdir(out_dir):
+    if not _dir_holds_results(spark, out_dir):
         # zero micro-batches: nothing was ever appended — return an
         # empty frame with the scoring schema instead of an
-        # AnalysisException on the absent path
+        # AnalysisException on the absent (or metadata-only) path
         return spark.createDataFrame(
             [],
             schema="query_id long, neighbor_id long, cosine_sim double, rank long",

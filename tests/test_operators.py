@@ -873,6 +873,14 @@ def test_ivf_gemm_kernel_exactly_equals_join_kernel(spark):
     ).collect()
     assert sorted(map(tuple, gemm)) == sorted(map(tuple, join))
     assert gemm  # fixture really scores something
+    # ADVICE r10 guard: a query frame larger than the bounded-serving
+    # contract must degrade to the join kernel (no driver collect of
+    # the full frame), returning the same rows — the guard collect is
+    # limit-bounded either way
+    guarded = sim.ivf_topk_assigned(
+        assigned, cent, q, k=7, n_probe=3, max_bounded_queries=5
+    ).collect()
+    assert sorted(map(tuple, guarded)) == sorted(map(tuple, join))
 
 
 def test_asof_join_semantics(spark):

@@ -204,6 +204,31 @@ def test_warc_to_documents_end_to_end(spark, tmp_path):
     assert all(r["doc_id"] is not None for r in docs)
 
 
+def test_warc_to_documents_tolerates_non_utf8(spark, tmp_path):
+    """ADVICE r10: a latin-1 page must not fail the scan. Default: bad
+    bytes replaced with U+FFFD, the page survives; drop_invalid_utf8
+    drops it at the scan while valid pages pass unchanged."""
+    from mbfbigdatarandomforest_spark.sources.warc import warc_to_documents
+
+    good = "<p>plain ascii page body here</p>"
+    latin1 = "<p>caf\xe9 men\xfc</p>".encode("latin-1")  # invalid UTF-8
+    pages = [
+        {"url": "https://ok.example.com/a", "status": 200, "body": good},
+        {"url": "https://l1.example.org/b", "status": 200, "body": latin1},
+    ]
+    d = tmp_path / "dump"
+    d.mkdir()
+    (d / "s0.warc").write_bytes(encode_warc(pages))
+
+    kept = {r["source"]: r for r in warc_to_documents(spark, str(d)).collect()}
+    assert set(kept) == {"example.com", "example.org"}
+    assert kept["example.com"]["text"] == "plain ascii page body here"
+    assert "�" in kept["example.org"]["text"]  # replaced, not raised
+
+    strict = warc_to_documents(spark, str(d), drop_invalid_utf8=True).collect()
+    assert {r["source"] for r in strict} == {"example.com"}
+
+
 def test_warc_ingest_stats_duckdb_twin(spark, duck):
     spec = load_all()["warc_ingest_stats"]
     got = spec.fn(spark, SF_DIR_ORACLE).toPandas()
