@@ -227,12 +227,28 @@ def warc_to_documents(
     posture of keeping the page and letting downstream quality filters
     judge it); ``drop_invalid_utf8=True`` drops non-UTF-8 pages at the
     scan instead (``is_valid_utf8``)."""
+    return warc_documents_projection(
+        read_warc(spark, path),
+        lang_col=lang_col,
+        drop_invalid_utf8=drop_invalid_utf8,
+    )
+
+
+def warc_documents_projection(
+    recs: DataFrame,
+    lang_col: bool = True,
+    drop_invalid_utf8: bool = False,
+) -> DataFrame:
+    """Record frame (:func:`split_warc_records` output) → documents
+    contract. Factored out of :func:`warc_to_documents` (r11) so the
+    STREAMING front door (``streaming/warc.py``) runs the identical
+    projection: every stage is a stateless column expression (filter,
+    hash, regexp chains), so the plan is append-mode-legal on an
+    unbounded record frame — stream ≡ batch by construction."""
     from ..operators.text import html_to_text, lang_id
     from ..operators.urls import url_registered_domain
 
-    recs = read_warc(spark, path).filter(
-        F.col("error").isNull() & (F.col("status") == 200)
-    )
+    recs = recs.filter(F.col("error").isNull() & (F.col("status") == 200))
     if drop_invalid_utf8:
         recs = recs.filter(F.expr("is_valid_utf8(body)"))
     pages = recs.select(

@@ -879,3 +879,84 @@ def test_curation_stream_archive_source_keeps_dump_replayable(spark, tmp_path):
     assert "number a1" in next(archive.rglob("a1.txt")).read_text()
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == 4
+
+
+def test_streaming_warc_ingest_matches_batch(spark, tmp_path):
+    """r11: the crawl front door as a stream. A dump dir of mixed
+    shards — plain, gzip, a garbage shard (quarantine path), a non-200
+    record, a latin-1 body (tolerant-decode path) — drained with
+    maxFilesPerTrigger=1 (one shard per micro-batch) must produce
+    EXACTLY the batch warc_to_documents frame: same doc ids, same
+    extracted text, same provenance and lang. Every stage is a
+    stateless column expression, so no foreachBatch and no state."""
+    from mbfbigdatarandomforest_spark.sources.warc import (
+        encode_warc,
+        warc_to_documents,
+    )
+    from mbfbigdatarandomforest_spark.streaming.warc import (
+        run_warc_ingest_available_now,
+    )
+
+    dump = tmp_path / "dump"
+    dump.mkdir()
+    (dump / "s0.warc").write_bytes(
+        encode_warc(
+            [
+                {
+                    "url": "https://en.news.example.com/a",
+                    "status": 200,
+                    "body": "<html><head><title>t</title></head><body>"
+                            "<p>the cat and the dog went home from work"
+                            "</p></body></html>",
+                },
+                {
+                    "url": "https://gone.example.net/x",
+                    "status": 404,
+                    "body": "<html>not found</html>",
+                },
+            ]
+        )
+    )
+    (dump / "s1.warc.gz").write_bytes(
+        encode_warc(
+            [
+                {
+                    "url": "https://de.example.org/b",
+                    "status": 200,
+                    "body": "<p>der Hund und die Katze sind nicht das "
+                            "Problem und</p>",
+                }
+            ],
+            compress=True,
+        )
+    )
+    (dump / "s2.warc").write_bytes(
+        encode_warc(
+            [
+                {
+                    "url": "https://l1.example.org/c",
+                    "status": 200,
+                    "body": "<p>caf\xe9 men\xfc</p>".encode("latin-1"),
+                }
+            ]
+        )
+    )
+    (dump / "s3.warc").write_bytes(b"garbage, not a WARC shard")
+
+    want = sorted(
+        map(tuple, warc_to_documents(spark, str(dump)).collect())
+    )
+    progress: list = []
+    got_df = run_warc_ingest_available_now(
+        spark,
+        str(dump),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        source_options={"maxFilesPerTrigger": "1"},
+        progress=progress,
+    )
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == want
+    assert len(got) == 3  # 404 + garbage shard dropped, latin-1 kept
+    # really drained shard-by-shard (≥4 micro-batches incl. empties)
+    assert sum(p["numInputRows"] for p in progress) >= 3
