@@ -18,7 +18,7 @@
 
 from __future__ import annotations
 
-from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml import Estimator, Pipeline, PipelineModel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -576,14 +576,19 @@ def train_dart(
     return GBTRegressionModel(jm), weights
 
 
-class DartRegressor:
-    """Estimator-style wrapper over :func:`train_dart` so the DART
-    booster rides the SAME interface as every other regressor kind
+class DartRegressor(Estimator):
+    """Estimator wrapper over :func:`train_dart` so the DART booster
+    rides the SAME interface as every other regressor kind
     (``make_regressor('dart', ...)`` → ``.fit(feat)`` →
     ``GBTRegressionModel``) — the switch a reference user makes with
     ``booster='dart'`` (04_1_XGB_traintest.R:249) is one string here
-    too. ``fit`` returns the packed stock model; the final per-tree
-    weights are kept on ``self.weights_``."""
+    too. A REAL ``pyspark.ml.Estimator`` subclass (r11): the previous
+    duck-typed wrapper satisfied direct ``.fit`` callers but
+    ``Pipeline(stages=[...])`` type-checks its stages, so the dart
+    kind crashed every Pipeline composition path
+    (``tree_county_forecast``) — caught generating the tree golden.
+    ``fit`` returns the packed stock model; the final per-tree weights
+    are kept on ``self.weights_``."""
 
     def __init__(
         self,
@@ -596,6 +601,7 @@ class DartRegressor:
         dropout_rate: float = 0.1,
         learning_rate: float = 1.0,
     ):
+        super().__init__()
         self._kw = dict(
             label_col=label_col,
             features_col=features_col,
@@ -607,7 +613,7 @@ class DartRegressor:
         )
         self.weights_: list[float] | None = None
 
-    def fit(self, feat: DataFrame):
+    def _fit(self, feat: DataFrame):
         model, weights = train_dart(feat, **self._kw)
         self.weights_ = weights
         return model

