@@ -36,6 +36,85 @@ TRACKING_PARAM = r"(?:utm_[A-Za-z0-9_]+|fbclid|gclid|ref)"
 #: ccTLD second-level registries for the registered-domain heuristic
 _SECOND_LEVEL = r"(?:co|com|org|net|gov|ac|edu)"
 
+#: Vendored public-suffix entries (r11): 2-label suffixes under which
+#: the next label is the registrable domain — ``a.b.github.io`` →
+#: ``b.github.io``, ``shop.example.com.br`` → ``example.com.br``.
+#: A curated SUBSET of the Public Suffix List (publicsuffix.org — the
+#: canonical public dataset; its full ICANN+private sections are a
+#: ~9k-entry file this offline container cannot fetch): the ICANN
+#: country registries with the largest web footprints plus the
+#: private-section hosting platforms whose subdomains are independent
+#: sites (the github.io case). Swapping in the full list is replacing
+#: this tuple — the match is built from it mechanically. Not modeled,
+#: documented: PSL wildcard rules (``*.ck``) and exception rules
+#: (``!www.ck``), and 3-label entries (``pvt.k12.ma.us``); hosts
+#: outside the tuple fall back to the pre-r11 heuristic below.
+PUBLIC_SUFFIXES_2LABEL: tuple[str, ...] = (
+    # ICANN section — United Kingdom
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
+    "ac.uk", "gov.uk", "nhs.uk", "police.uk",
+    # Australia
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    # Brazil
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br", "art.br",
+    # Japan
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp", "gr.jp",
+    "lg.jp",
+    # China
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    # India
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in",
+    "edu.in", "res.in", "gov.in", "mil.in",
+    # New Zealand
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz", "geek.nz",
+    "gen.nz",
+    # South Africa
+    "co.za", "net.za", "org.za", "gov.za", "edu.za", "ac.za", "web.za",
+    # South Korea
+    "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr", "ac.kr",
+    # Mexico / Argentina / Turkey
+    "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar", "int.ar", "mil.ar",
+    "tur.ar",
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "mil.tr", "k12.tr",
+    "av.tr", "bbs.tr",
+    # Taiwan / Hong Kong / Singapore / Malaysia
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw", "game.tw",
+    "club.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my", "mil.my", "name.my",
+    # Indonesia / Thailand
+    "co.id", "net.id", "or.id", "web.id", "sch.id", "ac.id", "go.id",
+    "mil.id", "biz.id", "my.id",
+    "co.th", "net.th", "or.th", "ac.th", "go.th", "in.th", "mi.th",
+    # Israel / Ukraine / Poland / Egypt / Saudi Arabia
+    "co.il", "net.il", "org.il", "ac.il", "gov.il", "muni.il", "k12.il",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "mil.pl", "info.pl",
+    "biz.pl", "waw.pl",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "sci.eg", "mil.eg",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa", "pub.sa",
+    "sch.sa",
+    # Nigeria / Kenya
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng", "mil.ng", "sch.ng",
+    "name.ng", "mobi.ng", "i.ng",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "me.ke",
+    "info.ke", "mobi.ke",
+    # PRIVATE section — hosting platforms whose subdomains are
+    # independently operated sites (capping "github.io" as one domain
+    # would over-merge every user's pages — the verdict's case)
+    "github.io", "gitlab.io", "blogspot.com", "appspot.com",
+    "herokuapp.com", "netlify.app", "vercel.app", "firebaseapp.com",
+    "azurewebsites.net", "pages.dev", "workers.dev", "glitch.me",
+    "onrender.com", "readthedocs.io", "surge.sh", "neocities.org",
+    "wixsite.com",
+)
+#: alternation literal built from the tuple — the SAME string feeds
+#: the Spark expression and the DuckDB twin (dots escaped; entries are
+#: [a-z0-9.-] only, nothing else needs escaping)
+_PSL_ALT = "|".join(s.replace(".", r"\.") for s in PUBLIC_SUFFIXES_2LABEL)
+
 
 def _col(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
@@ -52,16 +131,30 @@ def url_host(col: Column | str) -> Column:
 
 
 def url_registered_domain(col: Column | str) -> Column:
-    """Registrable domain: last two host labels, or last three when the
-    second-to-last is a known ccTLD second-level registry (co.uk,
-    com.au, ...). Heuristic stand-in for the public-suffix list — the
-    list rides one pattern literal and extends without code changes."""
+    """Registrable domain, resolved in tiers (r11):
+
+    1. the vendored public-suffix entries (``PUBLIC_SUFFIXES_2LABEL``):
+       host ends in a listed 2-label suffix → keep THREE labels
+       (``user.github.io`` stays ``user.github.io``, not ``github.io``);
+    2. the generic ccTLD heuristic (last-3 when the second-to-last
+       label is a known second-level registry under a 2-letter TLD) —
+       the pre-r11 fallback for registries absent from the subset;
+    3. last two labels; bare hosts pass through.
+
+    All tiers are regexp_extract alternation literals (RE2∩Java, no
+    lookaround), so the DuckDB twin runs the SAME patterns verbatim."""
     host = url_host(col)
+    psl = F.regexp_extract(host, r"([^.]+\.(?:" + _PSL_ALT + r"))$", 1)
     three = F.regexp_extract(
         host, r"([^.]+\." + _SECOND_LEVEL + r"\.[a-z]{2})$", 1
     )
     two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    return F.when(three != "", three).when(two != "", two).otherwise(host)
+    return (
+        F.when(psl != "", psl)
+        .when(three != "", three)
+        .when(two != "", two)
+        .otherwise(host)
+    )
 
 
 def normalize_url(col: Column | str) -> Column:
@@ -110,12 +203,14 @@ def url_twin_sql(expr: str) -> dict[str, str]:
         f"THEN regexp_extract({hostport}, '@(.*)$', 1) ELSE {hostport} END"
     )
     host = f"regexp_extract({no_user}, '^([^:]*)', 1)"
+    psl = f"regexp_extract({host}, '([^.]+\\.(?:{_PSL_ALT}))$', 1)"
     three = (
         f"regexp_extract({host}, '([^.]+\\.{_SECOND_LEVEL}\\.[a-z]{{2}})$', 1)"
     )
     two = f"regexp_extract({host}, '([^.]+\\.[^.]+)$', 1)"
     rd = (
-        f"CASE WHEN {three} != '' THEN {three} "
+        f"CASE WHEN {psl} != '' THEN {psl} "
+        f"WHEN {three} != '' THEN {three} "
         f"WHEN {two} != '' THEN {two} ELSE {host} END"
     )
     scheme = f"lower(regexp_extract({expr}, '{_SCHEME}', 1))"

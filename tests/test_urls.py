@@ -62,6 +62,37 @@ CASES = [
     ),
     ("http://plain.example.com", "plain.example.com", "example.com",
      "http://plain.example.com"),
+    # r11 PSL tier: private-section hosting suffixes keep THREE labels
+    (
+        "https://Alice.GitHub.IO/project/",
+        "alice.github.io",
+        "alice.github.io",
+        "https://alice.github.io/project",
+    ),
+    (
+        "http://x.y.blogspot.com/p?id=2",
+        "x.y.blogspot.com",
+        "y.blogspot.com",
+        "http://x.y.blogspot.com/p?id=2",
+    ),
+    # r11 PSL tier: ICANN 2-label registries beyond the old heuristic
+    (
+        "http://shop.example.com.br/x",
+        "shop.example.com.br",
+        "example.com.br",
+        "http://shop.example.com.br/x",
+    ),
+    (
+        "https://www.example.gob.mx/",
+        "www.example.gob.mx",
+        "example.gob.mx",
+        "https://www.example.gob.mx",
+    ),
+    # unlisted registry under a 2-letter TLD: generic-heuristic tier
+    ("http://a.b.co.zz/", "a.b.co.zz", "b.co.zz", "http://a.b.co.zz"),
+    # unlisted everything: last-2-labels fallback
+    ("http://foo.bar.unknownreg.zz", "foo.bar.unknownreg.zz",
+     "unknownreg.zz", "http://foo.bar.unknownreg.zz"),
 ]
 
 
