@@ -36,16 +36,33 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 25,
     tol: float = 1e-6,
+    weight: str | None = None,
+    teleport: DataFrame | None = None,
     stats: dict | None = None,
 ) -> DataFrame:
     """(node, rank) for every node appearing in ``edges``; ranks sum
-    to 1. Parallel edges count once (the link exists); self-loops are
-    dropped. ``stats`` (optional) is filled with ``rounds``,
-    per-round ``l1_deltas`` and ``live_ckpt_rdds`` — the probe hook.
+    to 1. Self-loops are dropped. ``stats`` (optional) is filled with
+    ``rounds``, per-round ``l1_deltas`` and ``live_ckpt_rdds`` — the
+    probe hook.
 
     Semantics (the standard formulation): uniform init 1/N;
-    rank' = (1-d)/N + d·(Σ incoming rank/out_degree + dangling/N);
-    stop when the L1 delta ≤ ``tol`` or at ``max_iter``."""
+    rank' = (1-d)/N + d·(Σ incoming rank·w/out_weight + dangling/N);
+    stop when the L1 delta ≤ ``tol`` or at ``max_iter``.
+
+    ``weight`` (r11): an edge column of POSITIVE link weights — the
+    domain graph's natural multiplicity (how many pages of src link to
+    dst). Parallel (src, dst) rows SUM their weights; a node's
+    contribution splits ∝ weight instead of 1/out_degree. Unweighted
+    (default), parallel edges count once — the link exists.
+
+    ``teleport`` (r11): a (node, seed) frame → PERSONALIZED PageRank,
+    the TrustRank shape (Gyöngyi et al. 2004): random jumps land on
+    seed nodes ∝ their (normalized) seed mass instead of uniformly,
+    and dangling mass redistributes the same way — authority measured
+    FROM a trusted set, the crawl-frontier anti-spam signal. Nodes
+    absent from the frame get teleport 0 (reachable only through
+    links); init is the teleport vector. The frame is aggregated to
+    one O(seeds) pass, never collected."""
     jsc = edges.sparkSession.sparkContext._jsc
 
     def _persisted_ids() -> set[int]:
@@ -64,14 +81,28 @@ def pagerank(
                 jrdd.unpersist(False)
 
     # the edge frame is reused EVERY round — checkpoint it once so the
-    # upstream plan (scan + derivation + distinct) runs once, not
-    # max_iter times; freed before returning (the result frame's
-    # lineage is truncated, it never reads e again)
-    e, e_ids = _ckpt(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    # upstream plan (scan + derivation + distinct/weight-sum) runs
+    # once, not max_iter times; freed before returning (the result
+    # frame's lineage is truncated, it never reads e again)
+    if weight is None:
+        hygienic = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .withColumn("w", F.lit(1.0))
+        )
+    else:
+        hygienic = (
+            edges.select(
+                F.col(src).alias("src"),
+                F.col(dst).alias("dst"),
+                F.col(weight).cast("double").alias("w"),
+            )
+            .filter((F.col("src") != F.col("dst")) & (F.col("w") > 0))
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
+    e, e_ids = _ckpt(hygienic)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -81,15 +112,37 @@ def pagerank(
     # per-ITERATION discipline (rank frames), with e a constant O(E)
     # resident for the call's duration
     ckpt_baseline = len(_persisted_ids())
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    # node frame with out-degree (0 = dangling), checkpointed once —
-    # reused every round
+    deg = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # raw teleport mass per node: 1.0 everywhere (uniform) or the seed
+    # weight (personalized; absent nodes 0) — ONE formula downstream,
+    # because uniform IS the teleport vector (1/N after normalization)
+    if teleport is None:
+        with_t = nodes.withColumn("t_raw", F.lit(1.0))
+    else:
+        seeds = teleport.groupBy(F.col("node").alias("s_node")).agg(
+            F.sum("seed").cast("double").alias("t_raw")
+        )
+        with_t = nodes.join(
+            seeds, nodes.node == seeds.s_node, "left"
+        ).select("node", F.coalesce("t_raw", F.lit(0.0)).alias("t_raw"))
+    # node frame with out-weight (0 = dangling) + raw teleport,
+    # checkpointed once — consumed only to seed the state frame
     base, base_ids = _ckpt(
-        nodes.join(deg, nodes.node == deg.src, "left")
-        .select("node", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
+        with_t.join(deg, with_t.node == deg.src, "left").select(
+            "node",
+            F.coalesce("out_w", F.lit(0.0)).alias("out_w"),
+            "t_raw",
+        )
     )
-    n_row = base.agg(F.count(F.lit(1)).alias("n")).collect()[0]
+    n_row = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("t_raw").alias("t_total")
+    ).collect()[0]
     n = int(n_row["n"])
+    t_total = float(n_row["t_total"] or 0.0)
+    if teleport is not None and n > 0 and t_total <= 0:
+        raise ValueError(
+            "teleport frame puts no positive seed mass on any graph node"
+        )
     if stats is not None:
         stats["rounds"] = 0
         stats["l1_deltas"] = []
@@ -106,8 +159,15 @@ def pagerank(
             .select("node", F.lit(0.0).alias("rank"))
         )
 
+    # normalized teleport rides the state frame; init rank = teleport
+    # (uniform: exactly the old 1/N start)
     ranks, rank_ids = _ckpt(
-        base.select("node", "out_deg", F.lit(1.0 / n).alias("rank"))
+        base.select(
+            "node",
+            "out_w",
+            (F.col("t_raw") / F.lit(t_total)).alias("t"),
+            (F.col("t_raw") / F.lit(t_total)).alias("rank"),
+        )
     )
     # the initial rank checkpoint is eager and truncates lineage, so the
     # degree frame's blocks are dead from here — free them NOW (the CC
@@ -134,7 +194,7 @@ def pagerank(
         # action per round, not two — the scheduling floor for
         # iterative jobs)
         dangling_mass = float(
-            ranks.filter(F.col("out_deg") == 0)
+            ranks.filter(F.col("out_w") == 0)
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
             .collect()[0][0]
         )
@@ -144,23 +204,26 @@ def pagerank(
                     # dangling nodes carry no edges (their mass moves
                     # via the fused aggregate) — filtering first also
                     # keeps the division ANSI-safe
-                    ranks.filter(F.col("out_deg") > 0).select(
+                    ranks.filter(F.col("out_w") > 0).select(
                         F.col("node").alias("src"),
-                        (F.col("rank") / F.col("out_deg")).alias("share"),
+                        (F.col("rank") / F.col("out_w")).alias("unit"),
                     ),
                     "src",
                 )
                 .groupBy(F.col("dst").alias("node"))
-                .agg(F.sum("share").alias("in_sum"))
+                .agg(F.sum(F.col("unit") * F.col("w")).alias("in_sum"))
             )
-            base_term = (1.0 - d) / n + d * dangling_mass / n
+            # rank' = t·(1-d + d·dangling) + d·in_sum  — the uniform
+            # case is this same formula with t ≡ 1/N
+            t_mult = (1.0 - d) + d * dangling_mass
             nxt, nxt_ids = _ckpt(
                 ranks.join(contrib, "node", "left")
                 .select(
                     "node",
-                    "out_deg",
+                    "out_w",
+                    "t",
                     (
-                        F.lit(base_term)
+                        F.col("t") * F.lit(t_mult)
                         + F.lit(d) * F.coalesce(F.col("in_sum"), F.lit(0.0))
                     ).alias("rank"),
                     F.col("rank").alias("__prev"),
@@ -179,7 +242,7 @@ def pagerank(
                         "delta"
                     ),
                     F.coalesce(
-                        F.sum(F.when(F.col("out_deg") == 0, F.col("rank"))),
+                        F.sum(F.when(F.col("out_w") == 0, F.col("rank"))),
                         F.lit(0.0),
                     ).alias("dangling"),
                 ).collect()[0]
@@ -190,7 +253,7 @@ def pagerank(
             else:
                 delta = float("inf")
             _free(rank_ids)
-            ranks, rank_ids = nxt.select("node", "out_deg", "rank"), nxt_ids
+            ranks, rank_ids = nxt.select("node", "out_w", "t", "rank"), nxt_ids
             if stats is not None:
                 stats["rounds"] += 1
                 stats["l1_deltas"].append(delta)

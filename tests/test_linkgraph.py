@@ -27,25 +27,46 @@ from mbfbigdatarandomforest_spark.registry import load_all
 from conftest import SF_DIR_ORACLE
 
 
-def numpy_pagerank(edges, damping=0.85, max_iter=25, tol=1e-6):
+def numpy_pagerank(edges, damping=0.85, max_iter=25, tol=1e-6, teleport=None):
     """Reference power iteration — the module docstring's formulation,
-    executed densely in float64. Returns {node: rank}."""
-    e = sorted({(s, d) for s, d in edges if s != d})
-    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    executed densely in float64. ``edges`` is [(src, dst)] (parallel
+    edges count once) or [(src, dst, w)] (parallel edges sum);
+    ``teleport`` an optional {node: seed} dict (normalized over graph
+    nodes). Returns {node: rank}."""
+    if edges and len(edges[0]) == 3:
+        acc: Counter = Counter()
+        for s, t, w in edges:
+            if s != t and w > 0:
+                acc[(s, t)] += float(w)
+        e = sorted((s, t, w) for (s, t), w in acc.items())
+    else:
+        e = sorted({(s, t, 1.0) for s, t in edges if s != t})
+    nodes = sorted({s for s, _, _ in e} | {t for _, t, _ in e})
     idx = {v: i for i, v in enumerate(nodes)}
     n = len(nodes)
     if n == 0:
         return {}
-    out_deg = Counter(s for s, _ in e)
-    deg = np.array([out_deg.get(v, 0) for v in nodes], dtype=np.float64)
-    src = np.array([idx[s] for s, _ in e], dtype=np.int64)
-    dst = np.array([idx[d] for _, d in e], dtype=np.int64)
+    out_w = Counter()
+    for s, _, w in e:
+        out_w[s] += w
+    deg = np.array([out_w.get(v, 0.0) for v in nodes], dtype=np.float64)
+    src = np.array([idx[s] for s, _, _ in e], dtype=np.int64)
+    dst = np.array([idx[t] for _, t, _ in e], dtype=np.int64)
+    ew = np.array([w for _, _, w in e], dtype=np.float64)
+    if teleport is None:
+        t_vec = np.full(n, 1.0 / n)
+    else:
+        t_vec = np.array(
+            [float(teleport.get(v, 0.0)) for v in nodes], dtype=np.float64
+        )
+        t_vec = t_vec / t_vec.sum()
     d = float(damping)
-    r = np.full(n, 1.0 / n)
+    share_deg = np.where(deg > 0, deg, 1.0)
+    r = t_vec.copy()
     for _ in range(max_iter):
         dangling = float(r[deg == 0].sum())
-        nxt = np.full(n, (1.0 - d) / n + d * dangling / n)
-        np.add.at(nxt, dst, d * r[src] / deg[src])
+        nxt = t_vec * ((1.0 - d) + d * dangling)
+        np.add.at(nxt, dst, d * ew * r[src] / share_deg[src])
         delta = float(np.abs(nxt - r).sum())
         r = nxt
         if delta <= tol:
@@ -139,6 +160,55 @@ def test_stats_hook_and_checkpoint_discipline(spark):
     assert stats["l1_deltas"][-1] <= 1e-8 or stats["rounds"] == 40
     assert stats["l1_deltas"][0] > stats["l1_deltas"][-1]
     assert max(stats["live_ckpt_rdds"]) <= 2, stats["live_ckpt_rdds"]
+
+
+def test_weighted_pagerank_vs_numpy(spark):
+    """r11: edge weights — contribution splits ∝ weight, parallel
+    (src, dst) rows sum. A 10:1 weighted fork must route ~10x the
+    mass of the light edge; integer-replicated unweighted edges must
+    equal the weighted formulation exactly (the semantics link)."""
+    w_edges = [(0, 1, 10.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0),
+               (0, 1, 0.0)]  # zero-weight row must be dropped
+    df = spark.createDataFrame(w_edges, "src long, dst long, w double")
+    kw = dict(max_iter=30, tol=1e-12)
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, weight="w", **kw).collect()
+    }
+    _close(got, numpy_pagerank(w_edges, **kw))
+    # nodes 1 and 2 receive mass ONLY from node 0's weighted fork, so
+    # their excess over the uniform teleport floor is exactly 10:1
+    floor = 0.15 / 3
+    assert abs((got[1] - floor) / (got[2] - floor) - 10.0) < 1e-6
+    # replicate edge (0,1) ten times unweighted-with-weights ≡ weighted
+    rep = [(0, 1, 1.0)] * 10 + [(0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)]
+    rep_df = spark.createDataFrame(rep, "src long, dst long, w double")
+    got_rep = {
+        r["node"]: r["rank"]
+        for r in pagerank(rep_df, weight="w", **kw).collect()
+    }
+    _close(got_rep, got, tol=1e-12)
+
+
+def test_personalized_pagerank_trustrank_vs_numpy(spark):
+    """r11: teleport frame — the TrustRank shape. Random jumps and
+    dangling mass land ONLY on seed nodes; a node unreachable from the
+    seed set (no in-links, zero seed) ends with rank exactly 0."""
+    edges = [(1, 2), (2, 3), (3, 1), (9, 1)]  # 9: unreachable, dangling-free graph otherwise
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = {1: 3.0, 2: 1.0}
+    tp = spark.createDataFrame(list(seeds.items()), "node long, seed double")
+    kw = dict(max_iter=40, tol=1e-12)
+    got = {
+        r["node"]: r["rank"] for r in pagerank(df, teleport=tp, **kw).collect()
+    }
+    _close(got, numpy_pagerank(edges, teleport=seeds, **kw))
+    assert got[9] == 0.0  # no seed, no in-links: never receives mass
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # seed mass on no graph node is a caller error, not a silent 0-div
+    bad = spark.createDataFrame([(404, 1.0)], "node long, seed double")
+    with pytest.raises(ValueError, match="no positive seed mass"):
+        pagerank(df, teleport=bad)
 
 
 def test_url_pagerank_stats_vs_duckdb_numpy_twin(spark, duck):

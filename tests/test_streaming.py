@@ -960,3 +960,60 @@ def test_streaming_warc_ingest_matches_batch(spark, tmp_path):
     assert len(got) == 3  # 404 + garbage shard dropped, latin-1 kept
     # really drained shard-by-shard (≥4 micro-batches incl. empties)
     assert sum(p["numInputRows"] for p in progress) >= 3
+
+
+def test_streaming_warc_to_gopher_curation_composes(spark, tmp_path):
+    """r11: the WHOLE crawl→curation front stays one append-mode plan —
+    WARC stream → record split → HTML→text projection → Gopher quality
+    gate, no foreachBatch anywhere — and its availableNow drain equals
+    the batch composition exactly (doc ids, kept set, audit columns)."""
+    from mbfbigdatarandomforest_spark.operators.text import (
+        gopher_quality_filter,
+    )
+    from mbfbigdatarandomforest_spark.sources.warc import (
+        encode_warc,
+        warc_to_documents,
+    )
+    from mbfbigdatarandomforest_spark.streaming.warc import (
+        warc_document_stream,
+    )
+
+    good_body = (
+        "<p>the quick brown fox jumped over the lazy dog and then the "
+        "other animals in the field were watching it run home that day "
+        "with a happy look on its face because the work was done</p>"
+    )
+    pages = [
+        {"url": "https://a.example.com/good", "status": 200,
+         "body": good_body},
+        {"url": "https://b.example.com/short", "status": 200,
+         "body": "<p>too short</p>"},
+    ]
+    dump = tmp_path / "dump"
+    dump.mkdir()
+    (dump / "s0.warc").write_bytes(encode_warc(pages))
+
+    kw = dict(min_words=20, min_stopword_hits=1, min_alpha_word_frac=0.5)
+    want = sorted(
+        map(
+            tuple,
+            gopher_quality_filter(warc_to_documents(spark, str(dump)), **kw)
+            .filter("quality_pass")
+            .collect(),
+        )
+    )
+    stream = gopher_quality_filter(
+        warc_document_stream(spark, str(dump)), **kw
+    ).filter("quality_pass")
+    assert stream.isStreaming  # the composition stayed a pure stream plan
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.read.parquet(str(tmp_path / "out")).collect()))
+    assert got == want
+    assert len(got) == 1  # the short page was gated out
