@@ -1,7 +1,11 @@
-"""Link-graph analysis for crawl curation (r10): PageRank over a
-(src, dst) edge list — the classic crawl-frontier / domain-quality
-signal (Page et al. 1999; production pipelines rank domains by link
-authority before spending fetch/compute budget on them).
+"""Link-graph analysis for crawl curation (written r10, wired r11):
+PageRank over a (src, dst[, weight]) edge list — the classic
+crawl-frontier / domain-quality signal (Page et al. 1999; production
+pipelines rank domains by link authority before spending fetch/compute
+budget on them), with optional personalization (the TrustRank shape,
+Gyöngyi et al. 2004) and a real-HTML edge derivation
+(:func:`page_link_edges`: anchor extraction → absolutization →
+registered-domain projection → weighted edges).
 
 Spark-first shape, the ``connected_components`` discipline applied to
 the second iterative family in the repo:
@@ -270,3 +274,36 @@ def pagerank(
     # dead too
     _free(e_ids)
     return ranks.select("node", "rank")
+
+
+def page_link_edges(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(page url, html) → weighted registered-domain edges
+    (src, dst, n_links): the REAL crawl derivation of the link graph —
+    anchor hrefs extracted (``text.html_links``, one codegen pass),
+    absolutized against the page URL (``text.resolve_link``), kept
+    when http(s), projected to registered domains, multiplicity kept
+    as the edge weight (feed ``pagerank(..., weight='n_links')``).
+    Everything is column expressions + one explode — no Python in the
+    path; intra-domain links become self-loops pagerank drops."""
+    from .text import html_links, resolve_link
+    from .urls import url_registered_domain
+
+    links = pages.select(
+        F.col(url_col).alias("__page"),
+        F.explode(html_links(F.col(html_col))).alias("__href"),
+    ).select(
+        "__page", resolve_link(F.col("__page"), F.col("__href")).alias("__link")
+    )
+    return (
+        links.filter(F.col("__link").isNotNull())
+        .select(
+            url_registered_domain("__page").alias("src"),
+            url_registered_domain("__link").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )

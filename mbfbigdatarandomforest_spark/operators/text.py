@@ -288,6 +288,55 @@ def html_title(col: Column | str) -> Column:
     return F.trim(F.regexp_extract(c, r"(?is)<title[^>]*>(.*?)</title\s*>", 1))
 
 
+#: href values of anchor tags: quoted (either quote) or bare, captured
+#: up to the closing quote/whitespace/'>'. RE2∩Java (no lookaround), so
+#: the DuckDB twin runs the SAME pattern. Known, documented limit:
+#: quoted hrefs CONTAINING spaces truncate at the space (rare, and the
+#: truncated prefix still carries the host — the domain-graph use case
+#: is unaffected).
+HTML_HREF_PATTERN = r"(?is)<a\b[^>]*?href\s*=\s*['\"]?([^'\"\s>]+)"
+
+
+def html_links(col: Column | str) -> Column:
+    """All anchor hrefs of an HTML column, document order, as
+    ``array<string>`` — one codegen ``regexp_extract_all``, the
+    crawl-side input to the link graph (``linkgraph.page_link_edges``
+    resolves + projects them to domain edges)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(HTML_HREF_PATTERN), 1)
+
+
+def html_links_twin_sql(expr: str) -> str:
+    """DuckDB twin of :func:`html_links` — same pattern text."""
+    pat = HTML_HREF_PATTERN.replace("'", "''")
+    return f"regexp_extract_all({expr}, '{pat}', 1)"
+
+
+def resolve_link(page_url: Column | str, link: Column | str) -> Column:
+    """Absolutize an extracted href against its page URL — the codegen
+    subset a DOMAIN graph needs: absolute http(s) kept, protocol-
+    relative (``//host/x``) gains the page scheme, root-relative
+    (``/x``) gains scheme+host; everything else → NULL. Dropping
+    path-relative hrefs is deliberate and harmless here: they resolve
+    to the page's own host, i.e. domain-graph SELF-LOOPS, which
+    ``pagerank`` discards anyway; mailto:/javascript:/#fragment are
+    not links. Full RFC 3986 merging is a per-row parser — the slow
+    path — for edges the graph would drop."""
+    from .urls import url_host
+
+    u = F.col(page_url) if isinstance(page_url, str) else page_url
+    ln = F.col(link) if isinstance(link, str) else link
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    origin = F.concat(scheme, F.lit("://"), url_host(u))
+    is_abs = ln.rlike(r"^[Hh][Tt][Tt][Pp][Ss]?://")
+    return (
+        F.when(is_abs, ln)
+        .when(ln.startswith("//"), F.concat(scheme, F.lit(":"), ln))
+        .when(ln.startswith("/"), F.concat(origin, ln))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
 def _chain_twin_sql(expr: str, chain: tuple[tuple[str, str], ...]) -> str:
     out = expr
     for pat, repl in chain:

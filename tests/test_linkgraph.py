@@ -261,3 +261,134 @@ def test_url_pagerank_stats_vs_duckdb_numpy_twin(spark, duck):
     # ordered by authority, descending
     ranks = got["rank"].tolist()
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_html_links_extraction_and_duckdb_twin(spark, duck):
+    """r11: anchor-href extraction — double/single/un-quoted, case-
+    insensitive tag/attr, non-anchor tags ignored — and the same
+    pattern text extracting the same lists in DuckDB."""
+    from mbfbigdatarandomforest_spark.operators.text import (
+        html_links,
+        html_links_twin_sql,
+    )
+
+    cases = [
+        (0, '<a href="https://a.example/x">x</a>', ["https://a.example/x"]),
+        (1, "<A HREF='//cdn.example/y'>y</A> <a href=/z>z</a>",
+         ["//cdn.example/y", "/z"]),
+        (2, '<p>no links</p><img src="https://img.example/i.png">', []),
+        (3, '<a class="b" href="/p?q=1#f">p</a><a href="mailto:x@example.org">m</a>',
+         ["/p?q=1#f", "mailto:x@example.org"]),
+        (4, '<a href="https://one.example/1"><a href="https://two.example/2">',
+         ["https://one.example/1", "https://two.example/2"]),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _ in cases], "i long, html string"
+    )
+    got = {
+        r["i"]: r["links"]
+        for r in df.select("i", html_links("html").alias("links")).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i])
+    duck.execute("CREATE OR REPLACE TABLE __pages(i BIGINT, html VARCHAR)")
+    duck.executemany(
+        "INSERT INTO __pages VALUES (?, ?)", [(i, h) for i, h, _ in cases]
+    )
+    twin = {
+        i: links
+        for i, links in duck.sql(
+            f"SELECT i, {html_links_twin_sql('html')} FROM __pages"
+        ).fetchall()
+    }
+    assert twin == got
+
+
+def test_resolve_link_subset(spark):
+    from mbfbigdatarandomforest_spark.operators.text import resolve_link
+
+    page = "https://News.Example.co.uk:443/dir/page.html"
+    cases = [
+        ("http://other.example.org/a", "http://other.example.org/a"),
+        ("HTTPS://UP.example.net/b", "HTTPS://UP.example.net/b"),
+        ("//cdn.example.com/lib.js", "https://cdn.example.com/lib.js"),
+        ("/root/path?x=1", "https://news.example.co.uk/root/path?x=1"),
+        ("relative/path.html", None),  # domain self-loop — dropped
+        ("mailto:a@example.org", None),
+        ("javascript:void(0)", None),
+        ("#section", None),
+    ]
+    df = spark.createDataFrame(
+        [(u, l) for (l, _), u in zip(cases, [page] * len(cases))],
+        "url string, link string",
+    )
+    got = [
+        r["out"]
+        for r in df.select(resolve_link("url", "link").alias("out")).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def test_warc_to_pagerank_composition(spark, tmp_path):
+    """r11 capstone: the REAL crawl derivation end-to-end — WARC dump →
+    HTML pages → anchor extraction → absolutization → weighted domain
+    edges → weighted PageRank — against the numpy oracle on the
+    hand-computable edge list. hub.example links out twice to each of
+    two domains (weight 2), they link back once each; intra-domain
+    links vanish as self-loops."""
+    from mbfbigdatarandomforest_spark.operators.linkgraph import (
+        page_link_edges,
+        pagerank,
+    )
+    from mbfbigdatarandomforest_spark.sources.warc import (
+        encode_warc,
+        read_warc,
+    )
+    from pyspark.sql import functions as F
+
+    def page(url, *hrefs):
+        body = "".join(f'<a href="{h}">l</a>' for h in hrefs)
+        return {"url": url, "status": 200,
+                "body": f"<html><body>{body}</body></html>"}
+
+    dump = tmp_path / "dump"
+    dump.mkdir()
+    (dump / "s0.warc").write_bytes(
+        encode_warc(
+            [
+                page(
+                    "https://www.hub.example/index",
+                    "https://a.one.example/x", "//b.one.example/y",
+                    "https://two.example/z", "/self/absolute",  # self-loop
+                    "https://two.example/w", "relative/dropped",
+                ),
+                page("https://one.example/back", "https://hub.example/h"),
+                page("https://two.example/back", "/local", "https://hub.example/h"),
+            ]
+        )
+    )
+    recs = read_warc(spark, str(dump))
+    pages = recs.select("url", F.decode("body", "UTF-8").alias("html"))
+    edges = page_link_edges(pages)
+    got_edges = {
+        (r["src"], r["dst"]): r["n_links"] for r in edges.collect()
+    }
+    want_edges = {
+        ("hub.example", "one.example"): 2,
+        ("hub.example", "two.example"): 2,
+        ("hub.example", "hub.example"): 1,   # /self/absolute
+        ("one.example", "hub.example"): 1,
+        ("two.example", "two.example"): 1,   # /local
+        ("two.example", "hub.example"): 1,
+    }
+    assert got_edges == want_edges
+    kw = dict(max_iter=30, tol=1e-12)
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, weight="n_links", **kw).collect()
+    }
+    want = numpy_pagerank(
+        [(s, d, w) for (s, d), w in got_edges.items()], **kw
+    )
+    _close(got, want)
+    assert got["hub.example"] == max(got.values())  # both domains link back
