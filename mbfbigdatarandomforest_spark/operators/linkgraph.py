@@ -49,8 +49,9 @@ def pagerank(
     ``rounds``, per-round ``l1_deltas`` and ``live_ckpt_rdds`` — the
     probe hook.
 
-    Semantics (the standard formulation): uniform init 1/N;
-    rank' = (1-d)/N + d·(Σ incoming rank·w/out_weight + dangling/N);
+    Semantics (the standard formulation, with t the teleport vector —
+    uniform 1/N unless ``teleport`` is given): init rank = t;
+    rank' = t·(1-d + d·dangling) + d·Σ incoming rank·w/out_weight;
     stop when the L1 delta ≤ ``tol`` or at ``max_iter``.
 
     ``weight`` (r11): an edge column of POSITIVE link weights — the
