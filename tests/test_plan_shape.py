@@ -377,3 +377,40 @@ def test_backoff_and_classifier_plan_shape(spark):
     )
     kplan = _plan(qc.pareto_keep(scored, alpha=3.0))
     assert "Exchange" not in kplan and "Filter" in kplan
+
+
+def test_pagerank_edge_derivation_prunes_scan(spark):
+    """r11: the link-graph edge derivation reads ONLY doc_id from the
+    documents scan (the synth-URL expression needs nothing else), and
+    the real-HTML path (page_link_edges) is one Generate (the href
+    explode) + one Exchange (the weight groupBy) with no cartesian /
+    broadcast-nested-loop anywhere."""
+    import pyspark.sql.functions as F
+
+    from mbfbigdatarandomforest_spark.operators.linkgraph import (
+        page_link_edges,
+    )
+    from mbfbigdatarandomforest_spark.operators.urls import (
+        url_registered_domain,
+    )
+    from mbfbigdatarandomforest_spark.plans.llm_ops import synth_url_col
+
+    docs = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+    edges = docs.select(
+        url_registered_domain(synth_url_col()).alias("src"),
+        url_registered_domain(synth_url_col(F.col("doc_id") + 1)).alias("dst"),
+    )
+    plan = _plan(edges)
+    assert "struct<doc_id:bigint>" in plan  # column pruning reached the scan
+
+    pages = spark.createDataFrame(
+        [("https://a.example/x", '<a href="https://b.example/y">l</a>')],
+        "url string, html string",
+    )
+    # node counts on the plain plan tree (formatted explain prints
+    # every node twice: once in the tree, once in the detail section)
+    p2 = page_link_edges(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p2
+    assert "BroadcastNestedLoop" not in p2
+    assert p2.count("Generate") == 1
+    assert p2.count("Exchange") <= 2  # groupBy (+ AQE read), nothing else
