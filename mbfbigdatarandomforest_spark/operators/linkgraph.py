@@ -33,6 +33,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _ckpt_tools(df: DataFrame):
+    """(persisted_ids, ckpt, free) bound to df's SparkContext — the
+    deterministic checkpoint-free discipline shared by both iterative
+    operators here (and pioneered by ``dedup.connected_components``)."""
+    jsc = df.sparkSession.sparkContext._jsc
+
+    def persisted_ids() -> set[int]:
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def ckpt(frame: DataFrame) -> tuple[DataFrame, set[int]]:
+        before = persisted_ids()
+        out = frame.localCheckpoint()
+        return out, persisted_ids() - before
+
+    def free(ids: set[int]) -> None:
+        jmap = jsc.getPersistentRDDs()
+        for i in ids:
+            jrdd = jmap.get(i)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+
+    return persisted_ids, ckpt, free
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -68,22 +92,7 @@ def pagerank(
     absent from the frame get teleport 0 (reachable only through
     links); init is the teleport vector. The frame is aggregated to
     one O(seeds) pass, never collected."""
-    jsc = edges.sparkSession.sparkContext._jsc
-
-    def _persisted_ids() -> set[int]:
-        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
-
-    def _ckpt(df: DataFrame) -> tuple[DataFrame, set[int]]:
-        before = _persisted_ids()
-        out = df.localCheckpoint()
-        return out, _persisted_ids() - before
-
-    def _free(ids: set[int]) -> None:
-        jmap = jsc.getPersistentRDDs()
-        for i in ids:
-            jrdd = jmap.get(i)
-            if jrdd is not None:
-                jrdd.unpersist(False)
+    _persisted_ids, _ckpt, _free = _ckpt_tools(edges)
 
     # the edge frame is reused EVERY round — checkpoint it once so the
     # upstream plan (scan + derivation + distinct/weight-sum) runs
@@ -275,6 +284,145 @@ def pagerank(
     # dead too
     _free(e_ids)
     return ranks.select("node", "rank")
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    tol: float = 0.0,
+    stats: dict | None = None,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) — the complementary
+    link-graph signal to :func:`pagerank`: authorities are pages many
+    good hubs point AT, hubs point at many good authorities. In crawl
+    curation the pair separates content domains (high authority) from
+    link-farm/directory domains (high hub, low authority).
+
+    Classic sequential update per round — a' = Aᵀh then h' = A·a'
+    (Gauss-Seidel order; the simultaneous variant can oscillate between
+    the ±σ eigen-pair) — each half one equi-join + one groupBy, L2
+    normalization via a 1-row aggregate, the PageRank checkpoint
+    discipline throughout (prior round freed deterministically).
+    ``tol`` ≤ 0 (default) runs exactly ``max_iter`` rounds —
+    deterministic for cross-engine twins; tol > 0 adds one delta
+    aggregate per round and stops at L1(hub−hub_prev) ≤ tol.
+    Self-loops dropped, parallel edges count once.
+    Returns (node, hub, authority), each vector L2-normalized."""
+    _persisted_ids, _ckpt, _free = _ckpt_tools(edges)
+
+    e, e_ids = _ckpt(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ckpt_baseline = len(_persisted_ids())
+    state, state_ids = _ckpt(
+        nodes.select("node", F.lit(1.0).alias("hub"), F.lit(0.0).alias("auth"))
+    )
+    n = state.count()
+    if stats is not None:
+        stats["rounds"] = 0
+        stats["l1_hub_deltas"] = []
+        stats["live_ckpt_rdds"] = []
+        stats["n_nodes"] = n
+    if n == 0:
+        _free(state_ids | e_ids)
+        return (
+            edges.select(F.col(src).alias("node"))
+            .limit(0)
+            .select("node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth"))
+        )
+
+    sess = edges.sparkSession
+    sp_key = "spark.sql.shuffle.partitions"
+    old_sp = sess.conf.get(sp_key)
+    sess.conf.set(sp_key, str(max(1, min(int(old_sp), -(-n // 250_000)))))
+    # Normalization is a scalar multiply and both update maps are
+    # linear, so the direction sequence is invariant to WHEN we
+    # rescale. Fixed-iteration mode with no probe defers it: rescale
+    # every 5 rounds + once at the end (one 2-value aggregate instead
+    # of two per round — the dominant job count on small graphs).
+    # Overflow guard: values grow by ≤ σ₁² ≤ (n·max_deg) per round;
+    # 5 unrescaled rounds stay far inside double range for any graph
+    # that fits a cluster. Convergence mode (tol>0 or stats) keeps the
+    # classic per-round normalization — the delta needs it.
+    track = tol > 0 or stats is not None
+    norm_every = 1 if track else 5
+    try:
+        for it in range(max_iter):
+            # authority half: a_un = Aᵀ·h on EVERY node (0 when nothing
+            # points at it), checkpointed (consumed by the hub half and
+            # carried into the round's state)
+            a_in = (
+                e.join(
+                    state.select(F.col("node").alias("src"), "hub"), "src"
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("hub").alias("a_un"))
+            )
+            half, half_ids = _ckpt(
+                state.join(a_in, "node", "left").select(
+                    "node",
+                    "hub",
+                    F.coalesce("a_un", F.lit(0.0)).alias("auth"),
+                )
+            )
+            # hub half: h_un = A·a
+            h_in = (
+                half.select(F.col("node").alias("dst"), "auth")
+                .join(e, "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("auth").alias("h_un"))
+            )
+            nxt, nxt_ids = _ckpt(
+                half.join(h_in, "node", "left").select(
+                    "node",
+                    "auth",
+                    F.coalesce("h_un", F.lit(0.0)).alias("hub"),
+                    F.col("hub").alias("__prev_hub"),
+                )
+            )
+            _free(half_ids)
+            _free(state_ids)
+            state, state_ids = nxt.select("node", "hub", "auth"), nxt_ids
+            if track or (it + 1) % norm_every == 0 or it + 1 == max_iter:
+                norms = state.agg(
+                    F.sqrt(F.sum(F.col("hub") * F.col("hub"))).alias("hn"),
+                    F.sqrt(F.sum(F.col("auth") * F.col("auth"))).alias("an"),
+                ).collect()[0]
+                h_norm, a_norm = float(norms["hn"]), float(norms["an"])
+                state = state.select(
+                    "node",
+                    (F.col("hub") / F.lit(h_norm)).alias("hub"),
+                    (F.col("auth") / F.lit(a_norm)).alias("auth"),
+                )
+            if track:
+                # __prev_hub is normalized (track mode normalizes every
+                # round), so the L1 delta compares like with like
+                delta = float(
+                    state.join(nxt.select("node", "__prev_hub"), "node")
+                    .agg(F.sum(F.abs(F.col("hub") - F.col("__prev_hub"))))
+                    .collect()[0][0]
+                )
+                if stats is not None:
+                    stats["rounds"] += 1
+                    stats["l1_hub_deltas"].append(delta)
+                    stats["live_ckpt_rdds"].append(
+                        len(_persisted_ids()) - ckpt_baseline
+                    )
+                if tol > 0 and delta <= tol:
+                    break
+    finally:
+        sess.conf.set(sp_key, old_sp)
+    _free(e_ids)
+    return state.select("node", "hub", F.col("auth").alias("authority"))
 
 
 def page_link_edges(

@@ -1700,3 +1700,55 @@ def url_pagerank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rank"), "domain")
     )
+
+
+# --------------------------------------------------------------------------
+# Real-HTML link-graph composition (r11): documents rendered as pages
+# whose anchors point at the synth URLs of doc_id+1 and 2·doc_id+1 —
+# page_link_edges extracts + absolutizes + projects to WEIGHTED
+# registered-domain edges, weighted PageRank and HITS rank them, one
+# joined rollup. Rows-only (two iterative driver loops); the full
+# numpy twin — same hrefs rebuilt in DuckDB, numpy weighted-power-
+# iteration + numpy HITS — is tests/test_linkgraph.py.
+# --------------------------------------------------------------------------
+LINKGRAPH_SUITE_ITERS = 10
+
+
+@query("page_linkgraph_suite", tags=("url", "linkgraph", "html", "curation"))
+def page_linkgraph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkgraph import hits, page_link_edges, pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        synth_url_col().alias("url"),
+        F.concat(
+            F.lit('<html><body><a href="'),
+            synth_url_col(F.col("doc_id") + 1),
+            F.lit('">a</a><p>text</p><a href=\''),
+            synth_url_col(F.col("doc_id") * 2 + 1),
+            F.lit("'>b</a></body></html>"),
+        ).alias("html"),
+    )
+    # two iterative consumers — materialize the tiny domain-edge frame
+    # once (the url_pagerank_stats precedent)
+    edges = page_link_edges(pages).localCheckpoint()
+    pr = pagerank(
+        edges,
+        weight="n_links",
+        damping=PAGERANK_DAMPING,
+        max_iter=LINKGRAPH_SUITE_ITERS,
+        tol=0.0,
+    ).withColumnRenamed("node", "domain")
+    ha = hits(edges, max_iter=LINKGRAPH_SUITE_ITERS).withColumnRenamed(
+        "node", "domain"
+    )
+    return (
+        pr.join(ha, "domain", "full")
+        .select(
+            "domain",
+            F.round("rank", 9).alias("rank"),
+            F.round("hub", 9).alias("hub"),
+            F.round("authority", 9).alias("authority"),
+        )
+        .orderBy(F.desc("rank"), "domain")
+    )

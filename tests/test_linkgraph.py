@@ -392,3 +392,155 @@ def test_warc_to_pagerank_composition(spark, tmp_path):
     )
     _close(got, want)
     assert got["hub.example"] == max(got.values())  # both domains link back
+
+
+def numpy_hits(edges, max_iter=20, tol=0.0):
+    """Reference HITS — classic sequential update (a' = Aᵀh then
+    h' = A·a'), L2 normalization each half, init h = 1 (scale divides
+    out on the first normalization). Returns {node: (hub, authority)}."""
+    e = sorted({(s, t) for s, t in edges if s != t})
+    nodes = sorted({s for s, _ in e} | {t for _, t in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    if n == 0:
+        return {}
+    src = np.array([idx[s] for s, _ in e], dtype=np.int64)
+    dst = np.array([idx[t] for _, t in e], dtype=np.int64)
+    h = np.ones(n)
+    a = np.zeros(n)
+    for _ in range(max_iter):
+        a_un = np.zeros(n)
+        np.add.at(a_un, dst, h[src])
+        a = a_un / np.sqrt((a_un * a_un).sum())
+        h_un = np.zeros(n)
+        np.add.at(h_un, src, a[dst])
+        h_new = h_un / np.sqrt((h_un * h_un).sum())
+        delta = float(np.abs(h_new - h).sum())
+        h = h_new
+        if tol > 0 and delta <= tol:
+            break
+    return {v: (float(h[idx[v]]), float(a[idx[v]])) for v in nodes}
+
+
+def _spark_hits(spark, edges, **kw):
+    from mbfbigdatarandomforest_spark.operators.linkgraph import hits
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: (r["hub"], r["authority"]) for r in hits(df, **kw).collect()
+    }
+
+
+def test_hits_bipartite_star_closed_form(spark):
+    """3 hubs all pointing at one authority: authority = 1 exactly,
+    hubs = 1/sqrt(3) each, center hub = 0 (points at nothing)."""
+    edges = [(1, 9), (2, 9), (3, 9)]
+    got = _spark_hits(spark, edges, max_iter=5)
+    for v in (1, 2, 3):
+        assert abs(got[v][0] - 1 / np.sqrt(3)) < 1e-12
+        assert got[v][1] == 0.0
+    assert abs(got[9][1] - 1.0) < 1e-12
+    assert got[9][0] == 0.0
+
+
+def test_hits_two_cycle_symmetric(spark):
+    got = _spark_hits(spark, [(1, 2), (2, 1)], max_iter=8)
+    inv = 1 / np.sqrt(2)
+    for v in (1, 2):
+        assert abs(got[v][0] - inv) < 1e-12
+        assert abs(got[v][1] - inv) < 1e-12
+
+
+def test_hits_random_graph_vs_numpy_and_discipline(spark):
+    from mbfbigdatarandomforest_spark.operators.linkgraph import hits
+
+    rng = np.random.default_rng(47)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 50, size=(300, 2))]
+    kw = dict(max_iter=20)
+    got = _spark_hits(spark, edges, **kw)
+    want = numpy_hits(edges, **kw)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v][0] - want[v][0]) <= 1e-9, ("hub", v)
+        assert abs(got[v][1] - want[v][1]) <= 1e-9, ("auth", v)
+    # both vectors unit-L2
+    assert abs(sum(h * h for h, _ in got.values()) - 1.0) < 1e-9
+    assert abs(sum(a * a for _, a in got.values()) - 1.0) < 1e-9
+    # stats + checkpoint discipline (two live frames max: state + half)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    stats: dict = {}
+    hits(df, max_iter=25, tol=1e-10, stats=stats).collect()
+    assert stats["l1_hub_deltas"][-1] <= 1e-10 or stats["rounds"] == 25
+    assert max(stats["live_ckpt_rdds"]) <= 3, stats["live_ckpt_rdds"]
+
+
+def test_hits_separates_hub_farm_from_authority(spark):
+    """The curation claim: a directory/link-farm domain (many out-links,
+    no in-links) scores hub-high authority-zero; the linked content
+    domains score the reverse."""
+    farm = [(100, v) for v in range(5)]
+    content = [(v, (v + 1) % 5) for v in range(5)]  # content ring
+    got = _spark_hits(spark, farm + content, max_iter=20)
+    assert got[100][1] == 0.0  # nothing links the farm: zero authority
+    assert got[100][0] == max(h for h, _ in got.values())  # top hub
+
+
+def test_page_linkgraph_suite_vs_duckdb_numpy_twin(spark, duck):
+    """r11: the registered real-HTML composition (rows-only: two
+    iterative driver loops) against the full cross-engine twin —
+    DuckDB rebuilds the two anchor targets per document, Python counts
+    the weighted domain edges, numpy runs weighted PageRank and HITS
+    at the query's fixed iteration counts."""
+    from mbfbigdatarandomforest_spark.operators.urls import url_twin_sql
+    from mbfbigdatarandomforest_spark.plans.llm_ops import (
+        LINKGRAPH_SUITE_ITERS,
+        PAGERANK_DAMPING,
+        SYNTH_URL_SQL,
+    )
+
+    spec = load_all()["page_linkgraph_suite"]
+    assert spec.oracle is None
+    got = spec.fn(spark, SF_DIR_ORACLE).toPandas()
+
+    rd = url_twin_sql("url")["registered_domain"]
+
+    def doms(shift_sql):
+        return dict(
+            duck.sql(f"""
+                SELECT orig_id, {rd} FROM (
+                  SELECT orig_id, {SYNTH_URL_SQL} AS url FROM (
+                    SELECT doc_id AS orig_id, {shift_sql} AS doc_id
+                    FROM documents
+                  )
+                )
+            """).fetchall()
+        )
+
+    src = doms("doc_id")
+    d1 = doms("doc_id + 1")
+    d2 = doms("doc_id * 2 + 1")
+    w_edges = Counter()
+    for i, s in src.items():
+        for d in (d1[i], d2[i]):
+            w_edges[(s, d)] += 1
+    edge_list = [(s, d, w) for (s, d), w in w_edges.items()]
+    want_pr = numpy_pagerank(
+        edge_list,
+        damping=PAGERANK_DAMPING,
+        max_iter=LINKGRAPH_SUITE_ITERS,
+        tol=0.0,
+    )
+    want_ha = numpy_hits(
+        [(s, d) for s, d, _ in edge_list], max_iter=LINKGRAPH_SUITE_ITERS
+    )
+    got_rows = {
+        r["domain"]: (r["rank"], r["hub"], r["authority"])
+        for _, r in got.iterrows()
+    }
+    assert set(got_rows) == set(want_pr)
+    for dom, (rank, hub, auth) in got_rows.items():
+        assert abs(rank - round(want_pr[dom], 9)) <= 1e-9, ("rank", dom)
+        assert abs(hub - round(want_ha[dom][0], 9)) <= 1e-9, ("hub", dom)
+        assert abs(auth - round(want_ha[dom][1], 9)) <= 1e-9, ("auth", dom)
+    ranks = got["rank"].tolist()
+    assert ranks == sorted(ranks, reverse=True)

@@ -82,7 +82,7 @@ def test_registry_fits_driver_window():
     # Pin the exact tallies so COVERAGE.md can't drift from the registry
     # (round-5 verdict nit: the doc said 71 when the registry held 72).
     # Update BOTH this assertion and COVERAGE.md when (de)registering.
-    assert len(names) == 74, f"registry holds {len(names)} queries, docs say 74"
+    assert len(names) == 75, f"registry holds {len(names)} queries, docs say 75"
     assert len(oracles) == 50, f"{len(oracles)} oracle gates, docs say 50"
     # Round-11 gate swap (verdict item 2): customers_with_orders +
     # orders_without_lineitems fused into the method-tagged
@@ -93,10 +93,11 @@ def test_registry_fits_driver_window():
     assert "customers_with_orders" not in SPECS
     assert "orders_without_lineitems" not in SPECS
     assert SPECS["semi_anti_suite"].oracle is not None
-    # r11: PageRank wired — rows-only (iterative driver loop, not
-    # single-statement SQL; exact numpy power-iteration twin in
+    # r11: link graph wired — rows-only (iterative driver loops, not
+    # single-statement SQL; exact numpy power-iteration/HITS twins in
     # tests/test_linkgraph.py).
     assert SPECS["url_pagerank_stats"].oracle is None
+    assert SPECS["page_linkgraph_suite"].oracle is None
     # Round-6 gate swap (verdict item 2): the constants-oracle invariants
     # probe is rows-only; the ANSI correlated-subquery suite holds a
     # value-hash slot instead.
