@@ -1,0 +1,187 @@
+"""robots.txt crawl policy (r11) — the fetch-permission layer every
+polite crawler runs between URL curation and the frontier (RFC 9309,
+the Robots Exclusion Protocol; C4/CCNet-class corpora are built from
+robots-respecting crawls).
+
+Spark-first shape: robots bodies are SMALL per-host documents, so
+parsing is line explode + regexp extraction (pure column expressions,
+one codegen pass after the explode), group assignment is a per-host
+window over line position (one robots file per host — the partition is
+bounded by the file's line count, never corpus-sized), and permission
+checks are a host-equi-join of URLs against the host's rule set with
+the RFC's longest-match-wins resolved by one window. No Python in any
+path.
+
+Scope, documented (the PSL-subset posture): user-agent resolution is
+exact-token match falling back to ``*`` (RFC product-token
+longest-substring matching is collapsed to exact/default — the two
+tiers real corpus crawlers configure); ``allow``/``disallow`` patterns
+support the full RFC wildcard grammar (``*`` any-sequence, ``$``
+end-anchor, longest-pattern-wins, allow wins ties); ``crawl-delay``
+and ``sitemap`` lines are surfaced as rows, not interpreted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .urls import url_host
+
+
+def parse_robots(
+    df: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """(host, robots-body) → one row per directive:
+    (host, group_id, agent, directive, value, pattern_re, pos).
+
+    Group semantics (RFC 9309 §2.1): one or more consecutive
+    ``user-agent`` lines open a group; the allow/disallow lines that
+    follow belong to every agent named in that opening run. ``agent``
+    is therefore an ARRAY on rule rows (the agents of the owning
+    group); ``pattern_re`` is the Java-regex translation of the rule
+    path pattern (specials escaped, ``*`` → ``.*``, trailing ``$``
+    kept as the anchor), anchored at path start."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), r"\r?\n")).alias("pos", "raw"),
+    ).select(
+        "host",
+        "pos",
+        F.trim(F.regexp_replace("raw", r"#.*$", "")).alias("line"),
+    )
+    parsed = lines.filter(F.col("line") != "").select(
+        "host",
+        "pos",
+        F.lower(F.trim(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1))).alias(
+            "directive"
+        ),
+        F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1)).alias(
+            "value"
+        ),
+    ).filter(F.col("directive") != "")
+
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = (F.col("directive") == "user-agent").cast("int")
+    # a group opens where a user-agent line follows a non-user-agent
+    # line (or the file start)
+    opens = (
+        (F.col("directive") == "user-agent")
+        & (
+            F.coalesce(F.lag("directive").over(w), F.lit("")) != "user-agent"
+        )
+    ).cast("int")
+    grouped = parsed.withColumn(
+        "group_id", F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("is_ua", is_ua)
+
+    # the agents of each group (the opening user-agent run)
+    agents = (
+        grouped.filter(F.col("is_ua") == 1)
+        .groupBy("host", "group_id")
+        .agg(F.array_sort(F.collect_set(F.lower("value"))).alias("agents"))
+    )
+    rules = grouped.filter(F.col("is_ua") == 0).join(
+        agents, ["host", "group_id"], "left"
+    )
+    # rule pattern → anchored Java regex: escape specials via the $1
+    # backref (Java replacement — the pytest oracle is pure Python, no
+    # cross-SQL twin needed here), then the RFC's two metacharacters:
+    # '*' anywhere = any sequence; '$' is the end anchor ONLY at the
+    # pattern's end (escaped with everything else first, a trailing
+    # escaped one un-escaped back into the anchor)
+    pat = F.regexp_replace(F.col("value"), r"([.^+?(){}\[\]\\|$])", r"\\$1")
+    pat = F.regexp_replace(pat, r"\*", ".*")
+    pat = F.regexp_replace(pat, r"\\\$$", "\\$")
+    pattern_re = F.concat(F.lit("^"), pat)
+    return rules.select(
+        "host",
+        "group_id",
+        F.coalesce("agents", F.array()).alias("agents"),
+        "directive",
+        "value",
+        F.when(
+            F.col("directive").isin("allow", "disallow"), pattern_re
+        ).alias("pattern_re"),
+        "pos",
+    )
+
+
+def _agent_rules(rules: DataFrame, agent: str) -> DataFrame:
+    """The allow/disallow rules governing ``agent`` per host: the
+    host's exact-token groups when any exist, else its ``*`` groups
+    (RFC group-selection collapsed to the two tiers, module docstring)."""
+    a = agent.lower()
+    r = rules.filter(F.col("directive").isin("allow", "disallow")).select(
+        "host",
+        "directive",
+        F.col("value").alias("pattern"),
+        "pattern_re",
+        F.array_contains("agents", a).alias("__exact"),
+        F.array_contains("agents", "*").alias("__star"),
+    )
+    has_exact = r.groupBy("host").agg(
+        F.max(F.col("__exact").cast("int")).alias("__has_exact")
+    )
+    return (
+        r.join(has_exact, "host")
+        .filter(
+            (F.col("__exact") & (F.col("__has_exact") == 1))
+            | (F.col("__star") & (F.col("__has_exact") == 0))
+        )
+        .select("host", "directive", "pattern", "pattern_re")
+    )
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+    out_col: str = "allowed",
+) -> DataFrame:
+    """Adds boolean ``out_col``: may ``agent`` fetch each URL under the
+    parsed ``rules`` (:func:`parse_robots` output)?
+
+    RFC 9309 §2.2.2 resolution, distributed: URLs equi-join their
+    host's governing rules, matching rules survive an rlike filter,
+    and ONE window picks the longest matched pattern (octet length;
+    tie → allow wins). Hosts with no rules, or URLs matching no rule,
+    are allowed. Empty-value ``disallow:`` lines match nothing (the
+    RFC's allow-all idiom) — their regex is ``^`` with length 0 and
+    empty patterns are dropped below."""
+    per_agent = _agent_rules(rules, agent).filter(F.col("pattern") != "")
+    u = urls.withColumn("__host", url_host(url_col)).withColumn(
+        "__path",
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(
+                    F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1
+                ),
+                F.lit(""),
+            ),
+            F.lit("/"),
+        ),
+    )
+    matched = (
+        u.join(per_agent, u["__host"] == per_agent["host"], "inner")
+        .filter(F.expr("__path rlike pattern_re"))
+        .groupBy(url_col)
+        .agg(
+            # longest match wins; ties → allow: rank by (len, is_allow)
+            F.max(
+                F.struct(
+                    F.length("pattern").alias("l"),
+                    (F.col("directive") == "allow").alias("a"),
+                )
+            ).alias("best")
+        )
+        .select(url_col, F.col("best.a").alias("__allow_won"))
+    )
+    return (
+        urls.join(matched, url_col, "left")
+        .withColumn(out_col, F.coalesce("__allow_won", F.lit(True)))
+        .drop("__allow_won")
+    )

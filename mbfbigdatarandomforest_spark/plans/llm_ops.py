@@ -1534,6 +1534,49 @@ def url_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# robots.txt crawl policy (r11): the fetch-permission layer between URL
+# curation and the frontier. One deterministic policy body governs
+# every registered domain of the synth-URL corpus (anchored-wildcard
+# disallows + a longer allow carve-out + a tracking-query ban — the
+# C4-style polite-crawler shape); rows-only (the longest-match window
+# over regex rule matches is not one SQL statement), with the pure-
+# Python RFC 9309 evaluator as the pytest twin (tests/test_robots.py).
+# --------------------------------------------------------------------------
+ROBOTS_FIXTURE_BODY = """\
+User-agent: *
+Disallow: /Articles/*7$
+Allow: /Articles/*77$
+Disallow: /*?id=*
+
+User-agent: corpusbot
+Allow: /
+"""
+
+
+@query("robots_policy_stats", tags=("url", "robots", "curation"))
+def robots_policy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.robots import parse_robots, robots_allowed
+    from ..operators.urls import url_host, url_registered_domain
+
+    urls = load_table(spark, sf_dir, "documents").select(
+        synth_url_col().alias("url")
+    )
+    hosts = urls.select(url_host("url").alias("host")).distinct()
+    rules = parse_robots(
+        hosts.withColumn("body", F.lit(ROBOTS_FIXTURE_BODY))
+    ).localCheckpoint()  # parsed once; reused by the per-URL match join
+    decided = robots_allowed(urls, rules, agent="*")
+    return (
+        decided.groupBy(url_registered_domain("url").alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
+        )
+        .orderBy("domain")
+    )
+
+
 #: HTML page template shared by the warc_html_extract query and its
 #: DuckDB twin (tests/test_html.py) — head (title+style) to drop, a
 #: comment, the escaped body text, a script with '<'/'&' traps that

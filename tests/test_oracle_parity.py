@@ -82,7 +82,7 @@ def test_registry_fits_driver_window():
     # Pin the exact tallies so COVERAGE.md can't drift from the registry
     # (round-5 verdict nit: the doc said 71 when the registry held 72).
     # Update BOTH this assertion and COVERAGE.md when (de)registering.
-    assert len(names) == 75, f"registry holds {len(names)} queries, docs say 75"
+    assert len(names) == 76, f"registry holds {len(names)} queries, docs say 76"
     assert len(oracles) == 50, f"{len(oracles)} oracle gates, docs say 50"
     # Round-11 gate swap (verdict item 2): customers_with_orders +
     # orders_without_lineitems fused into the method-tagged
@@ -98,6 +98,10 @@ def test_registry_fits_driver_window():
     # tests/test_linkgraph.py).
     assert SPECS["url_pagerank_stats"].oracle is None
     assert SPECS["page_linkgraph_suite"].oracle is None
+    # r11: robots.txt policy — rows-only (longest-match window over
+    # regex rule matches; pure-Python RFC evaluator twin in
+    # tests/test_robots.py).
+    assert SPECS["robots_policy_stats"].oracle is None
     # Round-6 gate swap (verdict item 2): the constants-oracle invariants
     # probe is rows-only; the ANSI correlated-subquery suite holds a
     # value-hash slot instead.

@@ -1,0 +1,246 @@
+"""robots.txt policy oracle tests (operators/robots.py r11).
+
+The reference implementation here is an independent pure-Python RFC
+9309 evaluator (group parsing, exact-agent-else-star selection,
+wildcard/anchor matching, longest-match-wins with allow on ties) —
+Spark must agree URL-for-URL on crafted corner cases and on a
+randomized fixture sweep. stdlib urllib.robotparser is NOT the oracle:
+it implements the 1994 draft without wildcard support.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from mbfbigdatarandomforest_spark.operators.robots import (
+    parse_robots,
+    robots_allowed,
+)
+
+
+def _parse_groups(body: str):
+    groups, agents, rules, opening = [], set(), [], False
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        d, v = line.split(":", 1)
+        d, v = d.strip().lower(), v.strip()
+        if d == "user-agent":
+            if not opening:
+                if agents:
+                    groups.append((agents, rules))
+                agents, rules, opening = set(), [], True
+            agents.add(v.lower())
+        else:
+            opening = False
+            if agents:  # rules before any user-agent line are ignored
+                rules.append((d, v))
+    if agents:
+        groups.append((agents, rules))
+    return groups
+
+
+def _match(pat: str, path: str) -> bool:
+    rx = "^" + re.escape(pat).replace(r"\*", ".*")
+    if rx.endswith(r"\$"):
+        rx = rx[:-2] + "$"
+    return re.search(rx, path) is not None
+
+
+def py_allowed(body: str, agent: str, path: str) -> bool:
+    groups = _parse_groups(body)
+    agent = agent.lower()
+    sel = [g for g in groups if agent in g[0]] or [
+        g for g in groups if "*" in g[0]
+    ]
+    best = None
+    for _, rules in sel:
+        for d, pat in rules:
+            if d not in ("allow", "disallow") or pat == "":
+                continue
+            if _match(pat, path):
+                key = (len(pat), d == "allow")
+                if best is None or key > best:
+                    best = key
+    return True if best is None else best[1]
+
+
+CLASSIC = """\
+# corpus crawler policy
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow: /*.pdf$
+Disallow:
+
+User-agent: corpusbot
+User-agent: otherbot
+Disallow: /bot-group-blocked
+Allow: /
+
+Sitemap: https://site.example/sitemap.xml
+Crawl-delay: 2
+"""
+
+PATHS = [
+    "/",
+    "/public/page.html",
+    "/private",
+    "/private/secret",
+    "/private/ok/file",
+    "/docs/manual.pdf",
+    "/docs/manual.pdf.html",
+    "/bot-group-blocked/x",
+]
+
+
+def _rules_df(spark, bodies: dict[str, str]):
+    return parse_robots(
+        spark.createDataFrame(list(bodies.items()), "host string, body string")
+    )
+
+
+def _spark_decisions(spark, bodies, urls, agent):
+    rules = _rules_df(spark, bodies)
+    udf_ = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = robots_allowed(udf_, rules, agent=agent)
+    return {r["url"]: r["allowed"] for r in out.collect()}
+
+
+def test_classic_policy_star_agent(spark):
+    host = "site.example"
+    urls = [f"https://{host}{p}" for p in PATHS]
+    got = _spark_decisions(spark, {host: CLASSIC}, urls, "*")
+    for p in PATHS:
+        assert got[f"https://{host}{p}"] == py_allowed(CLASSIC, "*", p), p
+    # spot-check the semantics the fixture encodes
+    assert got[f"https://{host}/private/secret"] is False
+    assert got[f"https://{host}/private/ok/file"] is True  # longer allow
+    assert got[f"https://{host}/docs/manual.pdf"] is False  # anchored
+    assert got[f"https://{host}/docs/manual.pdf.html"] is True  # $ respected
+    # the bot-group rule lives in the corpusbot/otherbot group — the
+    # star agent never sees it
+    assert got[f"https://{host}/bot-group-blocked/x"] is True
+
+
+def test_exact_agent_group_overrides_star(spark):
+    host = "site.example"
+    urls = [f"https://{host}{p}" for p in PATHS]
+    got = _spark_decisions(spark, {host: CLASSIC}, urls, "CorpusBot")
+    for p in PATHS:
+        assert got[f"https://{host}{p}"] == py_allowed(CLASSIC, "corpusbot", p)
+    # corpusbot is governed ONLY by its own group: the long disallow
+    # beats the 1-char Allow: / on its path, everything else allowed
+    assert got[f"https://{host}/bot-group-blocked/x"] is False
+    assert got[f"https://{host}/private/secret"] is True
+    assert got[f"https://{host}/docs/manual.pdf"] is True
+
+
+def test_no_rules_hosts_and_unmatched_paths_allowed(spark):
+    bodies = {"ruled.example": "User-agent: *\nDisallow: /x\n"}
+    urls = [
+        "https://ruled.example/x/1",
+        "https://ruled.example/y",
+        "https://unruled.example/anything",
+    ]
+    got = _spark_decisions(spark, bodies, urls, "*")
+    assert got == {
+        "https://ruled.example/x/1": False,
+        "https://ruled.example/y": True,
+        "https://unruled.example/anything": True,
+    }
+
+
+def test_rules_before_any_user_agent_ignored_and_directive_rows(spark):
+    body = "Disallow: /orphan\nUser-agent: *\nDisallow: /real\n"
+    rules = _rules_df(spark, {"h.example": body})
+    rows = {
+        (r["directive"], r["value"]): r["agents"] for r in rules.collect()
+    }
+    assert rows[("disallow", "/orphan")] == []  # surfaced, agentless
+    assert rows[("disallow", "/real")] == ["*"]
+    got = _spark_decisions(
+        spark, {"h.example": body}, ["https://h.example/orphan/f"], "*"
+    )
+    assert got["https://h.example/orphan/f"] is True  # orphan rule inert
+
+
+def test_sitemap_and_crawl_delay_surfaced(spark):
+    rules = _rules_df(spark, {"site.example": CLASSIC})
+    d = {r["directive"]: r["value"] for r in rules.collect()}
+    assert d["sitemap"] == "https://site.example/sitemap.xml"
+    assert d["crawl-delay"] == "2"
+    assert rules.filter("directive = 'sitemap'").first()["pattern_re"] is None
+
+
+def test_randomized_sweep_vs_python_oracle(spark):
+    """Fuzz the whole path: random rule sets over pattern atoms with
+    wildcards/anchors, random paths, three agents — Spark must equal
+    the Python RFC evaluator on every (host, path, agent) decision."""
+    rng = np.random.default_rng(911)
+    atoms = ["/a", "/b/c", "/data", "/*.js", "/img*", "/x/y.html$", "/p/*/q"]
+    agents_pool = ["*", "corpusbot", "otherbot"]
+    bodies = {}
+    for h in range(6):
+        lines = []
+        for g in range(int(rng.integers(1, 4))):
+            for a in set(
+                rng.choice(agents_pool, size=int(rng.integers(1, 3)))
+            ):
+                lines.append(f"User-agent: {a}")
+            for r in range(int(rng.integers(1, 5))):
+                d = "Allow" if rng.random() < 0.4 else "Disallow"
+                lines.append(f"{d}: {atoms[int(rng.integers(len(atoms)))]}")
+        bodies[f"h{h}.example"] = "\n".join(lines) + "\n"
+    paths = [
+        "/", "/a", "/a/z", "/b/c/d", "/data/set.js", "/img123/f",
+        "/x/y.html", "/x/y.html?v=1", "/p/mid/q", "/other",
+    ]
+    urls = [f"http://{h}{p}" for h in bodies for p in paths]
+    for agent in ("*", "CorpusBot"):
+        got = _spark_decisions(spark, bodies, urls, agent)
+        for h, body in bodies.items():
+            for p in paths:
+                u = f"http://{h}{p}"
+                assert got[u] == py_allowed(body, agent, p), (agent, u)
+
+
+def test_robots_policy_stats_vs_python_twin(spark, duck):
+    """The registered query (rows-only) against the Python RFC
+    evaluator over the DuckDB-rebuilt URL corpus."""
+    from collections import Counter
+
+    from mbfbigdatarandomforest_spark.operators.urls import url_twin_sql
+    from mbfbigdatarandomforest_spark.plans.llm_ops import (
+        ROBOTS_FIXTURE_BODY,
+        SYNTH_URL_SQL,
+    )
+    from mbfbigdatarandomforest_spark.registry import load_all
+
+    from conftest import SF_DIR_ORACLE
+
+    spec = load_all()["robots_policy_stats"]
+    assert spec.oracle is None
+    got = {
+        r["domain"]: (r["n_urls"], r["n_allowed"])
+        for _, r in spec.fn(spark, SF_DIR_ORACLE).toPandas().iterrows()
+    }
+    twin = url_twin_sql("url")
+    rows = duck.sql(f"""
+        SELECT {twin['registered_domain']}, url
+        FROM (SELECT {SYNTH_URL_SQL} AS url FROM documents)
+    """).fetchall()
+    n_urls: Counter = Counter()
+    n_allowed: Counter = Counter()
+    for dom, url in rows:
+        path = re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "", url) or "/"
+        n_urls[dom] += 1
+        n_allowed[dom] += py_allowed(ROBOTS_FIXTURE_BODY, "*", path)
+    assert got == {d: (n_urls[d], n_allowed[d]) for d in n_urls}
+    # the fixture really bites: some URLs blocked, some allowed
+    total_urls = sum(n_urls.values())
+    total_ok = sum(n_allowed.values())
+    assert 0 < total_ok < total_urls
