@@ -1577,6 +1577,60 @@ def robots_policy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def crawl_frontier(
+    candidates: DataFrame,
+    robots_rules: DataFrame | None = None,
+    authority: DataFrame | None = None,
+    agent: str = "*",
+    cap: int = 100,
+    url_col: str = "url",
+) -> DataFrame:
+    """The crawl-frontier scheduler composition (r11 capstone of the
+    crawl side, the `curation_funnel` of fetching): candidate URLs →
+    normalize → exact dedup on the canonical form → robots permission
+    filter → domain-authority join → exact per-domain fetch cap.
+
+    Inputs are the layer outputs this round wired: ``robots_rules`` =
+    :func:`operators.robots.parse_robots` output (None → no policy),
+    ``authority`` = a (domain, rank) frame, e.g.
+    :func:`operators.linkgraph.pagerank` over
+    :func:`operators.linkgraph.page_link_edges` (None → rank NULL).
+    Returns one row per KEPT canonical URL: (url, domain, rank, kept)
+    with ``kept`` the cap verdict — callers order fetch queues by
+    (rank desc, url).
+
+    Scale shape: normalization/dedup are codegen + one hash groupBy;
+    robots is the host equi-join + one window over matched rules;
+    the authority join shuffles on domain (broadcast when small — AQE
+    decides); the cap is the skew-hardened md5 ranking. No stage
+    collects; every shuffle keys on url/host/domain."""
+    from ..operators.robots import robots_allowed
+    from ..operators.urls import normalize_url, per_domain_cap
+
+    canon = (
+        candidates.select(normalize_url(url_col).alias("url"))
+        .filter(F.col("url") != "")
+        .distinct()
+    )
+    if robots_rules is not None:
+        canon = robots_allowed(canon, robots_rules, agent=agent).filter(
+            "allowed"
+        ).drop("allowed")
+    capped = per_domain_cap(canon, "url", cap=cap).withColumnRenamed(
+        "__domain", "domain"
+    )
+    if authority is not None:
+        auth = authority.select(
+            F.col("domain").alias("__adom"), F.col("rank")
+        )
+        capped = capped.join(
+            auth, capped["domain"] == auth["__adom"], "left"
+        ).drop("__adom")
+    else:
+        capped = capped.withColumn("rank", F.lit(None).cast("double"))
+    return capped.select("url", "domain", "rank", "kept")
+
+
 #: HTML page template shared by the warc_html_extract query and its
 #: DuckDB twin (tests/test_html.py) — head (title+style) to drop, a
 #: comment, the escaped body text, a script with '<'/'&' traps that

@@ -244,3 +244,44 @@ def test_robots_policy_stats_vs_python_twin(spark, duck):
     total_urls = sum(n_urls.values())
     total_ok = sum(n_allowed.values())
     assert 0 < total_ok < total_urls
+
+
+def test_crawl_frontier_composition(spark):
+    """r11 capstone of the crawl side: candidates with duplicate/
+    tracking-noise variants collapse to canonical URLs, robots blocks
+    its paths, PageRank authority joins per domain, and the per-domain
+    cap clips the hot domain — every stage's effect asserted."""
+    from mbfbigdatarandomforest_spark.operators.linkgraph import pagerank
+    from mbfbigdatarandomforest_spark.plans.llm_ops import crawl_frontier
+
+    cands = (
+        # hot.example: 8 pages (2 are tracking-noise dups), 1 blocked
+        [(f"https://Hot.Example/p/{i}?utm_source=x",) for i in range(2)]
+        + [(f"https://hot.example/p/{i}",) for i in range(8)]
+        + [("https://hot.example/private/x",)]
+        # cold.example: 2 pages
+        + [("http://cold.example/a",), ("http://cold.example/b/",)]
+    )
+    urls = spark.createDataFrame(cands, "url string")
+    rules = _rules_df(
+        spark,
+        {
+            "hot.example": "User-agent: *\nDisallow: /private\n",
+            "cold.example": "User-agent: *\nDisallow:\n",
+        },
+    )
+    edges = spark.createDataFrame(
+        [("cold.example", "hot.example"), ("hot.example", "cold.example")],
+        "src string, dst string",
+    )
+    auth = pagerank(edges, max_iter=10, tol=0.0).withColumnRenamed(
+        "node", "domain"
+    )
+    out = crawl_frontier(urls, rules, auth, cap=5).toPandas()
+    assert len(out) == 10  # 8 canonical hot + 2 cold; dups + blocked gone
+    assert not out["url"].str.contains("utm_|private|Hot").any()
+    hot = out[out["domain"] == "hot.example"]
+    assert len(hot) == 8 and int(hot["kept"].sum()) == 5  # cap bites
+    cold = out[out["domain"] == "cold.example"]
+    assert len(cold) == 2 and bool(cold["kept"].all())
+    assert (out["rank"] - 0.5).abs().max() < 1e-12  # symmetric 2-cycle
