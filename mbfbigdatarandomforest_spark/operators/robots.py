@@ -135,6 +135,59 @@ def _agent_rules(rules: DataFrame, agent: str) -> DataFrame:
     )
 
 
+def parse_sitemaps(
+    df: DataFrame,
+    body_col: str = "body",
+    keep_cols: tuple[str, ...] = ("host",),
+) -> DataFrame:
+    """Sitemap XML (sitemaps.org protocol) → one row per entry:
+    (*keep_cols, loc, lastmod, is_index). Handles both ``<urlset>``
+    pages (is_index false — frontier candidates) and ``<sitemapindex>``
+    files (is_index true — fetch next); entries are the ``<url>`` /
+    ``<sitemap>`` blocks, ``loc``/``lastmod`` extracted per block with
+    the 5 standard XML entities decoded in ``loc`` (sitemaps escape
+    ``&`` in URLs). Pure column expressions: one ``regexp_extract_all``
+    block explode + per-block extraction — the html_links posture, no
+    XML parser in the task path (protocol sitemaps are flat; a
+    DOM-grade parser would be a per-row Python UDF for no added
+    fields)."""
+    c = F.col(body_col)
+    blocks = F.regexp_extract_all(
+        c, F.lit(r"(?is)<(?:url|sitemap)\b[^>]*>(.*?)</(?:url|sitemap)\s*>"), 1
+    )
+    is_index = c.rlike(r"(?is)<sitemapindex[\s>]")
+    out = df.select(
+        *keep_cols,
+        is_index.alias("is_index"),
+        F.explode(blocks).alias("__block"),
+    )
+    loc = F.trim(
+        F.regexp_extract(F.col("__block"), r"(?is)<loc\s*>(.*?)</loc\s*>", 1)
+    )
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&amp;", "&"),
+    ):
+        loc = F.replace(loc, F.lit(ent), F.lit(ch))
+    lastmod = F.nullif(
+        F.trim(
+            F.regexp_extract(
+                F.col("__block"), r"(?is)<lastmod\s*>(.*?)</lastmod\s*>", 1
+            )
+        ),
+        F.lit(""),
+    )
+    return (
+        out.select(
+            *keep_cols,
+            loc.alias("loc"),
+            lastmod.alias("lastmod"),
+            "is_index",
+        )
+        .filter(F.col("loc") != "")
+    )
+
+
 def robots_allowed(
     urls: DataFrame,
     rules: DataFrame,

@@ -285,3 +285,37 @@ def test_crawl_frontier_composition(spark):
     cold = out[out["domain"] == "cold.example"]
     assert len(cold) == 2 and bool(cold["kept"].all())
     assert (out["rank"] - 0.5).abs().max() < 1e-12  # symmetric 2-cycle
+
+
+def test_parse_sitemaps_urlset_and_index(spark):
+    """Sitemap protocol: urlset entries (frontier candidates) with
+    entity-escaped locs and optional lastmod; sitemapindex files flag
+    is_index so the crawler fetches the nested maps next."""
+    from mbfbigdatarandomforest_spark.operators.robots import parse_sitemaps
+
+    urlset = """<?xml version="1.0" encoding="UTF-8"?>
+    <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      <url><loc>https://site.example/a?x=1&amp;y=2</loc>
+           <lastmod>2020-01-02</lastmod></url>
+      <url><loc> https://site.example/b </loc></url>
+      <url><priority>0.5</priority></url>
+    </urlset>"""
+    index = """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      <sitemap><loc>https://site.example/maps/1.xml</loc></sitemap>
+      <sitemap><loc>https://site.example/maps/2.xml</loc>
+               <lastmod>2021-03-04</lastmod></sitemap>
+    </sitemapindex>"""
+    df = spark.createDataFrame(
+        [("site.example", urlset), ("site.example", index)],
+        "host string, body string",
+    )
+    rows = {
+        (r["loc"], r["lastmod"], r["is_index"])
+        for r in parse_sitemaps(df).collect()
+    }
+    assert rows == {
+        ("https://site.example/a?x=1&y=2", "2020-01-02", False),
+        ("https://site.example/b", None, False),  # whitespace trimmed
+        ("https://site.example/maps/1.xml", None, True),
+        ("https://site.example/maps/2.xml", "2021-03-04", True),
+    }  # the loc-less <url> block dropped
