@@ -60,6 +60,18 @@ def main() -> None:
     ap.add_argument("--benchmark-text-dir", default=None,
                     help="held-out eval .txt tree for decontamination in "
                     "--warc-dir mode")
+    ap.add_argument("--frontier-out", default=None,
+                    help="(--warc-dir mode) also emit the NEXT crawl "
+                    "frontier to this dir: anchor links extracted from "
+                    "the dump's pages, absolutized, deduped, filtered "
+                    "by robots.txt bodies FOUND IN THE DUMP, ranked by "
+                    "PageRank over the observed domain graph, capped "
+                    "per domain — the fetch→extract→discover→schedule "
+                    "loop closed in one command")
+    ap.add_argument("--frontier-cap", type=int, default=100,
+                    help="per-domain fetch cap for --frontier-out")
+    ap.add_argument("--frontier-agent", default="*",
+                    help="user-agent token for the robots filter")
     ap.add_argument("--out", default="./curation_out")
     ap.add_argument("--max-tokens", type=int, default=256)
     ap.add_argument("--keep-fraction", type=float, default=0.6,
@@ -94,6 +106,62 @@ def main() -> None:
         )
 
         corpus = warc_to_documents(spark, args.warc_dir).cache()
+        if args.frontier_out:
+            from mbfbigdatarandomforest_spark.operators.linkgraph import (
+                page_link_edges,
+                pagerank,
+            )
+            from mbfbigdatarandomforest_spark.operators.robots import (
+                parse_robots,
+            )
+            from mbfbigdatarandomforest_spark.operators.text import (
+                html_links,
+                resolve_link,
+            )
+            from mbfbigdatarandomforest_spark.operators.urls import url_host
+            from mbfbigdatarandomforest_spark.plans.llm_ops import (
+                crawl_frontier,
+            )
+            from mbfbigdatarandomforest_spark.sources.warc import read_warc
+
+            ok = read_warc(spark, args.warc_dir).filter(
+                "error IS NULL AND status = 200"
+            )
+            fetched = ok.select(
+                "url",
+                F.expr("make_valid_utf8(cast(body as string))").alias("html"),
+            ).localCheckpoint()  # one dump scan feeds rules+edges+links
+            is_robots = F.col("url").rlike(r"://[^/?#]+/robots\.txt$")
+            rules = parse_robots(
+                fetched.filter(is_robots).select(
+                    url_host("url").alias("host"), F.col("html").alias("body")
+                )
+            )
+            html_pages = fetched.filter(~is_robots)
+            auth = pagerank(
+                page_link_edges(html_pages),
+                weight="n_links",
+                max_iter=15,
+                tol=0.0,
+            ).withColumnRenamed("node", "domain")
+            candidates = html_pages.select(
+                F.explode(html_links(F.col("html"))).alias("href"), "url"
+            ).select(resolve_link("url", "href").alias("url")).filter(
+                "url IS NOT NULL"
+            )
+            frontier = crawl_frontier(
+                candidates,
+                rules,
+                auth,
+                agent=args.frontier_agent,
+                cap=args.frontier_cap,
+            ).localCheckpoint()
+            frontier.write.mode("overwrite").parquet(args.frontier_out)
+            frontier_counts = {
+                "discovered": frontier.count(),
+                "scheduled": frontier.filter("kept").count(),
+                "domains": frontier.select("domain").distinct().count(),
+            }
         if args.benchmark_text_dir:
             from mbfbigdatarandomforest_spark.sources.readers import (
                 ingest_text_documents,
@@ -220,6 +288,8 @@ def main() -> None:
         "lm_order": args.lm_order,
         "wall_sec": round(time.time() - t0, 1),
     }
+    if args.warc_dir and args.frontier_out:
+        summary["frontier"] = frontier_counts
     (out / "summary.json").parent.mkdir(parents=True, exist_ok=True)
     (out / "summary.json").write_text(json.dumps(summary, indent=2))
     print(json.dumps(summary))

@@ -245,3 +245,81 @@ def test_warc_ingest_stats_duckdb_twin(spark, duck):
     assert got["total_body_bytes"].tolist() == want["total_body_bytes"].tolist()
     assert got["n_shards"].tolist() == want["n_shards"].tolist()
     assert got["n_quarantined"].tolist() == want["n_quarantined"].tolist()
+
+
+def test_curation_pipeline_warc_dir_with_frontier(tmp_path):
+    """--warc-dir + --frontier-out: one command closes the crawl loop —
+    the dump is curated AND the next fetch frontier comes out: links
+    extracted from the dump's pages, robots.txt bodies FOUND IN THE
+    DUMP enforced, domains ranked by observed-link PageRank, per-domain
+    cap applied."""
+    import json
+    import subprocess
+    import sys
+
+    body_text = (
+        "the quick brown document number {i} talks about topic {t} and "
+        "the text keeps going with plenty of ordinary words so that the "
+        "gopher quality rules accept it happily as a real document"
+    )
+
+    def page(url, i, *hrefs):
+        anchors = "".join(f'<a href="{h}">l</a>' for h in hrefs)
+        return {
+            "url": url,
+            "status": 200,
+            "body": f"<html><body><p>{body_text.format(i=i, t=i % 3)}</p>"
+                    f"{anchors}</body></html>",
+        }
+
+    pages = [
+        page(
+            f"https://hub.example/p/{i}",
+            i,
+            f"https://content.example/a/{i}",
+            f"https://content.example/blocked/{i}",
+            "https://hub.example/p/0",
+        )
+        for i in range(12)
+    ] + [
+        page(f"https://content.example/a/{i}", 100 + i,
+             "https://hub.example/p/1")
+        for i in range(4)
+    ] + [
+        {
+            "url": "https://content.example/robots.txt",
+            "status": 200,
+            "body": "User-agent: *\nDisallow: /blocked\n",
+        }
+    ]
+    d = tmp_path / "dump"
+    d.mkdir()
+    (d / "s0.warc").write_bytes(encode_warc(pages[:9]))
+    (d / "s1.warc.gz").write_bytes(encode_warc(pages[9:], compress=True))
+    out = tmp_path / "cur"
+    fr = tmp_path / "frontier"
+    r = subprocess.run(
+        [
+            sys.executable, "run_curation_pipeline.py",
+            "--warc-dir", str(d), "--out", str(out),
+            "--frontier-out", str(fr), "--frontier-cap", "3",
+            "--max-tokens", "64",
+        ],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads((out / "summary.json").read_text())
+    assert summary["stages"]["0_raw"] >= 16
+    f = summary["frontier"]
+    # discovered: 12 distinct content/a + 12 content/blocked dropped by
+    # robots + hub/p/0 + hub/p/1 = 14 canonical allowed URLs
+    assert f["discovered"] == 14
+    assert f["domains"] == 2
+    assert f["scheduled"] == 3 + 2  # content capped at 3, hub has 2
+    import pandas as pd
+
+    fdf = pd.read_parquet(fr)
+    assert not fdf["url"].str.contains("/blocked/").any()
+    assert fdf["rank"].notna().all()  # both domains in the link graph
+    content = fdf[fdf["domain"] == "content.example"]
+    assert len(content) == 12 and int(content["kept"].sum()) == 3
