@@ -292,6 +292,7 @@ def hits(
     dst: str = "dst",
     max_iter: int = 20,
     tol: float = 0.0,
+    weight: str | None = None,
     stats: dict | None = None,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) — the complementary
@@ -308,15 +309,32 @@ def hits(
     ``tol`` ≤ 0 (default) runs exactly ``max_iter`` rounds —
     deterministic for cross-engine twins; tol > 0 adds one delta
     aggregate per round and stops at L1(hub−hub_prev) ≤ tol.
-    Self-loops dropped, parallel edges count once.
+    Self-loops dropped; unweighted, parallel edges count once.
+    ``weight`` (same contract as :func:`pagerank`): positive link
+    weights, parallel (src, dst) rows sum, both halves accumulate
+    w-scaled mass — the weighted-adjacency HITS generalization.
     Returns (node, hub, authority), each vector L2-normalized."""
     _persisted_ids, _ckpt, _free = _ckpt_tools(edges)
 
-    e, e_ids = _ckpt(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    if weight is None:
+        hygienic = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .withColumn("w", F.lit(1.0))
+        )
+    else:
+        hygienic = (
+            edges.select(
+                F.col(src).alias("src"),
+                F.col(dst).alias("dst"),
+                F.col(weight).cast("double").alias("w"),
+            )
+            .filter((F.col("src") != F.col("dst")) & (F.col("w") > 0))
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
+    e, e_ids = _ckpt(hygienic)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -365,7 +383,7 @@ def hits(
                     state.select(F.col("node").alias("src"), "hub"), "src"
                 )
                 .groupBy(F.col("dst").alias("node"))
-                .agg(F.sum("hub").alias("a_un"))
+                .agg(F.sum(F.col("hub") * F.col("w")).alias("a_un"))
             )
             half, half_ids = _ckpt(
                 state.join(a_in, "node", "left").select(
@@ -379,7 +397,7 @@ def hits(
                 half.select(F.col("node").alias("dst"), "auth")
                 .join(e, "dst")
                 .groupBy(F.col("src").alias("node"))
-                .agg(F.sum("auth").alias("h_un"))
+                .agg(F.sum(F.col("auth") * F.col("w")).alias("h_un"))
             )
             nxt, nxt_ids = _ckpt(
                 half.join(h_in, "node", "left").select(

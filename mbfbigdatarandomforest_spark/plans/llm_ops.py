@@ -1836,9 +1836,9 @@ def page_linkgraph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_iter=LINKGRAPH_SUITE_ITERS,
         tol=0.0,
     ).withColumnRenamed("node", "domain")
-    ha = hits(edges, max_iter=LINKGRAPH_SUITE_ITERS).withColumnRenamed(
-        "node", "domain"
-    )
+    ha = hits(
+        edges, weight="n_links", max_iter=LINKGRAPH_SUITE_ITERS
+    ).withColumnRenamed("node", "domain")
     return (
         pr.join(ha, "domain", "full")
         .select(

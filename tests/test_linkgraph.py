@@ -397,23 +397,33 @@ def test_warc_to_pagerank_composition(spark, tmp_path):
 def numpy_hits(edges, max_iter=20, tol=0.0):
     """Reference HITS — classic sequential update (a' = Aᵀh then
     h' = A·a'), L2 normalization each half, init h = 1 (scale divides
-    out on the first normalization). Returns {node: (hub, authority)}."""
-    e = sorted({(s, t) for s, t in edges if s != t})
-    nodes = sorted({s for s, _ in e} | {t for _, t in e})
+    out on the first normalization). ``edges`` is [(src, dst)]
+    (parallel once) or [(src, dst, w)] (parallel sum, w-scaled mass).
+    Returns {node: (hub, authority)}."""
+    if edges and len(edges[0]) == 3:
+        acc: Counter = Counter()
+        for s, t, w in edges:
+            if s != t and w > 0:
+                acc[(s, t)] += float(w)
+        e = sorted((s, t, w) for (s, t), w in acc.items())
+    else:
+        e = sorted({(s, t, 1.0) for s, t in edges if s != t})
+    nodes = sorted({s for s, _, _ in e} | {t for _, t, _ in e})
     idx = {v: i for i, v in enumerate(nodes)}
     n = len(nodes)
     if n == 0:
         return {}
-    src = np.array([idx[s] for s, _ in e], dtype=np.int64)
-    dst = np.array([idx[t] for _, t in e], dtype=np.int64)
+    src = np.array([idx[s] for s, _, _ in e], dtype=np.int64)
+    dst = np.array([idx[t] for _, t, _ in e], dtype=np.int64)
+    ew = np.array([w for _, _, w in e], dtype=np.float64)
     h = np.ones(n)
     a = np.zeros(n)
     for _ in range(max_iter):
         a_un = np.zeros(n)
-        np.add.at(a_un, dst, h[src])
+        np.add.at(a_un, dst, ew * h[src])
         a = a_un / np.sqrt((a_un * a_un).sum())
         h_un = np.zeros(n)
-        np.add.at(h_un, src, a[dst])
+        np.add.at(h_un, src, ew * a[dst])
         h_new = h_un / np.sqrt((h_un * h_un).sum())
         delta = float(np.abs(h_new - h).sum())
         h = h_new
@@ -530,9 +540,7 @@ def test_page_linkgraph_suite_vs_duckdb_numpy_twin(spark, duck):
         max_iter=LINKGRAPH_SUITE_ITERS,
         tol=0.0,
     )
-    want_ha = numpy_hits(
-        [(s, d) for s, d, _ in edge_list], max_iter=LINKGRAPH_SUITE_ITERS
-    )
+    want_ha = numpy_hits(edge_list, max_iter=LINKGRAPH_SUITE_ITERS)
     got_rows = {
         r["domain"]: (r["rank"], r["hub"], r["authority"])
         for _, r in got.iterrows()
@@ -544,3 +552,32 @@ def test_page_linkgraph_suite_vs_duckdb_numpy_twin(spark, duck):
         assert abs(auth - round(want_ha[dom][1], 9)) <= 1e-9, ("auth", dom)
     ranks = got["rank"].tolist()
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_weighted_hits_vs_numpy_and_replication_equivalence(spark):
+    """r11: weighted HITS — w-scaled mass both halves. The weighted
+    frame must match the numpy oracle AND equal the integer-replicated
+    unweighted formulation exactly (the pagerank semantics link)."""
+    from mbfbigdatarandomforest_spark.operators.linkgraph import hits
+
+    w_edges = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0),
+               (0, 1, 0.0)]  # zero weight dropped
+    df = spark.createDataFrame(w_edges, "src long, dst long, w double")
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df, weight="w", max_iter=12).collect()
+    }
+    want = numpy_hits(w_edges, max_iter=12)
+    for v in want:
+        assert abs(got[v][0] - want[v][0]) <= 1e-9, ("hub", v)
+        assert abs(got[v][1] - want[v][1]) <= 1e-9, ("auth", v)
+    rep = ([(0, 1, 1.0)] * 3 + [(0, 2, 1.0)] + [(1, 2, 1.0)] * 2
+           + [(2, 0, 1.0)])
+    rep_df = spark.createDataFrame(rep, "src long, dst long, w double")
+    got_rep = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(rep_df, weight="w", max_iter=12).collect()
+    }
+    for v in got:
+        assert abs(got_rep[v][0] - got[v][0]) <= 1e-12
+        assert abs(got_rep[v][1] - got[v][1]) <= 1e-12
