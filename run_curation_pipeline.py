@@ -113,6 +113,7 @@ def main() -> None:
             )
             from mbfbigdatarandomforest_spark.operators.robots import (
                 parse_robots,
+                parse_sitemaps,
             )
             from mbfbigdatarandomforest_spark.operators.text import (
                 html_links,
@@ -137,7 +138,19 @@ def main() -> None:
                     url_host("url").alias("host"), F.col("html").alias("body")
                 )
             )
-            html_pages = fetched.filter(~is_robots)
+            # sitemap bodies in the dump (content-sniffed) are a second
+            # discovery source: urlset locs are page candidates, index
+            # locs are sitemap fetches — both belong on the frontier
+            is_sitemap = F.col("html").rlike(
+                r"(?is)<\s*(urlset|sitemapindex)[\s>]"
+            )
+            sitemap_locs = parse_sitemaps(
+                fetched.filter(is_sitemap & ~is_robots).select(
+                    F.col("html").alias("body")
+                ),
+                keep_cols=(),
+            ).select(F.col("loc").alias("url"))
+            html_pages = fetched.filter(~is_robots & ~is_sitemap)
             auth = pagerank(
                 page_link_edges(html_pages),
                 weight="n_links",
@@ -148,7 +161,7 @@ def main() -> None:
                 F.explode(html_links(F.col("html"))).alias("href"), "url"
             ).select(resolve_link("url", "href").alias("url")).filter(
                 "url IS NOT NULL"
-            )
+            ).unionByName(sitemap_locs)
             frontier = crawl_frontier(
                 candidates,
                 rules,

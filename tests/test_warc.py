@@ -290,7 +290,17 @@ def test_curation_pipeline_warc_dir_with_frontier(tmp_path):
             "url": "https://content.example/robots.txt",
             "status": 200,
             "body": "User-agent: *\nDisallow: /blocked\n",
-        }
+        },
+        {
+            "url": "https://content.example/sitemap.xml",
+            "status": 200,
+            "body": (
+                '<?xml version="1.0"?><urlset>'
+                "<url><loc>https://content.example/a/0</loc></url>"  # dup of an anchor
+                "<url><loc>https://content.example/new/1</loc></url>"
+                "</urlset>"
+            ),
+        },
     ]
     d = tmp_path / "dump"
     d.mkdir()
@@ -311,9 +321,10 @@ def test_curation_pipeline_warc_dir_with_frontier(tmp_path):
     summary = json.loads((out / "summary.json").read_text())
     assert summary["stages"]["0_raw"] >= 16
     f = summary["frontier"]
-    # discovered: 12 distinct content/a + 12 content/blocked dropped by
-    # robots + hub/p/0 + hub/p/1 = 14 canonical allowed URLs
-    assert f["discovered"] == 14
+    # discovered: 12 distinct content/a + hub/p/0 + hub/p/1 (anchors;
+    # the 12 content/blocked dropped by robots) + the sitemap's ONE new
+    # loc (its /a/0 loc dedupes against the anchor-discovered page)
+    assert f["discovered"] == 15
     assert f["domains"] == 2
     assert f["scheduled"] == 3 + 2  # content capped at 3, hub has 2
     import pandas as pd
@@ -322,4 +333,5 @@ def test_curation_pipeline_warc_dir_with_frontier(tmp_path):
     assert not fdf["url"].str.contains("/blocked/").any()
     assert fdf["rank"].notna().all()  # both domains in the link graph
     content = fdf[fdf["domain"] == "content.example"]
-    assert len(content) == 12 and int(content["kept"].sum()) == 3
+    assert len(content) == 13 and int(content["kept"].sum()) == 3
+    assert (fdf["url"] == "https://content.example/new/1").any()  # sitemap loc
