@@ -91,6 +91,41 @@ def warc_document_stream(
     )
 
 
+def warc_link_stream(
+    spark,
+    path: str,
+    source_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Unbounded frontier-candidate feed over a WARC dump: successful
+    pages → anchor hrefs (``text.html_links``) → absolutized
+    (``text.resolve_link``) → (page_url, link) rows. Every stage is a
+    column expression + one explode — append-legal, no state. The
+    batch-side frontier scheduler (``plans.llm_ops.crawl_frontier``)
+    consumes the landed candidates: dedup/cap are windowed, i.e.
+    deliberately batch (the discover-continuously / schedule-
+    periodically split real crawl loops run)."""
+    from ..operators.text import html_links, resolve_link
+
+    recs = read_warc_stream(spark, path, source_options=source_options)
+    pages = recs.filter(
+        F.col("error").isNull() & (F.col("status") == 200)
+    ).select(
+        "url",
+        F.expr("make_valid_utf8(cast(body as string))").alias("html"),
+    )
+    return (
+        pages.select(
+            F.col("url").alias("page_url"),
+            F.explode(html_links(F.col("html"))).alias("__href"),
+        )
+        .select(
+            "page_url",
+            resolve_link(F.col("page_url"), F.col("__href")).alias("link"),
+        )
+        .filter(F.col("link").isNotNull())
+    )
+
+
 def run_warc_ingest_available_now(
     spark,
     dump_dir: str,

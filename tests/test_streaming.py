@@ -1017,3 +1017,75 @@ def test_streaming_warc_to_gopher_curation_composes(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(str(tmp_path / "out")).collect()))
     assert got == want
     assert len(got) == 1  # the short page was gated out
+
+
+def test_streaming_link_discovery_matches_batch(spark, tmp_path):
+    """r11: the frontier's candidate feed as a pure append stream —
+    WARC stream → anchor extraction → absolutization — drained
+    shard-by-shard equals the batch derivation row-for-row."""
+    from mbfbigdatarandomforest_spark.operators.linkgraph import (
+        page_link_edges,
+    )
+    from mbfbigdatarandomforest_spark.operators.text import (
+        html_links,
+        resolve_link,
+    )
+    from mbfbigdatarandomforest_spark.sources.warc import (
+        encode_warc,
+        read_warc,
+    )
+    from mbfbigdatarandomforest_spark.streaming.warc import warc_link_stream
+    from pyspark.sql import functions as F
+
+    def page(url, *hrefs):
+        a = "".join(f'<a href="{h}">l</a>' for h in hrefs)
+        return {"url": url, "status": 200,
+                "body": f"<html><body>{a}</body></html>"}
+
+    dump = tmp_path / "dump"
+    dump.mkdir()
+    (dump / "s0.warc").write_bytes(
+        encode_warc([
+            page("https://a.example/1", "https://b.example/x", "/local",
+                 "skip-relative"),
+            page("https://b.example/2", "//a.example/y"),
+        ])
+    )
+    (dump / "s1.warc.gz").write_bytes(
+        encode_warc([page("https://c.example/3", "https://a.example/z")],
+                    compress=True)
+    )
+
+    batch_pages = read_warc(spark, str(dump)).filter(
+        "error IS NULL AND status = 200"
+    ).select("url", F.expr("make_valid_utf8(cast(body as string))").alias("html"))
+    want = sorted(
+        batch_pages.select(
+            F.col("url").alias("page_url"),
+            F.explode(html_links(F.col("html"))).alias("h"),
+        )
+        .select("page_url", resolve_link("page_url", "h").alias("link"))
+        .filter("link IS NOT NULL")
+        .collect()
+    )
+    stream = warc_link_stream(
+        spark, str(dump), source_options={"maxFilesPerTrigger": "1"}
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(spark.read.parquet(str(tmp_path / "out")).collect())
+    assert got == want
+    assert len(got) == 4  # relative href dropped, others resolved
+    # and the landed candidates feed the batch edge derivation
+    landed = spark.read.parquet(str(tmp_path / "out"))
+    edges = page_link_edges(
+        batch_pages
+    )  # sanity: same pages produce a non-empty weighted domain graph
+    assert edges.count() >= 3 and landed.count() == 4
