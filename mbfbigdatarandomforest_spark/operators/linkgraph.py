@@ -456,14 +456,18 @@ def page_link_edges(
     as the edge weight (feed ``pagerank(..., weight='n_links')``).
     Everything is column expressions + one explode — no Python in the
     path; intra-domain links become self-loops pagerank drops."""
-    from .text import html_links, resolve_link
+    from .text import html_base_href, html_links, resolve_link
     from .urls import url_registered_domain
 
     links = pages.select(
         F.col(url_col).alias("__page"),
+        html_base_href(F.col(html_col)).alias("__base"),
         F.explode(html_links(F.col(html_col))).alias("__href"),
     ).select(
-        "__page", resolve_link(F.col("__page"), F.col("__href")).alias("__link")
+        "__page",
+        resolve_link(
+            F.col("__page"), F.col("__href"), F.col("__base")
+        ).alias("__link"),
     )
     return (
         links.filter(F.col("__link").isNotNull())

@@ -312,19 +312,44 @@ def html_links_twin_sql(expr: str) -> str:
     return f"regexp_extract_all({expr}, '{pat}', 1)"
 
 
-def resolve_link(page_url: Column | str, link: Column | str) -> Column:
+def html_base_href(col: Column | str) -> Column:
+    """The page's ``<base href>`` (first one — HTML semantics), '' when
+    absent. Pages use it to re-root relative resolution; honored by
+    :func:`resolve_link` via its ``base_url`` argument."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_extract(
+            c, r"(?is)<base\b[^>]*?href\s*=\s*['\"]?([^'\"\s>]+)", 1
+        )
+    )
+
+
+def resolve_link(
+    page_url: Column | str,
+    link: Column | str,
+    base_url: Column | str | None = None,
+) -> Column:
     """Absolutize an extracted href against its page URL — the codegen
     subset a DOMAIN graph needs: absolute http(s) kept, protocol-
-    relative (``//host/x``) gains the page scheme, root-relative
-    (``/x``) gains scheme+host; everything else → NULL. Dropping
-    path-relative hrefs is deliberate and harmless here: they resolve
-    to the page's own host, i.e. domain-graph SELF-LOOPS, which
-    ``pagerank`` discards anyway; mailto:/javascript:/#fragment are
-    not links. Full RFC 3986 merging is a per-row parser — the slow
-    path — for edges the graph would drop."""
+    relative (``//host/x``) gains the context scheme, root-relative
+    (``/x``) gains the context scheme+host; everything else → NULL.
+    Dropping path-relative hrefs is deliberate and harmless here: they
+    resolve to the context's own host, i.e. domain-graph SELF-LOOPS,
+    which ``pagerank`` discards anyway; mailto:/javascript:/#fragment
+    are not links. Full RFC 3986 merging is a per-row parser — the
+    slow path — for edges the graph would drop.
+
+    ``base_url`` (r11, usually :func:`html_base_href`): when the page
+    declares an ABSOLUTE ``<base href>``, its scheme+host replace the
+    page's as the resolution context (the HTML semantics that re-root
+    ``/x`` links); empty/relative base values fall back to the page
+    URL."""
     from .urls import url_host
 
     u = F.col(page_url) if isinstance(page_url, str) else page_url
+    if base_url is not None:
+        b = F.col(base_url) if isinstance(base_url, str) else base_url
+        u = F.when(b.rlike(r"^[Hh][Tt][Tt][Pp][Ss]?://"), b).otherwise(u)
     ln = F.col(link) if isinstance(link, str) else link
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     origin = F.concat(scheme, F.lit("://"), url_host(u))

@@ -104,7 +104,7 @@ def warc_link_stream(
     consumes the landed candidates: dedup/cap are windowed, i.e.
     deliberately batch (the discover-continuously / schedule-
     periodically split real crawl loops run)."""
-    from ..operators.text import html_links, resolve_link
+    from ..operators.text import html_base_href, html_links, resolve_link
 
     recs = read_warc_stream(spark, path, source_options=source_options)
     pages = recs.filter(
@@ -116,11 +116,14 @@ def warc_link_stream(
     return (
         pages.select(
             F.col("url").alias("page_url"),
+            html_base_href(F.col("html")).alias("__base"),
             F.explode(html_links(F.col("html"))).alias("__href"),
         )
         .select(
             "page_url",
-            resolve_link(F.col("page_url"), F.col("__href")).alias("link"),
+            resolve_link(
+                F.col("page_url"), F.col("__href"), F.col("__base")
+            ).alias("link"),
         )
         .filter(F.col("link").isNotNull())
     )

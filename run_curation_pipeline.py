@@ -116,6 +116,7 @@ def main() -> None:
                 parse_sitemaps,
             )
             from mbfbigdatarandomforest_spark.operators.text import (
+                html_base_href,
                 html_links,
                 resolve_link,
             )
@@ -158,10 +159,12 @@ def main() -> None:
                 tol=0.0,
             ).withColumnRenamed("node", "domain")
             candidates = html_pages.select(
-                F.explode(html_links(F.col("html"))).alias("href"), "url"
-            ).select(resolve_link("url", "href").alias("url")).filter(
-                "url IS NOT NULL"
-            ).unionByName(sitemap_locs)
+                F.explode(html_links(F.col("html"))).alias("href"),
+                html_base_href(F.col("html")).alias("base"),
+                "url",
+            ).select(
+                resolve_link("url", "href", "base").alias("url")
+            ).filter("url IS NOT NULL").unionByName(sitemap_locs)
             frontier = crawl_frontier(
                 candidates,
                 rules,

@@ -581,3 +581,55 @@ def test_weighted_hits_vs_numpy_and_replication_equivalence(spark):
     for v in got:
         assert abs(got_rep[v][0] - got[v][0]) <= 1e-12
         assert abs(got_rep[v][1] - got[v][1]) <= 1e-12
+
+
+def test_base_href_reroots_relative_resolution(spark):
+    """r11: <base href> semantics — an absolute base replaces the page
+    as the context for //-relative and /-relative hrefs; absent or
+    relative bases fall back to the page URL; page_link_edges honors
+    it (the edge lands on the BASE's domain)."""
+    from mbfbigdatarandomforest_spark.operators.linkgraph import (
+        page_link_edges,
+    )
+    from mbfbigdatarandomforest_spark.operators.text import (
+        html_base_href,
+        resolve_link,
+    )
+
+    cases = [
+        # (html, page, href, want)
+        ('<base href="https://cdn.example/assets/">',
+         "https://page.example/p", "/x", "https://cdn.example/x"),
+        ('<BASE HREF="http://b.example">',
+         "https://page.example/p", "//c.example/y", "http://c.example/y"),
+        ("<base href='relative/base'>",
+         "https://page.example/p", "/x", "https://page.example/x"),
+        ("<p>no base</p>",
+         "https://page.example/p", "/x", "https://page.example/x"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h, p, l) for i, (h, p, l, _) in enumerate(cases)],
+        "i long, html string, page string, link string",
+    )
+    got = {
+        r["i"]: r["out"]
+        for r in df.select(
+            "i",
+            resolve_link(
+                "page", "link", html_base_href(F.col("html"))
+            ).alias("out"),
+        ).collect()
+    }
+    for i, (_, _, _, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i])
+
+    pages = spark.createDataFrame(
+        [(
+            "https://page.example/p",
+            '<html><head><base href="https://cdn.example/"></head>'
+            '<body><a href="/lib.js">l</a></body></html>',
+        )],
+        "url string, html string",
+    )
+    edges = {(r["src"], r["dst"]) for r in page_link_edges(pages).collect()}
+    assert edges == {("page.example", "cdn.example")}
