@@ -188,6 +188,33 @@ def parse_sitemaps(
     )
 
 
+def agent_crawl_delay(rules: DataFrame, agent: str = "*") -> DataFrame:
+    """(host, crawl_delay) for the group governing ``agent`` — the
+    politeness budget a frontier scheduler spaces fetches by. Same
+    exact-token-else-star selection as the permission rules; several
+    delay lines in scope → the max (conservative); non-numeric values
+    dropped (try_cast)."""
+    a = agent.lower()
+    d = rules.filter(F.col("directive") == "crawl-delay").select(
+        "host",
+        F.expr("try_cast(value AS DOUBLE)").alias("delay"),
+        F.array_contains("agents", a).alias("__exact"),
+        F.array_contains("agents", "*").alias("__star"),
+    ).filter(F.col("delay").isNotNull())
+    has_exact = d.groupBy("host").agg(
+        F.max(F.col("__exact").cast("int")).alias("__has_exact")
+    )
+    return (
+        d.join(has_exact, "host")
+        .filter(
+            (F.col("__exact") & (F.col("__has_exact") == 1))
+            | (F.col("__star") & (F.col("__has_exact") == 0))
+        )
+        .groupBy("host")
+        .agg(F.max("delay").alias("crawl_delay"))
+    )
+
+
 def robots_allowed(
     urls: DataFrame,
     rules: DataFrame,

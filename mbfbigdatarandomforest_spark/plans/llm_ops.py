@@ -1595,27 +1595,30 @@ def crawl_frontier(
     ``authority`` = a (domain, rank) frame, e.g.
     :func:`operators.linkgraph.pagerank` over
     :func:`operators.linkgraph.page_link_edges` (None → rank NULL).
-    Returns one row per KEPT canonical URL: (url, domain, rank, kept)
-    with ``kept`` the cap verdict — callers order fetch queues by
-    (rank desc, url).
+    Returns one row per canonical URL: (url, domain, rank,
+    crawl_delay, kept) with ``kept`` the cap verdict — callers order
+    fetch queues by (rank desc, url) and space per-host fetches by
+    ``crawl_delay`` (the robots politeness budget; NULL = no policy).
 
     Scale shape: normalization/dedup are codegen + one hash groupBy;
     robots is the host equi-join + one window over matched rules;
     the authority join shuffles on domain (broadcast when small — AQE
     decides); the cap is the skew-hardened md5 ranking. No stage
     collects; every shuffle keys on url/host/domain."""
-    from ..operators.robots import robots_allowed
-    from ..operators.urls import normalize_url, per_domain_cap
+    from ..operators.robots import agent_crawl_delay, robots_allowed
+    from ..operators.urls import normalize_url, per_domain_cap, url_host
 
     canon = (
         candidates.select(normalize_url(url_col).alias("url"))
         .filter(F.col("url") != "")
         .distinct()
     )
+    delays = None
     if robots_rules is not None:
         canon = robots_allowed(canon, robots_rules, agent=agent).filter(
             "allowed"
         ).drop("allowed")
+        delays = agent_crawl_delay(robots_rules, agent=agent)
     capped = per_domain_cap(canon, "url", cap=cap).withColumnRenamed(
         "__domain", "domain"
     )
@@ -1628,7 +1631,19 @@ def crawl_frontier(
         ).drop("__adom")
     else:
         capped = capped.withColumn("rank", F.lit(None).cast("double"))
-    return capped.select("url", "domain", "rank", "kept")
+    if delays is not None:
+        capped = capped.join(
+            delays.select(
+                F.col("host").alias("__dhost"), "crawl_delay"
+            ),
+            url_host(F.col("url")) == F.col("__dhost"),
+            "left",
+        ).drop("__dhost")
+    else:
+        capped = capped.withColumn(
+            "crawl_delay", F.lit(None).cast("double")
+        )
+    return capped.select("url", "domain", "rank", "crawl_delay", "kept")
 
 
 #: HTML page template shared by the warc_html_extract query and its

@@ -266,7 +266,8 @@ def test_crawl_frontier_composition(spark):
     rules = _rules_df(
         spark,
         {
-            "hot.example": "User-agent: *\nDisallow: /private\n",
+            "hot.example": "User-agent: *\nDisallow: /private\n"
+                           "Crawl-delay: 2.5\n",
             "cold.example": "User-agent: *\nDisallow:\n",
         },
     )
@@ -285,6 +286,9 @@ def test_crawl_frontier_composition(spark):
     cold = out[out["domain"] == "cold.example"]
     assert len(cold) == 2 and bool(cold["kept"].all())
     assert (out["rank"] - 0.5).abs().max() < 1e-12  # symmetric 2-cycle
+    # politeness budget joins per host: hot declares 2.5, cold none
+    assert (hot["crawl_delay"] == 2.5).all()
+    assert cold["crawl_delay"].isna().all()
 
 
 def test_parse_sitemaps_urlset_and_index(spark):
