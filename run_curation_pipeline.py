@@ -4,7 +4,9 @@ for the engine's training-data family (the analogue of
 
 Usage:
     python run_curation_pipeline.py [--sf-dir DIR | --text-dir DIR |
-        --warc-dir DIR [--benchmark-text-dir DIR]]
+        --warc-dir DIR [--benchmark-text-dir DIR]
+                       [--frontier-out DIR [--frontier-cap N]
+                        [--frontier-agent TOKEN]]]
         [--out DIR] [--max-tokens N] [--keep-fraction F] [--lm-order N]
 
 ``--text-dir`` ingests raw crawl-dump text (one document per file,
@@ -27,6 +29,13 @@ packing — and writes real artifacts under ``--out``:
 - ``blocks/``      materialized training blocks (parquet)
 - ``kept_docs/``   the surviving documents as gzip JSONL
 - ``summary.json`` one-line run summary (counts, wall)
+
+``--frontier-out`` (with ``--warc-dir``) additionally closes the crawl
+loop: anchor + sitemap candidates discovered in the dump, robots.txt
+bodies found in the dump enforced (permissions AND crawl-delay),
+domains ranked by PageRank over the observed link graph, per-domain
+cap applied — the next fetch frontier as parquet
+(url, domain, rank, crawl_delay, kept).
 
 Everything is deterministic: reruns produce byte-identical selections
 (md5-keyed sampling/Gumbel draws, documented in operators/).
