@@ -1584,6 +1584,7 @@ def crawl_frontier(
     agent: str = "*",
     cap: int = 100,
     url_col: str = "url",
+    seen: DataFrame | None = None,
 ) -> DataFrame:
     """The crawl-frontier scheduler composition (r11 capstone of the
     crawl side, the `curation_funnel` of fetching): candidate URLs →
@@ -1600,6 +1601,14 @@ def crawl_frontier(
     fetch queues by (rank desc, url) and space per-host fetches by
     ``crawl_delay`` (the robots politeness budget; NULL = no policy).
 
+    ``seen`` (r11): the crawl ledger — a frame with a ``url`` column
+    of already-fetched/scheduled CANONICAL urls (e.g. the previous
+    rounds' frontier output). Candidates already in the ledger are
+    anti-joined out BEFORE the cap, so the per-domain budget goes to
+    genuinely new pages — the memory an iterative crawl loop needs
+    (an anti join on the url key: shuffle- or broadcast-resolved by
+    size, never collected).
+
     Scale shape: normalization/dedup are codegen + one hash groupBy;
     robots is the host equi-join + one window over matched rules;
     the authority join shuffles on domain (broadcast when small — AQE
@@ -1613,6 +1622,10 @@ def crawl_frontier(
         .filter(F.col("url") != "")
         .distinct()
     )
+    if seen is not None:
+        canon = canon.join(
+            seen.select(F.col("url")), "url", "left_anti"
+        )
     delays = None
     if robots_rules is not None:
         canon = robots_allowed(canon, robots_rules, agent=agent).filter(

@@ -81,6 +81,11 @@ def main() -> None:
                     help="per-domain fetch cap for --frontier-out")
     ap.add_argument("--frontier-agent", default="*",
                     help="user-agent token for the robots filter")
+    ap.add_argument("--seen-urls", default=None,
+                    help="crawl ledger: parquet dir with a 'url' column "
+                    "of already-fetched/scheduled canonical urls (e.g. a "
+                    "prior round's frontier output); candidates in the "
+                    "ledger are excluded before the per-domain cap")
     ap.add_argument("--out", default="./curation_out")
     ap.add_argument("--max-tokens", type=int, default=256)
     ap.add_argument("--keep-fraction", type=float, default=0.6,
@@ -180,6 +185,11 @@ def main() -> None:
                 auth,
                 agent=args.frontier_agent,
                 cap=args.frontier_cap,
+                seen=(
+                    spark.read.parquet(args.seen_urls)
+                    if args.seen_urls
+                    else None
+                ),
             ).localCheckpoint()
             frontier.write.mode("overwrite").parquet(args.frontier_out)
             frontier_counts = {

@@ -323,3 +323,27 @@ def test_parse_sitemaps_urlset_and_index(spark):
         ("https://site.example/maps/1.xml", None, True),
         ("https://site.example/maps/2.xml", "2021-03-04", True),
     }  # the loc-less <url> block dropped
+
+
+def test_crawl_frontier_seen_ledger_excludes_prior_rounds(spark):
+    """r11: the crawl ledger — round 2's frontier must spend its cap
+    on genuinely NEW pages, excluding everything round 1 already
+    scheduled (the iterative loop's memory)."""
+    from mbfbigdatarandomforest_spark.plans.llm_ops import crawl_frontier
+
+    urls_r1 = spark.createDataFrame(
+        [(f"https://d.example/p/{i}",) for i in range(6)], "url string"
+    )
+    r1 = crawl_frontier(urls_r1, cap=4)
+    assert int(r1.filter("kept").count()) == 4
+    # round 2 re-discovers all of round 1 plus 3 new pages
+    urls_r2 = spark.createDataFrame(
+        [(f"https://d.example/p/{i}",) for i in range(6)]
+        + [(f"https://d.example/new/{i}",) for i in range(3)],
+        "url string",
+    )
+    r2 = crawl_frontier(urls_r2, cap=4, seen=r1.select("url"))
+    out = r2.toPandas()
+    assert len(out) == 3  # only the new pages survive the ledger
+    assert out["url"].str.contains("/new/").all()
+    assert bool(out["kept"].all())  # cap budget goes to new pages
