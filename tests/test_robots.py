@@ -347,3 +347,38 @@ def test_crawl_frontier_seen_ledger_excludes_prior_rounds(spark):
     assert len(out) == 3  # only the new pages survive the ledger
     assert out["url"].str.contains("/new/").all()
     assert bool(out["kept"].all())  # cap budget goes to new pages
+
+
+def test_pattern_metacharacters_match_literally(spark):
+    """Adversarial rule patterns: regex metacharacters in robots
+    patterns are LITERALS (only * and a trailing $ are special) — the
+    Spark translation must agree with the re.escape-based oracle on
+    hostile patterns, and a mid-pattern $ must stay literal."""
+    hostile = [
+        "/a(b",            # unbalanced paren
+        "/c+d",            # quantifier char
+        "/e.f",            # dot must not match any-char
+        "/g[h",            # unbalanced class
+        "/i{2}",           # brace quantifier
+        "/j|k",            # alternation char
+        "/price$10",       # mid-pattern $ is literal
+        "/w\\x",           # backslash
+        "/m*n$",           # the two REAL metachars together
+    ]
+    body = "User-agent: *\n" + "\n".join(f"Disallow: {p}" for p in hostile)
+    paths = [
+        "/a(b/1", "/aXb", "/c+d", "/ccd", "/e.f", "/eXf", "/g[h", "/i{2}",
+        "/j|k", "/j", "/k", "/price$10", "/price910", "/w\\x",
+        "/mZZn", "/mZZnY", "/other",
+    ]
+    urls = [f"https://h.example{p}" for p in paths]
+    got = _spark_decisions(spark, {"h.example": body}, urls, "*")
+    for p in paths:
+        assert got[f"https://h.example{p}"] == py_allowed(body, "*", p), p
+    # the load-bearing literals, spelled out
+    assert got["https://h.example/e.f"] is False
+    assert got["https://h.example/eXf"] is True   # '.' not any-char
+    assert got["https://h.example/price$10"] is False
+    assert got["https://h.example/price910"] is True  # '$' not anchor
+    assert got["https://h.example/mZZn"] is False  # * spans, $ anchors
+    assert got["https://h.example/mZZnY"] is True
