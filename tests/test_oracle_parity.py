@@ -82,7 +82,7 @@ def test_registry_fits_driver_window():
     # Pin the exact tallies so COVERAGE.md can't drift from the registry
     # (round-5 verdict nit: the doc said 71 when the registry held 72).
     # Update BOTH this assertion and COVERAGE.md when (de)registering.
-    assert len(names) == 76, f"registry holds {len(names)} queries, docs say 76"
+    assert len(names) == 77, f"registry holds {len(names)} queries, docs say 77"
     assert len(oracles) == 50, f"{len(oracles)} oracle gates, docs say 50"
     # Round-11 gate swap (verdict item 2): customers_with_orders +
     # orders_without_lineitems fused into the method-tagged
@@ -102,6 +102,7 @@ def test_registry_fits_driver_window():
     # regex rule matches; pure-Python RFC evaluator twin in
     # tests/test_robots.py).
     assert SPECS["robots_policy_stats"].oracle is None
+    assert SPECS["crawl_frontier_stats"].oracle is None
     # Round-6 gate swap (verdict item 2): the constants-oracle invariants
     # probe is rows-only; the ANSI correlated-subquery suite holds a
     # value-hash slot instead.

@@ -382,3 +382,52 @@ def test_pattern_metacharacters_match_literally(spark):
     assert got["https://h.example/price910"] is True  # '$' not anchor
     assert got["https://h.example/mZZn"] is False  # * spans, $ anchors
     assert got["https://h.example/mZZnY"] is True
+
+
+def test_crawl_frontier_stats_vs_python_twin(spark, duck):
+    """The registered frontier capstone (rows-only) against the full
+    Python twin: DuckDB rebuilds + canonicalizes the URL corpus, the
+    RFC evaluator decides permissions, hashlib-md5 ordering reproduces
+    the exact per-domain cap selection."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from mbfbigdatarandomforest_spark.operators.urls import url_twin_sql
+    from mbfbigdatarandomforest_spark.plans.llm_ops import (
+        ROBOTS_FIXTURE_BODY,
+        SYNTH_URL_SQL,
+        URL_CAP,
+    )
+    from mbfbigdatarandomforest_spark.registry import load_all
+
+    from conftest import SF_DIR_ORACLE
+
+    spec = load_all()["crawl_frontier_stats"]
+    assert spec.oracle is None
+    got = {
+        r["domain"]: (r["n_candidates"], r["n_scheduled"], r["crawl_delay"])
+        for _, r in spec.fn(spark, SF_DIR_ORACLE).toPandas().iterrows()
+    }
+    twin = url_twin_sql("url")
+    rows = duck.sql(f"""
+        SELECT DISTINCT {twin['normalized']} AS canon,
+               {twin['registered_domain']} AS dom
+        FROM (SELECT {SYNTH_URL_SQL} AS url FROM documents)
+    """).fetchall()
+    # NOTE: frontier canonicalizes FIRST, so robots/cap run on the
+    # normalized form (tracking params and fragments already gone)
+    allowed = defaultdict(list)
+    for canon, dom in rows:
+        path = re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "", canon) or "/"
+        if py_allowed(ROBOTS_FIXTURE_BODY, "*", path):
+            allowed[dom].append(canon)
+    want = {}
+    for dom, urls in allowed.items():
+        order = sorted(urls, key=lambda u: (hashlib.md5(u.encode()).hexdigest(), u))
+        want[dom] = (len(urls), min(len(urls), URL_CAP), 1.5)
+    assert got == want
+    # the policy really bites post-normalization: ?id= urls were
+    # canonical (tracking params stripped, id kept), so some dropped
+    total_candidates = sum(n for n, _, _ in got.values())
+    n_canon = len(rows)
+    assert 0 < total_candidates < n_canon
