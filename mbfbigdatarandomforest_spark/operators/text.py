@@ -290,10 +290,12 @@ def html_title(col: Column | str) -> Column:
 
 #: href values of anchor tags: quoted (either quote) or bare, captured
 #: up to the closing quote/whitespace/'>'. RE2∩Java (no lookaround), so
-#: the DuckDB twin runs the SAME pattern. Known, documented limit:
-#: quoted hrefs CONTAINING spaces truncate at the space (rare, and the
-#: truncated prefix still carries the host — the domain-graph use case
-#: is unaffected).
+#: the DuckDB twin runs the SAME pattern. Known, documented limits:
+#: quoted hrefs CONTAINING spaces truncate at the space, and an
+#: ATTRIBUTE VALUE containing '>' before href (title="a>b") ends the
+#: tag scan early — both rare, both lose only that one anchor, and the
+#: domain-graph use case is unaffected (proper handling is a DOM
+#: parser: a per-row Python UDF, the slow path).
 HTML_HREF_PATTERN = r"(?is)<a\b[^>]*?href\s*=\s*['\"]?([^'\"\s>]+)"
 
 
