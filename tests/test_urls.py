@@ -211,3 +211,68 @@ def test_url_curation_stats_vs_duckdb_twin(spark, duck):
     hot = got[got["domain"] == "example.com"]
     assert int(hot["n_pages"].iloc[0]) > URL_CAP
     assert int(hot["n_kept"].iloc[0]) == URL_CAP
+
+
+def test_normalize_url_idempotent(spark):
+    """r11, load-bearing for the crawl ledger: round N+1 anti-joins its
+    candidates' canonical forms against round N's STORED canonical
+    forms, so normalize(normalize(u)) == normalize(u) must hold — a
+    non-idempotent edge would let the same page re-enter the frontier
+    every round. Checked over the crafted cases, the synthetic corpus
+    fixture, and a hypothesis URL grammar (messy case, ports, userinfo,
+    tracking params in every position, fragments, trailing slashes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from conftest import SF_DIR_ORACLE
+    from mbfbigdatarandomforest_spark.plans.llm_ops import synth_url_col
+
+    def assert_idem(urls: list[str]):
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        once = df.select(normalize_url("url").alias("u1"))
+        twice = once.select(
+            F.col("u1"), normalize_url("u1").alias("u2")
+        ).collect()
+        for r in twice:
+            assert r["u1"] == r["u2"], r["u1"]
+
+    assert_idem([u for (u, _, _, _) in CASES])
+    corpus = [
+        r["u"]
+        for r in spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+        .select(synth_url_col().alias("u"))
+        .limit(500)
+        .collect()
+    ]
+    assert_idem(corpus)
+
+    label = st.text(
+        alphabet="aB9-", min_size=1, max_size=5
+    ).filter(lambda s: not s.startswith("-"))
+    host = st.lists(label, min_size=1, max_size=4).map(".".join)
+    scheme = st.sampled_from(["http", "HTTP", "https", "HtTpS"])
+    port = st.sampled_from(["", ":80", ":443", ":8080"])
+    user = st.sampled_from(["", "u@", "U:p@"])
+    path = st.lists(
+        st.text(alphabet="aZ0._~%", min_size=0, max_size=4),
+        min_size=0, max_size=3,
+    ).map(lambda ps: "".join("/" + p for p in ps))
+    query = st.sampled_from(
+        ["", "?id=1", "?utm_source=x", "?id=1&utm_b=2", "?utm_a=1&id=2",
+         "?utm_a=1&utm_b=2", "?a=1&ref=rss&b=2"]
+    )
+    frag = st.sampled_from(["", "#f", "#a/b?c"])
+    slashes = st.sampled_from(["", "/", "//"])
+    url = st.builds(
+        lambda sc, us, ho, po, pa, sl, qu, fr:
+            f"{sc}://{us}{ho}{po}{pa}{sl}{qu}{fr}",
+        scheme, user, host, port, path, slashes, query, frag,
+    )
+
+    # batched: one Spark job per example-list, not per URL
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(url, min_size=20, max_size=60))
+    def prop(urls):
+        assert_idem(urls)
+
+    prop()
