@@ -149,10 +149,20 @@ def pagerank(
         )
     )
     n_row = base.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("t_raw").alias("t_total")
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t_raw").alias("t_total"),
+        # dangling presence decided STRUCTURALLY (out_w == 0), not from
+        # current dangling MASS: with a personalized teleport a dangling
+        # node can start at rank 0 (seed mass 0), so mass-based
+        # detection would disable the redistribution aggregate for the
+        # whole run and leak rank once links flow mass into it
+        F.sum(F.when(F.col("out_w") == 0, 1).otherwise(0)).alias(
+            "n_dangling"
+        ),
     ).collect()[0]
     n = int(n_row["n"])
     t_total = float(n_row["t_total"] or 0.0)
+    has_dangling = int(n_row["n_dangling"] or 0) > 0
     if teleport is not None and n > 0 and t_total <= 0:
         raise ValueError(
             "teleport frame puts no positive seed mass on any graph node"
@@ -199,8 +209,14 @@ def pagerank(
     sess = edges.sparkSession
     sp_key = "spark.sql.shuffle.partitions"
     old_sp = sess.conf.get(sp_key)
-    loop_parts = max(1, min(int(old_sp), -(-n // 250_000)))
-    sess.conf.set(sp_key, str(loop_parts))
+    try:
+        loop_parts = max(1, min(int(old_sp), -(-n // 250_000)))
+    except (TypeError, ValueError):
+        # conf not a plain integer (e.g. "auto" on some deployments) —
+        # skip the loop-width override rather than fail before work
+        loop_parts = None
+    if loop_parts is not None:
+        sess.conf.set(sp_key, str(loop_parts))
     d = float(damping)
     try:
         # round-0 dangling mass; every later round's is folded into the
@@ -246,10 +262,11 @@ def pagerank(
             # the 1-row convergence aggregate is needed to (a) decide a
             # tol-stop, (b) refresh dangling mass, (c) feed the stats
             # probe. In fixed-iteration mode (tol<=0) on a graph with NO
-            # dangling nodes (mass starts 0 and provably stays 0) with
-            # no probe attached, it is pure overhead — skip it and run
-            # ONE job per round (the eager checkpoint).
-            need_agg = tol > 0 or dangling_mass > 0 or stats is not None
+            # dangling nodes (structurally: no out_w==0 node exists, so
+            # the mass is 0 every round) with no probe attached, it is
+            # pure overhead — skip it and run ONE job per round (the
+            # eager checkpoint).
+            need_agg = tol > 0 or has_dangling or stats is not None
             if need_agg:
                 fused = nxt.agg(
                     F.sum(F.abs(F.col("rank") - F.col("__prev"))).alias(
@@ -361,7 +378,12 @@ def hits(
     sess = edges.sparkSession
     sp_key = "spark.sql.shuffle.partitions"
     old_sp = sess.conf.get(sp_key)
-    sess.conf.set(sp_key, str(max(1, min(int(old_sp), -(-n // 250_000)))))
+    try:
+        sess.conf.set(
+            sp_key, str(max(1, min(int(old_sp), -(-n // 250_000))))
+        )
+    except (TypeError, ValueError):
+        pass  # non-integer conf (e.g. "auto") — leave the width alone
     # Normalization is a scalar multiply and both update maps are
     # linear, so the direction sequence is invariant to WHEN we
     # rescale. Fixed-iteration mode with no probe defers it: rescale

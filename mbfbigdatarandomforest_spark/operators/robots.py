@@ -109,10 +109,27 @@ def parse_robots(
     )
 
 
+def _hosts_with_exact_group(rules: DataFrame, agent_lower: str) -> DataFrame:
+    """(host, __has_exact): does ANY of the host's groups name the
+    agent exactly — membership decided across ALL directive rows, not
+    just the ones a caller filters to. RFC 9309 §2.2.1: once a group
+    matches the agent, ONLY that group governs; an exact-agent group
+    holding nothing but a crawl-delay line still suppresses the ``*``
+    group's path rules (its empty rule set means allow-all)."""
+    return rules.groupBy("host").agg(
+        F.max(F.array_contains("agents", agent_lower).cast("int")).alias(
+            "__has_exact"
+        )
+    )
+
+
 def _agent_rules(rules: DataFrame, agent: str) -> DataFrame:
     """The allow/disallow rules governing ``agent`` per host: the
     host's exact-token groups when any exist, else its ``*`` groups
-    (RFC group-selection collapsed to the two tiers, module docstring)."""
+    (RFC group-selection collapsed to the two tiers, module docstring).
+    Tier selection comes from :func:`_hosts_with_exact_group` — full
+    group membership — so a delay-only exact group yields ZERO path
+    rules here (allow-all), never the ``*`` group's rules."""
     a = agent.lower()
     r = rules.filter(F.col("directive").isin("allow", "disallow")).select(
         "host",
@@ -122,11 +139,8 @@ def _agent_rules(rules: DataFrame, agent: str) -> DataFrame:
         F.array_contains("agents", a).alias("__exact"),
         F.array_contains("agents", "*").alias("__star"),
     )
-    has_exact = r.groupBy("host").agg(
-        F.max(F.col("__exact").cast("int")).alias("__has_exact")
-    )
     return (
-        r.join(has_exact, "host")
+        r.join(_hosts_with_exact_group(rules, a), "host")
         .filter(
             (F.col("__exact") & (F.col("__has_exact") == 1))
             | (F.col("__star") & (F.col("__has_exact") == 0))
@@ -201,11 +215,11 @@ def agent_crawl_delay(rules: DataFrame, agent: str = "*") -> DataFrame:
         F.array_contains("agents", a).alias("__exact"),
         F.array_contains("agents", "*").alias("__star"),
     ).filter(F.col("delay").isNotNull())
-    has_exact = d.groupBy("host").agg(
-        F.max(F.col("__exact").cast("int")).alias("__has_exact")
-    )
     return (
-        d.join(has_exact, "host")
+        # same full-membership tier selection as _agent_rules: a host
+        # whose exact group declares only path rules gets NO delay (the
+        # governing group has none), never the * group's delay
+        d.join(_hosts_with_exact_group(rules, a), "host")
         .filter(
             (F.col("__exact") & (F.col("__has_exact") == 1))
             | (F.col("__star") & (F.col("__has_exact") == 0))
@@ -227,11 +241,13 @@ def robots_allowed(
 
     RFC 9309 §2.2.2 resolution, distributed: URLs equi-join their
     host's governing rules, matching rules survive an rlike filter,
-    and ONE window picks the longest matched pattern (octet length;
-    tie → allow wins). Hosts with no rules, or URLs matching no rule,
-    are allowed. Empty-value ``disallow:`` lines match nothing (the
-    RFC's allow-all idiom) — their regex is ``^`` with length 0 and
-    empty patterns are dropped below."""
+    and ONE window picks the longest matched pattern (OCTET length —
+    ``octet_length``, the RFC's most-octets wording, so multi-byte
+    UTF-8 patterns rank as a byte-counting crawler would; tie → allow
+    wins). Hosts with no rules, or URLs matching no rule, are allowed.
+    Empty-value ``disallow:`` lines match nothing (the RFC's allow-all
+    idiom) — their regex is ``^`` with length 0 and empty patterns are
+    dropped below."""
     per_agent = _agent_rules(rules, agent).filter(F.col("pattern") != "")
     u = urls.withColumn("__host", url_host(url_col)).withColumn(
         "__path",
@@ -250,10 +266,10 @@ def robots_allowed(
         .filter(F.expr("__path rlike pattern_re"))
         .groupBy(url_col)
         .agg(
-            # longest match wins; ties → allow: rank by (len, is_allow)
+            # longest match wins; ties → allow: rank by (octets, is_allow)
             F.max(
                 F.struct(
-                    F.length("pattern").alias("l"),
+                    F.octet_length("pattern").alias("l"),
                     (F.col("directive") == "allow").alias("a"),
                 )
             ).alias("best")

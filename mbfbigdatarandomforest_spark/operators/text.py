@@ -290,13 +290,17 @@ def html_title(col: Column | str) -> Column:
 
 #: href values of anchor tags: quoted (either quote) or bare, captured
 #: up to the closing quote/whitespace/'>'. RE2∩Java (no lookaround), so
-#: the DuckDB twin runs the SAME pattern. Known, documented limits:
-#: quoted hrefs CONTAINING spaces truncate at the space, and an
-#: ATTRIBUTE VALUE containing '>' before href (title="a>b") ends the
-#: tag scan early — both rare, both lose only that one anchor, and the
-#: domain-graph use case is unaffected (proper handling is a DOM
-#: parser: a per-row Python UDF, the slow path).
-HTML_HREF_PATTERN = r"(?is)<a\b[^>]*?href\s*=\s*['\"]?([^'\"\s>]+)"
+#: the DuckDB twin runs the SAME pattern. The ``[\s'"]`` boundary
+#: before ``href`` (r12, ADVICE r11) rejects PREFIXED attributes —
+#: ``<a data-href="x" href="y">`` extracts 'y', not 'x' (an <a> tag
+#: always has whitespace or a quote before each attribute name).
+#: Known, documented limits: quoted hrefs CONTAINING spaces truncate
+#: at the space, and an ATTRIBUTE VALUE containing '>' before href
+#: (title="a>b") ends the tag scan early — both rare, both lose only
+#: that one anchor, and the domain-graph use case is unaffected
+#: (proper handling is a DOM parser: a per-row Python UDF, the slow
+#: path).
+HTML_HREF_PATTERN = r"(?is)<a\b[^>]*?[\s'\"]href\s*=\s*['\"]?([^'\"\s>]+)"
 
 
 def html_links(col: Column | str) -> Column:
@@ -319,9 +323,10 @@ def html_base_href(col: Column | str) -> Column:
     absent. Pages use it to re-root relative resolution; honored by
     :func:`resolve_link` via its ``base_url`` argument."""
     c = F.col(col) if isinstance(col, str) else col
+    # same attribute-name boundary as HTML_HREF_PATTERN (ADVICE r11)
     return F.trim(
         F.regexp_extract(
-            c, r"(?is)<base\b[^>]*?href\s*=\s*['\"]?([^'\"\s>]+)", 1
+            c, r"(?is)<base\b[^>]*?[\s'\"]href\s*=\s*['\"]?([^'\"\s>]+)", 1
         )
     )
 

@@ -211,6 +211,29 @@ def test_personalized_pagerank_trustrank_vs_numpy(spark):
         pagerank(df, teleport=bad)
 
 
+def test_personalized_fixed_iter_dangling_zero_seed_vs_numpy(spark):
+    """ADVICE r11 (medium): fixed-iteration mode (tol<=0, no stats)
+    with a personalized teleport and a DANGLING node of zero seed mass.
+    The dangling node starts at rank 0, so mass-based dangling
+    detection saw dangling_mass==0 at round 0 and skipped the
+    redistribution aggregate forever — mass flowing into the dangling
+    node via links leaked (sum < 1) and ranks diverged from exact
+    personalized PageRank. Detection is now structural (out_w == 0)."""
+    # 3 is dangling (no out-links) and unseeded; it RECEIVES mass from
+    # 1 every round, which must re-enter through the teleport vector
+    edges = [(1, 2), (2, 1), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = {1: 1.0}
+    tp = spark.createDataFrame(list(seeds.items()), "node long, seed double")
+    kw = dict(max_iter=30, tol=0.0)
+    got = {
+        r["node"]: r["rank"] for r in pagerank(df, teleport=tp, **kw).collect()
+    }
+    _close(got, numpy_pagerank(edges, teleport=seeds, **kw))
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # no leaked mass
+    assert got[3] > 0.0  # link-fed despite zero seed
+
+
 def test_url_pagerank_stats_vs_duckdb_numpy_twin(spark, duck):
     """The registered query (rows-only: iterative driver loop, not
     single-statement SQL) against the full cross-engine twin: DuckDB
@@ -281,6 +304,10 @@ def test_html_links_extraction_and_duckdb_twin(spark, duck):
          ["/p?q=1#f", "mailto:x@example.org"]),
         (4, '<a href="https://one.example/1"><a href="https://two.example/2">',
          ["https://one.example/1", "https://two.example/2"]),
+        # r12 (ADVICE r11): a PREFIXED attribute (data-href) must not
+        # shadow the real href — the boundary class rejects it
+        (5, '<a data-href="https://wrong.example/x" href="https://right.example/y">p</a>',
+         ["https://right.example/y"]),
     ]
     df = spark.createDataFrame(
         [(i, h) for i, h, _ in cases], "i long, html string"
@@ -506,6 +533,7 @@ def test_page_linkgraph_suite_vs_duckdb_numpy_twin(spark, duck):
         LINKGRAPH_SUITE_ITERS,
         PAGERANK_DAMPING,
         SYNTH_URL_SQL,
+        TRUST_SEED_DOMAINS,
     )
 
     spec = load_all()["page_linkgraph_suite"]
@@ -541,15 +569,36 @@ def test_page_linkgraph_suite_vs_duckdb_numpy_twin(spark, duck):
         tol=0.0,
     )
     want_ha = numpy_hits(edge_list, max_iter=LINKGRAPH_SUITE_ITERS)
+    # r12: TrustRank column — uniform teleport over the
+    # lexicographically-first TRUST_SEED_DOMAINS domains, same fixed
+    # iterations; the synth graph HAS zero-seed dangling domains, so
+    # this twin also guards the structural-dangling fix
+    all_nodes = sorted({s for s, _, _ in edge_list} | {d for _, d, _ in edge_list})
+    seeds = {n: 1.0 for n in all_nodes[:TRUST_SEED_DOMAINS]}
+    want_tr = numpy_pagerank(
+        edge_list,
+        damping=PAGERANK_DAMPING,
+        max_iter=LINKGRAPH_SUITE_ITERS,
+        tol=0.0,
+        teleport=seeds,
+    )
     got_rows = {
-        r["domain"]: (r["rank"], r["hub"], r["authority"])
+        r["domain"]: (r["rank"], r["hub"], r["authority"], r["trust_rank"])
         for _, r in got.iterrows()
     }
     assert set(got_rows) == set(want_pr)
-    for dom, (rank, hub, auth) in got_rows.items():
+    for dom, (rank, hub, auth, trust) in got_rows.items():
         assert abs(rank - round(want_pr[dom], 9)) <= 1e-9, ("rank", dom)
         assert abs(hub - round(want_ha[dom][0], 9)) <= 1e-9, ("hub", dom)
         assert abs(auth - round(want_ha[dom][1], 9)) <= 1e-9, ("auth", dom)
+        assert abs(trust - round(want_tr[dom], 9)) <= 1e-9, ("trust", dom)
+    # trust mass conserved (the dangling redistribution really ran)
+    assert abs(sum(t for _, _, _, t in got_rows.values()) - 1.0) < 1e-6
+    # seeded domains gain vs their unpersonalized rank; a non-seed,
+    # non-descendant domain loses — the anti-spam separation TrustRank
+    # exists for (weak form: at least the top seed gains)
+    top_seed = all_nodes[0]
+    assert want_tr[top_seed] > want_pr[top_seed]
     ranks = got["rank"].tolist()
     assert ranks == sorted(ranks, reverse=True)
 

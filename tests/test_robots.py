@@ -62,7 +62,9 @@ def py_allowed(body: str, agent: str, path: str) -> bool:
             if d not in ("allow", "disallow") or pat == "":
                 continue
             if _match(pat, path):
-                key = (len(pat), d == "allow")
+                # RFC 9309 ranks by most OCTETS, not characters —
+                # multi-byte UTF-8 patterns count their encoded bytes
+                key = (len(pat.encode("utf-8")), d == "allow")
                 if best is None or key > best:
                     best = key
     return True if best is None else best[1]
@@ -179,7 +181,10 @@ def test_sitemap_and_crawl_delay_surfaced(spark):
 def test_randomized_sweep_vs_python_oracle(spark):
     """Fuzz the whole path: random rule sets over pattern atoms with
     wildcards/anchors, random paths, three agents — Spark must equal
-    the Python RFC evaluator on every (host, path, agent) decision."""
+    the Python RFC evaluator on every (host, path, agent) decision.
+    r12: ~1 in 5 groups is DELAY-ONLY (no path rules) — the generator
+    shape that catches tier-mixing in group selection (a delay-only
+    exact group must suppress the * group's path rules)."""
     rng = np.random.default_rng(911)
     atoms = ["/a", "/b/c", "/data", "/*.js", "/img*", "/x/y.html$", "/p/*/q"]
     agents_pool = ["*", "corpusbot", "otherbot"]
@@ -191,6 +196,9 @@ def test_randomized_sweep_vs_python_oracle(spark):
                 rng.choice(agents_pool, size=int(rng.integers(1, 3)))
             ):
                 lines.append(f"User-agent: {a}")
+            if rng.random() < 0.2:
+                lines.append(f"Crawl-delay: {int(rng.integers(1, 9))}")
+                continue
             for r in range(int(rng.integers(1, 5))):
                 d = "Allow" if rng.random() < 0.4 else "Disallow"
                 lines.append(f"{d}: {atoms[int(rng.integers(len(atoms)))]}")
@@ -208,6 +216,64 @@ def test_randomized_sweep_vs_python_oracle(spark):
                 assert got[u] == py_allowed(body, agent, p), (agent, u)
 
 
+def test_delay_only_exact_group_suppresses_star_rules(spark):
+    """VERDICT r11 (What's wrong 1): a group that names the agent
+    exactly but contains ONLY a crawl-delay line still GOVERNS that
+    agent (RFC 9309 §2.2.1) — its empty path-rule set means allow-all.
+    The old rule-row-derived __has_exact fell back to the *
+    group's disallows here, mixing tiers."""
+    from mbfbigdatarandomforest_spark.operators.robots import (
+        agent_crawl_delay,
+    )
+
+    body = (
+        "User-agent: *\nDisallow: /\nCrawl-delay: 9\n\n"
+        "User-agent: corpusbot\nCrawl-delay: 2\n"
+    )
+    host = "h.example"
+    urls = [f"https://{host}/page"]
+    # the Python oracle already had full-membership semantics
+    assert py_allowed(body, "corpusbot", "/page") is True
+    got = _spark_decisions(spark, {host: body}, urls, "corpusbot")
+    assert got[f"https://{host}/page"] is True  # star's Disallow: / inert
+    star = _spark_decisions(spark, {host: body}, urls, "*")
+    assert star[f"https://{host}/page"] is False  # star still bound
+    # symmetric tier discipline for the delay itself: corpusbot's
+    # governing group declares 2; an agent whose exact group has only
+    # path rules gets NO delay (never the * group's)
+    rules = _rules_df(spark, {host: body})
+    delays = {
+        r["host"]: r["crawl_delay"]
+        for r in agent_crawl_delay(rules, "corpusbot").collect()
+    }
+    assert delays == {host: 2.0}
+    body2 = (
+        "User-agent: *\nCrawl-delay: 9\n\n"
+        "User-agent: corpusbot\nDisallow: /x\n"
+    )
+    rules2 = _rules_df(spark, {host: body2})
+    assert agent_crawl_delay(rules2, "corpusbot").count() == 0
+    assert {
+        r["host"]: r["crawl_delay"]
+        for r in agent_crawl_delay(rules2, "*").collect()
+    } == {host: 9.0}
+
+
+def test_longest_match_ranks_by_octets_not_characters(spark):
+    """VERDICT r11 (What's wrong 3): RFC 9309 specifies MOST OCTETS.
+    '/éé' is 3 characters but 5 UTF-8 octets; against a 4-char/4-octet
+    allow pattern the octet count must decide — a char-counting ranker
+    flips this decision."""
+    body = "User-agent: *\nDisallow: /éé\nAllow: /*z$\n"
+    path = "/ééz"  # both patterns match
+    assert len("/éé") == 3 and len("/éé".encode()) == 5
+    assert py_allowed(body, "*", path) is False  # 5 octets beat 4
+    got = _spark_decisions(
+        spark, {"h.example": body}, [f"https://h.example{path}"], "*"
+    )
+    assert got[f"https://h.example{path}"] is False
+
+
 def test_robots_policy_stats_vs_python_twin(spark, duck):
     """The registered query (rows-only) against the Python RFC
     evaluator over the DuckDB-rebuilt URL corpus."""
@@ -223,7 +289,7 @@ def test_robots_policy_stats_vs_python_twin(spark, duck):
     from conftest import SF_DIR_ORACLE
 
     spec = load_all()["robots_policy_stats"]
-    assert spec.oracle is None
+    assert spec.oracle is not None  # value-hash gate since r12
     got = {
         r["domain"]: (r["n_urls"], r["n_allowed"])
         for _, r in spec.fn(spark, SF_DIR_ORACLE).toPandas().iterrows()
@@ -403,7 +469,7 @@ def test_crawl_frontier_stats_vs_python_twin(spark, duck):
     from conftest import SF_DIR_ORACLE
 
     spec = load_all()["crawl_frontier_stats"]
-    assert spec.oracle is None
+    assert spec.oracle is not None  # value-hash gate since r12
     got = {
         r["domain"]: (r["n_candidates"], r["n_scheduled"], r["crawl_delay"])
         for _, r in spec.fn(spark, SF_DIR_ORACLE).toPandas().iterrows()
