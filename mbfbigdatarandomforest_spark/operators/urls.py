@@ -45,10 +45,14 @@ _SECOND_LEVEL = r"(?:co|com|org|net|gov|ac|edu)"
 #: country registries with the largest web footprints plus the
 #: private-section hosting platforms whose subdomains are independent
 #: sites (the github.io case). Swapping in the full list is replacing
-#: this tuple — the match is built from it mechanically. Not modeled,
-#: documented: PSL wildcard rules (``*.ck``) and exception rules
-#: (``!www.ck``), and 3-label entries (``pvt.k12.ma.us``); hosts
-#: outside the tuple fall back to the pre-r11 heuristic below.
+#: this tuple — the match is built from it mechanically. r12 adds the
+#: remaining PSL RULE KINDS as sibling tuples below (wildcards,
+#: exceptions, longer literals); hosts outside every tuple fall back
+#: to the pre-r11 heuristic. One SEMANTIC divergence, deliberate: a
+#: host that IS a public suffix (``test.ck``, ``c.kobe.jp``) returns
+#: a heuristic bucket instead of the PSL's null — a curation layer
+#: always needs a grouping key, and null would merge such hosts into
+#: one corpus-wide bucket.
 PUBLIC_SUFFIXES_2LABEL: tuple[str, ...] = (
     # ICANN section — United Kingdom
     "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
@@ -110,10 +114,51 @@ PUBLIC_SUFFIXES_2LABEL: tuple[str, ...] = (
     "onrender.com", "readthedocs.io", "surge.sh", "neocities.org",
     "wixsite.com",
 )
-#: alternation literal built from the tuple — the SAME string feeds
-#: the Spark expression and the DuckDB twin (dots escaped; entries are
-#: [a-z0-9.-] only, nothing else needs escaping)
-_PSL_ALT = "|".join(s.replace(".", r"\.") for s in PUBLIC_SUFFIXES_2LABEL)
+#: PSL wildcard rules (r12): every label directly under a listed
+#: parent is itself a public suffix (``*.ck`` → ``anything.ck`` is
+#: public, registrable = THREE labels: ``b.test.ck``). Split by parent
+#: label count because the registrable-label count differs.
+PSL_WILDCARD_1LABEL: tuple[str, ...] = (
+    # ICANN ``*.<tld>`` entries (stable set)
+    "bd", "ck", "er", "fk", "mm", "np", "pg",
+)
+PSL_WILDCARD_2LABEL: tuple[str, ...] = (
+    # Japan's designated cities: ``*.kawasaki.jp`` etc.
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp",
+)
+#: PSL exception rules (``!www.ck``): carve-outs of a wildcard — the
+#: entry ITSELF is the registrable domain for any host ending in it.
+PSL_EXCEPTIONS: tuple[str, ...] = (
+    "www.ck",
+    "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+    "city.yokohama.jp",
+)
+#: Longer literal entries (3+ labels — the ``k12.ak.us`` family and
+#: the 4-label ``pvt.k12.ma.us``): registrable = one label + entry.
+#: ORDER LONGER ENTRIES FIRST — the alternation's earliest-position
+#: match then prefers the longest suffix (``school.pvt.k12.ma.us``
+#: must not collapse to ``pvt.k12.ma.us`` via the k12.ma.us entry).
+PUBLIC_SUFFIXES_LONG: tuple[str, ...] = (
+    "pvt.k12.ma.us", "chtr.k12.ma.us", "paroch.k12.ma.us",
+    "k12.ak.us", "k12.al.us", "k12.ca.us", "k12.ma.us", "k12.ny.us",
+    "k12.tx.us", "cc.ca.us", "lib.ca.us", "cc.ny.us", "lib.ny.us",
+)
+
+
+def _psl_alt(entries: tuple[str, ...]) -> str:
+    """Alternation literal — the SAME string feeds the Spark expression
+    and the DuckDB twin (dots escaped; entries are [a-z0-9.-] only,
+    nothing else needs escaping)."""
+    return "|".join(s.replace(".", r"\.") for s in entries)
+
+
+_PSL_ALT = _psl_alt(PUBLIC_SUFFIXES_2LABEL)
+_PSL_LONG_ALT = _psl_alt(PUBLIC_SUFFIXES_LONG)
+_PSL_WC1_ALT = _psl_alt(PSL_WILDCARD_1LABEL)
+_PSL_WC2_ALT = _psl_alt(PSL_WILDCARD_2LABEL)
+_PSL_EXC_ALT = _psl_alt(PSL_EXCEPTIONS)
 
 
 def _col(col: Column | str) -> Column:
@@ -131,26 +176,51 @@ def url_host(col: Column | str) -> Column:
 
 
 def url_registered_domain(col: Column | str) -> Column:
-    """Registrable domain, resolved in tiers (r11):
+    """Registrable domain, resolved in tiers (r11; wildcard/exception/
+    long-literal rule kinds added r12 — PSL precedence is longest rule
+    wins with exceptions first, which the tier ORDER encodes since the
+    vendored sets live under disjoint parents):
 
-    1. the vendored public-suffix entries (``PUBLIC_SUFFIXES_2LABEL``):
+    1. exception rules (``!www.ck``): the entry itself is registrable;
+    2. 2-label-parent wildcards (``*.kawasaki.jp``) → FOUR labels;
+    3. longer literals (``pvt.k12.ma.us``, ``k12.ak.us``) → one label
+       + entry (the alternation orders longer entries first, and the
+       earliest-position match keeps the longest suffix);
+    4. 1-label-parent wildcards (``*.ck``) → THREE labels;
+    5. the vendored 2-label entries (``PUBLIC_SUFFIXES_2LABEL``):
        host ends in a listed 2-label suffix → keep THREE labels
        (``user.github.io`` stays ``user.github.io``, not ``github.io``);
-    2. the generic ccTLD heuristic (last-3 when the second-to-last
+    6. the generic ccTLD heuristic (last-3 when the second-to-last
        label is a known second-level registry under a 2-letter TLD) —
        the pre-r11 fallback for registries absent from the subset;
-    3. last two labels; bare hosts pass through.
+    7. last two labels; bare hosts pass through.
 
     All tiers are regexp_extract alternation literals (RE2∩Java, no
     lookaround), so the DuckDB twin runs the SAME patterns verbatim."""
     host = url_host(col)
+    exc = F.regexp_extract(
+        host, r"(?:^|\.)(" + _PSL_EXC_ALT + r")$", 1
+    )
+    wc2 = F.regexp_extract(
+        host, r"([^.]+\.[^.]+\.(?:" + _PSL_WC2_ALT + r"))$", 1
+    )
+    longp = F.regexp_extract(
+        host, r"([^.]+\.(?:" + _PSL_LONG_ALT + r"))$", 1
+    )
+    wc1 = F.regexp_extract(
+        host, r"([^.]+\.[^.]+\.(?:" + _PSL_WC1_ALT + r"))$", 1
+    )
     psl = F.regexp_extract(host, r"([^.]+\.(?:" + _PSL_ALT + r"))$", 1)
     three = F.regexp_extract(
         host, r"([^.]+\." + _SECOND_LEVEL + r"\.[a-z]{2})$", 1
     )
     two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     return (
-        F.when(psl != "", psl)
+        F.when(exc != "", exc)
+        .when(wc2 != "", wc2)
+        .when(longp != "", longp)
+        .when(wc1 != "", wc1)
+        .when(psl != "", psl)
         .when(three != "", three)
         .when(two != "", two)
         .otherwise(host)
@@ -203,13 +273,25 @@ def url_twin_sql(expr: str) -> dict[str, str]:
         f"THEN regexp_extract({hostport}, '@(.*)$', 1) ELSE {hostport} END"
     )
     host = f"regexp_extract({no_user}, '^([^:]*)', 1)"
+    exc = f"regexp_extract({host}, '(?:^|\\.)({_PSL_EXC_ALT})$', 1)"
+    wc2 = (
+        f"regexp_extract({host}, '([^.]+\\.[^.]+\\.(?:{_PSL_WC2_ALT}))$', 1)"
+    )
+    longp = f"regexp_extract({host}, '([^.]+\\.(?:{_PSL_LONG_ALT}))$', 1)"
+    wc1 = (
+        f"regexp_extract({host}, '([^.]+\\.[^.]+\\.(?:{_PSL_WC1_ALT}))$', 1)"
+    )
     psl = f"regexp_extract({host}, '([^.]+\\.(?:{_PSL_ALT}))$', 1)"
     three = (
         f"regexp_extract({host}, '([^.]+\\.{_SECOND_LEVEL}\\.[a-z]{{2}})$', 1)"
     )
     two = f"regexp_extract({host}, '([^.]+\\.[^.]+)$', 1)"
     rd = (
-        f"CASE WHEN {psl} != '' THEN {psl} "
+        f"CASE WHEN {exc} != '' THEN {exc} "
+        f"WHEN {wc2} != '' THEN {wc2} "
+        f"WHEN {longp} != '' THEN {longp} "
+        f"WHEN {wc1} != '' THEN {wc1} "
+        f"WHEN {psl} != '' THEN {psl} "
         f"WHEN {three} != '' THEN {three} "
         f"WHEN {two} != '' THEN {two} ELSE {host} END"
     )

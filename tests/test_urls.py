@@ -142,6 +142,63 @@ def test_url_twin_sql_duckdb_equality(spark, duck):
     assert got == want
 
 
+def test_psl_wildcard_exception_long_rules_vs_published_cases(spark, duck):
+    """r12 (r11 verdict item 6): the three remaining PSL rule kinds —
+    wildcards (*.ck, *.kobe.jp), exceptions (!www.ck, !city.kobe.jp)
+    and longer literals (k12.ak.us, pvt.k12.ma.us) — against the
+    Public Suffix List's OWN published checkPublicSuffix test cases
+    (publicsuffix.org test file; hosts where the PSL answer is null —
+    the host IS a public suffix — are the documented divergence: we
+    return a heuristic bucket, asserted separately). The DuckDB twin
+    must stay value-equal on every case."""
+    # (host, registrable) — straight from the PSL test file
+    psl_cases = [
+        # TLD with only a wildcard rule (*.mm)
+        ("b.c.mm", "b.c.mm"),
+        ("a.b.c.mm", "b.c.mm"),
+        # wildcard + exception (*.ck, !www.ck)
+        ("b.test.ck", "b.test.ck"),
+        ("a.b.test.ck", "b.test.ck"),
+        ("www.ck", "www.ck"),
+        ("www.www.ck", "www.ck"),
+        # 2-label-parent wildcard + exception (*.kobe.jp, !city.kobe.jp)
+        ("b.c.kobe.jp", "b.c.kobe.jp"),
+        ("a.b.c.kobe.jp", "b.c.kobe.jp"),
+        ("city.kobe.jp", "city.kobe.jp"),
+        ("www.city.kobe.jp", "city.kobe.jp"),
+        # US K12 longer literals
+        ("test.k12.ak.us", "test.k12.ak.us"),
+        ("www.test.k12.ak.us", "test.k12.ak.us"),
+        # the 4-label entry — longest-first alternation keeps it whole
+        ("school.pvt.k12.ma.us", "school.pvt.k12.ma.us"),
+        ("www.school.pvt.k12.ma.us", "school.pvt.k12.ma.us"),
+    ]
+    # documented divergence: PSL answers null for these (host IS a
+    # public suffix); the curation layer returns a stable bucket
+    divergent = [("test.ck", "test.ck"), ("c.kobe.jp", "kobe.jp")]
+    rows = [(i, f"https://{h}/p") for i, (h, _) in
+            enumerate(psl_cases + divergent)]
+    df = spark.createDataFrame(rows, "i long, url string")
+    got = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i", url_registered_domain("url").alias("d")
+        ).collect()
+    }
+    for i, (h, want) in enumerate(psl_cases + divergent):
+        assert got[i] == want, (h, got[i], want)
+    duck.execute("CREATE OR REPLACE TABLE __psl(i BIGINT, url VARCHAR)")
+    duck.executemany("INSERT INTO __psl VALUES (?, ?)", rows)
+    twin = url_twin_sql("url")
+    want_twin = {
+        i: d
+        for i, d in duck.sql(
+            f"SELECT i, {twin['registered_domain']} FROM __psl"
+        ).fetchall()
+    }
+    assert got == want_twin
+
+
 def test_per_domain_cap_vs_plain_window_and_duckdb(spark, duck):
     """The skew-hardened rank must reproduce the single-window oracle
     EXACTLY (kept set identical), in Spark and in DuckDB."""
