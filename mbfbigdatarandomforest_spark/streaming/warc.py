@@ -145,7 +145,22 @@ def run_warc_ingest_available_now(
     (bounded run of the unbounded plan). Exactly-once comes from the
     file-sink commit log + checkpoint; ``progress``, when given,
     receives the query's recentProgress objects (per-batch rows and
-    durations — the docs/s probe evidence)."""
+    durations — the docs/s probe evidence).
+
+    ``out_dir`` must be fresh per run (pre-existing results raise —
+    reruns against a fresh checkpoint would silently mix runs), and a
+    zero-batch drain (an empty dump dir is a legal source state)
+    returns an empty correctly-typed documents frame instead of
+    failing the final read on a never-created directory — the
+    streaming/similarity posture (ADVICE r9/r11)."""
+    from .similarity import _dir_holds_results
+
+    if _dir_holds_results(spark, out_dir):
+        raise ValueError(
+            f"out_dir {out_dir!r} already holds results from a prior "
+            "run; streaming appends would silently mix runs — pass a "
+            "fresh directory"
+        )
     docs = warc_document_stream(
         spark,
         dump_dir,
@@ -164,4 +179,8 @@ def run_warc_ingest_available_now(
     q.awaitTermination()
     if progress is not None:
         progress.extend(q.recentProgress)
+    if not _dir_holds_results(spark, out_dir):
+        # zero micro-batches: the sink never committed a file — hand
+        # back the plan's own (empty) schema rather than a read error
+        return spark.createDataFrame([], docs.schema)
     return spark.read.parquet(out_dir)

@@ -960,6 +960,36 @@ def test_streaming_warc_ingest_matches_batch(spark, tmp_path):
     assert len(got) == 3  # 404 + garbage shard dropped, latin-1 kept
     # really drained shard-by-shard (≥4 micro-batches incl. empties)
     assert sum(p["numInputRows"] for p in progress) >= 3
+    # ADVICE r11: rerunning against an out_dir that already holds
+    # results must raise (a fresh checkpoint would silently mix runs)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already holds results"):
+        run_warc_ingest_available_now(
+            spark, str(dump), str(tmp_path / "out"), str(tmp_path / "ckpt2")
+        )
+
+
+def test_streaming_warc_ingest_empty_dump_returns_typed_empty(
+    spark, tmp_path
+):
+    """ADVICE r11 (low): an empty dump dir is a LEGAL source state
+    (the similarity-stream posture) — a zero-batch drain must return
+    an empty, correctly-typed documents frame, not throw
+    AnalysisException reading a never-created out_dir."""
+    from mbfbigdatarandomforest_spark.streaming.warc import (
+        run_warc_ingest_available_now,
+    )
+
+    dump = tmp_path / "dump"
+    dump.mkdir()  # exists, holds nothing
+    out = run_warc_ingest_available_now(
+        spark, str(dump), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields][:3] == [
+        "doc_id", "text", "source",
+    ]
 
 
 def test_streaming_warc_to_gopher_curation_composes(spark, tmp_path):

@@ -335,3 +335,75 @@ def test_curation_pipeline_warc_dir_with_frontier(tmp_path):
     content = fdf[fdf["domain"] == "content.example"]
     assert len(content) == 13 and int(content["kept"].sum()) == 3
     assert (fdf["url"] == "https://content.example/new/1").any()  # sitemap loc
+
+
+def test_two_round_crawl_loop_ledger_and_budget_refill(tmp_path):
+    """r11 verdict item 7: the loop the --frontier-out/--seen-urls
+    flags exist for, driven END TO END through the CLI twice — round
+    1's scheduled frontier becomes the fetch ledger, round 2's dump
+    re-discovers every round-1 page plus new ones, and the round-2
+    frontier must (a) exclude everything already scheduled and (b)
+    re-fill the per-domain budget with genuinely new pages."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    body = (
+        "the quick brown document number {i} keeps talking with plenty "
+        "of ordinary words so the gopher quality rules accept it"
+    )
+
+    def hub_page(i, hrefs):
+        anchors = "".join(f'<a href="{h}">l</a>' for h in hrefs)
+        return {
+            "url": f"https://hub.example/p/{i}",
+            "status": 200,
+            "body": f"<html><body><p>{body.format(i=i)}</p>"
+                    f"{anchors}</body></html>",
+        }
+
+    a_pages = [f"https://content.example/a/{i}" for i in range(6)]
+    b_pages = [f"https://content.example/b/{i}" for i in range(3)]
+
+    def run_round(tag, hrefs, seen_dir=None):
+        d = tmp_path / f"dump{tag}"
+        d.mkdir()
+        (d / "s0.warc").write_bytes(encode_warc([hub_page(tag, hrefs)]))
+        fr = tmp_path / f"frontier{tag}"
+        cmd = [
+            sys.executable, "run_curation_pipeline.py",
+            "--warc-dir", str(d), "--out", str(tmp_path / f"cur{tag}"),
+            "--frontier-out", str(fr), "--frontier-cap", "3",
+            "--max-tokens", "64",
+        ]
+        if seen_dir is not None:
+            cmd += ["--seen-urls", str(seen_dir)]
+        r = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=600,
+            cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        json.loads((tmp_path / f"cur{tag}" / "summary.json").read_text())
+        return pd.read_parquet(fr)
+
+    f1 = run_round(1, a_pages)
+    c1 = f1[f1["domain"] == "content.example"]
+    assert len(c1) == 6 and int(c1["kept"].sum()) == 3  # cap bites
+    # the fetch ledger a crawler would keep: the SCHEDULED urls
+    ledger = tmp_path / "ledger"
+    ledger.mkdir()
+    f1[f1["kept"]][["url"]].to_parquet(ledger / "part.parquet")
+    # round 2 re-discovers all of round 1 plus three new pages
+    f2 = run_round(2, a_pages + b_pages, seen_dir=ledger)
+    scheduled_r1 = set(f1[f1["kept"]]["url"])
+    assert not (set(f2["url"]) & scheduled_r1)  # ledger excludes them
+    c2 = f2[f2["domain"] == "content.example"]
+    # 9 content candidates minus the 3 already scheduled
+    assert len(c2) == 6
+    # the budget RE-FILLS: 3 more pages scheduled, all genuinely new
+    assert int(c2["kept"].sum()) == 3
+    assert not (set(c2[c2["kept"]]["url"]) & scheduled_r1)
+    # two rounds together scheduled 6 distinct content pages
+    assert len(scheduled_r1 | set(c2[c2["kept"]]["url"])) >= 6
