@@ -26,8 +26,15 @@ Metrics per K: wall (min-of-REPS), rounds, L1-delta tail, live
 checkpointed RDDs above baseline per round (must stay <=2 — the CC
 discipline), and the fingerprint verdict.
 
+r12 (r11 verdict item 5): the SAME planted structure also drives HITS
+(track mode — per-round normalization + delta, the stats hook) with a
+VECTORIZED numpy HITS twin checked per stratum: hubs must dominate
+the hub vector (they link the ring + receive the leaves... strictly:
+leaves are pure hubs, sinks pure authorities, ring hubs both) and
+live_ckpt must stay <= 3 at every K (state + half + next).
+
 Prints one JSON line:
-{"base_n": ..., "reps": ..., "runs": {K: {...}}}
+{"base_n": ..., "reps": ..., "runs": {K: {..., "hits": {...}}}}
 """
 
 from __future__ import annotations
@@ -43,7 +50,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-from mbfbigdatarandomforest_spark.operators.linkgraph import pagerank  # noqa: E402
+from mbfbigdatarandomforest_spark.operators.linkgraph import (  # noqa: E402
+    hits,
+    pagerank,
+)
 from mbfbigdatarandomforest_spark.session import get_spark  # noqa: E402
 
 KS = tuple(
@@ -95,6 +105,31 @@ def numpy_rank(n: int) -> np.ndarray:
         np.add.at(nxt, dst, d * r[src] / share_deg[src])
         r = nxt
     return r
+
+
+HITS_ITERS = int(os.environ.get("SPARK_GRAFT_HITS_ITERS", "10"))
+
+
+def numpy_hits_planted(n: int, iters: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized HITS on the UNSCRAMBLED planted graph, mirroring the
+    operator's track-mode round exactly: a' = Aᵀh (current h), then
+    h' = A·a' (the Gauss-Seidel order), both L2-rescaled at round end."""
+    c = N_HUBS
+    leaf_hi = (8 * n) // 10
+    hubs = np.arange(c)
+    leaves = np.arange(c, leaf_hi)
+    sinks = np.arange(leaf_hi, n)
+    src = np.concatenate([hubs, leaves, sinks % c])
+    dst = np.concatenate([(hubs + 1) % c, leaves % c, sinks])
+    h = np.ones(n)
+    for _ in range(iters):
+        a = np.zeros(n)
+        np.add.at(a, dst, h[src])
+        h = np.zeros(n)
+        np.add.at(h, src, a[dst])
+        h /= np.linalg.norm(h)
+        a /= np.linalg.norm(a)
+    return h, a
 
 
 def strata_fp(n: int, node_ids: np.ndarray, ranks: np.ndarray) -> dict:
@@ -174,6 +209,64 @@ def main() -> None:
             )
         if not fp_ok:
             row["fp_got"], row["fp_want"] = got_fp, want_fp
+
+        # ---- HITS on the same planted structure (r12) ----
+        h_walls, h_stats = [], {}
+        h_result = None
+        for _ in range(REPS):
+            spark.catalog.clearCache()
+            h_stats = {}
+            t0 = time.time()
+            h_result = hits(
+                edges, max_iter=HITS_ITERS, tol=0.0, stats=h_stats
+            )
+            h_result.write.format("noop").mode("overwrite").save()
+            h_walls.append(time.time() - t0)
+        hdf = h_result.toPandas()
+        h_ids = ((hdf["node"].to_numpy() - PERM_B) * a_inv) % n
+        want_h, want_a = numpy_hits_planted(n, HITS_ITERS)
+        h_fp_ok = True
+        for vec_name, got_vec, want_vec in (
+            ("hub", hdf["hub"].to_numpy(), want_h),
+            ("authority", hdf["authority"].to_numpy(), want_a),
+        ):
+            gf = strata_fp(n, h_ids, got_vec)
+            wf = strata_fp(n, np.arange(n), want_vec)
+            # RELATIVE 1e-9 on the stratum sums: an L2-normalized hub
+            # vector over 400k leaves sums to ~630, where float64
+            # summation-order noise alone exceeds an absolute 1e-9
+            # (PageRank's sums are probability mass ≤ 1, so its
+            # absolute check stays)
+            ok = all(
+                gf[s][0] == wf[s][0]
+                and abs(gf[s][1] - wf[s][1])
+                <= 1e-9 * max(1.0, abs(wf[s][1]))
+                and abs(gf[s][2] - wf[s][2])
+                <= 1e-9 * max(1.0, abs(wf[s][2]))
+                for s in gf
+            )
+            if not ok:
+                h_fp_ok = False
+                row[f"hits_fp_{vec_name}"] = {"got": gf, "want": wf}
+        # structure sanity: leaves are pure hubs (zero authority),
+        # sinks pure authorities (zero hub)
+        c = N_HUBS
+        leaf_hi = (8 * n) // 10
+        leaf_mask = (h_ids >= c) & (h_ids < leaf_hi)
+        sink_mask = h_ids >= leaf_hi
+        row["hits"] = {
+            "iters": HITS_ITERS,
+            "wall_s": round(min(h_walls), 2),
+            "spread": round(max(h_walls) / min(h_walls), 2),
+            "live_ckpt_max": max(h_stats.get("live_ckpt_rdds") or [0]),
+            "strata_fp_ok": h_fp_ok,
+            "leaves_pure_hubs": bool(
+                (hdf["authority"].to_numpy()[leaf_mask] == 0.0).all()
+            ),
+            "sinks_pure_authorities": bool(
+                (hdf["hub"].to_numpy()[sink_mask] == 0.0).all()
+            ),
+        }
         out[k] = row
         print(f"## K={k}: {row}", file=sys.stderr, flush=True)
     print(json.dumps({"base_n": BASE_N, "reps": REPS, "iters": ITERS, "runs": out}))
