@@ -234,6 +234,7 @@ def bpe_token_counts(
     text_col: str = "text",
     id_col: str = "doc_id",
     encoded: DataFrame | None = None,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Per-document BPE token counts: (id, n_words, n_bpe_tokens).
 
@@ -251,13 +252,23 @@ def bpe_token_counts(
     paying a Python encode pass per stage. Coverage is enforced, not
     assumed: a doc containing any word the table misses gets a NULL
     ``n_bpe_tokens`` (NULL-propagating conditional sum), never a
-    silent undercount from NULL-skipping ``sum``."""
+    silent undercount from NULL-skipping ``sum``.
+
+    ``broadcast_vocab``: force the broadcast hint on the vocab join.
+    Correct when the vocab is bounded by construction (a capped
+    ``word_counts``); pass False when the vocab is the corpus's FULL
+    distinct-word table (bounded only by a corpus statistic) — AQE
+    then broadcasts it at runtime while it is small and shuffle-joins
+    when it is not, instead of a forced corpus-sized broadcast (r11
+    verdict's bounded-by-convention residual)."""
     exploded = _exploded_words(df, text_col, [id_col])
     if encoded is None:
         encoded = encode_vocab(
             exploded.filter(F.col("word").isNotNull()), merges
         )
-    encoded = F.broadcast(encoded.select("word", "n_tokens"))
+    encoded = encoded.select("word", "n_tokens")
+    if broadcast_vocab:
+        encoded = F.broadcast(encoded)
     return (
         exploded.join(encoded, "word", "left")
         .groupBy(id_col)
@@ -304,6 +315,7 @@ def doc_token_arrays(
     text_col: str = "text",
     id_col: str = "doc_id",
     encoded: DataFrame | None = None,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """(id, tokens): each document's full BPE token sequence, built the
     vocab-side way — encode DISTINCT words once, join the (word →
@@ -320,7 +332,9 @@ def doc_token_arrays(
     exploded = _exploded_words(df, text_col, [id_col], with_pos=True)
     if encoded is None:
         encoded = encode_vocab(exploded, merges)
-    enc = F.broadcast(encoded.select("word", "tokens"))
+    enc = encoded.select("word", "tokens")
+    if broadcast_vocab:  # same contract as bpe_token_counts (r12)
+        enc = F.broadcast(enc)
     per_doc = (
         exploded.join(enc, "word", "left")
         # coverage is ENFORCED (same contract as bpe_token_counts): a

@@ -303,6 +303,220 @@ def pagerank(
     return ranks.select("node", "rank")
 
 
+def pagerank_multi(
+    edges: DataFrame,
+    teleports: dict[str, DataFrame | None],
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 25,
+    weight: str | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Batched PageRank (r12): ONE power-iteration loop computing a
+    rank column per named teleport vector (None = uniform, a frame =
+    personalized/TrustRank — :func:`pagerank`'s ``teleport`` contract)
+    over the same edge frame. k personalizations SHARE the per-round
+    E-join + dst-groupBy instead of paying k full loops — the batch-
+    personalized-PageRank production shape: at gate scale the win is
+    pure scheduling (one loop's jobs instead of k), at 100 TB it is
+    k-1 fewer E-shuffles per round, the dominant cost. Fixed iteration
+    count by design (deterministic for cross-engine twins — the mode
+    every registered linkgraph query runs); per-column semantics are
+    exactly ``pagerank(teleport=..., tol=0.0, max_iter=...)``: same
+    init, same dangling redistribution, same update. Returns
+    (node, <name> for each key), each column summing to 1."""
+    if not teleports:
+        raise ValueError("teleports must name at least one rank column")
+    names = list(teleports)
+    _persisted_ids, _ckpt, _free = _ckpt_tools(edges)
+
+    if weight is None:
+        hygienic = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .withColumn("w", F.lit(1.0))
+        )
+    else:
+        hygienic = (
+            edges.select(
+                F.col(src).alias("src"),
+                F.col(dst).alias("dst"),
+                F.col(weight).cast("double").alias("w"),
+            )
+            .filter((F.col("src") != F.col("dst")) & (F.col("w") > 0))
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
+    e, e_ids = _ckpt(hygienic)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ckpt_baseline = len(_persisted_ids())
+    deg = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    with_t = nodes
+    for name in names:
+        tp = teleports[name]
+        if tp is None:
+            with_t = with_t.withColumn(f"__traw_{name}", F.lit(1.0))
+        else:
+            seeds = tp.groupBy(F.col("node").alias("__s_node")).agg(
+                F.sum("seed").cast("double").alias(f"__traw_{name}")
+            )
+            with_t = with_t.join(
+                seeds, with_t["node"] == seeds["__s_node"], "left"
+            ).drop("__s_node").withColumn(
+                f"__traw_{name}",
+                F.coalesce(f"__traw_{name}", F.lit(0.0)),
+            )
+    base, base_ids = _ckpt(
+        with_t.join(deg, with_t["node"] == deg["src"], "left").select(
+            "node",
+            F.coalesce("out_w", F.lit(0.0)).alias("out_w"),
+            *[f"__traw_{n}" for n in names],
+        )
+    )
+    agg_row = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("out_w") == 0, 1).otherwise(0)).alias(
+            "n_dangling"
+        ),
+        *[F.sum(f"__traw_{n}").alias(f"__tt_{n}") for n in names],
+    ).collect()[0]
+    n = int(agg_row["n"])
+    has_dangling = int(agg_row["n_dangling"] or 0) > 0
+    t_totals = {n_: float(agg_row[f"__tt_{n_}"] or 0.0) for n_ in names}
+    for name in names:
+        if teleports[name] is not None and n > 0 and t_totals[name] <= 0:
+            raise ValueError(
+                f"teleport {name!r} puts no positive seed mass on any "
+                "graph node"
+            )
+    if stats is not None:
+        stats["rounds"] = 0
+        stats["live_ckpt_rdds"] = []
+        stats["n_nodes"] = n
+    if n == 0:
+        _free(base_ids | e_ids)
+        out = edges.select(F.col(src).alias("node")).limit(0)
+        return out.select(
+            "node", *[F.lit(0.0).alias(n_) for n_ in names]
+        )
+
+    ranks, rank_ids = _ckpt(
+        base.select(
+            "node",
+            "out_w",
+            *[
+                (F.col(f"__traw_{n_}") / F.lit(t_totals[n_])).alias(
+                    f"__t_{n_}"
+                )
+                for n_ in names
+            ],
+            *[
+                (F.col(f"__traw_{n_}") / F.lit(t_totals[n_])).alias(
+                    f"__r_{n_}"
+                )
+                for n_ in names
+            ],
+        )
+    )
+    _free(base_ids)
+
+    sess = edges.sparkSession
+    sp_key = "spark.sql.shuffle.partitions"
+    old_sp = sess.conf.get(sp_key)
+    try:
+        loop_parts = max(1, min(int(old_sp), -(-n // 250_000)))
+    except (TypeError, ValueError):
+        loop_parts = None
+    if loop_parts is not None:
+        sess.conf.set(sp_key, str(loop_parts))
+    d = float(damping)
+    try:
+        if has_dangling:
+            dr = ranks.filter(F.col("out_w") == 0).agg(
+                *[
+                    F.coalesce(F.sum(f"__r_{n_}"), F.lit(0.0)).alias(n_)
+                    for n_ in names
+                ]
+            ).collect()[0]
+            dangling = {n_: float(dr[n_]) for n_ in names}
+        else:
+            dangling = {n_: 0.0 for n_ in names}
+        for _ in range(max_iter):
+            contrib = (
+                e.join(
+                    ranks.filter(F.col("out_w") > 0).select(
+                        F.col("node").alias("src"),
+                        *[
+                            (F.col(f"__r_{n_}") / F.col("out_w")).alias(
+                                f"__u_{n_}"
+                            )
+                            for n_ in names
+                        ],
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(
+                    *[
+                        F.sum(F.col(f"__u_{n_}") * F.col("w")).alias(
+                            f"__in_{n_}"
+                        )
+                        for n_ in names
+                    ]
+                )
+            )
+            nxt, nxt_ids = _ckpt(
+                ranks.join(contrib, "node", "left").select(
+                    "node",
+                    "out_w",
+                    *[f"__t_{n_}" for n_ in names],
+                    *[
+                        (
+                            F.col(f"__t_{n_}")
+                            * F.lit((1.0 - d) + d * dangling[n_])
+                            + F.lit(d)
+                            * F.coalesce(F.col(f"__in_{n_}"), F.lit(0.0))
+                        ).alias(f"__r_{n_}")
+                        for n_ in names
+                    ],
+                )
+            )
+            if has_dangling:
+                dr = nxt.agg(
+                    *[
+                        F.coalesce(
+                            F.sum(
+                                F.when(
+                                    F.col("out_w") == 0, F.col(f"__r_{n_}")
+                                )
+                            ),
+                            F.lit(0.0),
+                        ).alias(n_)
+                        for n_ in names
+                    ]
+                ).collect()[0]
+                dangling = {n_: float(dr[n_]) for n_ in names}
+            _free(rank_ids)
+            ranks, rank_ids = nxt, nxt_ids
+            if stats is not None:
+                stats["rounds"] += 1
+                stats["live_ckpt_rdds"].append(
+                    len(_persisted_ids()) - ckpt_baseline
+                )
+    finally:
+        sess.conf.set(sp_key, old_sp)
+    _free(e_ids)
+    return ranks.select(
+        "node", *[F.col(f"__r_{n_}").alias(n_) for n_ in names]
+    )
+
+
 def hits(
     edges: DataFrame,
     src: str = "src",

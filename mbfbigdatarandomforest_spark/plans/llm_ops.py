@@ -932,7 +932,9 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     wc = [(r["word"], r["c"]) for r in bpe.word_counts(docs).collect()]
     merges = bpe.learn_bpe(wc, num_merges=100)
-    per_doc = bpe.bpe_token_counts(docs, merges)
+    # encoded=None means the vocab is the corpus's FULL distinct-word
+    # table — corpus-statistic-bounded, so AQE decides the join side
+    per_doc = bpe.bpe_token_counts(docs, merges, broadcast_vocab=False)
     return (
         per_doc.join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
@@ -1062,9 +1064,12 @@ def curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     contam = dd.decontaminate(survivors, bench, n=5).select(
         "doc_id", "contaminated"
     )
-    counts = bpe_ops.bpe_token_counts(corpus, merges, encoded=encoded).select(
-        "doc_id", "n_bpe_tokens"
-    )
+    # the funnel's vocab is deliberately UNCAPPED (full coverage → the
+    # no-NULL accounting contract), so no forced broadcast — AQE
+    # broadcasts it while small and shuffle-joins at corpus scale
+    counts = bpe_ops.bpe_token_counts(
+        corpus, merges, encoded=encoded, broadcast_vocab=False
+    ).select("doc_id", "n_bpe_tokens")
     # three slim per-doc frames join the quality scan on doc_id — at
     # 100 TB these are the same shuffle shape as the semi-joins they
     # replace, with the corpus-scale text column riding only ONE side
@@ -1988,7 +1993,7 @@ TRUST_SEED_DOMAINS = 2
 
 @query("page_linkgraph_suite", tags=("url", "linkgraph", "html", "curation"))
 def page_linkgraph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.linkgraph import hits, page_link_edges, pagerank
+    from ..operators.linkgraph import hits, page_link_edges, pagerank_multi
 
     docs = load_table(spark, sf_dir, "documents")
     pages = docs.select(
@@ -2001,19 +2006,9 @@ def page_linkgraph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("'>b</a></body></html>"),
         ).alias("html"),
     )
-    # three iterative consumers — materialize the tiny domain-edge
+    # two iterative consumers — materialize the tiny domain-edge
     # frame once (the url_pagerank_stats precedent)
     edges = page_link_edges(pages).localCheckpoint()
-    pr = pagerank(
-        edges,
-        weight="n_links",
-        damping=PAGERANK_DAMPING,
-        max_iter=LINKGRAPH_SUITE_ITERS,
-        tol=0.0,
-    ).withColumnRenamed("node", "domain")
-    ha = hits(
-        edges, weight="n_links", max_iter=LINKGRAPH_SUITE_ITERS
-    ).withColumnRenamed("node", "domain")
     # trusted set: the TRUST_SEED_DOMAINS lexicographically-first
     # domains, uniform seed mass — a bounded frame by construction
     # (LIMIT k), never collected
@@ -2025,21 +2020,21 @@ def page_linkgraph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TRUST_SEED_DOMAINS)
         .withColumn("seed", F.lit(1.0))
     )
-    tr = (
-        pagerank(
-            edges,
-            weight="n_links",
-            damping=PAGERANK_DAMPING,
-            max_iter=LINKGRAPH_SUITE_ITERS,
-            tol=0.0,
-            teleport=trusted,
-        )
-        .withColumnRenamed("node", "domain")
-        .withColumnRenamed("rank", "trust_rank")
-    )
+    # uniform + TrustRank share ONE power-iteration loop (r12,
+    # pagerank_multi — the batch-PPR shape): per-column results are
+    # exactly the two sequential pagerank() calls, pinned by pytest
+    pr = pagerank_multi(
+        edges,
+        {"rank": None, "trust_rank": trusted},
+        weight="n_links",
+        damping=PAGERANK_DAMPING,
+        max_iter=LINKGRAPH_SUITE_ITERS,
+    ).withColumnRenamed("node", "domain")
+    ha = hits(
+        edges, weight="n_links", max_iter=LINKGRAPH_SUITE_ITERS
+    ).withColumnRenamed("node", "domain")
     return (
         pr.join(ha, "domain", "full")
-        .join(tr, "domain", "full")
         .select(
             "domain",
             F.round("rank", 9).alias("rank"),

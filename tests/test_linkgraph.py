@@ -211,6 +211,70 @@ def test_personalized_pagerank_trustrank_vs_numpy(spark):
         pagerank(df, teleport=bad)
 
 
+def test_pagerank_multi_equals_sequential_calls(spark):
+    """r12: pagerank_multi — one shared power-iteration loop per graph
+    computing k named teleport columns. Each column must equal its
+    sequential pagerank(teleport=..., tol=0) twin to float-noise on a
+    random WEIGHTED graph WITH dangling nodes and a zero-seed dangling
+    node (the hard personalization case), and the numpy oracle must
+    agree at 1e-9."""
+    from mbfbigdatarandomforest_spark.operators.linkgraph import (
+        pagerank_multi,
+    )
+
+    rng = np.random.default_rng(1207)
+    n = 30
+    w_edges = [
+        (int(a), int(b), float(w))
+        for (a, b), w in zip(
+            rng.integers(0, n, size=(150, 2)),
+            rng.integers(1, 5, size=150),
+        )
+    ]
+    # make node 777 dangling (receives, never sends) and unseeded
+    w_edges += [(0, 777, 2.0), (1, 777, 1.0)]
+    df = spark.createDataFrame(w_edges, "src long, dst long, w double")
+    seeds = {0: 2.0, 5: 1.0}
+    tp = spark.createDataFrame(list(seeds.items()), "node long, seed double")
+    kw = dict(weight="w", max_iter=20)
+    stats: dict = {}
+    multi = {
+        r["node"]: (r["rank"], r["trust"])
+        for r in pagerank_multi(
+            df, {"rank": None, "trust": tp}, stats=stats, **kw
+        ).collect()
+    }
+    single_u = {
+        r["node"]: r["rank"] for r in pagerank(df, tol=0.0, **kw).collect()
+    }
+    single_t = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, teleport=tp, tol=0.0, **kw).collect()
+    }
+    assert set(multi) == set(single_u) == set(single_t)
+    for v in multi:
+        assert abs(multi[v][0] - single_u[v]) <= 1e-12, ("uniform", v)
+        assert abs(multi[v][1] - single_t[v]) <= 1e-12, ("trust", v)
+    _close(
+        {v: multi[v][0] for v in multi},
+        numpy_pagerank(w_edges, max_iter=20, tol=0.0),
+    )
+    _close(
+        {v: multi[v][1] for v in multi},
+        numpy_pagerank(w_edges, max_iter=20, tol=0.0, teleport=seeds),
+    )
+    # both columns conserve mass through the shared dangling aggregate
+    assert abs(sum(r for r, _ in multi.values()) - 1.0) < 1e-9
+    assert abs(sum(t for _, t in multi.values()) - 1.0) < 1e-9
+    # the checkpoint discipline holds for the fused loop too
+    assert stats["rounds"] == 20
+    assert max(stats["live_ckpt_rdds"]) <= 2, stats["live_ckpt_rdds"]
+    # a named teleport with no graph mass still fails loudly
+    bad = spark.createDataFrame([(40404, 1.0)], "node long, seed double")
+    with pytest.raises(ValueError, match="'b'.*no positive seed mass"):
+        pagerank_multi(df, {"a": None, "b": bad}, **kw)
+
+
 def test_personalized_fixed_iter_dangling_zero_seed_vs_numpy(spark):
     """ADVICE r11 (medium): fixed-iteration mode (tol<=0, no stats)
     with a personalized teleport and a DANGLING node of zero seed mass.
