@@ -318,6 +318,55 @@ def html_links_twin_sql(expr: str) -> str:
     return f"regexp_extract_all({expr}, '{pat}', 1)"
 
 
+#: href AND anchor body of closed anchor tags (r12). Same boundary +
+#: value grammar as HTML_HREF_PATTERN, then the tag's remaining
+#: attributes ([^>]*>) and a LAZY body up to the first </a>. Same
+#: RE2∩Java subset (no lookaround/backrefs), so the DuckDB twin runs
+#: the identical text. Extra documented limit on top of the href
+#: extractor's two: anchors that never close (</a> missing) are
+#: dropped — html_links still sees their href, so the link graph is
+#: unaffected; only the anchor-TEXT signal loses that row.
+HTML_ANCHOR_PATTERN = (
+    r"(?is)<a\b[^>]*?[\s'\"]href\s*=\s*['\"]?([^'\"\s>]+)"
+    r"[^>]*>(.*?)</a\s*>"
+)
+
+
+def html_anchor_texts(col: Column | str) -> Column:
+    """(href, anchor_text) pairs of an HTML column, document order, as
+    ``array<struct<href,text>>`` — the anchor-text corpus signal:
+    search and crawl pipelines aggregate the TEXT other pages use to
+    link a target as an independent description/quality feature for
+    that target (the classic anchor-file idea; production pipelines
+    mine it corpus-wide). Two ``regexp_extract_all`` passes over the
+    SAME pattern (group 1 = href, group 2 = body) produce
+    position-aligned arrays by construction — ``arrays_zip`` pairs
+    them with zero Python; the body is tag-stripped, entity-lite
+    (amp/lt/gt) and whitespace-normalized, all codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    hrefs = F.regexp_extract_all(c, F.lit(HTML_ANCHOR_PATTERN), 1)
+    bodies = F.regexp_extract_all(c, F.lit(HTML_ANCHOR_PATTERN), 2)
+    clean = F.transform(
+        bodies,
+        lambda b: F.trim(
+            F.regexp_replace(
+                F.replace(
+                    F.replace(
+                        F.replace(
+                            F.regexp_replace(b, r"(?s)<[^>]*>", " "),
+                            F.lit("&amp;"), F.lit("&"),
+                        ),
+                        F.lit("&lt;"), F.lit("<"),
+                    ),
+                    F.lit("&gt;"), F.lit(">"),
+                ),
+                r"\s+", " ",
+            )
+        ),
+    )
+    return F.arrays_zip(hrefs.alias("href"), clean.alias("text"))
+
+
 def html_base_href(col: Column | str) -> Column:
     """The page's ``<base href>`` (first one — HTML semantics), '' when
     absent. Pages use it to re-root relative resolution; honored by

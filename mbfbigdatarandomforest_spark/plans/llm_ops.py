@@ -11,7 +11,7 @@ oracle paths at small scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
@@ -1764,6 +1764,78 @@ FROM r GROUP BY domain ORDER BY domain
 """
 
 
+def fetch_schedule(
+    frontier: DataFrame,
+    default_delay: float = 1.0,
+) -> DataFrame:
+    """Frontier → time-ordered fetch plan (r12): the last step of the
+    crawl loop — the scheduler that tells a fetcher WHEN each kept URL
+    may be requested without violating per-host politeness. Kept rows
+    get a per-HOST slot (authority-first: rank desc, url tiebreak) and
+    ``fetch_offset_s`` = (slot − 1) × the host's robots crawl-delay
+    (``default_delay`` when the host declares none) — consecutive
+    fetches of one host are spaced exactly its declared budget apart,
+    while different hosts run in parallel at offset 0.
+
+    Scale shape: ONE window partitioned by host, and every host's
+    partition is bounded by the per-domain fetch cap that produced the
+    frontier (``kept`` rows per domain ≤ cap), so the window can never
+    see a corpus-sized partition — the same boundedness argument as
+    the robots rule window."""
+    from ..operators.urls import url_host
+
+    w = Window.partitionBy("__host").orderBy(F.desc("rank"), "url")
+    return (
+        frontier.filter("kept")
+        .withColumn("__host", url_host("url"))
+        .withColumn("slot", F.row_number().over(w))
+        .withColumn(
+            "fetch_offset_s",
+            (F.col("slot") - 1)
+            * F.coalesce("crawl_delay", F.lit(float(default_delay))),
+        )
+        .select(
+            "url",
+            "domain",
+            F.col("__host").alias("host"),
+            "rank",
+            "slot",
+            "fetch_offset_s",
+        )
+    )
+
+
+@query("crawl_schedule_stats", tags=("url", "robots", "frontier", "schedule"))
+def crawl_schedule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scheduled fetch plan over the same fixture pipeline as
+    ``crawl_frontier_stats``, rolled up per domain: slots spent, the
+    host-parallel makespan (max fetch offset) and the politeness
+    budget honored. Rows-only (two windows deep — cap + schedule);
+    the Python twin extends the frontier twin with the same
+    (rank desc, url) slotting in tests/test_robots.py."""
+    from ..operators.robots import parse_robots
+    from ..operators.urls import url_host
+
+    urls = load_table(spark, sf_dir, "documents").select(
+        synth_url_col().alias("url")
+    )
+    hosts = urls.select(url_host("url").alias("host")).distinct()
+    rules = parse_robots(
+        hosts.withColumn("body", F.lit(ROBOTS_FIXTURE_BODY))
+    ).localCheckpoint()
+    sched = fetch_schedule(crawl_frontier(urls, rules, cap=URL_CAP))
+    return (
+        sched.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_fetches"),
+            F.max("slot").alias("max_slot"),
+            F.round(F.max("fetch_offset_s"), 6).alias("makespan_s"),
+            F.count_distinct("host").alias("n_hosts"),
+        )
+        .orderBy("domain")
+    )
+
+
 @query(
     "crawl_frontier_stats",
     oracle=_crawl_frontier_oracle(),
@@ -1799,6 +1871,66 @@ def crawl_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("crawl_delay").alias("crawl_delay"),
         )
         .orderBy("domain")
+    )
+
+
+# --------------------------------------------------------------------------
+# Anchor-text corpus (r12): the TEXT other pages use when linking a
+# target is an independent description/quality signal for that target
+# (the classic anchor-file idea; search and crawl-curation pipelines
+# mine it corpus-wide to describe pages their own content doesn't).
+# Pages are the synth-URL fixture with two anchors per document whose
+# bodies carry markup + entity traps; extraction is the ONE-pattern
+# double regexp_extract_all (operators/text.html_anchor_texts),
+# cleanup is codegen, the rollup groups by TARGET registered domain.
+# Rows-only (arrays_zip of two extract_all passes + the cleanup
+# transform is not one SQL statement); the Python twin rebuilds pages
+# from SYNTH_URL_SQL and re-extracts with the same pattern in
+# tests/test_linkgraph.py.
+# --------------------------------------------------------------------------
+@query("anchor_text_stats", tags=("url", "html", "linkgraph", "text"))
+def anchor_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import html_anchor_texts, resolve_link
+    from ..operators.urls import url_registered_domain
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        synth_url_col().alias("url"),
+        F.concat(
+            F.lit('<html><body><a href="'),
+            synth_url_col(F.col("doc_id") + 1),
+            F.lit('">read &amp; <b>cite</b> doc '),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("</a><p>body</p><a href='"),
+            synth_url_col(F.col("doc_id") * 2 + 1),
+            F.lit("'>topic  "),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("\n</a></body></html>"),
+        ).alias("html"),
+    )
+    pairs = pages.select(
+        F.col("url").alias("page"),
+        F.explode(html_anchor_texts("html")).alias("a"),
+    ).select(
+        "page",
+        F.col("a.href").alias("href"),
+        F.col("a.text").alias("text"),
+    )
+    resolved = pairs.select(
+        url_registered_domain(
+            resolve_link(F.col("page"), F.col("href"))
+        ).alias("target_domain"),
+        "text",
+    ).filter(F.col("target_domain") != "")
+    return (
+        resolved.groupBy("target_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.count_distinct("text").alias("n_distinct_texts"),
+            F.min("text").alias("min_text"),
+            F.max("text").alias("max_text"),
+        )
+        .orderBy("target_domain")
     )
 
 

@@ -395,6 +395,131 @@ def test_html_links_extraction_and_duckdb_twin(spark, duck):
     assert twin == got
 
 
+def test_html_anchor_texts_pairs_and_cleanup(spark):
+    """r12: (href, anchor text) pairs — position-aligned double
+    extract_all over ONE pattern; bodies are tag-stripped,
+    entity-lite-decoded and whitespace-normalized; unclosed anchors
+    drop (href extractor still sees them — documented limit); a
+    prefixed data-href can't shadow the real attribute."""
+    from mbfbigdatarandomforest_spark.operators.text import (
+        html_anchor_texts,
+    )
+
+    cases = [
+        (0, '<a href="https://a.example/x">read <b>this</b> now</a>',
+         [("https://a.example/x", "read this now")]),
+        (1, "<A HREF='/y'>Tom &amp; Jerry</A><a href=/z>z  \n text</a>",
+         [("/y", "Tom & Jerry"), ("/z", "z text")]),
+        (2, '<a href="https://u.example/1">one</a><p>x</p>'
+            '<a href="https://u.example/2"><img src="i.png"> two</a>',
+         [("https://u.example/1", "one"), ("https://u.example/2", "two")]),
+        # unclosed anchor: no </a> → dropped from the TEXT signal
+        (3, '<a href="https://open.example/never">dangling', []),
+        (4, '<a data-href="https://wrong.example/x" '
+            'href="https://right.example/y">ok</a>',
+         [("https://right.example/y", "ok")]),
+        (5, "<p>no anchors at all</p>", []),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _ in cases], "i long, html string"
+    )
+    got = {
+        r["i"]: [(p["href"], p["text"]) for p in r["pairs"]]
+        for r in df.select(
+            "i", html_anchor_texts("html").alias("pairs")
+        ).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i])
+
+
+def test_anchor_text_stats_vs_python_twin(spark, duck):
+    """The registered anchor-text rollup (rows-only) against a full
+    Python twin: DuckDB rebuilds the synth pages and re-extracts with
+    the SAME pattern text; Python mirrors the cleanup chain and the
+    per-target-domain aggregation exactly."""
+    import re as _re
+
+    from mbfbigdatarandomforest_spark.operators.text import (
+        HTML_ANCHOR_PATTERN,
+    )
+    from mbfbigdatarandomforest_spark.operators.urls import url_twin_sql
+    from mbfbigdatarandomforest_spark.plans.llm_ops import SYNTH_URL_SQL
+
+    spec = load_all()["anchor_text_stats"]
+    assert spec.oracle is None
+    got = {
+        r["target_domain"]: (
+            r["n_anchors"], r["n_distinct_texts"], r["min_text"],
+            r["max_text"],
+        )
+        for _, r in spec.fn(spark, SF_DIR_ORACLE).toPandas().iterrows()
+    }
+    # rebuild the two per-doc anchor targets the way the suite twin
+    # does (doc_id re-aliased in a subquery), assemble the SAME page
+    # template in Python, then extract in DuckDB with the SAME pattern
+    def urls_of(shift_sql):
+        return dict(
+            duck.sql(f"""
+                SELECT orig_id, {SYNTH_URL_SQL} AS url FROM (
+                  SELECT doc_id AS orig_id, {shift_sql} AS doc_id
+                  FROM (SELECT doc_id FROM documents)
+                )
+            """).fetchall()
+        )
+
+    ids = [r[0] for r in duck.sql("SELECT doc_id FROM documents").fetchall()]
+    u1, u2 = urls_of("doc_id + 1"), urls_of("doc_id * 2 + 1")
+    pages = [
+        (
+            int(i),
+            f'<html><body><a href="{u1[i]}">read &amp; <b>cite</b> doc '
+            f"{i % 7}</a><p>body</p><a href='{u2[i]}'>topic  {i % 3}\n"
+            "</a></body></html>",
+        )
+        for i in ids
+    ]
+    duck.execute(
+        "CREATE OR REPLACE TABLE __anchor_pages(i BIGINT, html VARCHAR)"
+    )
+    duck.executemany("INSERT INTO __anchor_pages VALUES (?, ?)", pages)
+    pat = HTML_ANCHOR_PATTERN.replace("'", "''")
+    rows = duck.sql(f"""
+        SELECT regexp_extract_all(html, '{pat}', 1),
+               regexp_extract_all(html, '{pat}', 2)
+        FROM __anchor_pages
+    """).fetchall()
+    rd_sql = url_twin_sql("url")["registered_domain"]
+    all_hrefs = sorted({h for hrefs, _ in rows for h in hrefs})
+    duck.execute("CREATE OR REPLACE TABLE __anchor_hrefs(url VARCHAR)")
+    duck.executemany(
+        "INSERT INTO __anchor_hrefs VALUES (?)", [(h,) for h in all_hrefs]
+    )
+    dom_of = dict(
+        duck.sql(f"SELECT url, {rd_sql} FROM __anchor_hrefs").fetchall()
+    )
+
+    def clean(body: str) -> str:
+        s = _re.sub(r"(?s)<[^>]*>", " ", body)
+        s = s.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+        return _re.sub(r"\s+", " ", s).strip()
+
+    from collections import defaultdict
+
+    per_dom: dict = defaultdict(list)
+    for hrefs, bodies in rows:
+        for h, b in zip(hrefs, bodies):
+            d = dom_of[h]
+            if d:
+                per_dom[d].append(clean(b))
+    want = {
+        d: (len(ts), len(set(ts)), min(ts), max(ts))
+        for d, ts in per_dom.items()
+    }
+    assert got == want
+    assert len(got) > 1  # several target domains really appear
+
+
 def test_resolve_link_subset(spark):
     from mbfbigdatarandomforest_spark.operators.text import resolve_link
 

@@ -497,3 +497,96 @@ def test_crawl_frontier_stats_vs_python_twin(spark, duck):
     total_candidates = sum(n for n, _, _ in got.values())
     n_canon = len(rows)
     assert 0 < total_candidates < n_canon
+
+
+def test_fetch_schedule_spacing_and_boundedness(spark):
+    """r12: fetch_schedule — per-HOST politeness spacing. Kept rows
+    slot authority-first (rank desc, url tiebreak) per host; offsets
+    are exact multiples of the host's crawl-delay (default when none);
+    different hosts start at 0 in parallel; dropped (kept=false) rows
+    never appear."""
+    from mbfbigdatarandomforest_spark.plans.llm_ops import fetch_schedule
+
+    frontier = spark.createDataFrame(
+        [
+            ("https://a.example/p1", "a.example", 0.7, 2.0, True),
+            ("https://a.example/p2", "a.example", 0.7, 2.0, True),
+            ("https://a.example/p3", "a.example", 0.7, 2.0, False),
+            ("https://b.example/q1", "b.example", 0.3, None, True),
+            ("https://b.example/q2", "b.example", 0.3, None, True),
+        ],
+        "url string, domain string, rank double, crawl_delay double, "
+        "kept boolean",
+    )
+    got = {
+        r["url"]: (r["host"], r["slot"], r["fetch_offset_s"])
+        for r in fetch_schedule(frontier, default_delay=1.0).collect()
+    }
+    assert got == {
+        "https://a.example/p1": ("a.example", 1, 0.0),
+        "https://a.example/p2": ("a.example", 2, 2.0),  # declared 2.0
+        "https://b.example/q1": ("b.example", 1, 0.0),  # parallel host
+        "https://b.example/q2": ("b.example", 2, 1.0),  # default 1.0
+    }  # p3 (kept=false) absent
+
+
+def test_crawl_schedule_stats_vs_python_twin(spark, duck):
+    """The registered schedule rollup (rows-only) against the full
+    Python twin: the frontier twin's kept set, re-slotted per HOST in
+    (rank desc → all-NULL here → url asc) order, offsets spaced by the
+    fixture's 1.5 s budget."""
+    import hashlib
+    from collections import defaultdict
+
+    from mbfbigdatarandomforest_spark.operators.urls import url_twin_sql
+    from mbfbigdatarandomforest_spark.plans.llm_ops import (
+        ROBOTS_FIXTURE_BODY,
+        SYNTH_URL_SQL,
+        URL_CAP,
+    )
+    from mbfbigdatarandomforest_spark.registry import load_all
+
+    from conftest import SF_DIR_ORACLE
+
+    spec = load_all()["crawl_schedule_stats"]
+    assert spec.oracle is None  # rows-only (two windows deep)
+    got = {
+        r["domain"]: (
+            r["n_fetches"], r["max_slot"], r["makespan_s"], r["n_hosts"]
+        )
+        for _, r in spec.fn(spark, SF_DIR_ORACLE).toPandas().iterrows()
+    }
+    twin = url_twin_sql("url")
+    rows = duck.sql(f"""
+        SELECT DISTINCT {twin['normalized']} AS canon,
+               {twin['registered_domain']} AS dom,
+               {twin['host']} AS host
+        FROM (SELECT {twin['normalized']} AS url FROM
+              (SELECT {SYNTH_URL_SQL} AS url FROM documents))
+    """).fetchall()
+    per_dom = defaultdict(list)
+    host_of = {}
+    for canon, dom, host in rows:
+        path = re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "", canon) or "/"
+        if py_allowed(ROBOTS_FIXTURE_BODY, "*", path):
+            per_dom[dom].append(canon)
+            host_of[canon] = host
+    want = {}
+    for dom, urls in per_dom.items():
+        order = sorted(
+            urls, key=lambda u: (hashlib.md5(u.encode()).hexdigest(), u)
+        )
+        kept = order[:URL_CAP]
+        by_host = defaultdict(list)
+        for u in kept:
+            by_host[host_of[u]].append(u)
+        max_slot = max(len(v) for v in by_host.values())
+        want[dom] = (
+            len(kept),
+            max_slot,
+            round((max_slot - 1) * 1.5, 6),
+            len(by_host),
+        )
+    assert got == want
+    # the schedule really spaces: at least one host queues >1 fetch
+    assert any(ms > 1 for _, ms, _, _ in got.values())
