@@ -35,7 +35,11 @@ loop: anchor + sitemap candidates discovered in the dump, robots.txt
 bodies found in the dump enforced (permissions AND crawl-delay),
 domains ranked by PageRank over the observed link graph, per-domain
 cap applied — the next fetch frontier as parquet
-(url, domain, rank, crawl_delay, kept).
+(url, domain, rank, crawl_delay, kept). ``--schedule-out`` (r12, with
+``--frontier-out``) further turns the kept frontier into the
+time-ordered fetch plan: per-host slots authority-first, offsets
+spaced by each host's declared crawl-delay
+(url, domain, host, rank, slot, fetch_offset_s).
 
 Everything is deterministic: reruns produce byte-identical selections
 (md5-keyed sampling/Gumbel draws, documented in operators/).
@@ -81,6 +85,11 @@ def main() -> None:
                     help="per-domain fetch cap for --frontier-out")
     ap.add_argument("--frontier-agent", default="*",
                     help="user-agent token for the robots filter")
+    ap.add_argument("--schedule-out", default=None,
+                    help="(with --frontier-out) also emit the fetch "
+                    "PLAN: kept frontier rows slotted per host "
+                    "authority-first, offsets spaced by the host's "
+                    "robots crawl-delay")
     ap.add_argument("--seen-urls", default=None,
                     help="crawl ledger: parquet dir with a 'url' column "
                     "of already-fetched/scheduled canonical urls (e.g. a "
@@ -197,6 +206,20 @@ def main() -> None:
                 "scheduled": frontier.filter("kept").count(),
                 "domains": frontier.select("domain").distinct().count(),
             }
+            if args.schedule_out:
+                from mbfbigdatarandomforest_spark.plans.llm_ops import (
+                    fetch_schedule,
+                )
+
+                sched = fetch_schedule(frontier).localCheckpoint()
+                sched.write.mode("overwrite").parquet(args.schedule_out)
+                frontier_counts["schedule_makespan_s"] = (
+                    sched.agg(
+                        F.coalesce(
+                            F.max("fetch_offset_s"), F.lit(0.0)
+                        )
+                    ).collect()[0][0]
+                )
         if args.benchmark_text_dir:
             from mbfbigdatarandomforest_spark.sources.readers import (
                 ingest_text_documents,

@@ -308,11 +308,13 @@ def test_curation_pipeline_warc_dir_with_frontier(tmp_path):
     (d / "s1.warc.gz").write_bytes(encode_warc(pages[9:], compress=True))
     out = tmp_path / "cur"
     fr = tmp_path / "frontier"
+    sp = tmp_path / "schedule"
     r = subprocess.run(
         [
             sys.executable, "run_curation_pipeline.py",
             "--warc-dir", str(d), "--out", str(out),
             "--frontier-out", str(fr), "--frontier-cap", "3",
+            "--schedule-out", str(sp),
             "--max-tokens", "64",
         ],
         capture_output=True, text=True, timeout=600, cwd="/root/repo",
@@ -335,6 +337,16 @@ def test_curation_pipeline_warc_dir_with_frontier(tmp_path):
     content = fdf[fdf["domain"] == "content.example"]
     assert len(content) == 13 and int(content["kept"].sum()) == 3
     assert (fdf["url"] == "https://content.example/new/1").any()  # sitemap loc
+    # r12: --schedule-out emits the fetch PLAN over the kept rows —
+    # per-host slots, offsets spaced by the default 1.0 s budget (the
+    # fixture declares no crawl-delay)
+    sdf = pd.read_parquet(sp).sort_values(["host", "slot"])
+    assert len(sdf) == 5  # exactly the kept rows
+    assert set(sdf["url"]) == set(fdf[fdf["kept"]]["url"])
+    content_s = sdf[sdf["host"] == "content.example"]
+    assert content_s["slot"].tolist() == [1, 2, 3]
+    assert content_s["fetch_offset_s"].tolist() == [0.0, 1.0, 2.0]
+    assert summary["frontier"]["schedule_makespan_s"] == 2.0
 
 
 def test_two_round_crawl_loop_ledger_and_budget_refill(tmp_path):
