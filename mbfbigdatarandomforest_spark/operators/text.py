@@ -526,6 +526,148 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Space-joined word n-grams of a word array ('' when < n words)."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _gram_chars(gram: Column, n: int) -> Column:
+    """Characters of an n-gram's WORDS (the n−1 joining spaces are an
+    encoding artifact, not document characters)."""
+    return F.length(gram) - F.lit(n - 1)
+
+
+def ngram_repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The n-gram half of Gopher's repetition rules (Rae et al. 2021,
+    Table A1 — the line-level half is :func:`repetition_signals`):
+
+    - ``top_{n}_gram_char_frac`` for n in ``top_ns``: characters
+      covered by ALL occurrences of the document's most frequent word
+      n-gram, over total word characters (lowercased words — Gopher
+      normalizes case for repetition);
+    - ``dup_{n}_gram_char_frac`` for n in ``dup_ns``: characters in
+      REPEATED occurrences (beyond each gram's first) of every
+      duplicated n-gram, over total word characters — the standard
+      reimplementation contract (overlapping occurrences are counted
+      per occurrence, not de-overlapped as the paper's footnote does;
+      the pure-Python pytest oracle mirrors this definition exactly).
+
+    Degenerate docs (fewer than n words) score 0 for that n. One scan,
+    no shuffle, no Python: each n materializes ONE sorted n-gram array
+    and folds it with a struct-state ``aggregate`` (run-length over
+    the sorted array = per-gram counts) — per-row cost O(Σ n · words).
+
+    Implementation note (measured 13.6 s → 3.1 s at sf0.1): ALL
+    signals are built inside one single-element ``transform`` whose
+    lambda variable BINDS the tokenized word array — higher-order
+    array expressions are CodegenFallback, and in the interpreted
+    path every ``slice(words, ...)`` inside a gram-building lambda
+    would otherwise RE-EVALUATE the whole split/lower/filter
+    tokenization once per element (quadratic in words). The lambda
+    variable is a per-row value lookup, evaluated once."""
+    c = F.col(text_col)
+    words_expr = F.filter(
+        F.split(F.trim(F.lower(c)), TOKEN_PATTERN), lambda t: t != ""
+    )
+    # factory closures, NOT `lambda acc, g, n=n`: PySpark builds the
+    # JVM lambda from the Python callable's PARAMETER COUNT, so a
+    # default-arg capture would declare a 3-ary merge function
+    def _top_step(n: int):
+        def step(acc: Column, g: Column) -> Column:
+            run = (
+                F.when(g == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long"))
+            )
+            return F.struct(
+                g.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run * _gram_chars(g, n)).alias(
+                    "best"
+                ),
+            )
+
+        return step
+
+    def _dup_step(n: int):
+        def step(acc: Column, g: Column) -> Column:
+            return F.struct(
+                g.alias("prev"),
+                (
+                    acc["dup"]
+                    + F.when(
+                        g == acc["prev"], _gram_chars(g, n)
+                    ).otherwise(F.lit(0).cast("long"))
+                ).alias("dup"),
+            )
+
+        return step
+
+    names: list[str] = [f"top_{n}_gram_char_frac" for n in top_ns] + [
+        f"dup_{n}_gram_char_frac" for n in dup_ns
+    ]
+
+    def _signals(words: Column) -> Column:
+        """All fractions as one struct over the BOUND word array."""
+        total_chars = F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        )
+        safe_chars = F.greatest(total_chars, F.lit(1)).cast("double")
+        fields = []
+        for n in top_ns:
+            grams = F.array_sort(_word_ngrams(words, n))
+            # run-length fold: (prev gram, run len, best chars covered)
+            init = F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("best"),
+            )
+            fields.append(
+                (
+                    F.aggregate(
+                        grams, init, _top_step(n), lambda acc: acc["best"]
+                    )
+                    / safe_chars
+                ).alias(f"top_{n}_gram_char_frac")
+            )
+        for n in dup_ns:
+            grams = F.array_sort(_word_ngrams(words, n))
+            # (count−1)·chars accumulated at every repeated adjacent
+            # gram — Σ over duplicated grams of (count−1)·chars
+            init = F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).cast("long").alias("dup"),
+            )
+            fields.append(
+                (
+                    F.aggregate(
+                        grams, init, _dup_step(n), lambda acc: acc["dup"]
+                    )
+                    / safe_chars
+                ).alias(f"dup_{n}_gram_char_frac")
+            )
+        return F.struct(*fields)
+
+    # the let-binding idiom: a 1-element transform binds the evaluated
+    # word array to a lambda variable — every reference inside is a
+    # value lookup, never a re-tokenization
+    sig = F.element_at(F.transform(F.array(words_expr), _signals), 1)
+    tagged = df.withColumn("__rep_sig", sig)
+    return tagged.withColumns(
+        {name: F.col("__rep_sig")[name] for name in names}
+    ).drop("__rep_sig")
+
+
 def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 over whitespace-normalized, lowercased
     text (deterministic, SQL-replicable)."""

@@ -1875,6 +1875,38 @@ def crawl_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Repetition audit (r12): BOTH halves of Gopher Table A1's repetition
+# rules over the corpus — the line-level family (repetition_signals)
+# and the n-gram family (ngram_repetition_signals: top-{2,3}-gram and
+# duplicate-{5,10}-gram character fractions) — rolled up per source.
+# Rows-only (per-row struct-state array folds are not one SQL
+# statement); the independent Counter-based Python oracle runs in
+# tests/test_operators.py (operator) and the per-source rollup twin in
+# tests/test_operators.py::test_text_repetition_stats_vs_python_twin.
+# --------------------------------------------------------------------------
+@query("text_repetition_stats", tags=("text", "quality", "gopher"))
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = tx.ngram_repetition_signals(
+        tx.repetition_signals(docs), top_ns=(2, 3), dup_ns=(5, 10)
+    )
+    return (
+        sig.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dup_line_frac"), 9).alias("avg_dup_line_frac"),
+            F.round(F.avg("top_2_gram_char_frac"), 9).alias("avg_top2_frac"),
+            F.round(F.avg("top_3_gram_char_frac"), 9).alias("avg_top3_frac"),
+            F.round(F.avg("dup_5_gram_char_frac"), 9).alias("avg_dup5_frac"),
+            F.round(F.avg("dup_10_gram_char_frac"), 9).alias(
+                "avg_dup10_frac"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
 # Anchor-text corpus (r12): the TEXT other pages use when linking a
 # target is an independent description/quality signal for that target
 # (the classic anchor-file idea; search and crawl-curation pipelines

@@ -1185,6 +1185,152 @@ def test_repetition_signals_line_heuristics(spark):
     assert e["n_lines"] == 0 and e["max_line_len"] == 0 and e["dup_line_frac"] == 0.0
 
 
+def test_ngram_repetition_signals_vs_python_oracle(spark):
+    """r12: the n-gram half of Gopher's Table A1 repetition rules.
+    Exact closed-form checks on crafted docs plus a seeded randomized
+    sweep against an independent Counter-based Python oracle
+    implementing the SAME documented contract (top gram: chars covered
+    by all occurrences of the mode; dup grams: chars in occurrences
+    beyond each duplicated gram's first; word chars, not separator
+    spaces; case-folded words)."""
+    import re as _re
+    from collections import Counter
+
+    import numpy as np
+
+    top_ns, dup_ns = (2, 3), (5,)
+
+    def py_signals(text):
+        words = [
+            w for w in _re.split(tx.TOKEN_PATTERN, text.strip().lower()) if w
+        ]
+        total = sum(len(w) for w in words) or 1
+        out = {}
+        for kind, ns in (("top", top_ns), ("dup", dup_ns)):
+            for n in ns:
+                grams = (
+                    [" ".join(words[i: i + n]) for i in range(len(words) - n + 1)]
+                    if len(words) >= n
+                    else []
+                )
+                cnt = Counter(grams)
+                if kind == "top":
+                    val = max(
+                        (c * (len(g) - (n - 1)) for g, c in cnt.items()),
+                        default=0,
+                    )
+                else:
+                    val = sum(
+                        (c - 1) * (len(g) - (n - 1))
+                        for g, c in cnt.items()
+                        if c > 1
+                    )
+                out[f"{kind}_{n}_gram_char_frac"] = val / total
+        return out
+
+    crafted = [
+        "the cat the cat the dog",          # top-2 'the cat' ×2
+        "a b c d e a b c d e a b c d e",    # heavy 5-gram repetition
+        "all distinct words here only",     # no repetition at all
+        "tiny",                             # fewer words than any n
+        "",                                 # empty doc
+        "Case CASE case DIFFERENT different",  # case folding matters
+    ]
+    rng = np.random.default_rng(126)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    random_docs = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 40))))
+        for _ in range(25)
+    ]
+    docs = crafted + random_docs
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], ["id", "text"]
+    )
+    got = {
+        r["id"]: r
+        for r in tx.ngram_repetition_signals(
+            df, top_ns=top_ns, dup_ns=dup_ns
+        ).collect()
+    }
+    for i, t in enumerate(docs):
+        want = py_signals(t)
+        for k, v in want.items():
+            assert got[i][k] == pytest.approx(v, abs=1e-12), (i, k, t)
+    # the closed forms, spelled out
+    assert got[0]["top_2_gram_char_frac"] == pytest.approx(12 / 18)
+    assert got[2]["top_2_gram_char_frac"] > 0  # mode exists, count 1
+    assert got[2]["dup_5_gram_char_frac"] == 0.0
+    assert got[3]["top_2_gram_char_frac"] == 0.0  # < n words
+    assert got[4]["dup_5_gram_char_frac"] == 0.0  # empty doc
+    assert got[1]["dup_5_gram_char_frac"] > 0.5  # the heavy repeater
+
+
+def test_text_repetition_stats_vs_python_twin(spark, duck):
+    """The registered per-source repetition rollup (rows-only) against
+    the Counter-based Python oracle over the same corpus."""
+    import re as _re
+    from collections import Counter, defaultdict
+
+    from mbfbigdatarandomforest_spark.registry import load_all
+
+    from conftest import SF_DIR_ORACLE
+
+    spec = load_all()["text_repetition_stats"]
+    assert spec.oracle is None
+    got = {
+        r["source"]: r
+        for _, r in spec.fn(spark, SF_DIR_ORACLE).toPandas().iterrows()
+    }
+
+    def signals(text):
+        words = [
+            w for w in _re.split(tx.TOKEN_PATTERN, text.strip().lower()) if w
+        ]
+        total = sum(len(w) for w in words) or 1
+        lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
+        out = {
+            "dup_line_frac": (len(lines) - len(set(lines)))
+            / max(len(lines), 1)
+        }
+        for kind, ns in (("top", (2, 3)), ("dup", (5, 10))):
+            for n in ns:
+                grams = (
+                    [" ".join(words[i: i + n]) for i in range(len(words) - n + 1)]
+                    if len(words) >= n
+                    else []
+                )
+                cnt = Counter(grams)
+                if kind == "top":
+                    v = max(
+                        (c * (len(g) - (n - 1)) for g, c in cnt.items()),
+                        default=0,
+                    )
+                else:
+                    v = sum(
+                        (c - 1) * (len(g) - (n - 1))
+                        for g, c in cnt.items()
+                        if c > 1
+                    )
+                out[f"{kind}_{n}"] = v / total
+        return out
+
+    acc: dict = defaultdict(list)
+    for src, text in duck.sql("SELECT source, text FROM documents").fetchall():
+        acc[src].append(signals(text))
+    for src, sigs in acc.items():
+        r = got[src]
+        assert r["n_docs"] == len(sigs)
+        mean = lambda k: sum(s[k] for s in sigs) / len(sigs)  # noqa: E731
+        assert r["avg_dup_line_frac"] == pytest.approx(
+            mean("dup_line_frac"), abs=1e-9
+        )
+        assert r["avg_top2_frac"] == pytest.approx(mean("top_2"), abs=1e-9)
+        assert r["avg_top3_frac"] == pytest.approx(mean("top_3"), abs=1e-9)
+        assert r["avg_dup5_frac"] == pytest.approx(mean("dup_5"), abs=1e-9)
+        assert r["avg_dup10_frac"] == pytest.approx(mean("dup_10"), abs=1e-9)
+    assert set(got) == set(acc)
+
+
 def test_json_field_extraction(spark):
     """Typed JSON pulls: long field, string field, and the NULL
     contract for missing keys, nulls, and unparseable payloads."""

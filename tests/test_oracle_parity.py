@@ -82,13 +82,15 @@ def test_registry_fits_driver_window():
     # Pin the exact tallies so COVERAGE.md can't drift from the registry
     # (round-5 verdict nit: the doc said 71 when the registry held 72).
     # Update BOTH this assertion and COVERAGE.md when (de)registering.
-    assert len(names) == 77, f"registry holds {len(names)} queries, docs say 77"
+    assert len(names) == 78, f"registry holds {len(names)} queries, docs say 78"
     assert len(oracles) == 50, f"{len(oracles)} oracle gates, docs say 50"
     # r12 additions past the window (rows-only, pytest-twinned in
-    # tests/test_linkgraph.py and tests/test_robots.py): the
-    # anchor-text corpus rollup and the politeness fetch schedule.
+    # tests/test_linkgraph.py, tests/test_robots.py and
+    # tests/test_operators.py): the anchor-text corpus rollup, the
+    # politeness fetch schedule, and the Gopher n-gram repetition audit.
     assert SPECS["anchor_text_stats"].oracle is None
     assert SPECS["crawl_schedule_stats"].oracle is None
+    assert SPECS["text_repetition_stats"].oracle is None
     # Round-11 gate swap (verdict item 2): customers_with_orders +
     # orders_without_lineitems fused into the method-tagged
     # semi_anti_suite (both join methods still hash-gated there); the
