@@ -576,7 +576,9 @@ def ngram_repetition_signals(
     would otherwise RE-EVALUATE the whole split/lower/filter
     tokenization once per element (quadratic in words). The lambda
     variable is a per-row value lookup, evaluated once."""
-    c = F.col(text_col)
+    # NULL text scores like the empty document (all fractions 0), so a
+    # NULL-skipping avg downstream can never silently shrink its count
+    c = F.coalesce(F.col(text_col), F.lit(""))
     words_expr = F.filter(
         F.split(F.trim(F.lower(c)), TOKEN_PATTERN), lambda t: t != ""
     )

@@ -1235,6 +1235,7 @@ def test_ngram_repetition_signals_vs_python_oracle(spark):
         "tiny",                             # fewer words than any n
         "",                                 # empty doc
         "Case CASE case DIFFERENT different",  # case folding matters
+        None,                               # NULL text scores like ""
     ]
     rng = np.random.default_rng(126)
     vocab = ["alpha", "beta", "gamma", "delta", "eps"]
@@ -1253,7 +1254,7 @@ def test_ngram_repetition_signals_vs_python_oracle(spark):
         ).collect()
     }
     for i, t in enumerate(docs):
-        want = py_signals(t)
+        want = py_signals(t or "")  # NULL text scores like ""
         for k, v in want.items():
             assert got[i][k] == pytest.approx(v, abs=1e-12), (i, k, t)
     # the closed forms, spelled out
