@@ -426,7 +426,7 @@ def banded_minhash_pairs(
     return exact_jaccard_verify(cand, shingled, threshold)
 
 
-def _banded_minhash_candidates(
+def _band_buckets(
     shingled: DataFrame,
     *,
     bands: int,
@@ -434,18 +434,23 @@ def _banded_minhash_candidates(
     seed: int,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Candidate (id_a, id_b) pairs from deterministic banded MinHash
-    over a cached (id, shingles) frame.
+    """(id, band, bucket) rows of the deterministic banded-MinHash
+    signature over a cached (id, shingles) frame — the shared bucket
+    builder of the intra-corpus self-join (``banded_minhash_pairs``)
+    and the cross-snapshot join (``incremental_minhash_pairs``; the
+    signature family is derived purely from ``seed``, no fitted model,
+    so two frames bucketed with the same parameters land near-dups in
+    the same (band, bucket) keys by construction).
 
-    ``max_bucket_size`` is the web-scale hot-bucket guard: the
-    (band, bucket) self-join emits O(m²) pairs from an m-doc bucket, so
-    one boilerplate cluster of 10⁵ near-identical docs would mint 5·10⁹
-    candidates per band and sink the stage. Buckets larger than the cap
-    are DROPPED before the join (documented recall trade: pairs inside
-    a giant bucket are lost — run ``exact_dedup`` first so identical
-    docs never reach LSH, which is the pipeline order every production
-    dedup uses; ``curation_funnel`` does). ``None`` keeps the exact
-    uncapped behavior (the hash-gated configuration)."""
+    ``max_bucket_size`` is the web-scale hot-bucket guard: a bucket
+    join emits O(m²)/O(m·k) pairs from an m-doc bucket, so one
+    boilerplate cluster of 10⁵ near-identical docs would mint 5·10⁹
+    candidates per band and sink the stage. Buckets larger than the
+    cap are DROPPED before the join (documented recall trade: pairs
+    inside a giant bucket are lost — run ``exact_dedup`` first so
+    identical docs never reach LSH, which is the pipeline order every
+    production dedup uses; ``curation_funnel`` does). ``None`` keeps
+    the exact uncapped behavior (the hash-gated configuration)."""
     hashed = shingled.withColumn(
         "sh_hashes", F.transform("shingles", lambda x: F.xxhash64(x))
     )
@@ -476,7 +481,7 @@ def _banded_minhash_candidates(
 
     if max_bucket_size is not None:
         # size via a window over the SAME (band, bucket) partitioning the
-        # self-join shuffles on — one exchange, no second signature pass
+        # join shuffles on — one exchange, no second signature pass
         # (a groupBy+join would re-evaluate the whole minhash subtree
         # under the aggregate); per-window state is one bucket's rows
         from pyspark.sql import Window
@@ -487,6 +492,146 @@ def _banded_minhash_candidates(
             .filter(F.col("__bsz") <= max_bucket_size)
             .drop("__bsz")
         )
+    return buckets
+
+
+def incremental_minhash_pairs(
+    new: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(new_id, ref_id, jaccard) near-duplicate pairs of a NEW corpus
+    snapshot against the EXISTING dataset (r12) — the cross-snapshot
+    question every incremental ingestion pipeline asks before
+    appending a crawl to a deduped corpus.
+
+    Cross-frame banding: the minhash signature family derives purely
+    from ``seed`` (no fitted model — the r4 design choice paying off),
+    so bucketing both frames with the same parameters lands true
+    near-dups in the same (band, bucket) keys BY CONSTRUCTION. The
+    candidate join is new-buckets ⋈ ref-buckets — never ref ⋈ ref (the
+    existing dataset's internal pairs are not this operator's
+    question), so candidate volume is bounded by the NEW side's bucket
+    occupancy, not the accumulated corpus². Verification is the same
+    exact-Jaccard join as the intra-corpus path, shingle arrays
+    carried only for candidate ids."""
+    sh_new = _shingle_frame(new, text_col, id_col, n).cache()
+    sh_new.count()  # eager: feeds the bucket build AND the verify join
+    sh_ref = _shingle_frame(reference, text_col, id_col, n).cache()
+    sh_ref.count()
+    kw = dict(
+        bands=bands,
+        rows_per_band=rows_per_band,
+        seed=seed,
+        max_bucket_size=max_bucket_size,
+    )
+    b_new = _band_buckets(sh_new, **kw).select(
+        F.col("id").alias("new_id"), "band", "bucket"
+    )
+    b_ref = _band_buckets(sh_ref, **kw).select(
+        F.col("id").alias("ref_id"), "band", "bucket"
+    )
+    cand = (
+        b_new.join(b_ref, ["band", "bucket"])
+        .select("new_id", "ref_id")
+        .distinct()
+    )
+    return (
+        cand.join(
+            sh_new.select(
+                F.col("id").alias("new_id"), F.col("shingles").alias("sh_a")
+            ),
+            "new_id",
+        )
+        .join(
+            sh_ref.select(
+                F.col("id").alias("ref_id"), F.col("shingles").alias("sh_b")
+            ),
+            "ref_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "ref_id", "jaccard")
+    )
+
+
+def incremental_dedup(
+    new: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Surviving rows of ``new`` after two cross-snapshot tiers: EXACT
+    duplicates of the existing dataset drop first (whitespace/case-
+    normalized md5 fingerprint anti-join — ``text.fingerprint``, the
+    same normalization the intra-corpus exact tier keys on), then
+    NEAR-duplicates (:func:`incremental_minhash_pairs` ≥ ``threshold``)
+    — the production tier order: identical docs never reach LSH, which
+    also keeps the hot-bucket guard meaningful. Only removes rows,
+    never reorders or rewrites them — the incremental-ingestion gate
+    in front of a corpus append."""
+    from .text import fingerprint
+
+    ref_fp = reference.select(fingerprint(text_col).alias("__fp")).distinct()
+    fresh = (
+        new.withColumn("__fp", fingerprint(text_col))
+        .join(ref_fp, "__fp", "left_anti")
+        .drop("__fp")
+    )
+    near = (
+        incremental_minhash_pairs(
+            fresh,
+            reference,
+            text_col=text_col,
+            id_col=id_col,
+            n=n,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            threshold=threshold,
+            seed=seed,
+            max_bucket_size=max_bucket_size,
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return fresh.join(near, id_col, "left_anti")
+
+
+def _banded_minhash_candidates(
+    shingled: DataFrame,
+    *,
+    bands: int,
+    rows_per_band: int,
+    seed: int,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from deterministic banded MinHash
+    over a cached (id, shingles) frame (see :func:`_band_buckets` for
+    the signature build and the hot-bucket guard)."""
+    buckets = _band_buckets(
+        shingled,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        seed=seed,
+        max_bucket_size=max_bucket_size,
+    )
     left = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
     right = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
     return (

@@ -136,6 +136,52 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Incremental (cross-snapshot) dedup (r12): a NEW crawl snapshot gated
+# against the EXISTING dataset before appending — exact-fingerprint
+# anti-join, then cross-frame banded MinHash (new-buckets ⋈
+# ref-buckets, never ref²). The fixture plants both tiers: exact
+# copies and one-token-appended near-dups of reference docs under
+# shifted ids, so the planted_*_kept columns are the operator's own
+# evidence (must be 0). Rows-only (LSH bucketing is not one SQL
+# statement); brute-force Python twin in tests/test_operators.py.
+# --------------------------------------------------------------------------
+PLANTED_EXACT_BASE = 10_000_000
+PLANTED_NEAR_BASE = 20_000_000
+
+
+@query("dedup_incremental_stats", tags=("dedup", "minhash", "incremental"))
+def dedup_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    planted_exact = ref.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + PLANTED_EXACT_BASE).alias("doc_id"), "text"
+    )
+    planted_near = ref.filter(F.col("doc_id") % 10 == 4).select(
+        (F.col("doc_id") + PLANTED_NEAR_BASE).alias("doc_id"),
+        F.concat("text", F.lit(" zyzzyva")).alias("text"),
+    )
+    new = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .unionByName(planted_exact)
+        .unionByName(planted_near)
+    )
+    kept = dd.incremental_dedup(new, ref, threshold=0.7, seed=42)
+    is_exact = (F.col("doc_id") >= PLANTED_EXACT_BASE) & (
+        F.col("doc_id") < PLANTED_NEAR_BASE
+    )
+    is_near = F.col("doc_id") >= PLANTED_NEAR_BASE
+    n_new = new.count()
+    n_ref = ref.count()
+    return kept.agg(
+        F.lit(n_new).alias("n_new"),
+        F.lit(n_ref).alias("n_ref"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(is_exact.cast("long")).alias("planted_exact_kept"),
+        F.sum(is_near.cast("long")).alias("planted_near_kept"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Brute-force cosine top-k similarity search (exact baseline).
 # --------------------------------------------------------------------------
 _COS_DOT = (

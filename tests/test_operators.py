@@ -1266,6 +1266,105 @@ def test_ngram_repetition_signals_vs_python_oracle(spark):
     assert got[1]["dup_5_gram_char_frac"] > 0.5  # the heavy repeater
 
 
+def test_incremental_dedup_vs_bruteforce(spark):
+    """r12: cross-snapshot dedup — a NEW snapshot gated against the
+    EXISTING dataset. Brute-force Python twin over the registered
+    fixture construction at sf0.001: the exact tier must equal
+    normalized-text membership exactly; every near-tier drop must have
+    a true Jaccard >= threshold against some reference doc (exact
+    precision); recall over brute-force matches >= 0.8 (the LSH
+    operating point); both planted families (exact copies, one-token
+    near-dups) must be fully dropped."""
+    import re as _re
+
+    from mbfbigdatarandomforest_spark.plans.llm_ops import (
+        PLANTED_EXACT_BASE,
+        PLANTED_NEAR_BASE,
+    )
+    from mbfbigdatarandomforest_spark.registry import load_all
+
+    from conftest import SF_DIR_SMALL
+
+    spec = load_all()["dedup_incremental_stats"]
+    assert spec.oracle is None
+    row = spec.fn(spark, SF_DIR_SMALL).collect()[0]
+    # the operator's own planted evidence
+    assert row["planted_exact_kept"] == 0
+    assert row["planted_near_kept"] == 0
+    assert 0 < row["n_kept"] < row["n_new"]
+
+    # ---- brute-force twin over the same construction ----
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    ref = {i: t for i, t in docs.items() if i % 2 == 0}
+    new = {i: t for i, t in docs.items() if i % 2 == 1}
+    new.update(
+        {i + PLANTED_EXACT_BASE: t for i, t in ref.items() if i % 10 == 0}
+    )
+    new.update(
+        {
+            i + PLANTED_NEAR_BASE: t + " zyzzyva"
+            for i, t in ref.items()
+            if i % 10 == 4
+        }
+    )
+    assert row["n_new"] == len(new) and row["n_ref"] == len(ref)
+
+    def norm(t):
+        return _re.sub(r"\s+", " ", t.strip().lower())
+
+    def sh(t):
+        toks = [w for w in _re.split(r"\s+", t.strip().lower()) if w]
+        return {
+            " ".join(toks[i: i + 3]) for i in range(len(toks) - 2)
+        }
+
+    ref_norms = {norm(t) for t in ref.values()}
+    fresh = {i: t for i, t in new.items() if norm(t) not in ref_norms}
+    ref_sh = {i: sh(t) for i, t in ref.items()}
+    bf_matched = set()
+    for i, t in fresh.items():
+        s = sh(t)
+        if not s:
+            continue
+        for rs in ref_sh.values():
+            inter = len(s & rs)
+            if inter and inter / len(s | rs) >= 0.7:
+                bf_matched.add(i)
+                break
+    # drive the operator directly to get the kept SET
+    import mbfbigdatarandomforest_spark.operators.dedup as dd_ops
+
+    new_df = spark.createDataFrame(
+        list(new.items()), "doc_id long, text string"
+    )
+    ref_df = spark.createDataFrame(
+        list(ref.items()), "doc_id long, text string"
+    )
+    kept = {
+        r["doc_id"]
+        for r in dd_ops.incremental_dedup(
+            new_df, ref_df, threshold=0.7, seed=42
+        ).collect()
+    }
+    assert len(kept) == row["n_kept"]  # the registered rollup agrees
+    # tier 1 is EXACT: everything fingerprint-matched is gone, nothing
+    # fingerprint-fresh was dropped except by tier 2
+    assert kept <= set(fresh)
+    dropped2 = set(fresh) - kept
+    # precision is exact (the verify join guarantees it)
+    assert dropped2 <= bf_matched, sorted(dropped2 - bf_matched)[:5]
+    # recall at the operating point
+    if bf_matched:
+        assert len(dropped2 & bf_matched) / len(bf_matched) >= 0.8
+    # planted near-dups are far above threshold — all caught
+    assert not (kept & {i for i in new if i >= PLANTED_NEAR_BASE})
+
+
 def test_text_repetition_stats_vs_python_twin(spark, duck):
     """The registered per-source repetition rollup (rows-only) against
     the Counter-based Python oracle over the same corpus."""

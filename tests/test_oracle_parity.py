@@ -82,15 +82,17 @@ def test_registry_fits_driver_window():
     # Pin the exact tallies so COVERAGE.md can't drift from the registry
     # (round-5 verdict nit: the doc said 71 when the registry held 72).
     # Update BOTH this assertion and COVERAGE.md when (de)registering.
-    assert len(names) == 78, f"registry holds {len(names)} queries, docs say 78"
+    assert len(names) == 79, f"registry holds {len(names)} queries, docs say 79"
     assert len(oracles) == 50, f"{len(oracles)} oracle gates, docs say 50"
     # r12 additions past the window (rows-only, pytest-twinned in
     # tests/test_linkgraph.py, tests/test_robots.py and
     # tests/test_operators.py): the anchor-text corpus rollup, the
-    # politeness fetch schedule, and the Gopher n-gram repetition audit.
+    # politeness fetch schedule, the Gopher n-gram repetition audit,
+    # and the cross-snapshot incremental dedup gate.
     assert SPECS["anchor_text_stats"].oracle is None
     assert SPECS["crawl_schedule_stats"].oracle is None
     assert SPECS["text_repetition_stats"].oracle is None
+    assert SPECS["dedup_incremental_stats"].oracle is None
     # Round-11 gate swap (verdict item 2): customers_with_orders +
     # orders_without_lineitems fused into the method-tagged
     # semi_anti_suite (both join methods still hash-gated there); the
