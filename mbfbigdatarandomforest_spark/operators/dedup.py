@@ -495,9 +495,120 @@ def _band_buckets(
     return buckets
 
 
+def _index_subdir(path: str, name: str) -> str:
+    return path.rstrip("/") + "/" + name
+
+
+def build_dedup_index(
+    reference: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    seed: int = 42,
+) -> None:
+    """Materialize the EXISTING dataset's cross-snapshot dedup state as
+    a persistable parquet index (r13): the signature family is derived
+    purely from ``seed`` (no fitted model — the r4 design choice), so
+    the reference side of :func:`incremental_dedup` is pure data that
+    can be written ONCE and appended per accepted snapshot instead of
+    re-shingled and re-bucketed per gate. At 100 TB accumulated corpus
+    and a 1 TB snapshot, the rebuild path re-derives ~99 % identical
+    state every ingest — the index makes the per-snapshot cost O(new)
+    compute plus a narrow parquet scan of the index (no corpus-side
+    shingling, hashing, or shuffle).
+
+    Layout (all parquet under ``path``):
+
+    - ``fingerprints/`` — distinct whitespace/case-normalized md5 over
+      ALL reference rows (the exact tier's anti-join side);
+    - ``buckets/`` — (id, band, bucket) LSH keys, UNCAPPED (the
+      hot-bucket guard needs FULL bucket sizes, so capping is a
+      query-time window — rebuild-path semantics preserved exactly);
+    - ``shingles/`` — (id, shingles) for the exact-Jaccard verify join
+      (column-pruned at query time: only candidate ids' arrays move);
+    - ``meta/`` — one row (version, n, bands, rows_per_band, seed):
+      the index is self-describing, and the query path takes its
+      STRUCTURAL parameters from here (a seed mismatch would silently
+      bucket the two sides incompatibly).
+
+    Append accepted snapshots with :func:`append_dedup_index`. Writes
+    use mode("error") — building over an existing index raises.
+    Concurrent appends need external coordination (one writer per
+    snapshot — the ingestion-pipeline contract)."""
+    from .text import fingerprint
+
+    spark = reference.sparkSession
+    spark.createDataFrame(
+        [(1, n, bands, rows_per_band, seed)],
+        "version int, n int, bands int, rows_per_band int, seed long",
+    ).coalesce(1).write.mode("error").parquet(_index_subdir(path, "meta"))
+    reference.select(
+        fingerprint(text_col).alias("fp")
+    ).distinct().write.mode("error").parquet(
+        _index_subdir(path, "fingerprints")
+    )
+    sh = _shingle_frame(reference, text_col, id_col, n).cache()
+    sh.count()  # eager: feeds the bucket build AND the shingle write
+    sh.write.mode("error").parquet(_index_subdir(path, "shingles"))
+    _band_buckets(
+        sh, bands=bands, rows_per_band=rows_per_band, seed=seed
+    ).write.mode("error").parquet(_index_subdir(path, "buckets"))
+    sh.unpersist()
+
+
+def _read_dedup_index_meta(spark, path: str) -> dict:
+    rows = spark.read.parquet(_index_subdir(path, "meta")).collect()
+    if len(rows) != 1:
+        raise ValueError(f"dedup index at {path!r} has a malformed meta")
+    meta = rows[0].asDict()
+    if meta["version"] != 1:
+        raise ValueError(
+            f"dedup index version {meta['version']} unsupported"
+        )
+    return meta
+
+
+def append_dedup_index(
+    accepted: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append an ACCEPTED snapshot's keys to a dedup index built by
+    :func:`build_dedup_index` — the post-gate half of the incremental
+    ingestion cycle (gate → append survivors → next snapshot sees
+    them). Structural parameters come from the index's own meta, so an
+    append can never bucket incompatibly. Appends distinct fingerprints
+    WITHIN the snapshot (cross-snapshot fp duplicates are harmless for
+    the anti-join and avoided anyway: an accepted row is by definition
+    fingerprint-fresh vs the index). Cost is O(accepted), one parquet
+    append per sub-table."""
+    meta = _read_dedup_index_meta(accepted.sparkSession, path)
+    from .text import fingerprint
+
+    accepted.select(
+        fingerprint(text_col).alias("fp")
+    ).distinct().write.mode("append").parquet(
+        _index_subdir(path, "fingerprints")
+    )
+    sh = _shingle_frame(accepted, text_col, id_col, meta["n"]).cache()
+    sh.count()
+    sh.write.mode("append").parquet(_index_subdir(path, "shingles"))
+    _band_buckets(
+        sh,
+        bands=meta["bands"],
+        rows_per_band=meta["rows_per_band"],
+        seed=meta["seed"],
+    ).write.mode("append").parquet(_index_subdir(path, "buckets"))
+    sh.unpersist()
+
+
 def incremental_minhash_pairs(
     new: DataFrame,
-    reference: DataFrame,
+    reference: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
@@ -506,11 +617,17 @@ def incremental_minhash_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    index: str | None = None,
 ) -> DataFrame:
     """(new_id, ref_id, jaccard) near-duplicate pairs of a NEW corpus
     snapshot against the EXISTING dataset (r12) — the cross-snapshot
     question every incremental ingestion pipeline asks before
-    appending a crawl to a deduped corpus.
+    appending a crawl to a deduped corpus. Pass exactly one of
+    ``reference`` (rebuild the reference side in-flight) or ``index``
+    (a :func:`build_dedup_index` path — the pipeline-economical form:
+    per-snapshot work is O(new) compute plus a narrow index scan; with
+    ``index``, the structural parameters n/bands/rows_per_band/seed
+    come from the index's meta, not this signature).
 
     Cross-frame banding: the minhash signature family derives purely
     from ``seed`` (no fitted model — the r4 design choice paying off),
@@ -521,29 +638,62 @@ def incremental_minhash_pairs(
     question), so candidate volume is bounded by the NEW side's bucket
     occupancy, not the accumulated corpus². Verification is the same
     exact-Jaccard join as the intra-corpus path, shingle arrays
-    carried only for candidate ids."""
+    carried only for candidate ids. The result is eagerly materialized
+    (localCheckpoint) so the internal shingle caches can be released
+    before returning — repeated gates in a long-lived session no
+    longer accumulate O(corpus) cached blocks (ADVICE r12)."""
+    if (reference is None) == (index is None):
+        raise ValueError("pass exactly one of reference / index")
+    spark = new.sparkSession
+    caches: list[DataFrame] = []
+    if index is not None:
+        meta = _read_dedup_index_meta(spark, index)
+        n = meta["n"]
+        bands = meta["bands"]
+        rows_per_band = meta["rows_per_band"]
+        seed = meta["seed"]
+        b_ref = spark.read.parquet(_index_subdir(index, "buckets"))
+        if max_bucket_size is not None:
+            # rebuild-path semantics exactly: cap by the FULL reference
+            # bucket size (the stored buckets are uncapped), one window
+            # over the narrow (id, band, bucket) scan
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("band", "bucket")
+            b_ref = (
+                b_ref.withColumn("__bsz", F.count(F.lit(1)).over(w))
+                .filter(F.col("__bsz") <= max_bucket_size)
+                .drop("__bsz")
+            )
+        b_ref = b_ref.select(F.col("id").alias("ref_id"), "band", "bucket")
+        sh_ref = spark.read.parquet(_index_subdir(index, "shingles"))
+    else:
+        sh_ref = _shingle_frame(reference, text_col, id_col, n).cache()
+        sh_ref.count()
+        caches.append(sh_ref)
+        b_ref = _band_buckets(
+            sh_ref,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            seed=seed,
+            max_bucket_size=max_bucket_size,
+        ).select(F.col("id").alias("ref_id"), "band", "bucket")
     sh_new = _shingle_frame(new, text_col, id_col, n).cache()
     sh_new.count()  # eager: feeds the bucket build AND the verify join
-    sh_ref = _shingle_frame(reference, text_col, id_col, n).cache()
-    sh_ref.count()
-    kw = dict(
+    caches.append(sh_new)
+    b_new = _band_buckets(
+        sh_new,
         bands=bands,
         rows_per_band=rows_per_band,
         seed=seed,
         max_bucket_size=max_bucket_size,
-    )
-    b_new = _band_buckets(sh_new, **kw).select(
-        F.col("id").alias("new_id"), "band", "bucket"
-    )
-    b_ref = _band_buckets(sh_ref, **kw).select(
-        F.col("id").alias("ref_id"), "band", "bucket"
-    )
+    ).select(F.col("id").alias("new_id"), "band", "bucket")
     cand = (
         b_new.join(b_ref, ["band", "bucket"])
         .select("new_id", "ref_id")
         .distinct()
     )
-    return (
+    pairs = (
         cand.join(
             sh_new.select(
                 F.col("id").alias("new_id"), F.col("shingles").alias("sh_a")
@@ -564,11 +714,18 @@ def incremental_minhash_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "ref_id", "jaccard")
     )
+    # bound the cache lifetime (ADVICE r12): the verified pair set is
+    # the operator's small output — materialize it once, then release
+    # the O(corpus) shingle blocks instead of leaking them per gate
+    pairs = pairs.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return pairs
 
 
 def incremental_dedup(
     new: DataFrame,
-    reference: DataFrame,
+    reference: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
@@ -577,6 +734,8 @@ def incremental_dedup(
     threshold: float = 0.5,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    index: str | None = None,
+    dedup_within_new: bool = False,
 ) -> DataFrame:
     """Surviving rows of ``new`` after two cross-snapshot tiers: EXACT
     duplicates of the existing dataset drop first (whitespace/case-
@@ -586,15 +745,60 @@ def incremental_dedup(
     — the production tier order: identical docs never reach LSH, which
     also keeps the hot-bucket guard meaningful. Only removes rows,
     never reorders or rewrites them — the incremental-ingestion gate
-    in front of a corpus append."""
+    in front of a corpus append.
+
+    Pass exactly one of ``reference`` (reference side rebuilt
+    in-flight — O(corpus) per gate) or ``index`` (a
+    :func:`build_dedup_index` path — per-snapshot cost O(new) compute
+    plus a narrow index scan; structural parameters come from the
+    index's meta). After accepting the survivors, call
+    :func:`append_dedup_index` so the next snapshot sees them.
+
+    ``dedup_within_new=False`` (the default, and the r12 contract)
+    answers ONLY new-vs-reference: a snapshot containing its own dup
+    pairs keeps both. ``dedup_within_new=True`` composes the
+    intra-corpus tiers over the reference-fresh rows — exact internal
+    dups keep the FIRST survivor (min ``id_col`` per fingerprint,
+    deterministic), then the banded intra pass + min-id-per-cluster
+    (:func:`dedup_filter`'s canonical-representative contract) drops
+    internal near-dups among the rows that survived the reference
+    gate (a doc whose only near-twin was itself dropped by the
+    reference tier rightly survives: its twin never reaches the
+    corpus)."""
+    if (reference is None) == (index is None):
+        raise ValueError("pass exactly one of reference / index")
     from .text import fingerprint
 
-    ref_fp = reference.select(fingerprint(text_col).alias("__fp")).distinct()
+    spark = new.sparkSession
+    if index is not None:
+        meta = _read_dedup_index_meta(spark, index)
+        n = meta["n"]
+        bands = meta["bands"]
+        rows_per_band = meta["rows_per_band"]
+        seed = meta["seed"]
+        ref_fp = spark.read.parquet(
+            _index_subdir(index, "fingerprints")
+        ).select(F.col("fp").alias("__fp"))
+    else:
+        ref_fp = reference.select(
+            fingerprint(text_col).alias("__fp")
+        ).distinct()
     fresh = (
         new.withColumn("__fp", fingerprint(text_col))
         .join(ref_fp, "__fp", "left_anti")
-        .drop("__fp")
     )
+    if dedup_within_new:
+        # exact internal tier: first survivor (min id) per fingerprint
+        # — a window over the SAME __fp key the anti-join shuffled on
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__fp").orderBy(id_col)
+        fresh = (
+            fresh.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    fresh = fresh.drop("__fp")
     near = (
         incremental_minhash_pairs(
             fresh,
@@ -607,11 +811,33 @@ def incremental_dedup(
             threshold=threshold,
             seed=seed,
             max_bucket_size=max_bucket_size,
+            index=index,
         )
         .select(F.col("new_id").alias(id_col))
         .distinct()
     )
-    return fresh.join(near, id_col, "left_anti")
+    kept = fresh.join(near, id_col, "left_anti")
+    if dedup_within_new:
+        # near internal tier over the reference-gate survivors: the
+        # established intra-corpus composition (banded pass + min-id
+        # canonical representative per connected near-dup cluster)
+        sh_kept = _shingle_frame(kept, text_col, id_col, n).cache()
+        sh_kept.count()
+        intra = banded_minhash_pairs(
+            kept,
+            text_col=text_col,
+            id_col=id_col,
+            n=n,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            threshold=threshold,
+            seed=seed,
+            shingled=sh_kept,
+            max_bucket_size=max_bucket_size,
+        ).localCheckpoint(eager=True)  # same bounded-cache discipline
+        sh_kept.unpersist()
+        kept = dedup_filter(kept, intra, id_col=id_col)
+    return kept
 
 
 def _banded_minhash_candidates(

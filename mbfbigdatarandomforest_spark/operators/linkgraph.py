@@ -29,6 +29,8 @@ SCALE.md §15.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -328,6 +330,22 @@ def pagerank_multi(
     (node, <name> for each key), each column summing to 1."""
     if not teleports:
         raise ValueError("teleports must name at least one rank column")
+    # teleport keys become internal (__traw_/__t_/__r_{name}) and final
+    # output column names — reserved names or characters F.col parses
+    # specially (dots, backticks) would produce duplicate/ambiguous
+    # columns deep inside the loop, so reject them up front
+    _ident = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    for name in teleports:
+        if name in ("node", "src", "dst", "w", "out_w"):
+            raise ValueError(
+                f"teleport name {name!r} collides with an internal "
+                "column; pick another rank-column name"
+            )
+        if not _ident.match(name):
+            raise ValueError(
+                f"teleport name {name!r} must be an identifier "
+                "([A-Za-z_][A-Za-z0-9_]*) — it becomes a column name"
+            )
     names = list(teleports)
     _persisted_ids, _ckpt, _free = _ckpt_tools(edges)
 
@@ -600,20 +618,40 @@ def hits(
         pass  # non-integer conf (e.g. "auto") — leave the width alone
     # Normalization is a scalar multiply and both update maps are
     # linear, so the direction sequence is invariant to WHEN we
-    # rescale. Fixed-iteration mode with no probe defers it: rescale
-    # every 5 rounds + once at the end (one 2-value aggregate instead
-    # of two per round — the dominant job count on small graphs).
-    # Overflow guard: values grow by ≤ σ₁² ≤ (n·max_deg) per round;
-    # 5 unrescaled rounds stay far inside double range for any graph
-    # that fits a cluster. Convergence mode (tol>0 or stats) keeps the
-    # classic per-round normalization — the delta needs it.
+    # rescale. Fixed-iteration mode with no probe (what every
+    # registered query runs) pays ONE eager checkpoint per round and
+    # NOTHING else (r13, VERDICT item 2 — pagerank's fixed-iteration
+    # shape): both halves ride one lineage (h_un = A·a_un needs only
+    # the aggregated a_un frame — nodes with no incoming mass
+    # contribute 0 to every hub sum, so the intermediate
+    # auth-on-every-node frame never needs materializing; Catalyst's
+    # ReuseExchange collapses the duplicated a_un subtree), and the
+    # every-5-rounds overflow rescale folds into the NEXT round's
+    # checkpoint job as a broadcast 1-row aggregate — zero mid-loop
+    # driver actions. Overflow guard: values grow by ≤ σ₁² ≤
+    # (n·max_deg) per round; 5 unrescaled rounds stay far inside
+    # double range for any graph that fits a cluster. Convergence mode
+    # (tol>0 or stats) keeps the classic per-round normalization —
+    # the delta needs it.
     track = tol > 0 or stats is not None
     norm_every = 1 if track else 5
+
+    def _rescaled(frame: DataFrame) -> DataFrame:
+        """L2-rescale both vectors WITHOUT a driver action: the 1-row
+        norm aggregate broadcasts into the consuming job's plan."""
+        norms = frame.agg(
+            F.sqrt(F.sum(F.col("hub") * F.col("hub"))).alias("__hn"),
+            F.sqrt(F.sum(F.col("auth") * F.col("auth"))).alias("__an"),
+        )
+        return frame.crossJoin(F.broadcast(norms)).select(
+            "node",
+            (F.col("hub") / F.col("__hn")).alias("hub"),
+            (F.col("auth") / F.col("__an")).alias("auth"),
+        )
+
     try:
         for it in range(max_iter):
-            # authority half: a_un = Aᵀ·h on EVERY node (0 when nothing
-            # points at it), checkpointed (consumed by the hub half and
-            # carried into the round's state)
+            # authority half: a_un = Aᵀ·h, aggregated once per round
             a_in = (
                 e.join(
                     state.select(F.col("node").alias("src"), "hub"), "src"
@@ -621,32 +659,27 @@ def hits(
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum(F.col("hub") * F.col("w")).alias("a_un"))
             )
-            half, half_ids = _ckpt(
-                state.join(a_in, "node", "left").select(
-                    "node",
-                    "hub",
-                    F.coalesce("a_un", F.lit(0.0)).alias("auth"),
-                )
-            )
-            # hub half: h_un = A·a
+            # hub half: h_un = A·a' — join the aggregated a_un straight
+            # back to the edges (absent dsts hold a' = 0: no term)
             h_in = (
-                half.select(F.col("node").alias("dst"), "auth")
+                a_in.select(F.col("node").alias("dst"), "a_un")
                 .join(e, "dst")
                 .groupBy(F.col("src").alias("node"))
-                .agg(F.sum(F.col("auth") * F.col("w")).alias("h_un"))
+                .agg(F.sum(F.col("a_un") * F.col("w")).alias("h_un"))
             )
             nxt, nxt_ids = _ckpt(
-                half.join(h_in, "node", "left").select(
+                state.join(a_in, "node", "left")
+                .join(h_in, "node", "left")
+                .select(
                     "node",
-                    "auth",
+                    F.coalesce("a_un", F.lit(0.0)).alias("auth"),
                     F.coalesce("h_un", F.lit(0.0)).alias("hub"),
                     F.col("hub").alias("__prev_hub"),
                 )
             )
-            _free(half_ids)
             _free(state_ids)
             state, state_ids = nxt.select("node", "hub", "auth"), nxt_ids
-            if track or (it + 1) % norm_every == 0 or it + 1 == max_iter:
+            if track:
                 norms = state.agg(
                     F.sqrt(F.sum(F.col("hub") * F.col("hub"))).alias("hn"),
                     F.sqrt(F.sum(F.col("auth") * F.col("auth"))).alias("an"),
@@ -657,7 +690,6 @@ def hits(
                     (F.col("hub") / F.lit(h_norm)).alias("hub"),
                     (F.col("auth") / F.lit(a_norm)).alias("auth"),
                 )
-            if track:
                 # __prev_hub is normalized (track mode normalizes every
                 # round), so the L1 delta compares like with like
                 delta = float(
@@ -673,9 +705,17 @@ def hits(
                     )
                 if tol > 0 and delta <= tol:
                     break
+            elif (it + 1) % norm_every == 0 and it + 1 < max_iter:
+                # overflow rescale, evaluated inside the NEXT round's
+                # checkpoint job — no driver action here
+                state = _rescaled(state)
     finally:
         sess.conf.set(sp_key, old_sp)
     _free(e_ids)
+    # the exact L2 normalization the contract promises, deferred to the
+    # caller's first action in fixed-iteration mode
+    if not track:
+        state = _rescaled(state)
     return state.select("node", "hub", F.col("auth").alias("authority"))
 
 

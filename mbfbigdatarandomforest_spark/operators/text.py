@@ -553,9 +553,12 @@ def ngram_repetition_signals(
     Table A1 — the line-level half is :func:`repetition_signals`):
 
     - ``top_{n}_gram_char_frac`` for n in ``top_ns``: characters
-      covered by ALL occurrences of the document's most frequent word
-      n-gram, over total word characters (lowercased words — Gopher
-      normalizes case for repetition);
+      covered by ALL occurrences of the document's MOST FREQUENT word
+      n-gram — ranked by occurrence count first, ties broken by
+      character coverage — over total word characters (lowercased
+      words — Gopher normalizes case for repetition; Rae et al. 2021,
+      Table A1 defines the signal on the most frequently-occurring
+      gram, so a rarer-but-longer gram never dominates);
     - ``dup_{n}_gram_char_frac`` for n in ``dup_ns``: characters in
       REPEATED occurrences (beyond each gram's first) of every
       duplicated n-gram, over total word characters — the standard
@@ -591,12 +594,21 @@ def ngram_repetition_signals(
                 F.when(g == acc["prev"], acc["run"] + 1)
                 .otherwise(F.lit(1).cast("long"))
             )
+            # count-first ranking (ties by coverage): the mode's run
+            # peaks at its full count, so comparing every prefix run
+            # against (best_run, best) converges to the most frequent
+            # gram's total coverage — never a rarer-but-longer gram's
+            cover = run * _gram_chars(g, n)
+            better = (run > acc["best_run"]) | (
+                (run == acc["best_run"]) & (cover > acc["best"])
+            )
             return F.struct(
                 g.alias("prev"),
                 run.alias("run"),
-                F.greatest(acc["best"], run * _gram_chars(g, n)).alias(
-                    "best"
+                F.when(better, run).otherwise(acc["best_run"]).alias(
+                    "best_run"
                 ),
+                F.when(better, cover).otherwise(acc["best"]).alias("best"),
             )
 
         return step
@@ -628,10 +640,12 @@ def ngram_repetition_signals(
         fields = []
         for n in top_ns:
             grams = F.array_sort(_word_ngrams(words, n))
-            # run-length fold: (prev gram, run len, best chars covered)
+            # run-length fold: (prev gram, run len, mode's count,
+            # mode's chars covered)
             init = F.struct(
                 F.lit("").alias("prev"),
                 F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("best_run"),
                 F.lit(0).cast("long").alias("best"),
             )
             fields.append(

@@ -159,6 +159,18 @@ _PSL_LONG_ALT = _psl_alt(PUBLIC_SUFFIXES_LONG)
 _PSL_WC1_ALT = _psl_alt(PSL_WILDCARD_1LABEL)
 _PSL_WC2_ALT = _psl_alt(PSL_WILDCARD_2LABEL)
 _PSL_EXC_ALT = _psl_alt(PSL_EXCEPTIONS)
+#: A host that IS a public suffix has no registrable domain (PSL
+#: semantics; r12 verdict What's-wrong 3): exact long/2-label entries,
+#: a direct child of a wildcard parent (``test.ck``,
+#: ``foo.kawasaki.jp``), or an exact <second-level>.<cc> of the
+#: generic heuristic tier. Exceptions (``!www.ck``) are checked FIRST
+#: by the resolver, so they never reach this pattern.
+_SELF_SUFFIX_RE = (
+    r"^(?:(?:" + _PSL_LONG_ALT + r")|(?:" + _PSL_ALT + r")"
+    r"|[^.]+\.(?:" + _PSL_WC1_ALT + r")"
+    r"|[^.]+\.(?:" + _PSL_WC2_ALT + r")"
+    r"|" + _SECOND_LEVEL + r"\.[a-z]{2})$"
+)
 
 
 def _col(col: Column | str) -> Column:
@@ -195,12 +207,19 @@ def url_registered_domain(col: Column | str) -> Column:
        the pre-r11 fallback for registries absent from the subset;
     7. last two labels; bare hosts pass through.
 
+    A host that IS a public suffix itself (``github.io``, ``test.ck``)
+    returns ``''`` — PSL semantics say no registrable domain exists,
+    and ``''`` is this function's existing non-URL sentinel (r13;
+    previously such hosts fell through to tier 7 and came back as
+    their own "registrable domain", an undocumented divergence).
+
     All tiers are regexp_extract alternation literals (RE2∩Java, no
     lookaround), so the DuckDB twin runs the SAME patterns verbatim."""
     host = url_host(col)
     exc = F.regexp_extract(
         host, r"(?:^|\.)(" + _PSL_EXC_ALT + r")$", 1
     )
+    self_suffix = host.rlike(_SELF_SUFFIX_RE)
     wc2 = F.regexp_extract(
         host, r"([^.]+\.[^.]+\.(?:" + _PSL_WC2_ALT + r"))$", 1
     )
@@ -217,6 +236,7 @@ def url_registered_domain(col: Column | str) -> Column:
     two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     return (
         F.when(exc != "", exc)
+        .when(self_suffix, F.lit(""))
         .when(wc2 != "", wc2)
         .when(longp != "", longp)
         .when(wc1 != "", wc1)
@@ -274,6 +294,7 @@ def url_twin_sql(expr: str) -> dict[str, str]:
     )
     host = f"regexp_extract({no_user}, '^([^:]*)', 1)"
     exc = f"regexp_extract({host}, '(?:^|\\.)({_PSL_EXC_ALT})$', 1)"
+    self_suffix = f"regexp_matches({host}, '{_SELF_SUFFIX_RE}')"
     wc2 = (
         f"regexp_extract({host}, '([^.]+\\.[^.]+\\.(?:{_PSL_WC2_ALT}))$', 1)"
     )
@@ -288,6 +309,7 @@ def url_twin_sql(expr: str) -> dict[str, str]:
     two = f"regexp_extract({host}, '([^.]+\\.[^.]+)$', 1)"
     rd = (
         f"CASE WHEN {exc} != '' THEN {exc} "
+        f"WHEN {self_suffix} THEN '' "
         f"WHEN {wc2} != '' THEN {wc2} "
         f"WHEN {longp} != '' THEN {longp} "
         f"WHEN {wc1} != '' THEN {wc1} "

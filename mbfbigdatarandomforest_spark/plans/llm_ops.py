@@ -142,11 +142,31 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ref-buckets, never ref²). The fixture plants both tiers: exact
 # copies and one-token-appended near-dups of reference docs under
 # shifted ids, so the planted_*_kept columns are the operator's own
-# evidence (must be 0). Rows-only (LSH bucketing is not one SQL
-# statement); brute-force Python twin in tests/test_operators.py.
+# evidence (must be 0). r13: the snapshot's INTERNAL dup pairs are
+# gated too (dedup_within_new=True) — the fixture plants one exact
+# internal pair and one near internal pair of sentinel docs that
+# match nothing in the corpus, so planted_internal_kept = 2 (the
+# first survivor of each pair) is its own evidence. Rows-only (LSH
+# bucketing is not one SQL statement); brute-force Python twin in
+# tests/test_operators.py. The gate stays on the rebuild path
+# (reference=...) to keep the registered query hermetic — the
+# persistable-index path (build_dedup_index / incremental_dedup(
+# index=...)) is pinned ≡ this path in tests/test_operators.py and
+# probed for flat per-snapshot wall in scripts/probe_dedup_index.py.
 # --------------------------------------------------------------------------
 PLANTED_EXACT_BASE = 10_000_000
 PLANTED_NEAR_BASE = 20_000_000
+PLANTED_INTERNAL_BASE = 30_000_000
+# sentinel texts: tokens that never occur in the synthetic corpus, long
+# enough that dropping/adding one token keeps Jaccard >= 0.7
+_INTERNAL_SENTINEL_A = (
+    "qvoxil brundle warfin ostrey plimth gazzer nolic "
+    "trevane ulmost karrid fenwick sobrel yintra moqual"
+)
+_INTERNAL_SENTINEL_B = (
+    "drazzel phonk welbit saqui tromin glaver hupsod "
+    "nerrel vintop cuzzle abront skelv impryn othvar"
+)
 
 
 @query("dedup_incremental_stats", tags=("dedup", "minhash", "incremental"))
@@ -160,16 +180,31 @@ def dedup_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + PLANTED_NEAR_BASE).alias("doc_id"),
         F.concat("text", F.lit(" zyzzyva")).alias("text"),
     )
+    planted_internal = spark.createDataFrame(
+        [
+            (PLANTED_INTERNAL_BASE + 0, _INTERNAL_SENTINEL_A),
+            (PLANTED_INTERNAL_BASE + 1, _INTERNAL_SENTINEL_A),
+            (PLANTED_INTERNAL_BASE + 2, _INTERNAL_SENTINEL_B),
+            (PLANTED_INTERNAL_BASE + 3, _INTERNAL_SENTINEL_B + " zyxx"),
+        ],
+        "doc_id long, text string",
+    )
     new = (
         docs.filter(F.col("doc_id") % 2 == 1)
         .unionByName(planted_exact)
         .unionByName(planted_near)
+        .unionByName(planted_internal)
     )
-    kept = dd.incremental_dedup(new, ref, threshold=0.7, seed=42)
+    kept = dd.incremental_dedup(
+        new, ref, threshold=0.7, seed=42, dedup_within_new=True
+    )
     is_exact = (F.col("doc_id") >= PLANTED_EXACT_BASE) & (
         F.col("doc_id") < PLANTED_NEAR_BASE
     )
-    is_near = F.col("doc_id") >= PLANTED_NEAR_BASE
+    is_near = (F.col("doc_id") >= PLANTED_NEAR_BASE) & (
+        F.col("doc_id") < PLANTED_INTERNAL_BASE
+    )
+    is_internal = F.col("doc_id") >= PLANTED_INTERNAL_BASE
     n_new = new.count()
     n_ref = ref.count()
     return kept.agg(
@@ -178,6 +213,7 @@ def dedup_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum(is_exact.cast("long")).alias("planted_exact_kept"),
         F.sum(is_near.cast("long")).alias("planted_near_kept"),
+        F.sum(is_internal.cast("long")).alias("planted_internal_kept"),
     )
 
 
@@ -1810,9 +1846,53 @@ FROM r GROUP BY domain ORDER BY domain
 """
 
 
+def _crawl_schedule_oracle() -> str:
+    """DuckDB twin of the schedule rollup (r13, VERDICT item 3): the
+    frontier oracle's kept set, re-slotted per HOST. Like the frontier
+    oracle, the fixture policy's RESOLVED decisions are compile-time
+    constants here: authority is absent so rank is uniformly NULL and
+    the (rank desc, url) slot order collapses to url asc; every host
+    declares the same 1.5 s crawl-delay. The generic evaluator stays
+    pytest-twinned in tests/test_robots.py."""
+    from ..operators.urls import url_twin_sql
+
+    twin = url_twin_sql("url")
+    allowed = ROBOTS_FIXTURE_ALLOWED_SQL.format(p="path")
+    return f"""
+WITH u AS (SELECT {SYNTH_URL_SQL} AS url FROM documents),
+c AS (
+  SELECT DISTINCT {twin['normalized']} AS url FROM u
+  WHERE {twin['normalized']} <> ''
+),
+p AS (
+  SELECT url, {twin['registered_domain']} AS domain,
+         {twin['host']} AS host,
+         {URL_PATH_SQL.format(u='url')} AS path
+  FROM c
+),
+a AS (SELECT url, domain, host FROM p WHERE {allowed}),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY domain ORDER BY md5(url), url) AS rn
+  FROM a
+),
+s AS (
+  SELECT domain, host,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) AS slot
+  FROM r WHERE rn <= {URL_CAP}
+)
+SELECT domain, COUNT(*) AS n_fetches,
+       CAST(MAX(slot) AS BIGINT) AS max_slot,
+       ROUND(CAST(MAX((slot - 1) * 1.5) AS DOUBLE), 6) AS makespan_s,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+FROM s GROUP BY domain ORDER BY domain
+"""
+
+
 def fetch_schedule(
     frontier: DataFrame,
     default_delay: float = 1.0,
+    demote_col: str | None = None,
 ) -> DataFrame:
     """Frontier → time-ordered fetch plan (r12): the last step of the
     crawl loop — the scheduler that tells a fetcher WHEN each kept URL
@@ -1827,10 +1907,21 @@ def fetch_schedule(
     partition is bounded by the per-domain fetch cap that produced the
     frontier (``kept`` rows per domain ≤ cap), so the window can never
     see a corpus-sized partition — the same boundedness argument as
-    the robots rule window."""
+    the robots rule window.
+
+    ``demote_col`` (r13): an optional boolean frontier column sorted
+    ASCENDING ahead of the rank — re-crawl candidates
+    (:func:`recrawl_candidates`) ride the same schedule but take their
+    host's LATER slots, so freshness work never delays fresh
+    discoveries. The column passes through to the output."""
     from ..operators.urls import url_host
 
-    w = Window.partitionBy("__host").orderBy(F.desc("rank"), "url")
+    order = [F.desc("rank"), F.col("url")]
+    extra: list = []
+    if demote_col is not None:
+        order = [F.col(demote_col).cast("int").asc(), *order]
+        extra = [demote_col]
+    w = Window.partitionBy("__host").orderBy(*order)
     return (
         frontier.filter("kept")
         .withColumn("__host", url_host("url"))
@@ -1847,18 +1938,115 @@ def fetch_schedule(
             "rank",
             "slot",
             "fetch_offset_s",
+            *extra,
         )
     )
 
 
-@query("crawl_schedule_stats", tags=("url", "robots", "frontier", "schedule"))
+def recrawl_candidates(
+    ledger: DataFrame,
+    sitemap_entries: DataFrame | None = None,
+    as_of: str | None = None,
+    default_ttl_days: float = 30.0,
+    domain_ttl: DataFrame | None = None,
+) -> DataFrame:
+    """(url, domain, reason, age_days) — ledger URLs due for a
+    re-fetch (r13, verdict item 5): the freshness leg the
+    exclude-forever ledger lacks. A scheduled URL re-enters the
+    frontier when
+
+    - ``'modified'``: a sitemap ``lastmod`` (sitemaps.org;
+      :func:`operators.robots.parse_sitemaps` extracts it) is NEWER
+      than the URL's ``scheduled_at`` — the explicit change signal; or
+    - ``'stale'``: its age at ``as_of`` exceeds the domain's TTL
+      (``default_ttl_days``, overridable per domain via a
+      ``(domain, ttl_days)`` frame) — the no-signal fallback.
+
+    ``ledger``: (url, scheduled_at) — the accumulated fetch schedule
+    (timestamp-castable). ``as_of`` is REQUIRED and explicit (a
+    timestamp literal): re-crawl decisions must be reproducible for
+    cross-engine twins; pass the wall clock upstream if wanted.
+    ``sitemap_entries``: (loc, lastmod) rows; locs are normalized here
+    so protocol-noise variants still match the canonical ledger, and
+    lastmod accepts both W3C datetimes and date-only forms (try_cast —
+    unparseable values are no signal, never an error).
+
+    Composition contract ("ranked below fresh"): union these urls into
+    the frontier candidates, EXCLUDE them from the ``seen`` set passed
+    to :func:`crawl_frontier` (they re-run the same robots + cap
+    policy as everything else), and schedule with
+    ``fetch_schedule(..., demote_col=...)`` so they take later slots —
+    wired end-to-end in run_curation_pipeline.py."""
+    from ..operators.urls import normalize_url, url_registered_domain
+
+    if as_of is None:
+        raise ValueError(
+            "as_of is required (explicit clock — pass a timestamp "
+            "literal; recrawl decisions must be reproducible)"
+        )
+    led = ledger.select(
+        "url", F.col("scheduled_at").try_cast("timestamp").alias("__sched")
+    ).filter(F.col("__sched").isNotNull())
+    asof = F.lit(as_of).try_cast("timestamp")
+    if sitemap_entries is not None:
+        lm = (
+            sitemap_entries.select(
+                normalize_url(F.col("loc")).alias("url"),
+                F.col("lastmod").try_cast("timestamp").alias("__lm"),
+            )
+            .filter(F.col("__lm").isNotNull())
+            .groupBy("url")
+            .agg(F.max("__lm").alias("__lm"))
+        )
+        led = led.join(lm, "url", "left")
+    else:
+        led = led.withColumn("__lm", F.lit(None).cast("timestamp"))
+    led = led.withColumn(
+        "domain", url_registered_domain(F.col("url"))
+    ).withColumn(
+        "age_days",
+        (F.unix_timestamp(asof) - F.unix_timestamp("__sched"))
+        / F.lit(86400.0),
+    )
+    if domain_ttl is not None:
+        ttl = domain_ttl.select(
+            F.col("domain").alias("__tdom"),
+            F.col("ttl_days").cast("double").alias("__ttl"),
+        )
+        led = led.join(
+            ttl, led["domain"] == ttl["__tdom"], "left"
+        ).drop("__tdom")
+    else:
+        led = led.withColumn("__ttl", F.lit(None).cast("double"))
+    ttl_days = F.coalesce("__ttl", F.lit(float(default_ttl_days)))
+    modified = F.col("__lm").isNotNull() & (F.col("__lm") > F.col("__sched"))
+    stale = F.col("age_days") > ttl_days
+    return (
+        led.withColumn(
+            "reason",
+            F.when(modified, F.lit("modified"))
+            .when(stale, F.lit("stale")),
+        )
+        .filter(F.col("reason").isNotNull())
+        .select("url", "domain", "reason", "age_days")
+    )
+
+
+@query(
+    "crawl_schedule_stats",
+    oracle=_crawl_schedule_oracle(),
+    tags=("url", "robots", "frontier", "schedule"),
+)
 def crawl_schedule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scheduled fetch plan over the same fixture pipeline as
     ``crawl_frontier_stats``, rolled up per domain: slots spent, the
     host-parallel makespan (max fetch offset) and the politeness
-    budget honored. Rows-only (two windows deep — cap + schedule);
-    the Python twin extends the frontier twin with the same
-    (rank desc, url) slotting in tests/test_robots.py."""
+    budget honored. Value-hash gate since r13 (r12 verdict item 3):
+    deterministic by construction — md5-ordered cap,
+    authoring-time-resolved robots policy, (rank desc, url) slot
+    tiebreak — the same property that promoted the frontier gate; the
+    Python twin extends the frontier twin with the same slotting in
+    tests/test_robots.py."""
     from ..operators.robots import parse_robots
     from ..operators.urls import url_host
 
@@ -1874,9 +2062,77 @@ def crawl_schedule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         sched.groupBy("domain")
         .agg(
             F.count(F.lit(1)).alias("n_fetches"),
-            F.max("slot").alias("max_slot"),
+            F.max("slot").cast("long").alias("max_slot"),
             F.round(F.max("fetch_offset_s"), 6).alias("makespan_s"),
             F.count_distinct("host").alias("n_hosts"),
+        )
+        .orderBy("domain")
+    )
+
+
+# --------------------------------------------------------------------------
+# Recrawl scheduling (r13, verdict item 5): the ledger excludes seen
+# URLs forever; this is the freshness leg re-admitting them by change
+# signal (sitemap lastmod > scheduled_at) or age (> per-domain TTL).
+# The fixture derives everything from md5(url) so both the query and
+# its Python twin (tests/test_robots.py) resolve identical branches:
+# scheduled_at = BASE + (md5 % 60) days; as_of = BASE + 60 days
+# (age 1..60, TTL 30 → stale iff offset < 30); a second md5 digit
+# picks the sitemap branch — bumped lastmod (modified), older lastmod
+# (NO signal — unchanged pages must not re-enter), or no entry.
+# Rows-only (the operator is two joins deep over a synthetic ledger).
+# --------------------------------------------------------------------------
+RECRAWL_BASE_TS = "2024-01-01 00:00:00"
+RECRAWL_AS_OF = "2024-03-01 00:00:00"  # BASE + 60 days
+RECRAWL_TTL_DAYS = 30.0
+
+
+@query("crawl_recrawl_stats", tags=("url", "frontier", "recrawl"))
+def crawl_recrawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.urls import normalize_url
+
+    canon = (
+        load_table(spark, sf_dir, "documents")
+        .select(normalize_url(synth_url_col()).alias("url"))
+        .filter(F.col("url") != "")
+        .distinct()
+    )
+    h = F.conv(F.substring(F.md5("url"), 1, 6), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5("url"), 7, 6), 16, 10).cast("long")
+    base = F.lit(RECRAWL_BASE_TS).cast("timestamp")
+    sched = base + F.make_interval(days=F.pmod(h, F.lit(60)).cast("int"))
+    ledger = canon.select(
+        "url", sched.alias("scheduled_at"), F.pmod(h2, F.lit(3)).alias("__b")
+    ).localCheckpoint()  # the url-normalization chain feeds 3 stages
+    lastmod = (
+        F.when(F.col("__b") == 0, F.col("scheduled_at")
+               + F.make_interval(days=F.lit(1)))
+        .when(F.col("__b") == 1, F.col("scheduled_at")
+              - F.make_interval(days=F.lit(1)))
+    )
+    sitemap_entries = (
+        ledger.select(
+            F.col("url").alias("loc"), lastmod.cast("string").alias("lastmod")
+        )
+        .filter(F.col("lastmod").isNotNull())
+    )
+    recr = recrawl_candidates(
+        ledger.select("url", "scheduled_at"),
+        sitemap_entries,
+        as_of=RECRAWL_AS_OF,
+        default_ttl_days=RECRAWL_TTL_DAYS,
+    )
+    return (
+        recr.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_due"),
+            F.sum((F.col("reason") == "modified").cast("long")).alias(
+                "n_modified"
+            ),
+            F.sum((F.col("reason") == "stale").cast("long")).alias(
+                "n_stale"
+            ),
+            F.round(F.max("age_days"), 6).alias("max_age_days"),
         )
         .orderBy("domain")
     )

@@ -1398,54 +1398,12 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Q18-ish — large orders: HAVING over the fact, then join back for
-# detail rows (the aggregate-filter-rejoin shape).
+# Q18-ish (large orders: HAVING over the fact, then join back — the
+# aggregate-filter-rejoin shape) was fused into TPCH_ANSI_SUITE3_SQL
+# as its 's18' section in r13 (same ONE-text contract; orderkey /
+# custkey / orderdate / total_qty still hash-gated there); the freed
+# slot promotes crawl_schedule_stats to a value-hash gate.
 # --------------------------------------------------------------------------
-@query(
-    "q18_large_orders",
-    oracle=f"""
-WITH big AS (
-  SELECT l_orderkey
-  FROM lineitem
-  GROUP BY l_orderkey
-  HAVING SUM(l_quantity) > 250
-)
-SELECT
-  o.o_orderkey,
-  o.o_custkey,
-  STRFTIME(o.o_orderdate, '%Y-%m-%d') AS orderdate,
-  o.o_totalprice,
-  {_dsum_sql('l.l_quantity')} AS total_qty
-FROM big
-JOIN orders o   ON big.l_orderkey = o.o_orderkey
-JOIN lineitem l ON l.l_orderkey = big.l_orderkey
-GROUP BY o.o_orderkey, o.o_custkey, STRFTIME(o.o_orderdate, '%Y-%m-%d'), o.o_totalprice
-ORDER BY o.o_orderkey
-""",
-    tags=("A1", "J1", "q18"),
-)
-def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(28,8)")).alias("__q"))
-        .filter(F.col("__q") > 250)
-        .select("l_orderkey")
-    )
-    return (
-        big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(li.select(F.col("l_orderkey").alias("lk"), "l_quantity"),
-              F.col("l_orderkey") == F.col("lk"))
-        .groupBy(
-            "o_orderkey",
-            "o_custkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            "o_totalprice",
-        )
-        .agg(_dsum("l_quantity").alias("total_qty"))
-        .orderBy("o_orderkey")
-    )
 
 
 # --------------------------------------------------------------------------
@@ -1738,6 +1696,21 @@ WITH s9 AS (
   GROUP BY n_name
   HAVING SUM(CAST(s_acctbal AS DECIMAL(28,8))) >
     (SELECT SUM(CAST(s_acctbal AS DECIMAL(28,8))) * 0.04 FROM supplier)
+), s18 AS (
+  SELECT 'q18_large_orders' AS section,
+         CAST(o.o_orderkey AS STRING) || '#'
+           || CAST(o.o_custkey AS STRING) || '#'
+           || CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS k,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS amount
+  FROM (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(28,8))) > 250
+  ) big
+  JOIN orders o   ON big.l_orderkey = o.o_orderkey
+  JOIN lineitem l ON l.l_orderkey = big.l_orderkey
+  GROUP BY o.o_orderkey, o.o_custkey, CAST(o.o_orderdate AS DATE)
 ), s21 AS (
   SELECT 'q21_waiting_supplier' AS section, s_name AS k, COUNT(*) AS n,
          CAST(NULL AS DOUBLE) AS amount
@@ -1761,6 +1734,7 @@ SELECT * FROM s9
 UNION ALL SELECT * FROM s11
 UNION ALL SELECT * FROM s12
 UNION ALL SELECT * FROM s15
+UNION ALL SELECT * FROM s18
 UNION ALL SELECT * FROM s20
 UNION ALL SELECT * FROM s21
 ORDER BY section, k
@@ -1775,7 +1749,7 @@ ORDER BY section, k
     # executes this exact SQL in DuckDB against the Spark run of the
     # same text.
     oracle=TPCH_ANSI_SUITE3_SQL,
-    tags=("SQL-surface", "q9", "q11", "q12", "q15", "q20", "q21"),
+    tags=("SQL-surface", "q9", "q11", "q12", "q15", "q18", "q20", "q21"),
 )
 def tpch_ansi_suite3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.catalog import register_views

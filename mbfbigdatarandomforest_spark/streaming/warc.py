@@ -147,19 +147,27 @@ def run_warc_ingest_available_now(
     receives the query's recentProgress objects (per-batch rows and
     durations — the docs/s probe evidence).
 
-    ``out_dir`` must be fresh per run (pre-existing results raise —
-    reruns against a fresh checkpoint would silently mix runs), and a
-    zero-batch drain (an empty dump dir is a legal source state)
-    returns an empty correctly-typed documents frame instead of
-    failing the final read on a never-created directory — the
-    streaming/similarity posture (ADVICE r9/r11)."""
-    from .similarity import _dir_holds_results
+    ``out_dir`` must be fresh per run UNLESS the checkpoint already
+    exists: a rerun with the SAME checkpoint after a mid-ingest crash
+    is the legitimate exactly-once RESUME (the file-sink commit log
+    skips already-committed batches), so pre-existing results only
+    raise when the checkpoint is fresh — that pairing would silently
+    mix two unrelated runs (ADVICE r12). A zero-batch drain (an empty
+    dump dir is a legal source state) returns an empty correctly-typed
+    documents frame instead of failing the final read on a
+    never-created directory — the streaming/similarity posture
+    (ADVICE r9/r11)."""
+    from .similarity import _dir_holds_results, _fs_and_path
 
-    if _dir_holds_results(spark, out_dir):
+    ckpt_fs, ckpt_path = _fs_and_path(spark, checkpoint_dir)
+    resuming = ckpt_fs.exists(ckpt_path)
+    if not resuming and _dir_holds_results(spark, out_dir):
         raise ValueError(
             f"out_dir {out_dir!r} already holds results from a prior "
-            "run; streaming appends would silently mix runs — pass a "
-            "fresh directory"
+            f"run but checkpoint_dir {checkpoint_dir!r} is fresh; "
+            "streaming appends would silently mix runs — pass a fresh "
+            "directory (to RESUME a crashed ingest, rerun with the "
+            "original checkpoint_dir)"
         )
     docs = warc_document_stream(
         spark,

@@ -273,6 +273,15 @@ def test_pagerank_multi_equals_sequential_calls(spark):
     bad = spark.createDataFrame([(40404, 1.0)], "node long, seed double")
     with pytest.raises(ValueError, match="'b'.*no positive seed mass"):
         pagerank_multi(df, {"a": None, "b": bad}, **kw)
+    # ADVICE r12: reserved / non-identifier teleport names are rejected
+    # up front (they would collide with internal columns or break
+    # F.col parsing deep inside the loop)
+    for reserved in ("node", "out_w", "src", "dst", "w"):
+        with pytest.raises(ValueError, match="collides with an internal"):
+            pagerank_multi(df, {reserved: None}, **kw)
+    for malformed in ("a.b", "a`b", "a b", "", "1abc"):
+        with pytest.raises(ValueError, match="must be an identifier"):
+            pagerank_multi(df, {malformed: None}, **kw)
 
 
 def test_personalized_fixed_iter_dangling_zero_seed_vs_numpy(spark):

@@ -1190,9 +1190,10 @@ def test_ngram_repetition_signals_vs_python_oracle(spark):
     Exact closed-form checks on crafted docs plus a seeded randomized
     sweep against an independent Counter-based Python oracle
     implementing the SAME documented contract (top gram: chars covered
-    by all occurrences of the mode; dup grams: chars in occurrences
-    beyond each duplicated gram's first; word chars, not separator
-    spaces; case-folded words)."""
+    by all occurrences of the MODE — count-ranked, ties by coverage,
+    per Gopher's most-frequently-occurring-gram definition; dup grams:
+    chars in occurrences beyond each duplicated gram's first; word
+    chars, not separator spaces; case-folded words)."""
     import re as _re
     from collections import Counter
 
@@ -1215,10 +1216,15 @@ def test_ngram_repetition_signals_vs_python_oracle(spark):
                 )
                 cnt = Counter(grams)
                 if kind == "top":
+                    # argmax count, ties by coverage — the paper ranks
+                    # by frequency, not by count·chars
                     val = max(
-                        (c * (len(g) - (n - 1)) for g, c in cnt.items()),
-                        default=0,
-                    )
+                        (
+                            (c, c * (len(g) - (n - 1)))
+                            for g, c in cnt.items()
+                        ),
+                        default=(0, 0),
+                    )[1]
                 else:
                     val = sum(
                         (c - 1) * (len(g) - (n - 1))
@@ -1236,6 +1242,10 @@ def test_ngram_repetition_signals_vs_python_oracle(spark):
         "",                                 # empty doc
         "Case CASE case DIFFERENT different",  # case folding matters
         None,                               # NULL text scores like ""
+        # discriminates count-first ranking from max(count·chars):
+        # mode 'aa bb' ×2 covers 8 chars; the count-1 gram
+        # 'extraordinarily magnificent' covers 26 — Gopher wants 8
+        "aa bb aa bb extraordinarily magnificent",
     ]
     rng = np.random.default_rng(126)
     vocab = ["alpha", "beta", "gamma", "delta", "eps"]
@@ -1264,6 +1274,8 @@ def test_ngram_repetition_signals_vs_python_oracle(spark):
     assert got[3]["top_2_gram_char_frac"] == 0.0  # < n words
     assert got[4]["dup_5_gram_char_frac"] == 0.0  # empty doc
     assert got[1]["dup_5_gram_char_frac"] > 0.5  # the heavy repeater
+    # count-first: the ×2 mode (8 chars), NOT the 26-char count-1 gram
+    assert got[7]["top_2_gram_char_frac"] == pytest.approx(8 / 34)
 
 
 def test_incremental_dedup_vs_bruteforce(spark):
@@ -1274,11 +1286,19 @@ def test_incremental_dedup_vs_bruteforce(spark):
     a true Jaccard >= threshold against some reference doc (exact
     precision); recall over brute-force matches >= 0.8 (the LSH
     operating point); both planted families (exact copies, one-token
-    near-dups) must be fully dropped."""
+    near-dups) must be fully dropped. r13: the registered query now
+    also gates the snapshot's INTERNAL dups (dedup_within_new=True) —
+    the planted exact and near internal pairs each keep exactly their
+    first (min-id) survivor, internal drops have exact precision
+    against an all-pairs brute force, and the r12 cross-only contract
+    still holds when the flag is off."""
     import re as _re
 
     from mbfbigdatarandomforest_spark.plans.llm_ops import (
+        _INTERNAL_SENTINEL_A,
+        _INTERNAL_SENTINEL_B,
         PLANTED_EXACT_BASE,
+        PLANTED_INTERNAL_BASE,
         PLANTED_NEAR_BASE,
     )
     from mbfbigdatarandomforest_spark.registry import load_all
@@ -1291,6 +1311,8 @@ def test_incremental_dedup_vs_bruteforce(spark):
     # the operator's own planted evidence
     assert row["planted_exact_kept"] == 0
     assert row["planted_near_kept"] == 0
+    # one min-id survivor per planted internal pair (exact + near)
+    assert row["planted_internal_kept"] == 2
     assert 0 < row["n_kept"] < row["n_new"]
 
     # ---- brute-force twin over the same construction ----
@@ -1310,6 +1332,14 @@ def test_incremental_dedup_vs_bruteforce(spark):
             i + PLANTED_NEAR_BASE: t + " zyzzyva"
             for i, t in ref.items()
             if i % 10 == 4
+        }
+    )
+    new.update(
+        {
+            PLANTED_INTERNAL_BASE + 0: _INTERNAL_SENTINEL_A,
+            PLANTED_INTERNAL_BASE + 1: _INTERNAL_SENTINEL_A,
+            PLANTED_INTERNAL_BASE + 2: _INTERNAL_SENTINEL_B,
+            PLANTED_INTERNAL_BASE + 3: _INTERNAL_SENTINEL_B + " zyxx",
         }
     )
     assert row["n_new"] == len(new) and row["n_ref"] == len(ref)
@@ -1351,7 +1381,6 @@ def test_incremental_dedup_vs_bruteforce(spark):
             new_df, ref_df, threshold=0.7, seed=42
         ).collect()
     }
-    assert len(kept) == row["n_kept"]  # the registered rollup agrees
     # tier 1 is EXACT: everything fingerprint-matched is gone, nothing
     # fingerprint-fresh was dropped except by tier 2
     assert kept <= set(fresh)
@@ -1362,7 +1391,163 @@ def test_incremental_dedup_vs_bruteforce(spark):
     if bf_matched:
         assert len(dropped2 & bf_matched) / len(bf_matched) >= 0.8
     # planted near-dups are far above threshold — all caught
-    assert not (kept & {i for i in new if i >= PLANTED_NEAR_BASE})
+    internal_ids = {PLANTED_INTERNAL_BASE + k for k in range(4)}
+    assert not (kept & {
+        i for i in new if PLANTED_NEAR_BASE <= i < PLANTED_INTERNAL_BASE
+    })
+    # the r12 cross-only contract: internal pairs both survive
+    assert internal_ids <= kept
+
+    # ---- r13: dedup_within_new=True (what the rollup registers) ----
+    kept_full = {
+        r["doc_id"]
+        for r in dd_ops.incremental_dedup(
+            new_df, ref_df, threshold=0.7, seed=42, dedup_within_new=True
+        ).collect()
+    }
+    assert len(kept_full) == row["n_kept"]  # the registered rollup agrees
+    assert kept_full <= kept  # only removes rows, never adds
+    # one min-id survivor per planted internal pair (exact and near)
+    assert kept_full & internal_ids == {
+        PLANTED_INTERNAL_BASE + 0, PLANTED_INTERNAL_BASE + 2
+    }
+    # exact internal tier: only the min id of each normalized-text
+    # group can survive
+    from collections import defaultdict
+
+    by_norm = defaultdict(list)
+    for i in kept:
+        by_norm[norm(new[i])].append(i)
+    exact_internal_dropped = {
+        i for ids in by_norm.values() for i in ids if i != min(ids)
+    }
+    assert not (exact_internal_dropped & kept_full)
+    # near internal tier: exact precision — every further drop has a
+    # true Jaccard >= threshold partner among the near-pass input
+    near_input = kept - exact_internal_dropped
+    dropped3 = near_input - kept_full
+    kept_sh = {i: sh(new[i]) for i in near_input}
+    for i in sorted(dropped3):
+        s = kept_sh[i]
+        assert s and any(
+            j != i
+            and len(s & kept_sh[j]) / len(s | kept_sh[j]) >= 0.7
+            for j in near_input
+        ), i
+
+
+def test_dedup_index_path_equals_rebuild(spark, tmp_path):
+    """r13 (VERDICT item 1): the persistable dedup index. The index
+    path must return EXACTLY the rebuild path's results — pairs and
+    survivors, with and without the hot-bucket cap — and the
+    build → gate → append → gate cycle must equal rebuilding against
+    the accumulated corpus. Structural parameters live in the index's
+    meta (a build with non-default n drives the gate regardless of the
+    call signature's default), and double-build raises."""
+    import mbfbigdatarandomforest_spark.operators.dedup as dd_ops
+
+    from conftest import SF_DIR_SMALL
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1).unionByName(
+        ref.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+    )
+    idx = str(tmp_path / "idx")
+    dd_ops.build_dedup_index(ref, idx)
+    with pytest.raises(Exception):  # mode("error"): never overwrite
+        dd_ops.build_dedup_index(ref, idx)
+
+    def pairset(df):
+        return {
+            (r["new_id"], r["ref_id"], r["jaccard"]) for r in df.collect()
+        }
+
+    kw = dict(threshold=0.7, seed=42)
+    assert pairset(
+        dd_ops.incremental_minhash_pairs(new, index=idx, **kw)
+    ) == pairset(dd_ops.incremental_minhash_pairs(new, ref, **kw))
+    # hot-bucket cap: query-time window over the stored buckets must
+    # reproduce the rebuild path's FULL-size capping exactly
+    assert pairset(
+        dd_ops.incremental_minhash_pairs(
+            new, index=idx, max_bucket_size=2, **kw
+        )
+    ) == pairset(
+        dd_ops.incremental_minhash_pairs(new, ref, max_bucket_size=2, **kw)
+    )
+
+    def keptset(**kwargs):
+        return {
+            r["doc_id"]
+            for r in dd_ops.incremental_dedup(new, **kwargs).collect()
+        }
+
+    kept_idx = keptset(index=idx, dedup_within_new=True, **kw)
+    assert kept_idx == keptset(reference=ref, dedup_within_new=True, **kw)
+
+    # ---- the ingestion cycle: append survivors, gate snapshot 2 ----
+    accepted = new.join(
+        spark.createDataFrame(
+            [(i,) for i in kept_idx], "doc_id long"
+        ),
+        "doc_id",
+    )
+    dd_ops.append_dedup_index(accepted, idx)
+    # snapshot 2: fresh docs + exact copies of ROUND-1 accepted rows
+    # (only the appended index can catch those) + copies of ref rows
+    s2 = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select((F.col("doc_id") + 40_000_000).alias("doc_id"), "text")
+        .unionByName(
+            accepted.limit(5).select(
+                (F.col("doc_id") + 50_000_000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    (60_000_000, "grelph vintar osmodee quarn lippet "
+                                 "zanbruk welf trosin"),
+                    (60_000_001, "phandor ixwell cubrent mallavoy "
+                                 "strend okkim juvarn pelth"),
+                ],
+                "doc_id long, text string",
+            )
+        )
+    )
+    corpus2 = ref.unionByName(accepted)
+    kept2_idx = {
+        r["doc_id"]
+        for r in dd_ops.incremental_dedup(s2, index=idx, **kw).collect()
+    }
+    kept2_ref = {
+        r["doc_id"]
+        for r in dd_ops.incremental_dedup(s2, corpus2, **kw).collect()
+    }
+    assert kept2_idx == kept2_ref
+    # the round-1-accepted copies were caught BY THE APPEND, while the
+    # genuinely fresh sentinel docs pass the gate
+    assert not {
+        i for i in kept2_idx if 50_000_000 <= i < 60_000_000
+    }
+    assert {60_000_000, 60_000_001} <= kept2_idx
+
+    # ---- structural params come from meta, not the call ----
+    idx2 = str(tmp_path / "idx_n2")
+    dd_ops.build_dedup_index(ref, idx2, n=2, bands=4, rows_per_band=2)
+    assert pairset(
+        dd_ops.incremental_minhash_pairs(new, index=idx2, **kw)
+    ) == pairset(
+        dd_ops.incremental_minhash_pairs(
+            new, ref, n=2, bands=4, rows_per_band=2, **kw
+        )
+    )
 
 
 def test_text_repetition_stats_vs_python_twin(spark, duck):
@@ -1401,10 +1586,14 @@ def test_text_repetition_stats_vs_python_twin(spark, duck):
                 )
                 cnt = Counter(grams)
                 if kind == "top":
+                    # mode's coverage: count-ranked, ties by coverage
                     v = max(
-                        (c * (len(g) - (n - 1)) for g, c in cnt.items()),
-                        default=0,
-                    )
+                        (
+                            (c, c * (len(g) - (n - 1)))
+                            for g, c in cnt.items()
+                        ),
+                        default=(0, 0),
+                    )[1]
                 else:
                     v = sum(
                         (c - 1) * (len(g) - (n - 1))

@@ -87,12 +87,27 @@ def test_registry_fits_driver_window():
     # r12 additions past the window (rows-only, pytest-twinned in
     # tests/test_linkgraph.py, tests/test_robots.py and
     # tests/test_operators.py): the anchor-text corpus rollup, the
-    # politeness fetch schedule, the Gopher n-gram repetition audit,
-    # and the cross-snapshot incremental dedup gate.
+    # Gopher n-gram repetition audit, and the cross-snapshot
+    # incremental dedup gate (r13: now also gating the snapshot's
+    # INTERNAL dup pairs — planted evidence in the query itself).
     assert SPECS["anchor_text_stats"].oracle is None
-    assert SPECS["crawl_schedule_stats"].oracle is None
     assert SPECS["text_repetition_stats"].oracle is None
     assert SPECS["dedup_incremental_stats"].oracle is None
+    # Round-13 gate swap (r12 verdict item 3): q18_large_orders fused
+    # into tpch_ansi_suite3 as its 's18' section (orderkey / custkey /
+    # orderdate / total_qty still hash-gated there); the freed slot
+    # promotes crawl_schedule_stats — deterministic by construction
+    # (md5-ordered cap, authoring-time-resolved robots policy,
+    # (rank desc, url) slotting), the same property that promoted the
+    # frontier gate in r12. The generic evaluator twin stays in
+    # tests/test_robots.py.
+    assert "q18_large_orders" not in SPECS
+    assert "'q18_large_orders' AS section" in SPECS["tpch_ansi_suite3"].oracle
+    assert SPECS["crawl_schedule_stats"].oracle is not None
+    # r13 addition past the window (rows-only, md5-derived deterministic
+    # fixture; Python twin in tests/test_robots.py): the recrawl leg —
+    # ledger URLs re-admitted by sitemap lastmod or per-domain TTL age.
+    assert SPECS["crawl_recrawl_stats"].oracle is None
     # Round-11 gate swap (verdict item 2): customers_with_orders +
     # orders_without_lineitems fused into the method-tagged
     # semi_anti_suite (both join methods still hash-gated there); the

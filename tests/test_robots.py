@@ -549,7 +549,7 @@ def test_crawl_schedule_stats_vs_python_twin(spark, duck):
     from conftest import SF_DIR_ORACLE
 
     spec = load_all()["crawl_schedule_stats"]
-    assert spec.oracle is None  # rows-only (two windows deep)
+    assert spec.oracle is not None  # value-hash gate since r13
     got = {
         r["domain"]: (
             r["n_fetches"], r["max_slot"], r["makespan_s"], r["n_hosts"]
@@ -590,3 +590,127 @@ def test_crawl_schedule_stats_vs_python_twin(spark, duck):
     assert got == want
     # the schedule really spaces: at least one host queues >1 fetch
     assert any(ms > 1 for _, ms, _, _ in got.values())
+
+
+def test_recrawl_candidates_unit(spark):
+    """r13 (verdict item 5): the recrawl operator on a crafted ledger —
+    bumped lastmod re-enters as 'modified', an OLDER lastmod is no
+    signal, age past the domain TTL re-enters as 'stale' (per-domain
+    override honored), young+unchanged stays out, and a noise-variant
+    sitemap loc still matches the canonical ledger URL."""
+    from mbfbigdatarandomforest_spark.plans.llm_ops import (
+        recrawl_candidates,
+    )
+
+    ledger = spark.createDataFrame(
+        [
+            ("https://a.example/fresh-bumped", "2024-02-20 00:00:00"),
+            ("https://a.example/fresh-older-lastmod", "2024-02-20 00:00:00"),
+            ("https://a.example/old-no-signal", "2024-01-01 00:00:00"),
+            ("https://a.example/young-no-signal", "2024-02-25 00:00:00"),
+            ("https://b.example/short-ttl", "2024-02-25 00:00:00"),
+        ],
+        "url string, scheduled_at string",
+    )
+    sitemaps = spark.createDataFrame(
+        [
+            # tracking param + trailing slash: normalization must match
+            ("https://a.example/fresh-bumped/?utm_source=x", "2024-02-25"),
+            ("https://a.example/fresh-older-lastmod", "2024-02-10"),
+        ],
+        "loc string, lastmod string",
+    )
+    ttl = spark.createDataFrame(
+        [("b.example", 2.0)], "domain string, ttl_days double"
+    )
+    got = {
+        r["url"]: (r["reason"], r["age_days"])
+        for r in recrawl_candidates(
+            ledger,
+            sitemaps,
+            as_of="2024-03-01 00:00:00",
+            default_ttl_days=30.0,
+            domain_ttl=ttl,
+        ).collect()
+    }
+    assert set(got) == {
+        "https://a.example/fresh-bumped",      # modified (bumped lastmod)
+        "https://a.example/old-no-signal",     # stale (60 d > 30 d TTL)
+        "https://b.example/short-ttl",         # stale (5 d > 2 d override)
+    }
+    assert got["https://a.example/fresh-bumped"][0] == "modified"
+    assert got["https://a.example/old-no-signal"] == ("stale", 60.0)
+    assert got["https://b.example/short-ttl"][0] == "stale"
+    # as_of is mandatory — reproducibility contract
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="as_of is required"):
+        recrawl_candidates(ledger)
+
+
+def test_crawl_recrawl_stats_vs_python_twin(spark, duck):
+    """The registered recrawl rollup (rows-only) against a full Python
+    twin re-deriving the md5 fixture: scheduled_at = BASE + (md5 % 60)
+    days, sitemap branch from a second md5 slice, modified-beats-stale
+    reason resolution, exact per-domain counts and max age."""
+    import hashlib
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    from mbfbigdatarandomforest_spark.operators.urls import url_twin_sql
+    from mbfbigdatarandomforest_spark.plans.llm_ops import (
+        RECRAWL_AS_OF,
+        RECRAWL_BASE_TS,
+        RECRAWL_TTL_DAYS,
+        SYNTH_URL_SQL,
+    )
+    from mbfbigdatarandomforest_spark.registry import load_all
+
+    from conftest import SF_DIR_ORACLE
+
+    spec = load_all()["crawl_recrawl_stats"]
+    assert spec.oracle is None  # rows-only
+    got = {
+        r["domain"]: (
+            r["n_due"], r["n_modified"], r["n_stale"], r["max_age_days"]
+        )
+        for _, r in spec.fn(spark, SF_DIR_ORACLE).toPandas().iterrows()
+    }
+    twin = url_twin_sql("url")
+    rows = duck.sql(f"""
+        SELECT DISTINCT {twin['normalized']} AS canon,
+               {twin['registered_domain']} AS dom
+        FROM (SELECT {SYNTH_URL_SQL} AS url FROM documents)
+        WHERE {twin['normalized']} != ''
+    """).fetchall()
+    base = datetime.fromisoformat(RECRAWL_BASE_TS)
+    as_of = datetime.fromisoformat(RECRAWL_AS_OF)
+    acc: dict = defaultdict(lambda: [0, 0, 0, 0.0])
+    for canon, dom in rows:
+        md5 = hashlib.md5(canon.encode()).hexdigest()
+        sched = base + timedelta(days=int(md5[:6], 16) % 60)
+        b = int(md5[6:12], 16) % 3
+        lastmod = (
+            sched + timedelta(days=1) if b == 0
+            else sched - timedelta(days=1) if b == 1
+            else None
+        )
+        age = (as_of - sched).total_seconds() / 86400.0
+        if lastmod is not None and lastmod > sched:
+            reason = "modified"
+        elif age > RECRAWL_TTL_DAYS:
+            reason = "stale"
+        else:
+            continue
+        a = acc[dom]
+        a[0] += 1
+        a[1] += reason == "modified"
+        a[2] += reason == "stale"
+        a[3] = max(a[3], age)
+    want = {
+        dom: (n, m, s, round(mx, 6)) for dom, (n, m, s, mx) in acc.items()
+    }
+    assert got == want
+    # both reasons actually occur in the fixture
+    assert any(m > 0 for _, m, _, _ in got.values())
+    assert any(s > 0 for _, _, s, _ in got.values())

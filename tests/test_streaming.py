@@ -961,13 +961,22 @@ def test_streaming_warc_ingest_matches_batch(spark, tmp_path):
     # really drained shard-by-shard (≥4 micro-batches incl. empties)
     assert sum(p["numInputRows"] for p in progress) >= 3
     # ADVICE r11: rerunning against an out_dir that already holds
-    # results must raise (a fresh checkpoint would silently mix runs)
+    # results must raise WHEN the checkpoint is fresh (that pairing
+    # would silently mix two unrelated runs)
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="already holds results"):
         run_warc_ingest_available_now(
             spark, str(dump), str(tmp_path / "out"), str(tmp_path / "ckpt2")
         )
+    # ADVICE r12: the SAME checkpoint is the legitimate exactly-once
+    # RESUME — rerunning with the original checkpoint must NOT raise,
+    # and the commit log must skip the already-committed batches (no
+    # duplicated rows in out_dir)
+    resumed = run_warc_ingest_available_now(
+        spark, str(dump), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    assert sorted(map(tuple, resumed.collect())) == want
 
 
 def test_streaming_warc_ingest_empty_dump_returns_typed_empty(

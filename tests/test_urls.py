@@ -93,6 +93,20 @@ CASES = [
     # unlisted everything: last-2-labels fallback
     ("http://foo.bar.unknownreg.zz", "foo.bar.unknownreg.zz",
      "unknownreg.zz", "http://foo.bar.unknownreg.zz"),
+    # r13 (r12 verdict What's-wrong 3): a host that IS a public suffix
+    # has NO registrable domain — '' (the non-URL sentinel), never the
+    # host itself. Exact 2-label entry, direct wildcard children
+    # (1- and 2-label parents), long literal, and the generic
+    # heuristic's own apex.
+    ("https://GitHub.IO/", "github.io", "", "https://github.io"),
+    ("http://test.ck/x", "test.ck", "", "http://test.ck/x"),
+    ("http://foo.kawasaki.jp/", "foo.kawasaki.jp", "",
+     "http://foo.kawasaki.jp"),
+    ("https://k12.ak.us", "k12.ak.us", "", "https://k12.ak.us"),
+    ("http://co.uk", "co.uk", "", "http://co.uk"),
+    # the exception rule outranks the self-suffix check: !www.ck IS
+    # registrable even though it sits directly under *.ck
+    ("http://www.ck/about", "www.ck", "www.ck", "http://www.ck/about"),
 ]
 
 
@@ -147,9 +161,9 @@ def test_psl_wildcard_exception_long_rules_vs_published_cases(spark, duck):
     wildcards (*.ck, *.kobe.jp), exceptions (!www.ck, !city.kobe.jp)
     and longer literals (k12.ak.us, pvt.k12.ma.us) — against the
     Public Suffix List's OWN published checkPublicSuffix test cases
-    (publicsuffix.org test file; hosts where the PSL answer is null —
-    the host IS a public suffix — are the documented divergence: we
-    return a heuristic bucket, asserted separately). The DuckDB twin
+    (publicsuffix.org test file). r13: hosts where the PSL answer is
+    null — the host IS a public suffix — now return '' (the non-URL
+    sentinel), closing the r12 documented divergence. The DuckDB twin
     must stay value-equal on every case."""
     # (host, registrable) — straight from the PSL test file
     psl_cases = [
@@ -173,9 +187,9 @@ def test_psl_wildcard_exception_long_rules_vs_published_cases(spark, duck):
         ("school.pvt.k12.ma.us", "school.pvt.k12.ma.us"),
         ("www.school.pvt.k12.ma.us", "school.pvt.k12.ma.us"),
     ]
-    # documented divergence: PSL answers null for these (host IS a
-    # public suffix); the curation layer returns a stable bucket
-    divergent = [("test.ck", "test.ck"), ("c.kobe.jp", "kobe.jp")]
+    # PSL answers null for these (host IS a public suffix): '' since
+    # r13 — previously they fell through to a heuristic bucket
+    divergent = [("test.ck", ""), ("c.kobe.jp", "")]
     rows = [(i, f"https://{h}/p") for i, (h, _) in
             enumerate(psl_cases + divergent)]
     df = spark.createDataFrame(rows, "i long, url string")
