@@ -92,3 +92,70 @@ def test_compact_line_shrinks_under_extreme_names() -> None:
 def test_compact_line_reports_error_count() -> None:
     assert json.loads(compact_record(_fake_out(74)))["errors"] == 5
     assert json.loads(compact_record(_fake_out(74, with_errors=False)))["errors"] == 0
+
+
+def _out_with_calib(calib_s: float, sf: float = 0.1, errors: int = 0) -> dict:
+    out = _fake_out(20, with_errors=False)
+    out["sf"] = sf
+    out["calib_pre_s"] = calib_s
+    out["calib_s"] = calib_s
+    if errors:
+        out["errors"] = errors
+    return out
+
+
+def test_best_sweep_sidecar_keeps_cleanest_and_masks_steal(tmp_path):
+    """r13 (verdict item 9): a clean sweep banks into BENCH_BEST.json;
+    a later steal-window sweep of the same round/SF/query-set emits the
+    banked line (tagged with provenance); a clean later sweep emits
+    itself and replaces the bank. Different round / query set / SF or
+    an errored/narrowed sweep never banks or borrows."""
+    from bench import CALIB_NOMINAL_S, resolve_final_line
+
+    best = tmp_path / "BENCH_BEST.json"
+    names = [f"q{i}" for i in range(20)]
+    clean = _out_with_calib(CALIB_NOMINAL_S * 1.01)
+    clean_line = compact_record(clean)
+    got = resolve_final_line(clean, clean_line, names, False, best, 13)
+    assert got == clean_line and best.exists()
+
+    noisy = _out_with_calib(CALIB_NOMINAL_S * 1.4)
+    noisy["value"] = 999.0
+    noisy_line = compact_record(noisy)
+    got = resolve_final_line(noisy, noisy_line, names, False, best, 13)
+    emitted = json.loads(got)
+    assert emitted["from_best_sweep"] is True
+    assert emitted["value"] == 123.456  # the banked clean sweep's total
+    assert emitted["this_sweep_calib_s"] == noisy["calib_s"]
+    assert len(got.encode()) < COMPACT_BYTE_BUDGET
+    # the noisy sweep did NOT overwrite the bank
+    assert json.loads(best.read_text())["compact"]["value"] == 123.456
+
+    # mildly-noisy (<= gate) sweeps emit themselves
+    mild = _out_with_calib(CALIB_NOMINAL_S * 1.1)
+    mild_line = compact_record(mild)
+    assert resolve_final_line(mild, mild_line, names, False, best, 13) == mild_line
+
+    # errored or narrowed sweeps never bank (even when cleaner)
+    errored = _out_with_calib(CALIB_NOMINAL_S * 0.99, errors=2)
+    resolve_final_line(errored, compact_record(errored), names, False, best, 13)
+    assert json.loads(best.read_text())["compact"]["value"] == 123.456
+    narrowed = _out_with_calib(CALIB_NOMINAL_S * 0.98)
+    narrowed["value"] = 1.0
+    resolve_final_line(narrowed, compact_record(narrowed), names, True, best, 13)
+    assert json.loads(best.read_text())["compact"]["value"] == 123.456
+    # a different query set never borrows the bank — it REPLACES it
+    # (a gate swap makes the old bank stale; the current sweep is the
+    # best known for the new registry, noisy or not)
+    got = resolve_final_line(noisy, noisy_line, names + ["new_q"], False, best, 13)
+    assert got == noisy_line
+    assert json.loads(best.read_text())["compact"]["value"] == 999.0
+    # same for a DIFFERENT round: the old round's bank must never mask
+    # this round's real perf, so the rollover re-banks the current sweep
+    got = resolve_final_line(noisy, noisy_line, names + ["new_q"], False, best, 14)
+    assert got == noisy_line
+    assert json.loads(best.read_text())["round"] == 14
+    # a corrupt sidecar is survivable: current line comes back (and the
+    # sweep re-banks over the corruption)
+    best.write_text("{not json")
+    assert resolve_final_line(noisy, noisy_line, names, False, best, 13) == noisy_line
