@@ -31,6 +31,64 @@ from pyspark.sql import functions as F
 from .sampling import _hash_key, hash_fraction_sample
 
 
+def anchor_target_features(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(domain, anchor_n, anchor_distinct, anchor_avg_len) — per-TARGET
+    registered domain aggregates of the corpus's anchor texts (r13,
+    verdict item 6): the classic anchor-file signal — the text OTHER
+    pages use when linking a target describes it independently of its
+    own content (the ``anchor_text_stats`` shape, reshaped as a
+    classifier side-feature table). One extraction scan (the
+    ``html_anchor_texts`` double-pass), hrefs absolutized against the
+    page URL, grouped by the target's registered domain; the table is
+    O(domains) — broadcast-joinable against any corpus."""
+    from .text import html_anchor_texts, resolve_link
+    from .urls import url_registered_domain
+
+    pairs = pages.select(
+        F.col(url_col).alias("__page"),
+        F.explode(html_anchor_texts(html_col)).alias("__a"),
+    ).select(
+        url_registered_domain(
+            resolve_link(F.col("__page"), F.col("__a.href"))
+        ).alias("domain"),
+        F.col("__a.text").alias("__text"),
+    ).filter(F.col("domain") != "")
+    return pairs.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("double").alias("anchor_n"),
+        F.count_distinct("__text").cast("double").alias("anchor_distinct"),
+        F.avg(F.length("__text")).alias("anchor_avg_len"),
+    )
+
+
+#: The numeric side-feature columns :func:`anchor_target_features`
+#: produces — pass as ``numeric_cols`` to the trainer/scorer.
+ANCHOR_FEATURE_COLS = ("anchor_n", "anchor_distinct", "anchor_avg_len")
+
+
+def with_anchor_features(
+    docs: DataFrame,
+    anchor_feats: DataFrame,
+    domain_col: str = "source",
+) -> DataFrame:
+    """Left-join the per-domain anchor aggregates onto a document frame
+    keyed by its registered domain (``domain_col``), zero-filling
+    domains nobody links to — the fused feature frame the classifier
+    trains/scores on. Spark broadcasts the O(domains) side."""
+    feats = anchor_feats.select(
+        F.col("domain").alias("__adom"), *ANCHOR_FEATURE_COLS
+    )
+    out = docs.join(
+        F.broadcast(feats), docs[domain_col] == feats["__adom"], "left"
+    ).drop("__adom")
+    return out.withColumns(
+        {c: F.coalesce(c, F.lit(0.0)) for c in ANCHOR_FEATURE_COLS}
+    )
+
+
 def train_quality_classifier(
     target: DataFrame,
     raw: DataFrame,
@@ -39,6 +97,7 @@ def train_quality_classifier(
     negative_fraction: float = 1.0,
     neg_key_col: str = "doc_id",
     reg_param: float = 0.0001,
+    numeric_cols: tuple[str, ...] = (),
 ):
     """Fit the tokenize→HashingTF→LR pipeline. Returns a PipelineModel
     whose ``transform`` adds ``probability``/``prediction``.
@@ -46,7 +105,13 @@ def train_quality_classifier(
     ``negative_fraction`` < 1 downsamples the raw side deterministically
     (md5 on ``neg_key_col``) when the raw corpus dwarfs the target —
     the class-balance knob of the published recipe.
-    """
+
+    ``numeric_cols`` (r13): extra numeric feature columns assembled
+    AFTER the hashed text features (e.g. the anchor-file aggregates of
+    :func:`anchor_target_features` joined via
+    :func:`with_anchor_features`) — the LR coefficient for column i
+    sits at vector index ``num_features + i``, which is how the
+    feature-importance pytest reads them back."""
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import HashingTF, RegexTokenizer
@@ -56,25 +121,35 @@ def train_quality_classifier(
         neg = hash_fraction_sample(
             raw, negative_fraction, key_col=neg_key_col, salt="qcneg"
         )
-    train = target.select(F.col(text_col), F.lit(1.0).alias("label")).unionByName(
-        neg.select(F.col(text_col), F.lit(0.0).alias("label"))
+    cols = [F.col(text_col), *(F.col(c) for c in numeric_cols)]
+    train = target.select(*cols, F.lit(1.0).alias("label")).unionByName(
+        neg.select(*cols, F.lit(0.0).alias("label"))
     )
-    pipe = Pipeline(
-        stages=[
-            RegexTokenizer(
-                inputCol=text_col, outputCol="__toks", pattern=r"\s+",
-                toLowercase=True,
-            ),
-            HashingTF(
-                inputCol="__toks", outputCol="features",
-                numFeatures=num_features,
-            ),
-            LogisticRegression(
-                labelCol="label", featuresCol="features", regParam=reg_param
-            ),
-        ]
+    tf_out = "__tf" if numeric_cols else "features"
+    stages = [
+        RegexTokenizer(
+            inputCol=text_col, outputCol="__toks", pattern=r"\s+",
+            toLowercase=True,
+        ),
+        HashingTF(
+            inputCol="__toks", outputCol=tf_out,
+            numFeatures=num_features,
+        ),
+    ]
+    if numeric_cols:
+        from pyspark.ml.feature import VectorAssembler
+
+        stages.append(
+            VectorAssembler(
+                inputCols=[tf_out, *numeric_cols], outputCol="features"
+            )
+        )
+    stages.append(
+        LogisticRegression(
+            labelCol="label", featuresCol="features", regParam=reg_param
+        )
     )
-    return pipe.fit(train)
+    return Pipeline(stages=stages).fit(train)
 
 
 def score_quality(
@@ -83,12 +158,14 @@ def score_quality(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "quality_prob",
+    numeric_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id_col, out_col): P(target | doc) under the classifier — one
-    transform scan, no shuffle."""
+    transform scan, no shuffle. Pass the trainer's ``numeric_cols``
+    when the model was fitted with side features."""
     from pyspark.ml.functions import vector_to_array
 
-    scored = model.transform(docs.select(id_col, text_col))
+    scored = model.transform(docs.select(id_col, text_col, *numeric_cols))
     return scored.select(
         id_col,
         F.element_at(vector_to_array("probability"), 2).alias(out_col),

@@ -39,7 +39,12 @@ cap applied — the next fetch frontier as parquet
 ``--frontier-out``) further turns the kept frontier into the
 time-ordered fetch plan: per-host slots authority-first, offsets
 spaced by each host's declared crawl-delay
-(url, domain, host, rank, slot, fetch_offset_s).
+(url, domain, host, rank, slot, fetch_offset_s). ``--recrawl-as-of``
+(r13, with ``--seen-urls``) closes the freshness leg: ledger urls
+whose sitemap lastmod (found in the dump) is newer than their
+``scheduled_at``, or whose age exceeds ``--recrawl-ttl-days``,
+re-enter the frontier through the same robots + cap policy and take
+LATER per-host slots than fresh discoveries.
 
 Everything is deterministic: reruns produce byte-identical selections
 (md5-keyed sampling/Gumbel draws, documented in operators/).
@@ -95,6 +100,18 @@ def main() -> None:
                     "of already-fetched/scheduled canonical urls (e.g. a "
                     "prior round's frontier output); candidates in the "
                     "ledger are excluded before the per-domain cap")
+    ap.add_argument("--recrawl-as-of", default=None,
+                    help="(with --seen-urls + --frontier-out) re-admit "
+                    "ledger urls due for a re-fetch: sitemap lastmod in "
+                    "the dump newer than the ledger's scheduled_at "
+                    "column, or age at THIS timestamp past the TTL. "
+                    "Explicit clock ('YYYY-MM-DD HH:MM:SS') so reruns "
+                    "are reproducible; the ledger parquet must carry "
+                    "scheduled_at. Recrawls re-run the same robots + "
+                    "cap policy and take LATER per-host slots than "
+                    "fresh discoveries in --schedule-out")
+    ap.add_argument("--recrawl-ttl-days", type=float, default=30.0,
+                    help="re-fetch age threshold for --recrawl-as-of")
     ap.add_argument("--out", default="./curation_out")
     ap.add_argument("--max-tokens", type=int, default=256)
     ap.add_argument("--keep-fraction", type=float, default=0.6,
@@ -168,12 +185,13 @@ def main() -> None:
             is_sitemap = F.col("html").rlike(
                 r"(?is)<\s*(urlset|sitemapindex)[\s>]"
             )
-            sitemap_locs = parse_sitemaps(
+            sitemap_entries = parse_sitemaps(
                 fetched.filter(is_sitemap & ~is_robots).select(
                     F.col("html").alias("body")
                 ),
                 keep_cols=(),
-            ).select(F.col("loc").alias("url"))
+            )
+            sitemap_locs = sitemap_entries.select(F.col("loc").alias("url"))
             html_pages = fetched.filter(~is_robots & ~is_sitemap)
             auth = pagerank(
                 page_link_edges(html_pages),
@@ -188,30 +206,75 @@ def main() -> None:
             ).select(
                 resolve_link("url", "href", "base").alias("url")
             ).filter("url IS NOT NULL").unionByName(sitemap_locs)
+            seen = (
+                spark.read.parquet(args.seen_urls)
+                if args.seen_urls
+                else None
+            )
+            recr = None
+            if args.recrawl_as_of:
+                if seen is None:
+                    ap.error("--recrawl-as-of requires --seen-urls")
+                if "scheduled_at" not in seen.columns:
+                    ap.error(
+                        "--recrawl-as-of needs a scheduled_at column "
+                        "in the --seen-urls ledger"
+                    )
+                from mbfbigdatarandomforest_spark.plans.llm_ops import (
+                    recrawl_candidates,
+                )
+
+                # due ledger urls re-enter: drop them from the seen
+                # set and feed them back as candidates — they re-run
+                # the SAME robots + per-domain-cap policy as fresh
+                # discoveries (checkpointed once: consumed by the
+                # anti-join, the union, and the demote flag)
+                recr = recrawl_candidates(
+                    seen,
+                    sitemap_entries,
+                    as_of=args.recrawl_as_of,
+                    default_ttl_days=args.recrawl_ttl_days,
+                ).localCheckpoint()
+                seen = seen.join(recr.select("url"), "url", "left_anti")
+                candidates = candidates.unionByName(recr.select("url"))
             frontier = crawl_frontier(
                 candidates,
                 rules,
                 auth,
                 agent=args.frontier_agent,
                 cap=args.frontier_cap,
-                seen=(
-                    spark.read.parquet(args.seen_urls)
-                    if args.seen_urls
-                    else None
-                ),
+                seen=seen,
             ).localCheckpoint()
+            if recr is not None:
+                # demote flag for the scheduler: recrawls take their
+                # host's LATER slots, never delaying fresh discoveries
+                frontier = frontier.join(
+                    recr.select("url", F.lit(True).alias("recrawl")),
+                    "url",
+                    "left",
+                ).withColumn(
+                    "recrawl", F.coalesce("recrawl", F.lit(False))
+                )
             frontier.write.mode("overwrite").parquet(args.frontier_out)
             frontier_counts = {
                 "discovered": frontier.count(),
                 "scheduled": frontier.filter("kept").count(),
                 "domains": frontier.select("domain").distinct().count(),
             }
+            if recr is not None:
+                frontier_counts["recrawl_due"] = recr.count()
+                frontier_counts["recrawl_scheduled"] = frontier.filter(
+                    "kept AND recrawl"
+                ).count()
             if args.schedule_out:
                 from mbfbigdatarandomforest_spark.plans.llm_ops import (
                     fetch_schedule,
                 )
 
-                sched = fetch_schedule(frontier).localCheckpoint()
+                sched = fetch_schedule(
+                    frontier,
+                    demote_col="recrawl" if recr is not None else None,
+                ).localCheckpoint()
                 sched.write.mode("overwrite").parquet(args.schedule_out)
                 frontier_counts["schedule_makespan_s"] = (
                     sched.agg(

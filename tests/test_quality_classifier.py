@@ -86,3 +86,83 @@ def test_negative_downsampling_is_deterministic(spark):
     b = {r["doc_id"]: r["quality_prob"] for r in qc.score_quality(m2, docs).collect()}
     for r in a:
         assert r["quality_prob"] == pytest.approx(b[r["doc_id"]], rel=1e-9)
+
+
+def test_anchor_features_fused_frame_and_importance(spark):
+    """r13 (verdict item 6): the anchor-file corpus as a target-side
+    quality feature. (a) with_anchor_features ≡ a manual left join +
+    zero-fill; (b) on a planted fixture where the TEXT is uninformative
+    (both classes share one vocabulary) but linked domains carry many
+    distinct anchors, the classifier's coefficients put the weight on
+    the anchor slots (num_features + i) and scoring separates the
+    classes through them."""
+    from pyspark.ml.functions import vector_to_array
+
+    # pages: domain 'linked.example' receives MANY distinct anchors,
+    # 'dark.example' receives none
+    pages = spark.createDataFrame(
+        [
+            (
+                f"https://hub{i}.example/p",
+                f'<html><a href="https://linked.example/x{i}">'
+                f"useful reference {i}</a>"
+                f'<a href="https://linked.example/y{i}">guide {i}</a>'
+                "</html>",
+            )
+            for i in range(8)
+        ],
+        "url string, html string",
+    )
+    feats = qc.anchor_target_features(pages)
+    rows = {r["domain"]: r for r in feats.collect()}
+    assert rows["linked.example"]["anchor_n"] == 16.0
+    assert rows["linked.example"]["anchor_distinct"] == 16.0
+    assert set(rows) == {"linked.example"}
+
+    # docs: same constant text everywhere — only the anchor side can
+    # separate label 1 (linked domain) from label 0 (dark domain)
+    text = "plain words all the same in every document here"
+    docs = spark.createDataFrame(
+        [
+            (i, text, "linked.example" if i % 2 == 0 else "dark.example")
+            for i in range(40)
+        ],
+        "doc_id long, text string, source string",
+    )
+    fused = qc.with_anchor_features(docs, feats)
+    # (a) fused ≡ manual join + zero-fill
+    manual = (
+        docs.join(
+            feats.withColumnRenamed("domain", "source"), "source", "left"
+        )
+        .fillna(0.0, subset=list(qc.ANCHOR_FEATURE_COLS))
+        .select(*fused.columns)
+    )
+    assert sorted(map(tuple, fused.collect())) == sorted(
+        map(tuple, manual.collect())
+    )
+    # (b) train: positives are the linked-domain docs
+    target = fused.filter(F.col("source") == "linked.example")
+    raw = fused.filter(F.col("source") == "dark.example")
+    nf = 1 << 10
+    model = qc.train_quality_classifier(
+        target, raw, num_features=nf,
+        numeric_cols=qc.ANCHOR_FEATURE_COLS,
+    )
+    lr = model.stages[-1]
+    coefs = lr.coefficients.toArray()
+    text_mass = float(abs(coefs[:nf]).max()) if nf else 0.0
+    anchor_coefs = coefs[nf:]
+    assert len(anchor_coefs) == len(qc.ANCHOR_FEATURE_COLS)
+    # the anchor slots carry the signal; the (identical) text cannot
+    assert float(abs(anchor_coefs).max()) > 10 * max(text_mass, 1e-12)
+    scored = qc.score_quality(
+        model, fused, numeric_cols=qc.ANCHOR_FEATURE_COLS
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    probs = {
+        r["source"]: r["p"]
+        for r in scored.groupBy("source")
+        .agg(F.avg("quality_prob").alias("p"))
+        .collect()
+    }
+    assert probs["linked.example"] > 0.9 > 0.1 > probs["dark.example"]

@@ -379,16 +379,18 @@ def test_two_round_crawl_loop_ledger_and_budget_refill(tmp_path):
     a_pages = [f"https://content.example/a/{i}" for i in range(6)]
     b_pages = [f"https://content.example/b/{i}" for i in range(3)]
 
-    def run_round(tag, hrefs, seen_dir=None):
+    def run_round(tag, hrefs, seen_dir=None, extra_records=(), extra_args=()):
         d = tmp_path / f"dump{tag}"
         d.mkdir()
-        (d / "s0.warc").write_bytes(encode_warc([hub_page(tag, hrefs)]))
+        (d / "s0.warc").write_bytes(
+            encode_warc([hub_page(tag, hrefs), *extra_records])
+        )
         fr = tmp_path / f"frontier{tag}"
         cmd = [
             sys.executable, "run_curation_pipeline.py",
             "--warc-dir", str(d), "--out", str(tmp_path / f"cur{tag}"),
             "--frontier-out", str(fr), "--frontier-cap", "3",
-            "--max-tokens", "64",
+            "--max-tokens", "64", *extra_args,
         ]
         if seen_dir is not None:
             cmd += ["--seen-urls", str(seen_dir)]
@@ -418,4 +420,62 @@ def test_two_round_crawl_loop_ledger_and_budget_refill(tmp_path):
     assert int(c2["kept"].sum()) == 3
     assert not (set(c2[c2["kept"]]["url"]) & scheduled_r1)
     # two rounds together scheduled 6 distinct content pages
-    assert len(scheduled_r1 | set(c2[c2["kept"]]["url"])) >= 6
+    scheduled_r2 = set(c2[c2["kept"]]["url"])
+    assert len(scheduled_r1 | scheduled_r2) >= 6
+
+    # ---- round 3 (r13, verdict item 5): the freshness leg. The
+    # accumulated ledger carries scheduled_at; the round-3 dump serves
+    # a sitemap with a BUMPED lastmod for one scheduled page and an
+    # OLDER lastmod for another. The bumped page must re-enter the
+    # frontier (flagged recrawl, scheduled into its host's LAST slot);
+    # the unchanged one must stay excluded.
+    all_scheduled = sorted(scheduled_r1 | scheduled_r2)
+    bumped, unchanged = all_scheduled[0], all_scheduled[1]
+    ledger3 = tmp_path / "ledger3"
+    ledger3.mkdir()
+    pd.DataFrame(
+        {
+            "url": all_scheduled,
+            "scheduled_at": ["2024-02-25 00:00:00"] * len(all_scheduled),
+        }
+    ).to_parquet(ledger3 / "part.parquet")
+    sitemap_xml = (
+        '<?xml version="1.0"?><urlset>'
+        f"<url><loc>{bumped}</loc><lastmod>2024-02-28</lastmod></url>"
+        f"<url><loc>{unchanged}</loc><lastmod>2024-02-20</lastmod></url>"
+        "</urlset>"
+    )
+    c_pages = [f"https://content.example/c/{i}" for i in range(2)]
+    f3 = run_round(
+        3,
+        c_pages,
+        seen_dir=ledger3,
+        extra_records=[
+            {
+                "url": "https://content.example/sitemap.xml",
+                "status": 200,
+                "body": sitemap_xml,
+            }
+        ],
+        extra_args=[
+            "--recrawl-as-of", "2024-03-01 00:00:00",
+            "--schedule-out", str(tmp_path / "sched3"),
+        ],
+    )
+    summary3 = json.loads((tmp_path / "cur3" / "summary.json").read_text())
+    fc = summary3["frontier"]
+    assert fc["recrawl_due"] == 1  # lastmod bumped; nothing TTL-stale
+    c3 = f3[f3["domain"] == "content.example"]
+    assert bumped in set(c3["url"])  # re-entered via the change signal
+    assert unchanged not in set(f3["url"])  # older lastmod = no signal
+    assert bool(c3[c3["url"] == bumped]["recrawl"].iloc[0])
+    # 2 fresh + 1 recrawl = 3 ≤ cap: all kept, and the recrawl takes
+    # the host's LAST slot (demoted below fresh discoveries)
+    assert int(c3["kept"].sum()) == 3
+    assert fc["recrawl_scheduled"] == 1
+    sched3 = pd.read_parquet(tmp_path / "sched3")
+    host_rows = sched3[sched3["host"] == "content.example"]
+    assert len(host_rows) == 3
+    brow = host_rows[host_rows["url"] == bumped]
+    assert bool(brow["recrawl"].iloc[0])
+    assert int(brow["slot"].iloc[0]) == int(host_rows["slot"].max())
