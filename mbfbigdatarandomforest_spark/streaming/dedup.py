@@ -62,3 +62,70 @@ def run_dedup_available_now(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_incremental_dedup_available_now(
+    spark,
+    src_dir: str,
+    schema,
+    out_dir: str,
+    reference: DataFrame | None = None,
+    index: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+    query_name: str = "incremental_dedup_stream",
+    source_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Cross-snapshot dedup gate as a stream (r13, verdict item 7):
+    micro-batched NEW documents gated against the STATIC accumulated
+    corpus — pass exactly one of ``reference`` (a frame) or ``index``
+    (a :func:`operators.dedup.build_dedup_index` path, the
+    pipeline-economical side: the stream pays O(batch) compute plus a
+    narrow index scan per micro-batch, never corpus-side shingling).
+
+    ``foreachBatch`` runs the batch-proven
+    :func:`operators.dedup.incremental_dedup` kernel per micro-batch —
+    the decontamination precedent: LSH banding + a per-doc any-match
+    decision is an explode → join → per-doc aggregate, not an
+    append-mode-legal streaming plan. The gate is a PER-ROW decision
+    against the static side, so the drained result is EXACTLY the
+    batch gate of the union — pinned stream ≡ batch in
+    tests/test_streaming.py regardless of micro-batch boundaries.
+
+    Contract note: batches gate against the SAME static state; dup
+    pairs arriving in different micro-batches both survive (exactly
+    like the batch operator's default). Collapsing them is the
+    snapshot cycle's job — append accepted snapshots to the index
+    between stream runs (``append_dedup_index``), the same contract as
+    the batch pipeline."""
+    from ..operators.dedup import incremental_dedup
+
+    if (reference is None) == (index is None):
+        raise ValueError("pass exactly one of reference / index")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        kept = incremental_dedup(
+            batch_df,
+            reference,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=threshold,
+            max_bucket_size=max_bucket_size,
+            index=index,
+        )
+        kept.write.mode("append").parquet(out_dir)
+
+    reader = spark.readStream.schema(schema)
+    for k, v in (source_options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -1128,3 +1128,77 @@ def test_streaming_link_discovery_matches_batch(spark, tmp_path):
         batch_pages
     )  # sanity: same pages produce a non-empty weighted domain graph
     assert edges.count() >= 3 and landed.count() == 4
+
+
+def test_streaming_incremental_dedup_equals_batch(spark, tmp_path):
+    """r13 (verdict item 7): the cross-snapshot gate as a stream.
+    The NEW snapshot arrives in forced one-file micro-batches and is
+    gated per batch against the STATIC persistable index — the drained
+    result must equal the batch gate of the union EXACTLY (the gate is
+    a per-row decision against static state, so micro-batch boundaries
+    cannot change it). Planted exact copies and near-dups of reference
+    docs are fully dropped; both the index and the reference-frame
+    static sides are pinned."""
+    import mbfbigdatarandomforest_spark.operators.dedup as dd_ops
+    from mbfbigdatarandomforest_spark.streaming.dedup import (
+        run_incremental_dedup_available_now,
+    )
+
+    from conftest import SF_DIR_SMALL
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1).unionByName(
+        ref.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        ref.filter(F.col("doc_id") % 10 == 4).select(
+            (F.col("doc_id") + 20_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" zyzzyva")).alias("text"),
+        )
+    )
+    idx = str(tmp_path / "idx")
+    dd_ops.build_dedup_index(ref, idx)
+    src = tmp_path / "src"
+    # several files -> several micro-batches under maxFilesPerTrigger=1
+    new.repartition(4).write.parquet(str(src))
+    kw = dict(threshold=0.7)
+    got = run_incremental_dedup_available_now(
+        spark,
+        str(src),
+        new.schema,
+        str(tmp_path / "out"),
+        index=idx,
+        source_options={"maxFilesPerTrigger": "1"},
+        **kw,
+    )
+    want = dd_ops.incremental_dedup(new, ref, seed=42, **kw)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    kept_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    assert not {i for i in kept_ids if i >= 10_000_000}  # planted all gone
+    assert kept_ids  # and the gate kept real survivors
+    # the reference-frame static side drains to the same result
+    got_ref = run_incremental_dedup_available_now(
+        spark,
+        str(src),
+        new.schema,
+        str(tmp_path / "out_ref"),
+        reference=ref,
+        **kw,
+    )
+    assert sorted(map(tuple, got_ref.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # exactly one static side, enforced
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        run_incremental_dedup_available_now(
+            spark, str(src), new.schema, str(tmp_path / "out2")
+        )
