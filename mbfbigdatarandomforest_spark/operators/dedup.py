@@ -618,6 +618,7 @@ def incremental_minhash_pairs(
     seed: int = 42,
     max_bucket_size: int | None = None,
     index: str | None = None,
+    shingled_new: DataFrame | None = None,
 ) -> DataFrame:
     """(new_id, ref_id, jaccard) near-duplicate pairs of a NEW corpus
     snapshot against the EXISTING dataset (r12) — the cross-snapshot
@@ -641,7 +642,10 @@ def incremental_minhash_pairs(
     carried only for candidate ids. The result is eagerly materialized
     (localCheckpoint) so the internal shingle caches can be released
     before returning — repeated gates in a long-lived session no
-    longer accumulate O(corpus) cached blocks (ADVICE r12)."""
+    longer accumulate O(corpus) cached blocks (ADVICE r12).
+    ``shingled_new``: a caller-cached (id, shingles) frame of ``new``
+    (``banded_minhash_pairs``'s reuse convention) — skipped shingle
+    pass; the caller owns that cache's lifetime."""
     if (reference is None) == (index is None):
         raise ValueError("pass exactly one of reference / index")
     spark = new.sparkSession
@@ -678,9 +682,12 @@ def incremental_minhash_pairs(
             seed=seed,
             max_bucket_size=max_bucket_size,
         ).select(F.col("id").alias("ref_id"), "band", "bucket")
-    sh_new = _shingle_frame(new, text_col, id_col, n).cache()
-    sh_new.count()  # eager: feeds the bucket build AND the verify join
-    caches.append(sh_new)
+    if shingled_new is not None:
+        sh_new = shingled_new
+    else:
+        sh_new = _shingle_frame(new, text_col, id_col, n).cache()
+        sh_new.count()  # eager: feeds bucket build AND the verify join
+        caches.append(sh_new)
     b_new = _band_buckets(
         sh_new,
         bands=bands,
@@ -799,6 +806,14 @@ def incremental_dedup(
             .drop("__rn")
         )
     fresh = fresh.drop("__fp")
+    # within-new mode shingles the fresh side ONCE and shares the cache
+    # between the cross-snapshot near tier and the intra pass (the
+    # survivors' shingle sets are a subset — one semi-join, never a
+    # second shingle pass)
+    sh_fresh = None
+    if dedup_within_new:
+        sh_fresh = _shingle_frame(fresh, text_col, id_col, n).cache()
+        sh_fresh.count()
     near = (
         incremental_minhash_pairs(
             fresh,
@@ -812,6 +827,7 @@ def incremental_dedup(
             seed=seed,
             max_bucket_size=max_bucket_size,
             index=index,
+            shingled_new=sh_fresh,
         )
         .select(F.col("new_id").alias(id_col))
         .distinct()
@@ -821,8 +837,9 @@ def incremental_dedup(
         # near internal tier over the reference-gate survivors: the
         # established intra-corpus composition (banded pass + min-id
         # canonical representative per connected near-dup cluster)
-        sh_kept = _shingle_frame(kept, text_col, id_col, n).cache()
-        sh_kept.count()
+        sh_kept = sh_fresh.join(
+            kept.select(F.col(id_col).alias("id")), "id", "left_semi"
+        )
         intra = banded_minhash_pairs(
             kept,
             text_col=text_col,
@@ -835,7 +852,7 @@ def incremental_dedup(
             shingled=sh_kept,
             max_bucket_size=max_bucket_size,
         ).localCheckpoint(eager=True)  # same bounded-cache discipline
-        sh_kept.unpersist()
+        sh_fresh.unpersist()
         kept = dedup_filter(kept, intra, id_col=id_col)
     return kept
 
