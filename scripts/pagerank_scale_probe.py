@@ -210,19 +210,28 @@ def main() -> None:
         if not fp_ok:
             row["fp_got"], row["fp_want"] = got_fp, want_fp
 
-        # ---- HITS on the same planted structure (r12) ----
-        h_walls, h_stats = [], {}
+        # ---- HITS on the same planted structure (r12; r13: the TIMED
+        # runs are FIXED-ITERATION mode — no stats, no tol — the mode
+        # every registered query runs, where the fused one-ckpt round +
+        # broadcast-folded rescale lives; one extra TRACK-mode run
+        # collects live_ckpt/delta evidence and its wall is reported
+        # separately as hits_track_wall_s) ----
+        h_walls = []
         h_result = None
         for _ in range(REPS):
             spark.catalog.clearCache()
-            h_stats = {}
             t0 = time.time()
-            h_result = hits(
-                edges, max_iter=HITS_ITERS, tol=0.0, stats=h_stats
-            )
+            h_result = hits(edges, max_iter=HITS_ITERS, tol=0.0)
             h_result.write.format("noop").mode("overwrite").save()
             h_walls.append(time.time() - t0)
         hdf = h_result.toPandas()
+        spark.catalog.clearCache()
+        h_stats = {}
+        t0 = time.time()
+        hits(
+            edges, max_iter=HITS_ITERS, tol=0.0, stats=h_stats
+        ).write.format("noop").mode("overwrite").save()
+        h_track_wall = time.time() - t0
         h_ids = ((hdf["node"].to_numpy() - PERM_B) * a_inv) % n
         want_h, want_a = numpy_hits_planted(n, HITS_ITERS)
         h_fp_ok = True
@@ -258,6 +267,7 @@ def main() -> None:
             "iters": HITS_ITERS,
             "wall_s": round(min(h_walls), 2),
             "spread": round(max(h_walls) / min(h_walls), 2),
+            "track_wall_s": round(h_track_wall, 2),
             "live_ckpt_max": max(h_stats.get("live_ckpt_rdds") or [0]),
             "strata_fp_ok": h_fp_ok,
             "leaves_pure_hubs": bool(
