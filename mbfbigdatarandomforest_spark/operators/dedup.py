@@ -606,6 +606,50 @@ def append_dedup_index(
     sh.unpersist()
 
 
+def compact_dedup_index(spark, path: str) -> dict:
+    """Rewrite a dedup index in place (r13): per-snapshot appends
+    accumulate one file set per :func:`append_dedup_index` call plus
+    (rare) cross-snapshot fingerprint duplicates — at daily ingests
+    that is the classic small-files problem. Compaction re-reads each
+    sub-table, de-duplicates fingerprints, and rewrites with
+    snapshot-count-independent file counts. Gate results are UNCHANGED
+    by construction (the anti-join and bucket join are set-semantics).
+    Compaction also REPAIRS a retried append (the at-least-once
+    failure mode: a crashed `append_dedup_index` re-run duplicates its
+    rows): duplicate fingerprints, bucket rows, and per-id shingle
+    rows all collapse — which matters because duplicated bucket rows
+    would inflate the hot-bucket guard's window counts. Returns
+    {"fingerprints": n, "buckets": n, "shingles": n} row counts. Not
+    concurrency-safe with a simultaneous gate or append — run it in
+    the ingestion pipeline's maintenance slot (the same single-writer
+    contract as append)."""
+    _read_dedup_index_meta(spark, path)  # validates the index
+    counts = {}
+    for sub, dedup_cols in (
+        ("fingerprints", ("fp",)),
+        ("buckets", ("id", "band", "bucket")),
+        ("shingles", ("id",)),
+    ):
+        src = _index_subdir(path, sub)
+        frame = spark.read.parquet(src)
+        frame = frame.dropDuplicates(list(dedup_cols))
+        tmp = src.rstrip("/") + "__compact"
+        # size the rewrite at ~1 file per million rows (narrow tables)
+        n = frame.count()
+        frame.coalesce(max(1, -(-n // 1_000_000))).write.mode(
+            "error"
+        ).parquet(tmp)
+        counts[sub] = n
+        # swap via the filesystem the path lives on (local or HDFS)
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path(src)
+        fs = hpath.getFileSystem(conf)
+        fs.delete(hpath, True)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
+    return counts
+
+
 def incremental_minhash_pairs(
     new: DataFrame,
     reference: DataFrame | None = None,

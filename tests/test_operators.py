@@ -2581,3 +2581,57 @@ def test_curation_pipeline_text_dir_ingestion(tmp_path):
     for sub in ("funnel", "manifest", "blocks", "kept_docs"):
         assert any((out / sub).iterdir()), sub
     assert not (out / "datasheet").exists()  # sf-dir-bound, skipped
+
+
+def test_compact_dedup_index_preserves_gate_and_repairs_retry(
+    spark, tmp_path
+):
+    """r13: index compaction. After a build + an append + a RETRIED
+    (duplicated) append, compaction must (a) leave the gate's kept set
+    bit-identical, (b) collapse the duplicate fingerprint/bucket/
+    shingle rows the retry minted, and (c) cut the per-append file
+    accumulation. The retry case matters beyond hygiene: duplicated
+    bucket rows inflate the hot-bucket guard's window counts, so the
+    CAPPED gate is only correct again after compaction — asserted
+    against a fresh single-append twin."""
+    import mbfbigdatarandomforest_spark.operators.dedup as dd_ops
+
+    from conftest import SF_DIR_SMALL
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    accepted = docs.filter(F.col("doc_id") % 3 == 1).limit(40)
+    new = docs.filter(F.col("doc_id") % 3 == 2)
+    idx = str(tmp_path / "idx")
+    dd_ops.build_dedup_index(ref, idx)
+    dd_ops.append_dedup_index(accepted, idx)
+    dd_ops.append_dedup_index(accepted, idx)  # the retried append
+    twin = str(tmp_path / "twin")  # what a clean history looks like
+    dd_ops.build_dedup_index(ref, twin)
+    dd_ops.append_dedup_index(accepted, twin)
+
+    def gate(path, **kw):
+        return sorted(
+            r["doc_id"]
+            for r in dd_ops.incremental_dedup(
+                new, index=path, threshold=0.7, **kw
+            ).collect()
+        )
+
+    before = gate(idx)
+    files_before = len(list((tmp_path / "idx" / "buckets").glob("*.parquet")))
+    counts = dd_ops.compact_dedup_index(spark, idx)
+    assert gate(idx) == before == gate(twin)  # uncapped gate unchanged
+    # the retry's duplicate rows are gone: counts equal the clean twin
+    for sub in ("fingerprints", "buckets", "shingles"):
+        assert counts[sub] == spark.read.parquet(f"{twin}/{sub}").count()
+    files_after = len(list((tmp_path / "idx" / "buckets").glob("*.parquet")))
+    assert files_after < files_before
+    # the CAPPED gate sees true bucket sizes again post-compaction
+    assert gate(idx, max_bucket_size=3) == gate(twin, max_bucket_size=3)
+    # compaction is idempotent
+    assert dd_ops.compact_dedup_index(spark, idx) == counts
+    assert gate(idx) == before
