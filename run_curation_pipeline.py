@@ -44,7 +44,11 @@ spaced by each host's declared crawl-delay
 whose sitemap lastmod (found in the dump) is newer than their
 ``scheduled_at``, or whose age exceeds ``--recrawl-ttl-days``,
 re-enter the frontier through the same robots + cap policy and take
-LATER per-host slots than fresh discoveries.
+LATER per-host slots than fresh discoveries. ``--dedup-index`` (r13)
+closes the ingestion cycle on the CONTENT side: the ingested corpus
+is gated against the accumulated corpus's persistable dedup index
+before the funnel, and ``--dedup-index-append`` appends this run's
+kept docs after — gate → curate → accept, at O(snapshot) per run.
 
 Everything is deterministic: reruns produce byte-identical selections
 (md5-keyed sampling/Gumbel draws, documented in operators/).
@@ -112,6 +116,23 @@ def main() -> None:
                     "fresh discoveries in --schedule-out")
     ap.add_argument("--recrawl-ttl-days", type=float, default=30.0,
                     help="re-fetch age threshold for --recrawl-as-of")
+    ap.add_argument("--dedup-index", default=None,
+                    help="accumulated-corpus dedup index dir "
+                    "(operators.dedup.build_dedup_index layout): the "
+                    "ingested corpus is gated against it BEFORE the "
+                    "funnel (exact-fingerprint + cross-snapshot MinHash "
+                    "tiers at O(snapshot) cost — corpus-side state is "
+                    "read, never recomputed); a missing index "
+                    "bootstraps from this run's kept docs when "
+                    "--dedup-index-append is set")
+    ap.add_argument("--dedup-index-append", action="store_true",
+                    help="after the funnel, append the kept docs to "
+                    "--dedup-index (or build it on bootstrap) so the "
+                    "NEXT snapshot's gate sees them — the ingestion "
+                    "cycle's accept step")
+    ap.add_argument("--dedup-index-threshold", type=float, default=0.7,
+                    help="near-dup Jaccard threshold for the "
+                    "--dedup-index gate")
     ap.add_argument("--out", default="./curation_out")
     ap.add_argument("--max-tokens", type=int, default=256)
     ap.add_argument("--keep-fraction", type=float, default=0.6,
@@ -306,6 +327,33 @@ def main() -> None:
             bench_source = "src0"
         bench = docs.filter(F.col("source") == bench_source)
         corpus = docs.filter(F.col("source") != bench_source).cache()
+    # --- cross-snapshot gate (r13): drop documents the ACCUMULATED
+    # corpus already holds before spending funnel compute on them —
+    # the production tier order (gate, then curate, then append)
+    dedup_index_info = None
+    if args.dedup_index:
+        from mbfbigdatarandomforest_spark.operators import dedup as dd_snap
+
+        try:
+            dd_snap._read_dedup_index_meta(spark, args.dedup_index)
+            have_index = True
+        except Exception:  # noqa: BLE001 — missing/fresh dir: bootstrap
+            have_index = False
+        if have_index:
+            n_ingested = corpus.count()
+            corpus = dd_snap.incremental_dedup(
+                corpus,
+                index=args.dedup_index,
+                threshold=args.dedup_index_threshold,
+            ).localCheckpoint()
+            dedup_index_info = {
+                "bootstrap": False,
+                "ingested": n_ingested,
+                "fresh": corpus.count(),
+            }
+        else:
+            dedup_index_info = {"bootstrap": True}
+
     # text-dir mode mints a constant lang, so the LM/DSIR target is the
     # whole corpus; sf-dir documents carry a real lang column
     target = corpus.filter(F.col("lang") == "en")
@@ -361,6 +409,15 @@ def main() -> None:
     clean = clean.select(*doc_cols)
     kept = kept.select(*doc_cols)
 
+    if args.dedup_index and args.dedup_index_append:
+        # the accept step: the NEXT snapshot's gate must see this run's
+        # kept docs (bootstrap builds the index from them)
+        if dedup_index_info.get("bootstrap"):
+            dd_snap.build_dedup_index(kept, args.dedup_index)
+        else:
+            dd_snap.append_dedup_index(kept, args.dedup_index)
+        dedup_index_info["appended"] = kept.count()
+
     manifest = pack_sequences(kept, max_tokens=args.max_tokens)
     blocks = materialize_packed_blocks(kept, manifest)
 
@@ -411,6 +468,8 @@ def main() -> None:
     }
     if args.warc_dir and args.frontier_out:
         summary["frontier"] = frontier_counts
+    if dedup_index_info is not None:
+        summary["dedup_index"] = dedup_index_info
     (out / "summary.json").parent.mkdir(parents=True, exist_ok=True)
     (out / "summary.json").write_text(json.dumps(summary, indent=2))
     print(json.dumps(summary))

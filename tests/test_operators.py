@@ -2635,3 +2635,76 @@ def test_compact_dedup_index_preserves_gate_and_repairs_retry(
     # compaction is idempotent
     assert dd_ops.compact_dedup_index(spark, idx) == counts
     assert gate(idx) == before
+
+
+def test_curation_pipeline_dedup_index_cycle(tmp_path):
+    """r13: the ingestion cycle through the CLI — run 1 bootstraps the
+    dedup index from its kept docs; run 2's snapshot re-ships copies
+    of run-1 documents plus genuinely new ones, and the gate drops
+    exactly the copies of docs the index HOLDS (run-1 kept) while
+    copies of run-1's funnel-REJECTED docs and the new docs pass."""
+    import json
+    import subprocess
+    import sys
+
+    def body(tag, i):
+        # enough DISTINCT (alphabetic — the Gopher alpha-word rule)
+        # tokens per doc that pairwise Jaccard sits well under the 0.7
+        # near-dup gate — the gate must only drop exact re-ships of
+        # indexed docs, not the fixture's siblings
+        import string
+
+        li = string.ascii_lowercase
+        uniq = " ".join(
+            f"nonce{tag}{li[i % 26]}{li[(i // 26) % 26]}{li[j]}"
+            for j in range(14)
+        )
+        return (
+            f"the quick brown document number {tag}{li[i % 26]} keeps "
+            f"plenty of ordinary words so the gopher rules accept it "
+            f"{uniq}"
+        )
+
+    def run(tag, docs, extra=()):
+        base = tmp_path / f"dump{tag}"
+        d = base / "web"
+        d.mkdir(parents=True)
+        for name, text in docs.items():
+            (d / f"{name}.txt").write_text(text + "\n")
+        out = tmp_path / f"cur{tag}"
+        r = subprocess.run(
+            [
+                sys.executable, "run_curation_pipeline.py",
+                "--text-dir", str(base), "--out", str(out),
+                "--max-tokens", "64", "--keep-fraction", "0.6",
+                "--dedup-index", str(tmp_path / "idx"),
+                "--dedup-index-append", *extra,
+            ],
+            capture_output=True, text=True, timeout=600,
+            cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads((out / "summary.json").read_text())
+
+    docs1 = {f"a{i}": body("a", i) for i in range(12)}
+    docs1["short"] = "too short"  # funnel-rejected, never indexed
+    s1 = run(1, docs1)
+    assert s1["dedup_index"] == {
+        "bootstrap": True,
+        "appended": s1["stages"]["5_dsir_selected"],
+    }
+    n_kept1 = s1["stages"]["5_dsir_selected"]
+    assert 0 < n_kept1 < len(docs1)
+
+    # run 2: every run-1 doc re-shipped (same text = same fingerprint)
+    # plus 6 new ones; gate must drop exactly the indexed (kept) set
+    docs2 = dict(docs1)
+    docs2.update({f"b{i}": body("b", i + 50) for i in range(6)})
+    s2 = run(2, docs2)
+    di = s2["dedup_index"]
+    assert di["bootstrap"] is False
+    assert di["ingested"] == len(docs2)
+    # copies of indexed docs are gone; rejected-doc copies + new pass
+    assert di["fresh"] == len(docs2) - n_kept1
+    assert s2["stages"]["0_raw"] == di["fresh"]  # funnel sees the gated corpus
+    assert di["appended"] == s2["stages"]["5_dsir_selected"] > 0
