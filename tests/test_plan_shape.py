@@ -414,3 +414,50 @@ def test_pagerank_edge_derivation_prunes_scan(spark):
     assert "BroadcastNestedLoop" not in p2
     assert p2.count("Generate") == 1
     assert p2.count("Exchange") <= 2  # groupBy (+ AQE read), nothing else
+
+
+def test_r13_incremental_index_and_recrawl_plan_shape(spark, tmp_path):
+    """r13 operators: the index-path gate and the recrawl candidates
+    never plan a CartesianProduct or BroadcastNestedLoopJoin — every
+    join keys on url/fingerprint/(band,bucket)/id; the recrawl TTL
+    override joins on domain."""
+    from pyspark.sql import functions as F
+
+    from mbfbigdatarandomforest_spark.operators import dedup as dd
+    from mbfbigdatarandomforest_spark.plans.llm_ops import (
+        recrawl_candidates,
+    )
+    from mbfbigdatarandomforest_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "idx")
+    dd.build_dedup_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    gated = dd.incremental_dedup(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        index=idx,
+        threshold=0.7,
+        dedup_within_new=False,
+    )
+    plan = _plan(gated)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    ledger = spark.createDataFrame(
+        [("https://a.example/x", "2024-01-01 00:00:00")],
+        "url string, scheduled_at string",
+    )
+    sitemaps = spark.createDataFrame(
+        [("https://a.example/x", "2024-02-01")], "loc string, lastmod string"
+    )
+    ttl = spark.createDataFrame(
+        [("a.example", 5.0)], "domain string, ttl_days double"
+    )
+    rplan = _plan(
+        recrawl_candidates(
+            ledger, sitemaps, as_of="2024-03-01 00:00:00", domain_ttl=ttl
+        )
+    )
+    assert "CartesianProduct" not in rplan
+    assert "BroadcastNestedLoopJoin" not in rplan
