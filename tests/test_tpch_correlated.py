@@ -73,6 +73,7 @@ def test_ansi_suite3_same_text_both_engines_exact(spark, duck):
         "q11_value_concentration",
         "q12_priority_by_linestatus",
         "q15_top_supplier",
+        "q18_large_orders",  # fused in r13 (slot freed for the schedule gate)
         "q20_bulk_suppliers",
         "q21_waiting_supplier",
     }
