@@ -853,9 +853,14 @@ def incremental_dedup(
     # within-new mode shingles the fresh side ONCE and shares the cache
     # between the cross-snapshot near tier and the intra pass (the
     # survivors' shingle sets are a subset — one semi-join, never a
-    # second shingle pass)
+    # second shingle pass); fresh itself is also materialized once —
+    # its scan+fingerprint+anti-join+window chain otherwise re-executes
+    # for every downstream consumer (shingles, the near anti-join, the
+    # intra pass, the caller's action). O(new) transient blocks — the
+    # snapshot being gated, not the corpus.
     sh_fresh = None
     if dedup_within_new:
+        fresh = fresh.localCheckpoint(eager=True)
         sh_fresh = _shingle_frame(fresh, text_col, id_col, n).cache()
         sh_fresh.count()
     near = (
