@@ -1963,7 +1963,12 @@ def recrawl_candidates(
       ``(domain, ttl_days)`` frame) — the no-signal fallback.
 
     ``ledger``: (url, scheduled_at) — the accumulated fetch schedule
-    (timestamp-castable). ``as_of`` is REQUIRED and explicit (a
+    (timestamp-castable). An append-only ledger legally holds several
+    rows per url (one per fetch round, including past recrawls); only
+    the LATEST schedule counts — a url re-fetched yesterday must not
+    look stale through last year's row, and a lastmod older than the
+    latest fetch is no signal even if it post-dates an earlier one.
+    ``as_of`` is REQUIRED and explicit (a
     timestamp literal): re-crawl decisions must be reproducible for
     cross-engine twins; pass the wall clock upstream if wanted.
     ``sitemap_entries``: (loc, lastmod) rows; locs are normalized here
@@ -1984,9 +1989,15 @@ def recrawl_candidates(
             "as_of is required (explicit clock — pass a timestamp "
             "literal; recrawl decisions must be reproducible)"
         )
-    led = ledger.select(
-        "url", F.col("scheduled_at").try_cast("timestamp").alias("__sched")
-    ).filter(F.col("__sched").isNotNull())
+    led = (
+        ledger.select(
+            "url",
+            F.col("scheduled_at").try_cast("timestamp").alias("__sched"),
+        )
+        .filter(F.col("__sched").isNotNull())
+        .groupBy("url")
+        .agg(F.max("__sched").alias("__sched"))
+    )
     asof = F.lit(as_of).try_cast("timestamp")
     if sitemap_entries is not None:
         lm = (

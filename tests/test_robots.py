@@ -609,6 +609,12 @@ def test_recrawl_candidates_unit(spark):
             ("https://a.example/old-no-signal", "2024-01-01 00:00:00"),
             ("https://a.example/young-no-signal", "2024-02-25 00:00:00"),
             ("https://b.example/short-ttl", "2024-02-25 00:00:00"),
+            # append-only ledger: an OLD row for a url re-fetched since
+            # — only the LATEST schedule counts, so this must not make
+            # re-fetched-recently look stale (nor let the 02-25 lastmod
+            # below count as a bump against the superseded 01-01 row)
+            ("https://a.example/re-fetched-recently", "2024-01-01 00:00:00"),
+            ("https://a.example/re-fetched-recently", "2024-02-27 00:00:00"),
         ],
         "url string, scheduled_at string",
     )
@@ -617,6 +623,7 @@ def test_recrawl_candidates_unit(spark):
             # tracking param + trailing slash: normalization must match
             ("https://a.example/fresh-bumped/?utm_source=x", "2024-02-25"),
             ("https://a.example/fresh-older-lastmod", "2024-02-10"),
+            ("https://a.example/re-fetched-recently", "2024-02-25"),
         ],
         "loc string, lastmod string",
     )
