@@ -12,10 +12,14 @@ checks are a host-equi-join of URLs against the host's rule set with
 the RFC's longest-match-wins resolved by one window. No Python in any
 path.
 
-Scope, documented (the PSL-subset posture): user-agent resolution is
-exact-token match falling back to ``*`` (RFC product-token
-longest-substring matching is collapsed to exact/default — the two
-tiers real corpus crawlers configure); ``allow``/``disallow`` patterns
+User-agent resolution (r13 — the last collapsed RFC leg, closed):
+full product-token matching. A group governs a crawler when its agent
+token is a case-insensitive SUBSTRING of the crawler's product token
+(RFC 9309 §2.2.1); among matching tokens the most specific — most
+octets — wins, equal-length winners COMBINE (the RFC's
+multiple-matching-groups merge, collapsed onto the specificity ladder
+published crawler docs rank: googlebot-news > googlebot > ``*``);
+``*`` remains the no-match fallback tier. ``allow``/``disallow`` patterns
 support the full RFC wildcard grammar (``*`` any-sequence, ``$``
 end-anchor, longest-pattern-wins, allow wins ties); ``crawl-delay``
 and ``sitemap`` lines are surfaced as rows, not interpreted.
@@ -109,41 +113,65 @@ def parse_robots(
     )
 
 
-def _hosts_with_exact_group(rules: DataFrame, agent_lower: str) -> DataFrame:
-    """(host, __has_exact): does ANY of the host's groups name the
-    agent exactly — membership decided across ALL directive rows, not
-    just the ones a caller filters to. RFC 9309 §2.2.1: once a group
-    matches the agent, ONLY that group governs; an exact-agent group
-    holding nothing but a crawl-delay line still suppresses the ``*``
-    group's path rules (its empty rule set means allow-all)."""
-    return rules.groupBy("host").agg(
-        F.max(F.array_contains("agents", agent_lower).cast("int")).alias(
-            "__has_exact"
+def _agent_match_len(agent_lower: str) -> Column:
+    """Octet length of the BEST group token matching the crawler's
+    product token on each rule row — RFC 9309 §2.2.1 matching (r13): a
+    token matches when it is a case-insensitive substring of the
+    crawler's token (``*`` and '' never match here — ``*`` is the
+    fallback tier, an empty token a malformed line); 0 when none do.
+    Most-octets ranking mirrors the path-rule ranker: the most
+    specific group wins, the ladder crawler docs publish
+    (googlebot-news > googlebot > ``*``)."""
+    agent_lit = F.lit(agent_lower)
+
+    def _matches(t: Column) -> Column:
+        return (
+            (t != F.lit("*")) & (t != F.lit("")) & F.contains(agent_lit, t)
         )
+
+    return F.coalesce(
+        F.array_max(
+            F.transform(F.filter(F.col("agents"), _matches), F.octet_length)
+        ),
+        F.lit(0),
+    )
+
+
+def _host_best_agent_match(rules: DataFrame, agent_lower: str) -> DataFrame:
+    """(host, __best): the longest matching group-token octet length
+    across ALL the host's directive rows (0 = no group matches — the
+    ``*`` tier governs). Membership is decided across the FULL group
+    set, not caller-filtered rows: a delay-only matching group still
+    suppresses the ``*`` group's path rules (its empty rule set means
+    allow-all) — the r11 tier-mixing fix, generalized from exact-token
+    to the substring ladder."""
+    return rules.groupBy("host").agg(
+        F.max(_agent_match_len(agent_lower)).alias("__best")
     )
 
 
 def _agent_rules(rules: DataFrame, agent: str) -> DataFrame:
     """The allow/disallow rules governing ``agent`` per host: the
-    host's exact-token groups when any exist, else its ``*`` groups
-    (RFC group-selection collapsed to the two tiers, module docstring).
-    Tier selection comes from :func:`_hosts_with_exact_group` — full
-    group membership — so a delay-only exact group yields ZERO path
-    rules here (allow-all), never the ``*`` group's rules."""
+    groups whose token ties the host's LONGEST product-token match
+    when any group matches (equal-length winners combine — the RFC's
+    multi-group merge), else its ``*`` groups (module docstring). Tier
+    selection comes from :func:`_host_best_agent_match` — full group
+    membership — so a delay-only matching group yields ZERO path rules
+    here (allow-all), never the ``*`` group's rules."""
     a = agent.lower()
     r = rules.filter(F.col("directive").isin("allow", "disallow")).select(
         "host",
         "directive",
         F.col("value").alias("pattern"),
         "pattern_re",
-        F.array_contains("agents", a).alias("__exact"),
+        _agent_match_len(a).alias("__mlen"),
         F.array_contains("agents", "*").alias("__star"),
     )
     return (
-        r.join(_hosts_with_exact_group(rules, a), "host")
+        r.join(_host_best_agent_match(rules, a), "host")
         .filter(
-            (F.col("__exact") & (F.col("__has_exact") == 1))
-            | (F.col("__star") & (F.col("__has_exact") == 0))
+            ((F.col("__mlen") == F.col("__best")) & (F.col("__best") > 0))
+            | (F.col("__star") & (F.col("__best") == 0))
         )
         .select("host", "directive", "pattern", "pattern_re")
     )
@@ -205,24 +233,24 @@ def parse_sitemaps(
 def agent_crawl_delay(rules: DataFrame, agent: str = "*") -> DataFrame:
     """(host, crawl_delay) for the group governing ``agent`` — the
     politeness budget a frontier scheduler spaces fetches by. Same
-    exact-token-else-star selection as the permission rules; several
-    delay lines in scope → the max (conservative); non-numeric values
-    dropped (try_cast)."""
+    most-specific-token-else-star selection as the permission rules;
+    several delay lines in scope → the max (conservative); non-numeric
+    values dropped (try_cast)."""
     a = agent.lower()
     d = rules.filter(F.col("directive") == "crawl-delay").select(
         "host",
         F.expr("try_cast(value AS DOUBLE)").alias("delay"),
-        F.array_contains("agents", a).alias("__exact"),
+        _agent_match_len(a).alias("__mlen"),
         F.array_contains("agents", "*").alias("__star"),
     ).filter(F.col("delay").isNotNull())
     return (
         # same full-membership tier selection as _agent_rules: a host
-        # whose exact group declares only path rules gets NO delay (the
-        # governing group has none), never the * group's delay
-        d.join(_hosts_with_exact_group(rules, a), "host")
+        # whose governing group declares only path rules gets NO delay
+        # (that group has none), never the * group's delay
+        d.join(_host_best_agent_match(rules, a), "host")
         .filter(
-            (F.col("__exact") & (F.col("__has_exact") == 1))
-            | (F.col("__star") & (F.col("__has_exact") == 0))
+            ((F.col("__mlen") == F.col("__best")) & (F.col("__best") > 0))
+            | (F.col("__star") & (F.col("__best") == 0))
         )
         .groupBy("host")
         .agg(F.max("delay").alias("crawl_delay"))

@@ -288,47 +288,91 @@ def html_title(col: Column | str) -> Column:
     return F.trim(F.regexp_extract(c, r"(?is)<title[^>]*>(.*?)</title\s*>", 1))
 
 
-#: href values of anchor tags: quoted (either quote) or bare, captured
-#: up to the closing quote/whitespace/'>'. RE2∩Java (no lookaround), so
+#: Tag-attribute scan between '<a' and the href attribute (r13): plain
+#: chars ([^>'"] — '<' stays legal, as the r11 [^>] class allowed) OR a
+#: complete quoted attribute value, so a '>' INSIDE a quoted value
+#: (title="a>b") no longer ends the scan early — one of the two r12
+#: documented limits, closed. Quoted chunks stop at '<' so an
+#: unbalanced quote can't bridge into later tags.
+_TAG_ATTR_SKIP = "(?:[^>'\"]|\"[^\"<]*\"|'[^'<]*')*?"
+
+#: href value, ONE capture group, quotes INCLUDED when present: a full
+#: double/single-quoted value (spaces legal — the other r12 limit,
+#: closed r13; '<'/'>' are not URL characters and bound the chunk) or
+#: a bare value up to whitespace/quote/'>'. :func:`_strip_href_quotes`
+#: unwraps + trims — browsers strip leading/trailing whitespace from
+#: quoted URL attributes.
+_HREF_VALUE = "(\"[^\"<>]*\"|'[^'<>]*'|[^'\"\\s>]+)"
+
+#: href values of anchor tags. RE2∩Java (no lookaround/backrefs), so
 #: the DuckDB twin runs the SAME pattern. The ``[\s'"]`` boundary
 #: before ``href`` (r12, ADVICE r11) rejects PREFIXED attributes —
 #: ``<a data-href="x" href="y">`` extracts 'y', not 'x' (an <a> tag
 #: always has whitespace or a quote before each attribute name).
-#: Known, documented limits: quoted hrefs CONTAINING spaces truncate
-#: at the space, and an ATTRIBUTE VALUE containing '>' before href
-#: (title="a>b") ends the tag scan early — both rare, both lose only
-#: that one anchor, and the domain-graph use case is unaffected
-#: (proper handling is a DOM parser: a per-row Python UDF, the slow
-#: path).
-HTML_HREF_PATTERN = r"(?is)<a\b[^>]*?[\s'\"]href\s*=\s*['\"]?([^'\"\s>]+)"
+#: Remaining documented limits (r13): a tag with an UNBALANCED quote
+#: before href loses that one anchor (browsers see no href attribute
+#: there either), and attributes jammed against href with NO
+#: separating whitespace after a quoted value ("x"href=…, invalid
+#: HTML5) no longer anchor the boundary class. Proper handling beyond
+#: this is a DOM parser: a per-row Python UDF, the slow path.
+HTML_HREF_PATTERN = (
+    "(?is)<a\\b" + _TAG_ATTR_SKIP + "[\\s'\"]href\\s*=\\s*" + _HREF_VALUE
+)
+
+
+def _strip_href_quotes(v: Column) -> Column:
+    """Unwrap a captured href value: drop the surrounding quotes when
+    present, then trim (the whitespace browsers strip from URL
+    attribute values)."""
+    return F.trim(
+        F.when(
+            v.rlike("^[\"']"),
+            v.substr(F.lit(2), F.greatest(F.length(v) - F.lit(2), F.lit(0))),
+        ).otherwise(v)
+    )
 
 
 def html_links(col: Column | str) -> Column:
     """All anchor hrefs of an HTML column, document order, as
-    ``array<string>`` — one codegen ``regexp_extract_all``, the
-    crawl-side input to the link graph (``linkgraph.page_link_edges``
-    resolves + projects them to domain edges)."""
+    ``array<string>`` — one codegen ``regexp_extract_all`` plus an
+    unwrap-quotes transform, the crawl-side input to the link graph
+    (``linkgraph.page_link_edges`` resolves + projects them to domain
+    edges). Quoted hrefs keep internal spaces (r13); empty hrefs
+    (``href=""`` — a self-reference, not a link) are dropped."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(c, F.lit(HTML_HREF_PATTERN), 1)
+    raw = F.regexp_extract_all(c, F.lit(HTML_HREF_PATTERN), 1)
+    return F.filter(
+        F.transform(raw, _strip_href_quotes), lambda v: v != F.lit("")
+    )
 
 
 def html_links_twin_sql(expr: str) -> str:
-    """DuckDB twin of :func:`html_links` — same pattern text."""
+    """DuckDB twin of :func:`html_links` — same pattern text, same
+    unwrap-quotes + trim + drop-empty post-processing."""
     pat = HTML_HREF_PATTERN.replace("'", "''")
-    return f"regexp_extract_all({expr}, '{pat}', 1)"
+    unwrap = (
+        "trim(CASE WHEN v[1:1] IN ('\"', '''') THEN v[2:-2] ELSE v END)"
+    )
+    return (
+        f"list_filter(list_transform(regexp_extract_all({expr}, '{pat}', 1),"
+        f" v -> {unwrap}), v -> v <> '')"
+    )
 
 
 #: href AND anchor body of closed anchor tags (r12). Same boundary +
-#: value grammar as HTML_HREF_PATTERN, then the tag's remaining
-#: attributes ([^>]*>) and a LAZY body up to the first </a>. Same
-#: RE2∩Java subset (no lookaround/backrefs), so the DuckDB twin runs
-#: the identical text. Extra documented limit on top of the href
-#: extractor's two: anchors that never close (</a> missing) are
-#: dropped — html_links still sees their href, so the link graph is
-#: unaffected; only the anchor-TEXT signal loses that row.
+#: value grammar as HTML_HREF_PATTERN (quote-aware since r13 — spaces
+#: in quoted hrefs and '>' inside quoted attribute values both
+#: handled), then the tag's remaining attributes (same quoted-chunk
+#: scan, so title="a>b" AFTER href doesn't end the tag early either)
+#: and a LAZY body up to the first </a>. Same RE2∩Java subset (no
+#: lookaround/backrefs), so the DuckDB twin runs the identical text.
+#: Extra documented limit on top of the href extractor's: anchors that
+#: never close (</a> missing) are dropped — html_links still sees
+#: their href, so the link graph is unaffected; only the anchor-TEXT
+#: signal loses that row.
 HTML_ANCHOR_PATTERN = (
-    r"(?is)<a\b[^>]*?[\s'\"]href\s*=\s*['\"]?([^'\"\s>]+)"
-    r"[^>]*>(.*?)</a\s*>"
+    "(?is)<a\\b" + _TAG_ATTR_SKIP + "[\\s'\"]href\\s*=\\s*" + _HREF_VALUE
+    + "(?:[^>'\"]|\"[^\"<]*\"|'[^'<]*')*>(.*?)</a\\s*>"
 )
 
 
@@ -348,7 +392,10 @@ def html_anchor_texts(col: Column | str) -> Column:
     twice, canceling the saved document pass — so the simpler
     double-pass shape stays.)"""
     c = F.col(col) if isinstance(col, str) else col
-    hrefs = F.regexp_extract_all(c, F.lit(HTML_ANCHOR_PATTERN), 1)
+    hrefs = F.transform(
+        F.regexp_extract_all(c, F.lit(HTML_ANCHOR_PATTERN), 1),
+        _strip_href_quotes,
+    )
     bodies = F.regexp_extract_all(c, F.lit(HTML_ANCHOR_PATTERN), 2)
     clean = F.transform(
         bodies,
@@ -368,7 +415,13 @@ def html_anchor_texts(col: Column | str) -> Column:
             )
         ),
     )
-    return F.arrays_zip(hrefs.alias("href"), clean.alias("text"))
+    # alignment holds through the per-array transforms (same match
+    # list); empty hrefs (href="" self-references) drop AFTER the zip
+    # so the pairing never shifts
+    return F.filter(
+        F.arrays_zip(hrefs.alias("href"), clean.alias("text")),
+        lambda p: p["href"] != F.lit(""),
+    )
 
 
 def html_base_href(col: Column | str) -> Column:
@@ -376,10 +429,14 @@ def html_base_href(col: Column | str) -> Column:
     absent. Pages use it to re-root relative resolution; honored by
     :func:`resolve_link` via its ``base_url`` argument."""
     c = F.col(col) if isinstance(col, str) else col
-    # same attribute-name boundary as HTML_HREF_PATTERN (ADVICE r11)
-    return F.trim(
+    # same attribute-name boundary (ADVICE r11) and quote-aware value
+    # grammar (r13) as HTML_HREF_PATTERN
+    return _strip_href_quotes(
         F.regexp_extract(
-            c, r"(?is)<base\b[^>]*?[\s'\"]href\s*=\s*['\"]?([^'\"\s>]+)", 1
+            c,
+            "(?is)<base\\b" + _TAG_ATTR_SKIP
+            + "[\\s'\"]href\\s*=\\s*" + _HREF_VALUE,
+            1,
         )
     )
 

@@ -381,6 +381,23 @@ def test_html_links_extraction_and_duckdb_twin(spark, duck):
         # shadow the real href — the boundary class rejects it
         (5, '<a data-href="https://wrong.example/x" href="https://right.example/y">p</a>',
          ["https://right.example/y"]),
+        # r13: the two formerly-documented limits, closed — quoted
+        # hrefs keep their SPACES; '>' inside an earlier quoted
+        # attribute value no longer ends the tag scan
+        (6, '<a href="https://a.example/x y z">s</a>',
+         ["https://a.example/x y z"]),
+        (7, '<a title="a>b" href="https://a.example/q">t</a>',
+         ["https://a.example/q"]),
+        (8, "<a title='a>b' href='/single space'>t</a>", ["/single space"]),
+        # r13: empty/whitespace hrefs (self-references) drop; quoted
+        # leading/trailing whitespace trims (browser behavior)
+        (9, '<a href="">e</a><a href="  ">w</a><a href=" /ok ">k</a>',
+         ["/ok"]),
+        # r13 documented limit: an UNBALANCED quote before href loses
+        # that one anchor (browsers see no href attribute either);
+        # later anchors unaffected
+        (10, '<a foo="bar href="/lost">x</a><a href="/found">y</a>',
+         ["/found"]),
     ]
     df = spark.createDataFrame(
         [(i, h) for i, h, _ in cases], "i long, html string"
@@ -428,6 +445,13 @@ def test_html_anchor_texts_pairs_and_cleanup(spark):
             'href="https://right.example/y">ok</a>',
          [("https://right.example/y", "ok")]),
         (5, "<p>no anchors at all</p>", []),
+        # r13: quote-aware value + tag-rest scan — spaces in quoted
+        # hrefs kept, '>' inside quoted attribute values (before OR
+        # after href) doesn't end the tag; empty-href pairs drop
+        # AFTER the zip so alignment never shifts
+        (6, '<a href="/a b" title="x>y">body</a>', [("/a b", "body")]),
+        (7, '<a title="p>q" href="/c d">t2</a>', [("/c d", "t2")]),
+        (8, '<a href="">e</a><a href="/k">k</a>', [("/k", "k")]),
     ]
     df = spark.createDataFrame(
         [(i, h) for i, h, _ in cases], "i long, html string"
@@ -499,6 +523,13 @@ def test_anchor_text_stats_vs_python_twin(spark, duck):
         FROM __anchor_pages
     """).fetchall()
     rd_sql = url_twin_sql("url")["registered_domain"]
+
+    # r13: captured values include their quotes — mirror the
+    # _strip_href_quotes unwrap (drop quotes, trim)
+    def unq(v: str) -> str:
+        return (v[1:-1] if v[:1] in ('"', "'") else v).strip()
+
+    rows = [([unq(h) for h in hrefs], bodies) for hrefs, bodies in rows]
     all_hrefs = sorted({h for hrefs, _ in rows for h in hrefs})
     duck.execute("CREATE OR REPLACE TABLE __anchor_hrefs(url VARCHAR)")
     duck.executemany(
@@ -853,6 +884,10 @@ def test_base_href_reroots_relative_resolution(spark):
          "https://page.example/p", "/x", "https://page.example/x"),
         ("<p>no base</p>",
          "https://page.example/p", "/x", "https://page.example/x"),
+        # r13: quote-aware grammar — '>' inside an earlier quoted
+        # attribute, and browser-style trim of the quoted value
+        ('<base target="a>b" href=" https://cdn.example ">',
+         "https://page.example/p", "/x", "https://cdn.example/x"),
     ]
     df = spark.createDataFrame(
         [(i, h, p, l) for i, (h, p, l, _) in enumerate(cases)],

@@ -1,7 +1,8 @@
 """robots.txt policy oracle tests (operators/robots.py r11).
 
 The reference implementation here is an independent pure-Python RFC
-9309 evaluator (group parsing, exact-agent-else-star selection,
+9309 evaluator (group parsing, most-specific-substring product-token
+selection falling back to ``*`` — r13, equal-length winners combine,
 wildcard/anchor matching, longest-match-wins with allow on ties) —
 Spark must agree URL-for-URL on crafted corner cases and on a
 randomized fixture sweep. stdlib urllib.robotparser is NOT the oracle:
@@ -50,12 +51,29 @@ def _match(pat: str, path: str) -> bool:
     return re.search(rx, path) is not None
 
 
+def _token_match_len(tokens, agent: str) -> int:
+    """Octet length of the best group token matching the crawler's
+    product token (RFC 9309 §2.2.1 substring matching, r13) — 0 when
+    none; '*' and '' never match (fallback tier / malformed line)."""
+    ls = [
+        len(t.encode("utf-8"))
+        for t in tokens
+        if t not in ("*", "") and t in agent
+    ]
+    return max(ls) if ls else 0
+
+
+def _governing_groups(groups, agent: str):
+    best = max((_token_match_len(g[0], agent) for g in groups), default=0)
+    if best > 0:
+        return [g for g in groups if _token_match_len(g[0], agent) == best]
+    return [g for g in groups if "*" in g[0]]
+
+
 def py_allowed(body: str, agent: str, path: str) -> bool:
     groups = _parse_groups(body)
     agent = agent.lower()
-    sel = [g for g in groups if agent in g[0]] or [
-        g for g in groups if "*" in g[0]
-    ]
+    sel = _governing_groups(groups, agent)
     best = None
     for _, rules in sel:
         for d, pat in rules:
@@ -184,10 +202,14 @@ def test_randomized_sweep_vs_python_oracle(spark):
     the Python RFC evaluator on every (host, path, agent) decision.
     r12: ~1 in 5 groups is DELAY-ONLY (no path rules) — the generator
     shape that catches tier-mixing in group selection (a delay-only
-    exact group must suppress the * group's path rules)."""
+    exact group must suppress the * group's path rules). r13: the pool
+    gains tokens that are SUBSTRINGS of the tested product tokens
+    ('corpus', 'bot') so the sweep exercises the specificity ladder
+    and equal-length combining, and a suffixed product token sweeps
+    the pure-substring path."""
     rng = np.random.default_rng(911)
     atoms = ["/a", "/b/c", "/data", "/*.js", "/img*", "/x/y.html$", "/p/*/q"]
-    agents_pool = ["*", "corpusbot", "otherbot"]
+    agents_pool = ["*", "corpusbot", "otherbot", "corpus", "bot"]
     bodies = {}
     for h in range(6):
         lines = []
@@ -208,7 +230,7 @@ def test_randomized_sweep_vs_python_oracle(spark):
         "/x/y.html", "/x/y.html?v=1", "/p/mid/q", "/other",
     ]
     urls = [f"http://{h}{p}" for h in bodies for p in paths]
-    for agent in ("*", "CorpusBot"):
+    for agent in ("*", "CorpusBot", "CorpusBot-News/2.1"):
         got = _spark_decisions(spark, bodies, urls, agent)
         for h, body in bodies.items():
             for p in paths:
@@ -256,6 +278,72 @@ def test_delay_only_exact_group_suppresses_star_rules(spark):
     assert {
         r["host"]: r["crawl_delay"]
         for r in agent_crawl_delay(rules2, "*").collect()
+    } == {host: 9.0}
+
+
+def test_product_token_substring_matching_most_specific_wins(spark):
+    """r13 (the last collapsed RFC leg): a group whose agent token is a
+    case-insensitive SUBSTRING of the crawler's product token governs
+    it; the longest (most octets) matching token wins; '*' stays the
+    no-match fallback — the specificity ladder crawler docs publish
+    (corpusbot-news > corpusbot > corpus > *)."""
+    body = (
+        "User-agent: *\nDisallow: /star\n\n"
+        "User-agent: corpus\nDisallow: /six\n\n"
+        "User-agent: corpusbot\nDisallow: /nine\n\n"
+        "User-agent: corpusbot-news\nDisallow: /news\n"
+    )
+    host = "h.example"
+    paths = ["/star/x", "/six/x", "/nine/x", "/news/x"]
+    urls = [f"https://{host}{p}" for p in paths]
+    cases = {
+        "CorpusBot-News/2.1": "/news/x",  # 14-octet token wins
+        "CorpusBot": "/nine/x",           # exact beats the 6-octet prefix
+        "corpusreader": "/six/x",         # only 'corpus' is a substring
+        "unrelatedbot": "/star/x",        # no match → * tier
+    }
+    for agent, blocked in cases.items():
+        got = _spark_decisions(spark, {host: body}, urls, agent)
+        for p in paths:
+            u = f"https://{host}{p}"
+            assert got[u] == py_allowed(body, agent, p), (agent, p)
+            assert got[u] is (p != blocked), (agent, p)
+
+
+def test_equal_length_matching_tokens_combine(spark):
+    """r13: two groups whose tokens match the product token at the
+    SAME octet length both govern — RFC 9309 §2.2.1's
+    multiple-matching-groups merge — and the delay ladder follows the
+    same selection (the substring group's delay, never the *
+    group's)."""
+    from mbfbigdatarandomforest_spark.operators.robots import (
+        agent_crawl_delay,
+    )
+
+    host = "h.example"
+    body = (
+        "User-agent: alpha\nDisallow: /a\n\n"
+        "User-agent: omega\nDisallow: /o\nCrawl-delay: 3\n\n"
+        "User-agent: *\nDisallow: /s\nCrawl-delay: 9\n"
+    )
+    paths = ["/a/x", "/o/x", "/s/x", "/free"]
+    urls = [f"https://{host}{p}" for p in paths]
+    got = _spark_decisions(spark, {host: body}, urls, "alphaomega")
+    for p in paths:
+        assert got[f"https://{host}{p}"] == py_allowed(body, "alphaomega", p)
+    # both 5-octet groups combine; the * group is out of scope
+    assert got[f"https://{host}/a/x"] is False
+    assert got[f"https://{host}/o/x"] is False
+    assert got[f"https://{host}/s/x"] is True
+    assert got[f"https://{host}/free"] is True
+    rules = _rules_df(spark, {host: body})
+    assert {
+        r["host"]: r["crawl_delay"]
+        for r in agent_crawl_delay(rules, "alphaomega").collect()
+    } == {host: 3.0}  # omega's 3, never *'s 9
+    assert {
+        r["host"]: r["crawl_delay"]
+        for r in agent_crawl_delay(rules, "nomatchbot").collect()
     } == {host: 9.0}
 
 
