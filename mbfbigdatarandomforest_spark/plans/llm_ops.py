@@ -2279,6 +2279,79 @@ def anchor_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# C4 cleaning audit (r13): the third published quality family
+# (Raffel et al. 2020, arXiv:1910.10683 §2.2 — terminal-punctuation
+# line filter, min-words-per-line, javascript/policy lines, lorem-
+# ipsum / brace / min-sentence pages) next to the Gopher rules and the
+# repetition signals. The corpus text carries no newlines or
+# punctuation, so the query builds a line-structured page per document
+# from deterministic doc_id arms (the anchor/robots fixture
+# precedent): every rule branch occurs, and the exact Python twin
+# re-derives every page in tests/test_operators.py. Rows-only (nested
+# line-array lambdas are not one SQL statement).
+# --------------------------------------------------------------------------
+@query("text_c4_clean_stats", tags=("text", "quality", "c4"))
+def text_c4_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    punct = F.element_at(
+        F.array(F.lit("."), F.lit("!"), F.lit("?"), F.lit('"')),
+        (did % 4 + 1).cast("int"),
+    )
+    page = F.concat_ws(
+        "\n",
+        # a: always kept (>=3 words, ends in a terminal mark)
+        F.concat(
+            F.substring("text", 1, 40), F.lit(" end of intro"), punct
+        ),
+        # b: dropped — under min_words_per_line
+        F.lit("too short."),
+        # c: javascript arm dropped, else kept
+        F.when(
+            did % 5 == 0,
+            F.lit("Please enable javascript to continue browsing."),
+        ).otherwise(F.lit("A perfectly normal sentence for the corpus.")),
+        # d: policy-substring arm dropped, else kept
+        F.when(
+            did % 7 == 0, F.lit("See our privacy policy for all details.")
+        ).otherwise(
+            F.concat(
+                F.lit("Another regular sentence number "),
+                s(did % 3),
+                F.lit(" here."),
+            )
+        ),
+        # e: dropped — no terminal mark
+        F.lit("trailing line with no terminal mark"),
+        # f/g: kept as LINES but fail the PAGE (lorem ipsum / brace) —
+        # concat_ws skips the NULL arms
+        F.when(did % 11 == 0, F.lit("About lorem ipsum placeholder text.")),
+        F.when(did % 13 == 0, F.lit("A brace { appears mid page here.")),
+    )
+    cleaned = tx.c4_clean(
+        docs.select("doc_id", "source", page.alias("page")),
+        text_col="page",
+        min_sentences=3,
+    )
+    return (
+        cleaned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("c4_pass").cast("long")).alias("n_pass"),
+            F.sum("n_kept_lines").alias("total_kept_lines"),
+            F.sum("n_sentences").alias("total_sentences"),
+            F.sum((~F.col("lorem_ipsum_ok")).cast("long")).alias("n_lorem"),
+            F.sum((~F.col("brace_ok")).cast("long")).alias("n_brace"),
+            F.round(
+                F.avg(F.col("n_kept_lines") / F.col("n_lines")), 9
+            ).alias("avg_kept_frac"),
+        )
+        .orderBy("source")
+    )
+
+
 #: HTML page template shared by the warc_html_extract query and its
 #: DuckDB twin (tests/test_html.py) — head (title+style) to drop, a
 #: comment, the escaped body text, a script with '<'/'&' traps that

@@ -1620,6 +1620,179 @@ def test_text_repetition_stats_vs_python_twin(spark, duck):
     assert set(got) == set(acc)
 
 
+def _py_c4_line_ok(ln: str, min_words: int = 3) -> bool:
+    """Python mirror of c4_clean's line filter (Raffel et al. 2020
+    §2.2): terminal mark, min words, no javascript, no policy
+    boilerplate."""
+    t = ln.strip()
+    low = t.lower()
+    return (
+        bool(t) and t[-1] in '.!?"'
+        and len([w for w in re.split(r"\s+", t) if w]) >= min_words
+        and "javascript" not in low
+        and not any(p in low for p in tx.C4_POLICY_SUBSTRINGS)
+    )
+
+
+def _py_c4_clean(text: str, min_words: int = 3, min_sentences: int = 5,
+                 blockwords=None):
+    lines = re.split(r"\r?\n", text or "")
+    kept = [ln for ln in lines if _py_c4_line_ok(ln, min_words)]
+    clean = "\n".join(kept)
+    n_sent = len(re.findall(r"[.!?]", clean))
+    low = (text or "").lower()
+    out = {
+        "n_lines": len(lines),
+        "n_kept_lines": len(kept),
+        "n_sentences": n_sent,
+        "clean_text": clean,
+        "sentences_ok": n_sent >= min_sentences,
+        "lorem_ipsum_ok": "lorem ipsum" not in low,
+        "brace_ok": "{" not in (text or ""),
+    }
+    if blockwords:
+        out["blockwords_ok"] = not re.search(
+            r"\b(?:" + "|".join(re.escape(w.lower()) for w in blockwords)
+            + r")\b",
+            low,
+        )
+    out["c4_pass"] = all(
+        v for k, v in out.items() if k.endswith("_ok")
+    )
+    return out
+
+
+def test_c4_clean_rules(spark):
+    """r13: the C4 cleaning heuristics (Raffel et al. 2020 §2.2) —
+    every line rule (terminal mark incl. closing quote, min words,
+    javascript, policy substrings) and every page rule (min sentences,
+    lorem ipsum, brace, caller-supplied blockwords) pinned against the
+    independent Python mirror on crafted docs; NULL text scores as the
+    empty document."""
+    docs = [
+        # all lines survive, enough sentences → passes
+        "This sentence clearly terminates properly.\n"
+        'A quoted line also counts as terminal."\n'
+        "Is a question mark terminal too?\n"
+        "Yes it is! And this one makes five sentences.",
+        # line rules bite one by one
+        "no terminal mark here\n"
+        "too short.\n"
+        "Please enable javascript to continue.\n"
+        "We value your privacy policy very much.\n"
+        "Only this survivor line remains standing.",
+        # page rules: lorem ipsum / brace / blockword
+        "About lorem ipsum placeholder text on this page.\n"
+        "Another fine sentence follows the first one.",
+        "A brace { inside code makes this page fail.",
+        "The banned gadget word sinks this whole page.",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "i long, text string"
+    )
+    got = {
+        r["i"]: r.asDict()
+        for r in tx.c4_clean(
+            df, min_sentences=2, blockwords=["gadget", "wid.get"]
+        ).collect()
+    }
+    for i, t in enumerate(docs):
+        want = _py_c4_clean(
+            t or "", min_sentences=2, blockwords=["gadget", "wid.get"]
+        )
+        for k, v in want.items():
+            assert got[i][k] == v, (i, k, got[i][k], v)
+    assert got[0]["c4_pass"] is True
+    assert got[1]["n_kept_lines"] == 1  # only the survivor line
+    assert got[1]["fail_reasons"] == ["sentences"]
+    assert got[2]["lorem_ipsum_ok"] is False
+    assert got[3]["brace_ok"] is False
+    assert got[4]["blockwords_ok"] is False
+    assert got[5]["clean_text"] == "" and got[5]["c4_pass"] is False
+    # blockword regex escapes specials: 'wid.get' is a literal, so
+    # 'widXget' must NOT trip it
+    ok = tx.c4_clean(
+        spark.createDataFrame(
+            [("Plenty of widXget sentences stand here. And two more land!",)],
+            "text string",
+        ),
+        min_sentences=2,
+        blockwords=["wid.get"],
+    ).first()
+    assert ok["blockwords_ok"] is True
+
+
+def test_text_c4_clean_stats_vs_python_twin(spark, duck):
+    """The registered per-source C4 rollup (rows-only) against the
+    full Python twin: pages re-derived from the same doc_id arms, the
+    mirrored rule set, exact aggregate equality."""
+    from collections import defaultdict
+
+    from mbfbigdatarandomforest_spark.registry import load_all
+
+    from conftest import SF_DIR_ORACLE
+
+    spec = load_all()["text_c4_clean_stats"]
+    assert spec.oracle is None
+    got = {
+        r["source"]: r
+        for _, r in spec.fn(spark, SF_DIR_ORACLE).toPandas().iterrows()
+    }
+
+    def page_of(did: int, text: str) -> str:
+        punct = ".!?\""[did % 4]
+        lines = [
+            text[:40] + " end of intro" + punct,
+            "too short.",
+            (
+                "Please enable javascript to continue browsing."
+                if did % 5 == 0
+                else "A perfectly normal sentence for the corpus."
+            ),
+            (
+                "See our privacy policy for all details."
+                if did % 7 == 0
+                else f"Another regular sentence number {did % 3} here."
+            ),
+            "trailing line with no terminal mark",
+        ]
+        if did % 11 == 0:
+            lines.append("About lorem ipsum placeholder text.")
+        if did % 13 == 0:
+            lines.append("A brace { appears mid page here.")
+        return "\n".join(lines)
+
+    acc: dict = defaultdict(lambda: [0, 0, 0, 0, 0, 0, 0.0])
+    for did, src, text in duck.sql(
+        "SELECT doc_id, source, text FROM documents"
+    ).fetchall():
+        c = _py_c4_clean(page_of(int(did), text), min_sentences=3)
+        a = acc[src]
+        a[0] += 1
+        a[1] += c["c4_pass"]
+        a[2] += c["n_kept_lines"]
+        a[3] += c["n_sentences"]
+        a[4] += not c["lorem_ipsum_ok"]
+        a[5] += not c["brace_ok"]
+        a[6] += c["n_kept_lines"] / c["n_lines"]
+    assert set(got) == set(acc)
+    for src, a in acc.items():
+        r = got[src]
+        assert (
+            r["n_docs"], r["n_pass"], r["total_kept_lines"],
+            r["total_sentences"], r["n_lorem"], r["n_brace"],
+        ) == (a[0], a[1], a[2], a[3], a[4], a[5]), src
+        assert r["avg_kept_frac"] == pytest.approx(a[6] / a[0], abs=1e-9)
+    # the fixture discriminates: some docs pass, some fail, both page
+    # rules actually fire somewhere
+    assert 0 < sum(a[1] for a in acc.values()) < sum(
+        a[0] for a in acc.values()
+    )
+    assert sum(a[4] for a in acc.values()) > 0
+    assert sum(a[5] for a in acc.values()) > 0
+
+
 def test_json_field_extraction(spark):
     """Typed JSON pulls: long field, string field, and the NULL
     contract for missing keys, nulls, and unparseable payloads."""
