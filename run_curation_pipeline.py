@@ -44,7 +44,11 @@ spaced by each host's declared crawl-delay
 whose sitemap lastmod (found in the dump) is newer than their
 ``scheduled_at``, or whose age exceeds ``--recrawl-ttl-days``,
 re-enter the frontier through the same robots + cap policy and take
-LATER per-host slots than fresh discoveries. ``--dedup-index`` (r13)
+LATER per-host slots than fresh discoveries. ``--c4-clean`` (r13)
+runs the C4 cleaning heuristics (Raffel et al. 2020 §2.2) before the
+funnel: the line filter rebuilds each document from its kept lines
+and the page filter drops lorem-ipsum/brace/under-sentenced pages —
+the published pipeline order. ``--dedup-index`` (r13)
 closes the ingestion cycle on the CONTENT side: the ingested corpus
 is gated against the accumulated corpus's persistable dedup index
 before the funnel, and ``--dedup-index-append`` appends this run's
@@ -133,6 +137,21 @@ def main() -> None:
     ap.add_argument("--dedup-index-threshold", type=float, default=0.7,
                     help="near-dup Jaccard threshold for the "
                     "--dedup-index gate")
+    ap.add_argument("--c4-clean", action="store_true",
+                    help="run the C4 cleaning heuristics (Raffel et al. "
+                    "2020 §2.2) BEFORE the funnel: the line filter "
+                    "rebuilds each document from its kept lines "
+                    "(terminal punctuation, min words, javascript, "
+                    "policy boilerplate) and the page filter drops "
+                    "documents failing min-sentences / lorem ipsum / "
+                    "brace — the published pipeline order (line clean, "
+                    "then quality, then dedup)")
+    ap.add_argument("--c4-min-sentences", type=int, default=5,
+                    help="C4 page filter: minimum sentences over the "
+                    "kept lines (paper: 5)")
+    ap.add_argument("--c4-min-words-per-line", type=int, default=3,
+                    help="C4 line filter: minimum words per kept line "
+                    "(paper: 3)")
     ap.add_argument("--out", default="./curation_out")
     ap.add_argument("--max-tokens", type=int, default=256)
     ap.add_argument("--keep-fraction", type=float, default=0.6,
@@ -354,6 +373,28 @@ def main() -> None:
         else:
             dedup_index_info = {"bootstrap": True}
 
+    # --- C4 line + page cleaning (r13): runs FIRST so every later
+    # stage (quality, LM, dedup, DSIR, packing) sees the rebuilt text —
+    # the published pipeline order
+    c4_info = None
+    if args.c4_clean:
+        from mbfbigdatarandomforest_spark.operators.text import c4_clean
+
+        base_cols = corpus.columns
+        n_before = corpus.count()
+        corpus = (
+            c4_clean(
+                corpus,
+                min_words_per_line=args.c4_min_words_per_line,
+                min_sentences=args.c4_min_sentences,
+            )
+            .filter("c4_pass")
+            .withColumn("text", F.col("clean_text"))
+            .select(*base_cols)
+            .localCheckpoint()
+        )
+        c4_info = {"ingested": n_before, "passed": corpus.count()}
+
     # text-dir mode mints a constant lang, so the LM/DSIR target is the
     # whole corpus; sf-dir documents carry a real lang column
     target = corpus.filter(F.col("lang") == "en")
@@ -470,6 +511,8 @@ def main() -> None:
         summary["frontier"] = frontier_counts
     if dedup_index_info is not None:
         summary["dedup_index"] = dedup_index_info
+    if c4_info is not None:
+        summary["c4_clean"] = c4_info
     (out / "summary.json").parent.mkdir(parents=True, exist_ok=True)
     (out / "summary.json").write_text(json.dumps(summary, indent=2))
     print(json.dumps(summary))

@@ -2525,6 +2525,76 @@ def test_curation_pipeline_runner_end_to_end(tmp_path):
         assert any((out / sub).iterdir()), sub
 
 
+def test_curation_pipeline_c4_clean_stage(tmp_path):
+    """r13: --c4-clean runs the C4 heuristics BEFORE the funnel — page
+    rules (lorem ipsum, brace) drop whole documents, line rules rebuild
+    the surviving text (javascript/short/unterminated lines gone), and
+    the summary records ingested vs passed (subprocess — the
+    user-facing CLI path)."""
+    import gzip
+    import json
+    import subprocess
+    import sys
+
+    good_line = "the quick crawler and parser walk the corpus daily."
+    src = tmp_path / "dump" / "web"
+    src.mkdir(parents=True)
+    for i in range(4):
+        (src / f"keep_{i}.txt").write_text(
+            "\n".join([f"the document {i} opens with words and more text."]
+                      + [good_line] * 4)
+        )
+    (src / "lorem.txt").write_text(
+        "\n".join([good_line] * 4 + ["About lorem ipsum placeholder text."])
+    )
+    (src / "brace.txt").write_text(
+        "\n".join([good_line] * 4 + ["A brace { appears mid page here."])
+    )
+    (src / "lines.txt").write_text(
+        "\n".join(
+            [good_line] * 5
+            + [
+                "Please enable javascript to continue browsing.",
+                "this trailing line never terminates and must vanish",
+            ]
+        )
+    )
+    out = tmp_path / "cur"
+    r = subprocess.run(
+        [
+            sys.executable, "run_curation_pipeline.py",
+            "--text-dir", str(tmp_path / "dump"), "--out", str(out),
+            "--c4-clean", "--c4-min-sentences", "3",
+            "--keep-fraction", "1.0",
+        ],
+        capture_output=True, text=True, timeout=600,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads((out / "summary.json").read_text())
+    assert summary["c4_clean"] == {"ingested": 7, "passed": 5}
+    assert summary["stages"]["0_raw"] == 5  # lorem + brace pages gone
+    kept = []
+    for f in list((out / "kept_docs").glob("*.json.gz")) + list(
+        (out / "kept_docs").glob("*.json")
+    ):
+        opener = gzip.open if f.suffix == ".gz" else open
+        with opener(f, "rt") as fh:
+            kept.extend(json.loads(ln) for ln in fh if ln.strip())
+    texts = [d["text"] for d in kept]
+    assert texts  # the funnel kept documents
+    for t in texts:
+        assert "javascript" not in t.lower()
+        assert "never terminates" not in t
+        assert "lorem ipsum" not in t.lower()
+        assert "{" not in t
+    # the lines.txt survivor kept its five good lines
+    lines_doc = [t for t in texts if t.count(good_line) == 5]
+    assert lines_doc and all(
+        len(t.split("\n")) == t.count(".") for t in lines_doc
+    )
+
+
 def test_materialize_rejects_foreign_unit_manifest(spark):
     """A manifest packed in BPE units must be refused by the
     materializer (unit-mismatch guard), not silently sliced wrong."""
