@@ -60,6 +60,7 @@ def start_curation_stream(
     n: int = 13,
     query_name: str = "curation_stream",
     source_options: dict[str, str] | None = None,
+    c4: dict | None = None,
     **gopher_kwargs,
 ):
     """Start the continuous curation query over a growing dump tree.
@@ -73,6 +74,12 @@ def start_curation_stream(
     ``n=13`` is the published decontamination gram length the batch
     gate validated (SCALE.md §11).
 
+    ``c4`` (r13): kwargs dict for :func:`~..operators.text.c4_clean`
+    (``{}`` = the paper defaults) — runs the C4 line+page cleaning
+    BEFORE the Gopher stage, the batch CLI's ``--c4-clean`` order.
+    Pure per-row column expressions, so the stage is append-legal and
+    stream ≡ batch holds exactly.
+
     The returned query carries the cached gram set as ``bench_grams``;
     callers that start many streams in one long-lived session should
     ``q.bench_grams.unpersist()`` after ``q.stop()`` (the probe and
@@ -83,6 +90,16 @@ def start_curation_stream(
     docs = read_document_stream(
         spark, text_dir, lang=lang, source_options=source_options
     )
+    if c4 is not None:
+        from ..operators.text import c4_clean
+
+        base_cols = docs.columns
+        docs = (
+            c4_clean(docs, **c4)
+            .filter("c4_pass")
+            .withColumn("text", F.col("clean_text"))
+            .select(*base_cols)
+        )
     curated = gopher_quality_filter(docs, **gopher_kwargs).filter("quality_pass")
     arrived = curated.withColumn("__arrival", F.current_timestamp())
     deduped = streaming_exact_dedup(

@@ -780,6 +780,99 @@ def test_streaming_curation_composition_matches_batch(spark, tmp_path):
     )
 
 
+def test_curation_stream_c4_stage_matches_batch(spark, tmp_path):
+    """r13: the ``c4`` option runs the C4 line+page cleaning before the
+    Gopher stage (the batch CLI's --c4-clean order). Page drops (lorem
+    ipsum), line scrubbing (javascript / unterminated lines), and the
+    rebuilt text must match the BATCH composition exactly across two
+    arrival waves — the stage is stateless column work, so stream ≡
+    batch holds per row."""
+    from mbfbigdatarandomforest_spark.operators.text import (
+        c4_clean,
+        gopher_quality_filter,
+    )
+    from mbfbigdatarandomforest_spark.sources.readers import (
+        ingest_text_documents,
+    )
+    from mbfbigdatarandomforest_spark.streaming.curation import (
+        start_curation_stream,
+    )
+
+    good_line = "the quick crawler and parser walk the corpus daily."
+
+    def page(tag: str, extra: list[str] | None = None) -> str:
+        return "\n".join(
+            [f"the document {tag} opens with words and more text."]
+            + [good_line] * 4
+            + (extra or [])
+        )
+
+    benchmark = spark.createDataFrame(
+        [(1, "completely unrelated benchmark text nothing quotes this")],
+        ["doc_id", "text"],
+    )
+    kw = dict(min_words=20, min_stopword_hits=1, min_alpha_word_frac=0.5)
+    c4_kw = dict(min_sentences=3)
+    base = tmp_path / "dump"
+    (base / "web").mkdir(parents=True)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    (base / "web" / "keep.txt").write_text(page("k0"))
+    (base / "web" / "lorem.txt").write_text(
+        page("l0", ["About lorem ipsum placeholder text."])
+    )
+    (base / "web" / "lines.txt").write_text(
+        page(
+            "s0",
+            [
+                "Please enable javascript to continue browsing.",
+                "this trailing line never terminates and must vanish",
+            ],
+        )
+    )
+    q = start_curation_stream(
+        spark, str(base), benchmark, out, ckpt,
+        watermark="1 hour", n=5, query_name="curation_c4",
+        c4=c4_kw, **kw,
+    )
+    try:
+        q.processAllAvailable()
+        (base / "web" / "keep2.txt").write_text(page("k1"))
+        (base / "web" / "brace.txt").write_text(
+            page("b0", ["A brace { appears mid page here."])
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.bench_grams.unpersist()
+
+    streamed = spark.read.parquet(out)
+    got = {r["text"] for r in streamed.select("text").collect()}
+    # batch composition over the final tree: c4 → gopher (dedup and
+    # decontamination are no-ops on this fixture)
+    docs = ingest_text_documents(spark, str(base))
+    base_cols = docs.columns
+    cleaned = (
+        c4_clean(docs, **c4_kw)
+        .filter("c4_pass")
+        .withColumn("text", F.col("clean_text"))
+        .select(*base_cols)
+    )
+    want = {
+        r["text"]
+        for r in gopher_quality_filter(cleaned, **kw)
+        .filter("quality_pass")
+        .select("text")
+        .collect()
+    }
+    assert got == want
+    # page rules dropped lorem + brace; line rules scrubbed the rest
+    assert streamed.count() == 3
+    assert all("javascript" not in t.lower() for t in got)
+    assert all("never terminates" not in t for t in got)
+    assert all("lorem ipsum" not in t.lower() and "{" not in t for t in got)
+
+
 def test_curation_stream_clean_source_bounds_listing(spark, tmp_path):
     """cleanSource=delete passthrough: processed files leave the
     watched tree after their batch commits (per-trigger listing stays
