@@ -31,7 +31,9 @@ packing — and writes real artifacts under ``--out``:
 - ``summary.json`` one-line run summary (counts, wall)
 
 ``--frontier-out`` (with ``--warc-dir``) additionally closes the crawl
-loop: anchor + sitemap candidates discovered in the dump, robots.txt
+loop: anchor + sitemap candidates discovered in the dump (sitemap
+bodies found in the dump AND the sitemap files robots.txt declares via
+``Sitemap:`` lines — r13), robots.txt
 bodies found in the dump enforced (permissions AND crawl-delay),
 domains ranked by PageRank over the observed link graph, per-domain
 cap applied — the next fetch frontier as parquet
@@ -232,6 +234,15 @@ def main() -> None:
                 keep_cols=(),
             )
             sitemap_locs = sitemap_entries.select(F.col("loc").alias("url"))
+            # robots-DECLARED sitemaps (RFC 9309 surfaces `Sitemap:`
+            # lines as directive rows) are a third discovery source:
+            # the files themselves belong on the frontier as fetches,
+            # the same posture as a <sitemapindex> loc found in the dump
+            robots_sitemaps = (
+                rules.filter(F.col("directive") == "sitemap")
+                .select(F.trim("value").alias("url"))
+                .filter(F.col("url") != "")
+            )
             html_pages = fetched.filter(~is_robots & ~is_sitemap)
             auth = pagerank(
                 page_link_edges(html_pages),
@@ -245,7 +256,9 @@ def main() -> None:
                 "url",
             ).select(
                 resolve_link("url", "href", "base").alias("url")
-            ).filter("url IS NOT NULL").unionByName(sitemap_locs)
+            ).filter("url IS NOT NULL").unionByName(sitemap_locs).unionByName(
+                robots_sitemaps
+            )
             seen = (
                 spark.read.parquet(args.seen_urls)
                 if args.seen_urls

@@ -289,7 +289,10 @@ def test_curation_pipeline_warc_dir_with_frontier(tmp_path):
         {
             "url": "https://content.example/robots.txt",
             "status": 200,
-            "body": "User-agent: *\nDisallow: /blocked\n",
+            # r13: the Sitemap: line is a DISCOVERY source — the
+            # declared file must land on the frontier as a fetch
+            "body": "User-agent: *\nDisallow: /blocked\n"
+                    "Sitemap: https://content.example/maps/more.xml\n",
         },
         {
             "url": "https://content.example/sitemap.xml",
@@ -325,8 +328,9 @@ def test_curation_pipeline_warc_dir_with_frontier(tmp_path):
     f = summary["frontier"]
     # discovered: 12 distinct content/a + hub/p/0 + hub/p/1 (anchors;
     # the 12 content/blocked dropped by robots) + the sitemap's ONE new
-    # loc (its /a/0 loc dedupes against the anchor-discovered page)
-    assert f["discovered"] == 15
+    # loc (its /a/0 loc dedupes against the anchor-discovered page) +
+    # the robots-DECLARED sitemap file (r13)
+    assert f["discovered"] == 16
     assert f["domains"] == 2
     assert f["scheduled"] == 3 + 2  # content capped at 3, hub has 2
     import pandas as pd
@@ -335,8 +339,10 @@ def test_curation_pipeline_warc_dir_with_frontier(tmp_path):
     assert not fdf["url"].str.contains("/blocked/").any()
     assert fdf["rank"].notna().all()  # both domains in the link graph
     content = fdf[fdf["domain"] == "content.example"]
-    assert len(content) == 13 and int(content["kept"].sum()) == 3
+    assert len(content) == 14 and int(content["kept"].sum()) == 3
     assert (fdf["url"] == "https://content.example/new/1").any()  # sitemap loc
+    # r13: the robots-declared sitemap file is itself a candidate
+    assert (fdf["url"] == "https://content.example/maps/more.xml").any()
     # r12: --schedule-out emits the fetch PLAN over the kept rows —
     # per-host slots, offsets spaced by the default 1.0 s budget (the
     # fixture declares no crawl-delay)
