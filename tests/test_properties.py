@@ -545,3 +545,48 @@ def test_pack_sequences_property(spark, counts, L):
         s, e = want.get(key, (p, p))
         want[key] = (min(s, p), max(e, p + 1))
     assert got == want
+
+
+C4_WORDS = [
+    "the", "data", "spark", "javascript", "lorem", "ipsum", "{",
+    "privacy", "policy", "use", "cookies", "a",
+]
+C4_LINE = st.tuples(
+    st.lists(st.sampled_from(C4_WORDS), min_size=0, max_size=6).map(
+        " ".join
+    ),
+    st.sampled_from(["", ".", "!", "?", '"', " ", ". "]),
+).map(lambda t: t[0] + t[1])
+C4_DOCS = st.lists(
+    st.lists(C4_LINE, min_size=0, max_size=8).map("\n".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(docs=C4_DOCS, min_sent=st.integers(min_value=1, max_value=4))
+def test_c4_clean_property(spark, docs, min_sent):
+    """c4_clean ≡ the independent Python mirror for arbitrary line
+    soups that randomly hit every rule (terminal marks incl. trailing
+    whitespace, word minimums, javascript, policy substrings built by
+    adjacency, lorem ipsum, braces, whole-word blockwords) — every
+    output column compared, not just the verdict."""
+    from mbfbigdatarandomforest_spark.operators.text import c4_clean
+
+    from test_operators import _py_c4_clean
+
+    bw = ["data", "spark"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "i long, text string"
+    )
+    got = {
+        r["i"]: r.asDict()
+        for r in c4_clean(df, min_sentences=min_sent, blockwords=bw).collect()
+    }
+    for i, t in enumerate(docs):
+        want = _py_c4_clean(t, min_sentences=min_sent, blockwords=bw)
+        for k, v in want.items():
+            assert got[i][k] == v, (i, k, repr(t), got[i][k], v)
