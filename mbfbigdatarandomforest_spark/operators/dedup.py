@@ -650,6 +650,53 @@ def compact_dedup_index(spark, path: str) -> dict:
     return counts
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot-to-snapshot CONTENT diff (r13): one row per distinct
+    normalized-text fingerprint (``text.fingerprint`` — the dedup
+    exact tier's identity, the same one the persistable dedup index
+    stores) with ``status`` 'added' (new side only), 'removed' (old
+    side only) or 'retained' (both), each side's doc count for that
+    content, and each side's min id (NULL on the absent side). A
+    MODIFIED document is an added+removed fingerprint PAIR by
+    construction — content identity has no notion of "same page,
+    new text"; join on url/id upstream when that distinction matters.
+
+    Scale: two fingerprint scan-aggregates + ONE full outer join keyed
+    on the fingerprint — O(old+new), no driver state; 'added' rows are
+    exactly what an ``append_dedup_index`` of the new snapshot's
+    survivors would insert into the exact tier."""
+
+    def _side(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+            .groupBy("fp")
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{name}"),
+                F.min(id_col).alias(f"{name}_id"),
+            )
+        )
+
+    j = _side(old, "old").join(_side(new, "new"), "fp", "full_outer")
+    status = (
+        F.when(F.col("n_old").isNull(), F.lit("added"))
+        .when(F.col("n_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("retained"))
+    )
+    return j.select(
+        "fp",
+        status.alias("status"),
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        "old_id",
+        "new_id",
+    )
+
+
 def incremental_minhash_pairs(
     new: DataFrame,
     reference: DataFrame | None = None,

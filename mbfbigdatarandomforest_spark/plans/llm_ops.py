@@ -218,6 +218,46 @@ def dedup_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Snapshot content diff (r13): what changed between two crawls of the
+# same corpus — the reporting complement of the incremental-dedup
+# ingestion gate (which DROPS known content; this one COUNTS it). The
+# "next snapshot" is derived deterministically from the documents
+# table: every %7==0 doc vanishes (removed), every surviving %5==0 doc
+# gains a token (a modify = removed+added fingerprint PAIR — content
+# identity has no "same page, new text"), and %3==0 docs re-enter as
+# brand-new ids with new text (added). Rows-only (the md5 fingerprint
+# full-outer-join rollup is exactly replicated by the DuckDB twin in
+# tests/test_operators.py).
+# --------------------------------------------------------------------------
+@query("corpus_snapshot_diff", tags=("dedup", "snapshot", "incremental"))
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    survivors = docs.filter(F.col("doc_id") % 7 != 0)
+    new = survivors.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat("text", F.lit(" updated content")),
+        ).otherwise(F.col("text")).alias("text"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" brand new doc")).alias("text"),
+        )
+    )
+    return (
+        dd.corpus_diff(docs, new)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_contents"),
+            F.sum("n_old").alias("n_docs_old"),
+            F.sum("n_new").alias("n_docs_new"),
+        )
+        .orderBy("status")
+    )
+
+
+# --------------------------------------------------------------------------
 # Brute-force cosine top-k similarity search (exact baseline).
 # --------------------------------------------------------------------------
 _COS_DOT = (

@@ -1793,6 +1793,96 @@ def test_text_c4_clean_stats_vs_python_twin(spark, duck):
     assert sum(a[5] for a in acc.values()) > 0
 
 
+def test_corpus_diff_statuses(spark):
+    """r13: snapshot content diff — added/removed/retained by the
+    dedup exact tier's normalized fingerprint: whitespace/case
+    variants are the SAME content (retained), a text edit is an
+    added+removed PAIR, per-side doc counts and min ids carried,
+    absent sides NULL."""
+    old = spark.createDataFrame(
+        [
+            (1, "The quick brown fox"),
+            (2, "the  quick   brown fox"),  # dup of 1 (normalized)
+            (3, "stale page vanishes"),
+            (4, "page to be edited"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (11, "THE QUICK BROWN FOX"),   # retained (case-folded)
+            (14, "page to be edited now"), # the edit: new fp
+            (15, "fresh page arrives"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["fp"]: r.asDict() for r in dd.corpus_diff(old, new).collect()
+    }
+    by_status: dict = {}
+    for r in got.values():
+        by_status.setdefault(r["status"], []).append(r)
+    assert {s: len(v) for s, v in by_status.items()} == {
+        "retained": 1, "removed": 2, "added": 2
+    }
+    ret = by_status["retained"][0]
+    assert (ret["n_old"], ret["n_new"]) == (2, 1)  # both old variants
+    assert (ret["old_id"], ret["new_id"]) == (1, 11)
+    for r in by_status["removed"]:
+        assert r["n_new"] == 0 and r["new_id"] is None and r["old_id"] in (3, 4)
+    for r in by_status["added"]:
+        assert r["n_old"] == 0 and r["old_id"] is None and r["new_id"] in (14, 15)
+
+
+def test_corpus_snapshot_diff_vs_duckdb_twin(spark, duck):
+    """The registered snapshot-diff rollup (rows-only) against a full
+    DuckDB twin: the same derived next-snapshot arms, the same md5
+    normalized fingerprint, exact per-status counts."""
+    from mbfbigdatarandomforest_spark.registry import load_all
+
+    from conftest import SF_DIR_ORACLE
+
+    spec = load_all()["corpus_snapshot_diff"]
+    assert spec.oracle is None
+    got = {
+        r["status"]: (r["n_contents"], r["n_docs_old"], r["n_docs_new"])
+        for _, r in spec.fn(spark, SF_DIR_ORACLE).toPandas().iterrows()
+    }
+    fp = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    want = {
+        s: (n, o, w)
+        for s, n, o, w in duck.sql(f"""
+        WITH old AS (SELECT doc_id, text FROM documents),
+        survivors AS (SELECT * FROM old WHERE doc_id % 7 != 0),
+        new AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN text || ' updated content'
+                      ELSE text END AS text
+          FROM survivors
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' brand new doc'
+          FROM old WHERE doc_id % 3 = 0
+        ),
+        o AS (SELECT {fp} AS fp, COUNT(*) AS n_old FROM old GROUP BY 1),
+        n AS (SELECT {fp} AS fp, COUNT(*) AS n_new FROM new GROUP BY 1),
+        j AS (
+          SELECT COALESCE(o.fp, n.fp) AS fp,
+                 CASE WHEN o.fp IS NULL THEN 'added'
+                      WHEN n.fp IS NULL THEN 'removed'
+                      ELSE 'retained' END AS status,
+                 COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+          FROM o FULL OUTER JOIN n ON o.fp = n.fp
+        )
+        SELECT status, COUNT(*) AS n_contents,
+               SUM(n_old) AS n_docs_old, SUM(n_new) AS n_docs_new
+        FROM j GROUP BY status ORDER BY status
+        """).fetchall()
+    }
+    assert got == want
+    # every status occurs: the arms really fire
+    assert set(got) == {"added", "removed", "retained"}
+
+
 def test_json_field_extraction(spark):
     """Typed JSON pulls: long field, string field, and the NULL
     contract for missing keys, nulls, and unparseable payloads."""
