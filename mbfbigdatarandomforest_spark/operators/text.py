@@ -6,7 +6,10 @@ speed.
 
 from __future__ import annotations
 
+import heapq as _heapq
 import re as _re
+from bisect import bisect_left as _bisect_left
+from bisect import insort as _insort
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -884,6 +887,157 @@ def pack_sequences(
         span_end.alias("span_end"),
         (span_end - span_start).alias("n_tokens"),
     ).orderBy("block_id", id_col)
+
+
+def _bfd_assign(items, max_tokens: int):
+    """Best-Fit-Decreasing core over (key, n) items ALREADY in
+    decreasing-n deterministic order: each item lands in the bin with
+    the SMALLEST residual capacity that still fits (ties → the
+    earliest-opened bin); no fit opens a new bin. Returns
+    [(key, bin_seq)] with bins 0-indexed in opening order.
+    O(n log L): a sorted list of non-empty residual classes (bisect),
+    each class a min-heap of bin ids. Pure Python by necessity — bin
+    packing is inherently sequential — and runs ONLY inside
+    :func:`pack_bestfit`'s per-packer grouped map over (id, count)
+    pairs, never over text."""
+    residuals: list[int] = []  # sorted, unique, non-empty classes
+    by_residual: dict[int, list[int]] = {}  # residual -> bin-id heap
+    n_bins = 0
+    out = []
+    for key, n in items:
+        i = _bisect_left(residuals, n)
+        if i < len(residuals):
+            r = residuals[i]
+            heap = by_residual[r]
+            b = _heapq.heappop(heap)
+            if not heap:
+                del by_residual[r]
+                residuals.pop(i)
+        else:
+            b = n_bins
+            n_bins += 1
+            r = max_tokens
+        nr = r - n
+        if nr > 0:
+            if nr not in by_residual:
+                by_residual[nr] = []
+                _insort(residuals, nr)
+            _heapq.heappush(by_residual[nr], b)
+        out.append((key, b))
+    return out
+
+
+def pack_bestfit(
+    df: DataFrame,
+    max_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+    packers: int = 64,
+) -> DataFrame:
+    """Best-Fit-Decreasing sequence packing (Ding et al. 2024,
+    arXiv:2404.10830 "Fewer Truncations Improve Language Modeling"):
+    whole documents land in bins of capacity ``max_tokens`` — no
+    document splits across training sequences unless it EXCEEDS the
+    capacity (then the paper's pre-split applies: full-capacity pieces
+    plus the remainder, each packed as an item). Compare
+    :func:`pack_sequences` (GPT-style stream chunking), which cuts a
+    document at every block boundary it crosses.
+
+    Returns a manifest ``(bin_id, id, span_start, span_end, n_tokens)``
+    in pack_sequences' span unit (whitespace tokens, or the caller's
+    ``token_count_col``); rename ``bin_id`` → ``block_id`` to feed
+    :func:`materialize_packed_blocks` (within-bin document order is a
+    free choice for training sequences).
+
+    Distributed shape: bin packing is inherently sequential, so the
+    corpus hash-partitions into ``packers`` INDEPENDENT packers
+    (md5(id) % packers — deterministic and partition-layout-free, the
+    sampling operators' discipline) and each runs EXACT BFD over its
+    items in ONE Arrow-batched grouped map; per-packer state is
+    (id, span, count) tuples only — the text never reaches Python.
+    Packing waste stays local (each packer's fill approaches global
+    BFD's for large groups — measured in the registered query);
+    ``packers`` trades parallelism against that waste and is part of
+    the result's identity: the same corpus with the same ``packers``
+    packs identically on ANY cluster or partitioning.
+
+    BFD order: items by (count desc, id asc, span_start asc); each item
+    takes the bin with the smallest residual that fits, ties to the
+    earliest-opened bin. ``bin_id = packer * 2**40 + seq``."""
+    import pandas as pd
+
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if packers <= 0:
+        raise ValueError("packers must be positive")
+    if token_count_col is None:
+        toks = F.filter(
+            F.split(F.trim(F.col(text_col)), TOKEN_PATTERN),
+            lambda t: t != "",
+        )
+        counted = df.select(
+            F.col(id_col), F.size(toks).cast("long").alias("__n")
+        )
+    else:
+        counted = df.select(
+            F.col(id_col), F.col(token_count_col).cast("long").alias("__n")
+        )
+    counted = counted.filter(F.col("__n") > 0)
+    pieces = counted.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.ceil(F.col("__n") / max_tokens).cast("long") - 1,
+            )
+        ).alias("__p"),
+        "__n",
+    ).select(
+        F.col(id_col),
+        (F.col("__p") * max_tokens).alias("span_start"),
+        F.least((F.col("__p") + 1) * max_tokens, F.col("__n")).alias(
+            "span_end"
+        ),
+    ).withColumn("n_tokens", F.col("span_end") - F.col("span_start"))
+    items = pieces.withColumn(
+        "__packer",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(packers),
+        ).cast("int"),
+    )
+    L = max_tokens
+
+    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        packer = int(pdf["__packer"].iloc[0])
+        rows = sorted(
+            zip(
+                pdf[id_col], pdf["span_start"], pdf["span_end"],
+                pdf["n_tokens"],
+            ),
+            key=lambda r: (-int(r[3]), int(r[0]), int(r[1])),
+        )
+        assign = _bfd_assign([(r, int(r[3])) for r in rows], L)
+        return pd.DataFrame(
+            {
+                "bin_id": [packer * (1 << 40) + seq for _, seq in assign],
+                id_col: [int(r[0]) for r, _ in assign],
+                "span_start": [int(r[1]) for r, _ in assign],
+                "span_end": [int(r[2]) for r, _ in assign],
+                "n_tokens": [int(r[3]) for r, _ in assign],
+            }
+        )
+
+    schema = (
+        f"bin_id long, {id_col} long, span_start long, "
+        "span_end long, n_tokens long"
+    )
+    return items.groupBy("__packer").applyInPandas(_pack, schema)
 
 
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]

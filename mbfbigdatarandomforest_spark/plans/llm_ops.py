@@ -2331,6 +2331,52 @@ def anchor_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-derives every page in tests/test_operators.py. Rows-only (nested
 # line-array lambdas are not one SQL statement).
 # --------------------------------------------------------------------------
+# --------------------------------------------------------------------------
+# Best-fit packing audit (r13): BFD bin packing (Ding et al. 2024 —
+# whole documents per training sequence) head-to-head against the
+# GPT-style stream chunker on the same corpus and capacity. The row
+# pair carries the paper's headline numbers: how many documents each
+# packer SPLITS (stream: every block-boundary crossing; bestfit: only
+# docs exceeding the capacity) and the capacity fill each achieves.
+# Rows-only (sequential bin packing is not one SQL statement); the
+# Python twin re-runs a NAIVE independent BFD per md5 packer group in
+# tests/test_operators.py.
+# --------------------------------------------------------------------------
+@query("pack_bestfit_stats", tags=("text", "packing", "bestfit"))
+def pack_bestfit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    L = 128
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bf = tx.pack_bestfit(docs, max_tokens=L, packers=8)
+    st = tx.pack_sequences(docs, max_tokens=L)
+
+    def row(kind: str, m: DataFrame, bin_col: str) -> DataFrame:
+        per = m.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("k"), F.sum("n_tokens").alias("t")
+        )
+        a = per.agg(
+            F.sum("k").alias("n_items"),
+            F.sum("t").alias("total_tokens"),
+            F.sum((F.col("k") > 1).cast("long")).alias("n_split_docs"),
+        )
+        b = m.agg(F.count_distinct(bin_col).alias("n_bins"))
+        return a.crossJoin(F.broadcast(b)).select(
+            F.lit(kind).alias("packer"),
+            "n_items",
+            "n_bins",
+            "total_tokens",
+            "n_split_docs",
+            F.round(
+                F.col("total_tokens") / (F.col("n_bins") * F.lit(L)), 9
+            ).alias("fill_frac"),
+        )
+
+    return (
+        row("bestfit", bf, "bin_id")
+        .unionByName(row("stream", st, "block_id"))
+        .orderBy("packer")
+    )
+
+
 @query("text_c4_clean_stats", tags=("text", "quality", "c4"))
 def text_c4_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -1793,6 +1793,149 @@ def test_text_c4_clean_stats_vs_python_twin(spark, duck):
     assert sum(a[5] for a in acc.values()) > 0
 
 
+def _py_naive_bfd(items, L):
+    """Independent naive BFD oracle: linear scan for the smallest
+    residual that fits (ties → earliest-opened bin). O(n·bins) — test
+    scale only."""
+    bins, out = [], []
+    for key, n in items:
+        best = None
+        for b, r in enumerate(bins):
+            if r >= n and (best is None or r < bins[best]):
+                best = b
+        if best is None:
+            bins.append(L)
+            best = len(bins) - 1
+        bins[best] -= n
+        out.append((key, best))
+    return out
+
+
+def test_pack_bestfit_exact_vs_naive(spark):
+    """r13: BFD packing (Ding et al. 2024) — the single-packer manifest
+    equals the independent naive Python BFD bin-for-bin; capacity never
+    exceeded; every token accounted; oversized docs pre-split into
+    full pieces + remainder; the result is invariant to input
+    partitioning; bad parameters raise."""
+    import pytest as _pytest
+
+    counts = [50, 30, 30, 20, 14, 14, 13, 9, 5, 3, 1, 150]  # 150 > L=64
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(n)))
+            for i, n in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"]): (r["bin_id"], r["span_end"],
+                                         r["n_tokens"])
+        for r in tx.pack_bestfit(df, max_tokens=64, packers=1).collect()
+    }
+    # expected items: doc 11 (150 tokens) splits into 64+64+22
+    pieces = []
+    for i, n in enumerate(counts):
+        s = 0
+        while s < n:
+            e = min(s + 64, n)
+            pieces.append((i, s, e, e - s))
+            s = e
+    order = sorted(pieces, key=lambda p: (-p[3], p[0], p[1]))
+    want_assign = _py_naive_bfd([(p, p[3]) for p in order], 64)
+    want = {
+        (p[0], p[1]): (seq, p[2], p[3]) for p, seq in want_assign
+    }
+    assert got == want
+    # capacity + conservation on a multi-packer run
+    m = tx.pack_bestfit(df, max_tokens=64, packers=4)
+    per_bin = {
+        r["bin_id"]: r["s"]
+        for r in m.groupBy("bin_id").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    assert all(s <= 64 for s in per_bin.values())
+    assert sum(per_bin.values()) == sum(counts)
+    # partitioning invariance (md5 grouping, not layout)
+    m2 = tx.pack_bestfit(df.repartition(7), max_tokens=64, packers=4)
+    assert sorted(map(tuple, m.collect())) == sorted(map(tuple, m2.collect()))
+    with _pytest.raises(ValueError, match="max_tokens"):
+        tx.pack_bestfit(df, max_tokens=0)
+    with _pytest.raises(ValueError, match="packers"):
+        tx.pack_bestfit(df, max_tokens=8, packers=0)
+
+
+def test_pack_bestfit_stats_vs_python_twin(spark, duck):
+    """The registered bestfit-vs-stream packing rollup (rows-only)
+    against a full Python twin: md5 packer grouping, the naive BFD
+    oracle per group, stream-chunk arithmetic for the baseline — and
+    the paper's headline direction (bestfit splits no ≤-capacity doc,
+    the stream packer splits many)."""
+    import hashlib
+    from collections import defaultdict
+
+    from mbfbigdatarandomforest_spark.registry import load_all
+
+    from conftest import SF_DIR_ORACLE
+
+    L, PACKERS = 128, 8
+    spec = load_all()["pack_bestfit_stats"]
+    assert spec.oracle is None
+    got = {
+        r["packer"]: (
+            r["n_items"], r["n_bins"], r["total_tokens"],
+            r["n_split_docs"], r["fill_frac"],
+        )
+        for _, r in spec.fn(spark, SF_DIR_ORACLE).toPandas().iterrows()
+    }
+    rows = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    counts = {
+        int(i): len([w for w in t.strip().split() if w]) for i, t in rows
+    }
+    counts = {i: n for i, n in counts.items() if n > 0}
+    # bestfit twin
+    groups = defaultdict(list)
+    for i, n in sorted(counts.items()):
+        p = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % PACKERS
+        s = 0
+        while s < n:
+            e = min(s + L, n)
+            groups[p].append((i, s, e, e - s))
+            s = e
+    bf_bins = 0
+    bf_items = 0
+    bf_split = 0
+    for p, pieces in groups.items():
+        order = sorted(pieces, key=lambda x: (-x[3], x[0], x[1]))
+        assign = _py_naive_bfd([(x, x[3]) for x in order], L)
+        bf_bins += len({seq for _, seq in assign})
+        bf_items += len(assign)
+    per_doc = defaultdict(int)
+    for pieces in groups.values():
+        for i, *_ in pieces:
+            per_doc[i] += 1
+    bf_split = sum(k > 1 for k in per_doc.values())
+    total = sum(counts.values())
+    assert got["bestfit"][:4] == (bf_items, bf_bins, total, bf_split)
+    assert got["bestfit"][4] == pytest.approx(
+        total / (bf_bins * L), abs=1e-9
+    )
+    # stream twin: global token stream in doc_id order, L-chunks
+    st_items = 0
+    st_split = 0
+    offset = 0
+    blocks = set()
+    for i, n in sorted(counts.items()):
+        first, last = offset // L, (offset + n - 1) // L
+        st_items += last - first + 1
+        st_split += last > first
+        blocks.update(range(first, last + 1))
+        offset += n
+    assert got["stream"][:4] == (st_items, len(blocks), total, st_split)
+    assert got["stream"][4] == pytest.approx(
+        total / (len(blocks) * L), abs=1e-9
+    )
+    # the paper's headline: whole-doc packing splits (almost) nothing,
+    # stream chunking splits many; both fills stay high
+    assert bf_split == sum(n > L for n in counts.values())
+    assert st_split > 10 * max(bf_split, 1)
+    assert got["bestfit"][4] > 0.8 and got["stream"][4] > 0.9
+
+
 def test_corpus_diff_statuses(spark):
     """r13: snapshot content diff — added/removed/retained by the
     dedup exact tier's normalized fingerprint: whitespace/case

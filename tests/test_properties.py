@@ -590,3 +590,55 @@ def test_c4_clean_property(spark, docs, min_sent):
         want = _py_c4_clean(t, min_sentences=min_sent, blockwords=bw)
         for k, v in want.items():
             assert got[i][k] == v, (i, k, repr(t), got[i][k], v)
+
+
+PACK_BF_COUNTS = st.lists(
+    st.integers(min_value=1, max_value=20), min_size=1, max_size=25
+)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    counts=PACK_BF_COUNTS,
+    L=st.integers(min_value=4, max_value=12),
+    packers=st.integers(min_value=1, max_value=3),
+)
+def test_pack_bestfit_property(spark, counts, L, packers):
+    """pack_bestfit ≡ the naive Python BFD run per md5 packer group,
+    for arbitrary corpora, capacities, and packer counts — including
+    docs longer than the capacity (pre-split into full pieces +
+    remainder) and single-packer global exactness."""
+    import hashlib
+    from collections import defaultdict
+
+    from mbfbigdatarandomforest_spark.operators.text import pack_bestfit
+
+    from test_operators import _py_naive_bfd
+
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(n)))
+        for i, n in enumerate(counts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"]): (
+            r["bin_id"], r["span_end"], r["n_tokens"]
+        )
+        for r in pack_bestfit(df, max_tokens=L, packers=packers).collect()
+    }
+    groups = defaultdict(list)
+    for i, n in enumerate(counts):
+        p = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % packers
+        s = 0
+        while s < n:
+            e = min(s + L, n)
+            groups[p].append((i, s, e, e - s))
+            s = e
+    want = {}
+    for p, pieces in groups.items():
+        order = sorted(pieces, key=lambda x: (-x[3], x[0], x[1]))
+        for x, seq in _py_naive_bfd([(y, y[3]) for y in order], L):
+            want[(x[0], x[1])] = (p * (1 << 40) + seq, x[2], x[3])
+    assert got == want
