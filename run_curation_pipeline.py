@@ -155,6 +155,18 @@ def main() -> None:
                     help="C4 line filter: minimum words per kept line "
                     "(paper: 3)")
     ap.add_argument("--out", default="./curation_out")
+    ap.add_argument("--packing", choices=["stream", "bestfit"],
+                    default="stream",
+                    help="sequence packer: 'stream' = GPT-style chunking "
+                    "(pack_sequences; documents split at every block "
+                    "boundary they cross), 'bestfit' = whole-document "
+                    "BFD bin packing (pack_bestfit, Ding et al. 2024 — "
+                    "fewer truncations; only docs over --max-tokens "
+                    "split)")
+    ap.add_argument("--packers", type=int, default=64,
+                    help="bestfit only: number of independent md5-keyed "
+                    "packers (part of the result's identity — same "
+                    "corpus + same packers = identical manifest)")
     ap.add_argument("--max-tokens", type=int, default=256)
     ap.add_argument("--keep-fraction", type=float, default=0.6,
                     help="DSIR-selected share of surviving docs")
@@ -472,7 +484,16 @@ def main() -> None:
             dd_snap.append_dedup_index(kept, args.dedup_index)
         dedup_index_info["appended"] = kept.count()
 
-    manifest = pack_sequences(kept, max_tokens=args.max_tokens)
+    if args.packing == "bestfit":
+        from mbfbigdatarandomforest_spark.operators.text import (
+            pack_bestfit,
+        )
+
+        manifest = pack_bestfit(
+            kept, max_tokens=args.max_tokens, packers=args.packers
+        ).withColumnRenamed("bin_id", "block_id")
+    else:
+        manifest = pack_sequences(kept, max_tokens=args.max_tokens)
     blocks = materialize_packed_blocks(kept, manifest)
 
     # --- artifacts
@@ -517,6 +538,7 @@ def main() -> None:
         "stages": {name: n for name, n, _ in funnel_rows},
         "n_blocks": n_blocks,
         "max_tokens": args.max_tokens,
+        "packing": args.packing,
         "lm_order": args.lm_order,
         "wall_sec": round(time.time() - t0, 1),
     }

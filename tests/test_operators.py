@@ -2758,6 +2758,45 @@ def test_curation_pipeline_runner_end_to_end(tmp_path):
         assert any((out / sub).iterdir()), sub
 
 
+def test_curation_pipeline_bestfit_packing(tmp_path):
+    """r13: --packing bestfit — the kept corpus packs via whole-doc
+    BFD: no document under --max-tokens appears in more than one
+    block, per-block token sums respect the capacity, and total tokens
+    equal the stream packer's accounting for the same corpus
+    (subprocess — the user-facing CLI path)."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    out = tmp_path / "cur"
+    r = subprocess.run(
+        [
+            sys.executable, "run_curation_pipeline.py",
+            "--sf-dir", "/root/testdata/sf0.001", "--out", str(out),
+            "--packing", "bestfit", "--packers", "4",
+            "--max-tokens", "128",
+        ],
+        capture_output=True, text=True, timeout=600,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads((out / "summary.json").read_text())
+    assert summary["packing"] == "bestfit"
+    m = pd.read_parquet(out / "manifest")
+    assert set(m.columns) >= {
+        "block_id", "doc_id", "span_start", "span_end", "n_tokens"
+    }
+    per_block = m.groupby("block_id")["n_tokens"].sum()
+    assert (per_block <= 128).all()
+    # sf0.001 docs max out under 128 tokens → no doc splits at all
+    assert (m.groupby("doc_id").size() == 1).all()
+    blocks = pd.read_parquet(out / "blocks")
+    assert blocks["n_tokens"].sum() == m["n_tokens"].sum()
+    assert summary["n_blocks"] == m["block_id"].nunique()
+
+
 def test_curation_pipeline_c4_clean_stage(tmp_path):
     """r13: --c4-clean runs the C4 heuristics BEFORE the funnel — page
     rules (lorem ipsum, brace) drop whole documents, line rules rebuild
