@@ -23,6 +23,19 @@ published crawler docs rank: googlebot-news > googlebot > ``*``);
 support the full RFC wildcard grammar (``*`` any-sequence, ``$``
 end-anchor, longest-pattern-wins, allow wins ties); ``crawl-delay``
 and ``sitemap`` lines are surfaced as rows, not interpreted.
+
+Documented limit (r13): RFC 9309 §2.2.2's percent-encoding
+normalization (decode non-%2F octets on both sides before comparison)
+is NOT applied — rules and paths compare in their as-published
+encoding, so a rule spelled ``/a b`` does not match a URL spelled
+``/a%20b`` (or vice versa). Mixed-encoding pairs are rare in practice
+(published rules overwhelmingly match the encoding sites emit), and
+the mismatch direction is allow-biased — an unmatched ``disallow``
+allows — so the failure mode is over-fetching a blocked path, never
+silently dropping an allowed one. A faithful fix must also keep
+``%2A``/``%24`` distinct from the live ``*``/``$`` metacharacters
+through the regex translation; carried as backlog at this definition
+site.
 """
 
 from __future__ import annotations
