@@ -55,6 +55,10 @@ closes the ingestion cycle on the CONTENT side: the ingested corpus
 is gated against the accumulated corpus's persistable dedup index
 before the funnel, and ``--dedup-index-append`` appends this run's
 kept docs after — gate → curate → accept, at O(snapshot) per run.
+``--lm-dir`` (r13) is the model-side analogue: the perplexity-filter
+LM loads from the dir when an artifact exists (CCNet's posture — the
+reference LM is trained once, not refit per snapshot) and bootstraps
+(train + save) on first run.
 
 Everything is deterministic: reruns produce byte-identical selections
 (md5-keyed sampling/Gumbel draws, documented in operators/).
@@ -172,6 +176,14 @@ def main() -> None:
                     help="DSIR-selected share of surviving docs")
     ap.add_argument("--lm-order", type=int, default=2,
                     help="perplexity-filter LM order (2 = bigram)")
+    ap.add_argument("--lm-dir", default=None,
+                    help="persistable perplexity-filter LM — CCNet's "
+                    "actual posture (the reference LM is trained once "
+                    "and reused per snapshot, not refit per run): load "
+                    "the LM artifact from this dir when one exists "
+                    "(its saved order wins over --lm-order), else "
+                    "train on this run's target corpus and save it "
+                    "there — the model-side analogue of --dedup-index")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -433,7 +445,26 @@ def main() -> None:
         corpus, min_words=20, min_stopword_hits=1, min_alpha_word_frac=0.5
     ).select(*corpus.columns, "quality_pass")
     survivors = gq.filter("quality_pass").select("doc_id", "text")
-    lm = lm_ops.train_ngram_lm(target, order=args.lm_order)
+    # --- persistable reference LM (r13): CCNet's posture — the filter
+    # model is trained ONCE and reused per snapshot. Presence is the
+    # artifact's meta file; a present-but-foreign artifact must RAISE
+    # (load_lm's kind check), never silently retrain over it.
+    lm_info = None
+    if args.lm_dir:
+        try:
+            spark.read.text(f"{args.lm_dir.rstrip('/')}/meta").first()
+            have_lm = True
+        except Exception:  # noqa: BLE001 — missing/fresh dir: bootstrap
+            have_lm = False
+        if have_lm:
+            lm = lm_ops.load_lm(spark, args.lm_dir)
+            lm_info = {"loaded": True, "order": lm.order}
+        else:
+            lm = lm_ops.train_ngram_lm(target, order=args.lm_order)
+            lm_ops.save_lm(lm, args.lm_dir)
+            lm_info = {"loaded": False, "order": lm.order}
+    else:
+        lm = lm_ops.train_ngram_lm(target, order=args.lm_order)
     ce = lm_ops.score_cross_entropy(lm, survivors).select(
         "doc_id", "cross_entropy"
     )
@@ -548,6 +579,8 @@ def main() -> None:
         summary["dedup_index"] = dedup_index_info
     if c4_info is not None:
         summary["c4_clean"] = c4_info
+    if lm_info is not None:
+        summary["lm"] = lm_info
     (out / "summary.json").parent.mkdir(parents=True, exist_ok=True)
     (out / "summary.json").write_text(json.dumps(summary, indent=2))
     print(json.dumps(summary))

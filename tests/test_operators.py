@@ -2758,6 +2758,41 @@ def test_curation_pipeline_runner_end_to_end(tmp_path):
         assert any((out / sub).iterdir()), sub
 
 
+def test_curation_pipeline_persistable_lm(tmp_path):
+    """r13: --lm-dir — the perplexity-filter LM trains ONCE (run 1
+    bootstraps and saves the artifact) and later snapshots LOAD it
+    instead of refitting (CCNet's fixed-reference-LM posture). Run 2
+    must report loaded=True and, because corpus and model are
+    identical, reproduce run 1's funnel byte-for-byte."""
+    import json
+    import subprocess
+    import sys
+
+    lm_dir = tmp_path / "lm"
+
+    def run(tag: str):
+        out = tmp_path / f"cur{tag}"
+        r = subprocess.run(
+            [
+                sys.executable, "run_curation_pipeline.py",
+                "--sf-dir", "/root/testdata/sf0.001", "--out", str(out),
+                "--lm-dir", str(lm_dir),
+            ],
+            capture_output=True, text=True, timeout=600,
+            cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads((out / "summary.json").read_text())
+
+    s1 = run("1")
+    assert s1["lm"] == {"loaded": False, "order": 2}
+    assert (lm_dir / "meta").exists()  # the artifact landed
+    s2 = run("2")
+    assert s2["lm"] == {"loaded": True, "order": 2}
+    assert s2["stages"] == s1["stages"]  # same corpus + same LM
+    assert s2["n_blocks"] == s1["n_blocks"]
+
+
 def test_curation_pipeline_bestfit_packing(tmp_path):
     """r13: --packing bestfit — the kept corpus packs via whole-doc
     BFD: no document under --max-tokens appears in more than one
