@@ -2758,6 +2758,53 @@ def test_curation_pipeline_runner_end_to_end(tmp_path):
         assert any((out / sub).iterdir()), sub
 
 
+def test_curation_pipeline_r13_flags_compose(tmp_path):
+    """r13 composition smoke: --c4-clean + --packing bestfit + --lm-dir
+    in ONE run — the cleaned corpus feeds the persisted-LM funnel and
+    packs whole-doc; the summary carries all three records and the
+    artifacts agree."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    good_line = "the quick crawler and parser walk the corpus daily."
+    src = tmp_path / "dump" / "web"
+    src.mkdir(parents=True)
+    for i in range(5):
+        (src / f"keep_{i}.txt").write_text(
+            "\n".join([f"the document {i} opens with words and more text."]
+                      + [good_line] * 4)
+        )
+    (src / "brace.txt").write_text(
+        "\n".join([good_line] * 4 + ["A brace { appears mid page here."])
+    )
+    out = tmp_path / "cur"
+    r = subprocess.run(
+        [
+            sys.executable, "run_curation_pipeline.py",
+            "--text-dir", str(tmp_path / "dump"), "--out", str(out),
+            "--c4-clean", "--c4-min-sentences", "3",
+            "--packing", "bestfit", "--packers", "2",
+            "--lm-dir", str(tmp_path / "lm"),
+            "--max-tokens", "128", "--keep-fraction", "1.0",
+        ],
+        capture_output=True, text=True, timeout=600,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads((out / "summary.json").read_text())
+    assert summary["c4_clean"] == {"ingested": 6, "passed": 5}
+    assert summary["packing"] == "bestfit"
+    assert summary["lm"]["loaded"] is False  # bootstrapped this run
+    m = pd.read_parquet(out / "manifest")
+    assert (m.groupby("block_id")["n_tokens"].sum() <= 128).all()
+    assert (m.groupby("doc_id").size() == 1).all()  # whole-doc packing
+    blocks = pd.read_parquet(out / "blocks")
+    assert blocks["n_tokens"].sum() == m["n_tokens"].sum()
+
+
 def test_curation_pipeline_persistable_lm(tmp_path):
     """r13: --lm-dir — the perplexity-filter LM trains ONCE (run 1
     bootstraps and saves the artifact) and later snapshots LOAD it
