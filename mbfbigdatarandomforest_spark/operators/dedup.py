@@ -681,14 +681,20 @@ def corpus_diff(
             )
         )
 
-    j = _side(old, "old").join(_side(new, "new"), "fp", "full_outer")
+    # eqNullSafe, not an equi-join: fingerprint(NULL text) is NULL, and
+    # exact_dedup GROUPS NULL fps as one content class — a plain join
+    # key would treat the two sides' NULL classes as unequal and
+    # double-report the same content as added+removed (review r13)
+    o = _side(old, "old")
+    n = _side(new, "new").withColumnRenamed("fp", "__fp_new")
+    j = o.join(n, o["fp"].eqNullSafe(n["__fp_new"]), "full_outer")
     status = (
         F.when(F.col("n_old").isNull(), F.lit("added"))
         .when(F.col("n_new").isNull(), F.lit("removed"))
         .otherwise(F.lit("retained"))
     )
     return j.select(
-        "fp",
+        F.coalesce("fp", "__fp_new").alias("fp"),
         status.alias("status"),
         F.coalesce("n_old", F.lit(0)).alias("n_old"),
         F.coalesce("n_new", F.lit(0)).alias("n_new"),

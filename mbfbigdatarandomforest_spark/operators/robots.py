@@ -14,11 +14,12 @@ path.
 
 User-agent resolution (r13 — the last collapsed RFC leg, closed):
 full product-token matching. A group governs a crawler when its agent
-token is a case-insensitive SUBSTRING of the crawler's product token
-(RFC 9309 §2.2.1); among matching tokens the most specific — most
-octets — wins, equal-length winners COMBINE (the RFC's
-multiple-matching-groups merge, collapsed onto the specificity ladder
-published crawler docs rank: googlebot-news > googlebot > ``*``);
+token is a case-insensitive PREFIX of the crawler's product token —
+the family matching reference implementations apply (googlebot
+matches googlebot-news; a bare ``bot`` token does NOT capture
+``corpusbot`` off its suffix); among matching tokens the most
+specific — most octets — wins, and groups naming the SAME winning
+token COMBINE (RFC 9309 §2.2.1's multiple-matching-groups merge);
 ``*`` remains the no-match fallback tier. ``allow``/``disallow`` patterns
 support the full RFC wildcard grammar (``*`` any-sequence, ``$``
 end-anchor, longest-pattern-wins, allow wins ties); ``crawl-delay``
@@ -129,17 +130,20 @@ def parse_robots(
 def _agent_match_len(agent_lower: str) -> Column:
     """Octet length of the BEST group token matching the crawler's
     product token on each rule row — RFC 9309 §2.2.1 matching (r13): a
-    token matches when it is a case-insensitive substring of the
+    token matches when it is a case-insensitive PREFIX of the
     crawler's token (``*`` and '' never match here — ``*`` is the
     fallback tier, an empty token a malformed line); 0 when none do.
     Most-octets ranking mirrors the path-rule ranker: the most
     specific group wins, the ladder crawler docs publish
-    (googlebot-news > googlebot > ``*``)."""
+    (googlebot-news > googlebot > ``*``). Prefix, not substring —
+    substring-anywhere would let a generic ``bot`` group capture every
+    ``*bot`` crawler off the permissive ``*`` tier (review r13)."""
     agent_lit = F.lit(agent_lower)
 
     def _matches(t: Column) -> Column:
         return (
-            (t != F.lit("*")) & (t != F.lit("")) & F.contains(agent_lit, t)
+            (t != F.lit("*")) & (t != F.lit(""))
+            & F.startswith(agent_lit, t)
         )
 
     return F.coalesce(
@@ -157,7 +161,7 @@ def _host_best_agent_match(rules: DataFrame, agent_lower: str) -> DataFrame:
     set, not caller-filtered rows: a delay-only matching group still
     suppresses the ``*`` group's path rules (its empty rule set means
     allow-all) — the r11 tier-mixing fix, generalized from exact-token
-    to the substring ladder."""
+    to the prefix ladder."""
     return rules.groupBy("host").agg(
         F.max(_agent_match_len(agent_lower)).alias("__best")
     )

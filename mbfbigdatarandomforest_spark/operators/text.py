@@ -1015,26 +1015,30 @@ def pack_bestfit(
 
     def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
         packer = int(pdf["__packer"].iloc[0])
+        # ids keep their native type (string/uuid keys pack like the
+        # sibling operators — review r13); the sort key stays total
+        # because ids are same-typed within a frame
         rows = sorted(
             zip(
                 pdf[id_col], pdf["span_start"], pdf["span_end"],
                 pdf["n_tokens"],
             ),
-            key=lambda r: (-int(r[3]), int(r[0]), int(r[1])),
+            key=lambda r: (-int(r[3]), r[0], int(r[1])),
         )
         assign = _bfd_assign([(r, int(r[3])) for r in rows], L)
         return pd.DataFrame(
             {
                 "bin_id": [packer * (1 << 40) + seq for _, seq in assign],
-                id_col: [int(r[0]) for r, _ in assign],
+                id_col: [r[0] for r, _ in assign],
                 "span_start": [int(r[1]) for r, _ in assign],
                 "span_end": [int(r[2]) for r, _ in assign],
                 "n_tokens": [int(r[3]) for r, _ in assign],
             }
         )
 
+    id_type = df.schema[id_col].dataType.simpleString()
     schema = (
-        f"bin_id long, {id_col} long, span_start long, "
+        f"bin_id long, {id_col} {id_type}, span_start long, "
         "span_end long, n_tokens long"
     )
     return items.groupBy("__packer").applyInPandas(_pack, schema)
@@ -1184,7 +1188,12 @@ def c4_clean(
     policy_re = "|".join(C4_POLICY_SUBSTRINGS)
 
     def _line_ok(ln: Column) -> Column:
-        t = F.trim(ln)
+        # regex trim, not F.trim: F.trim strips ASCII SPACE only, so a
+        # terminally-punctuated line with a trailing tab would be
+        # wrongly dropped (review r13). Java \s is the ASCII class
+        # [ \t\n\x0B\f\r] — the Python mirror spells the same class
+        # explicitly (Python re's \s is unicode-wide).
+        t = F.regexp_replace(ln, r"^\s+|\s+$", "")
         n_words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
         low = F.lower(t)
         return (

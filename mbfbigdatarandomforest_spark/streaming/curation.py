@@ -93,6 +93,16 @@ def start_curation_stream(
     if c4 is not None:
         from ..operators.text import c4_clean
 
+        # the stage rewrites the stream's 'text' from 'clean_text', so
+        # column-renaming kwargs would silently break the wiring —
+        # reject them up front (review r13)
+        bad = {"text_col", "out_col"} & set(c4)
+        if bad:
+            raise ValueError(
+                f"c4 options {sorted(bad)} are fixed by the curation "
+                "stream (text in, clean_text out) — pass threshold/"
+                "blockword options only"
+            )
         base_cols = docs.columns
         docs = (
             c4_clean(docs, **c4)

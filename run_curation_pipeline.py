@@ -383,6 +383,32 @@ def main() -> None:
             bench_source = "src0"
         bench = docs.filter(F.col("source") == bench_source)
         corpus = docs.filter(F.col("source") != bench_source).cache()
+    # --- C4 line + page cleaning (r13): runs FIRST — before even the
+    # dedup-index gate — so every later stage (the gate, quality, LM,
+    # dedup, DSIR, packing) sees the rebuilt text. Ordering is
+    # load-bearing for the index: the gate fingerprints the SAME text
+    # representation the accepted docs were appended with; cleaning
+    # after the gate would make every re-shipped doc look novel the
+    # moment C4 dropped a line (review r13).
+    c4_info = None
+    if args.c4_clean:
+        from mbfbigdatarandomforest_spark.operators.text import c4_clean
+
+        base_cols = corpus.columns
+        n_before = corpus.count()
+        corpus = (
+            c4_clean(
+                corpus,
+                min_words_per_line=args.c4_min_words_per_line,
+                min_sentences=args.c4_min_sentences,
+            )
+            .filter("c4_pass")
+            .withColumn("text", F.col("clean_text"))
+            .select(*base_cols)
+            .localCheckpoint()
+        )
+        c4_info = {"ingested": n_before, "passed": corpus.count()}
+
     # --- cross-snapshot gate (r13): drop documents the ACCUMULATED
     # corpus already holds before spending funnel compute on them —
     # the production tier order (gate, then curate, then append)
@@ -410,28 +436,6 @@ def main() -> None:
         else:
             dedup_index_info = {"bootstrap": True}
 
-    # --- C4 line + page cleaning (r13): runs FIRST so every later
-    # stage (quality, LM, dedup, DSIR, packing) sees the rebuilt text —
-    # the published pipeline order
-    c4_info = None
-    if args.c4_clean:
-        from mbfbigdatarandomforest_spark.operators.text import c4_clean
-
-        base_cols = corpus.columns
-        n_before = corpus.count()
-        corpus = (
-            c4_clean(
-                corpus,
-                min_words_per_line=args.c4_min_words_per_line,
-                min_sentences=args.c4_min_sentences,
-            )
-            .filter("c4_pass")
-            .withColumn("text", F.col("clean_text"))
-            .select(*base_cols)
-            .localCheckpoint()
-        )
-        c4_info = {"ingested": n_before, "passed": corpus.count()}
-
     # text-dir mode mints a constant lang, so the LM/DSIR target is the
     # whole corpus; sf-dir documents carry a real lang column
     target = corpus.filter(F.col("lang") == "en")
@@ -451,10 +455,15 @@ def main() -> None:
     # (load_lm's kind check), never silently retrain over it.
     lm_info = None
     if args.lm_dir:
+        from pyspark.errors import AnalysisException
+
         try:
             spark.read.text(f"{args.lm_dir.rstrip('/')}/meta").first()
             have_lm = True
-        except Exception:  # noqa: BLE001 — missing/fresh dir: bootstrap
+        except AnalysisException:  # missing/fresh dir: bootstrap.
+            # ONLY the path-missing class bootstraps — a transient IO
+            # error on an EXISTING artifact must raise, never silently
+            # retrain-and-overwrite the shared reference LM
             have_lm = False
         if have_lm:
             lm = lm_ops.load_lm(spark, args.lm_dir)

@@ -1620,15 +1620,22 @@ def test_text_repetition_stats_vs_python_twin(spark, duck):
     assert set(got) == set(acc)
 
 
+#: Java regex \s — the ASCII whitespace class c4_clean trims and
+#: splits with; the mirror MUST use it verbatim (Python re's \s is
+#: unicode-wide, which would diverge on e.g. NBSP).
+_JAVA_WS = r"[ \t\n\r\f\x0b]"
+
+
 def _py_c4_line_ok(ln: str, min_words: int = 3) -> bool:
     """Python mirror of c4_clean's line filter (Raffel et al. 2020
     §2.2): terminal mark, min words, no javascript, no policy
-    boilerplate."""
-    t = ln.strip()
+    boilerplate — over the SAME ASCII-whitespace trim/split the Spark
+    side runs."""
+    t = re.sub(f"^{_JAVA_WS}+|{_JAVA_WS}+$", "", ln)
     low = t.lower()
     return (
         bool(t) and t[-1] in '.!?"'
-        and len([w for w in re.split(r"\s+", t) if w]) >= min_words
+        and len([w for w in re.split(f"{_JAVA_WS}+", t) if w]) >= min_words
         and "javascript" not in low
         and not any(p in low for p in tx.C4_POLICY_SUBSTRINGS)
     )
@@ -1857,6 +1864,15 @@ def test_pack_bestfit_exact_vs_naive(spark):
         tx.pack_bestfit(df, max_tokens=0)
     with _pytest.raises(ValueError, match="packers"):
         tx.pack_bestfit(df, max_tokens=8, packers=0)
+    # non-integer ids pack too (review r13): the id column keeps its
+    # native type through the grouped map
+    sdf = spark.createDataFrame(
+        [(f"url-{i}", t) for i, (_, t) in enumerate(rows)],
+        "doc_id string, text string",
+    )
+    sm = tx.pack_bestfit(sdf, max_tokens=64, packers=2)
+    assert dict(sm.dtypes)["doc_id"] == "string"
+    assert sm.agg(F.sum("n_tokens")).first()[0] == sum(counts)
 
 
 def test_pack_bestfit_stats_vs_python_twin(spark, duck):
@@ -1975,6 +1991,18 @@ def test_corpus_diff_statuses(spark):
         assert r["n_new"] == 0 and r["new_id"] is None and r["old_id"] in (3, 4)
     for r in by_status["added"]:
         assert r["n_old"] == 0 and r["old_id"] is None and r["new_id"] in (14, 15)
+    # NULL texts are ONE content class on both sides (exact_dedup's
+    # NULL-fp grouping): retained, never an added+removed pair
+    old_n = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, text string"
+    )
+    new_n = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    nrows = dd.corpus_diff(old_n, new_n).collect()
+    assert len(nrows) == 1
+    assert (nrows[0]["status"], nrows[0]["n_old"], nrows[0]["n_new"]) == (
+        "retained", 2, 1
+    )
+    assert nrows[0]["fp"] is None
 
 
 def test_corpus_snapshot_diff_vs_duckdb_twin(spark, duck):
@@ -2756,6 +2784,67 @@ def test_curation_pipeline_runner_end_to_end(tmp_path):
     assert summary["n_blocks"] > 0
     for sub in ("datasheet", "funnel", "manifest", "blocks", "kept_docs"):
         assert any((out / sub).iterdir()), sub
+
+
+def test_curation_pipeline_c4_with_dedup_index_cycle(tmp_path):
+    """r13 review: --c4-clean must run BEFORE the --dedup-index gate so
+    the gate fingerprints the SAME cleaned text the index stored —
+    run 2 re-ships run 1's files and the gate drops exactly the
+    indexed (run-1 kept) copies even though C4 rewrote every text."""
+    import json
+    import subprocess
+    import sys
+
+    good_line = "the quick crawler and parser walk the corpus daily."
+    src = tmp_path / "dump" / "web"
+    src.mkdir(parents=True)
+
+    def doc(i: int) -> str:
+        # a junk line C4 strips — so raw text ≠ cleaned text for EVERY
+        # doc, the condition under which a post-gate C4 would break
+        return "\n".join(
+            [f"the document {i} opens with words and more text."]
+            + [good_line] * 4
+            + ["this trailing line never terminates and must vanish"]
+        )
+
+    for i in range(5):
+        (src / f"d{i}.txt").write_text(doc(i))
+    idx = tmp_path / "idx"
+
+    def run(tag: str):
+        out = tmp_path / f"cur{tag}"
+        r = subprocess.run(
+            [
+                sys.executable, "run_curation_pipeline.py",
+                "--text-dir", str(tmp_path / "dump"), "--out", str(out),
+                "--c4-clean", "--c4-min-sentences", "3",
+                "--dedup-index", str(idx), "--dedup-index-append",
+                "--keep-fraction", "1.0",
+            ],
+            capture_output=True, text=True, timeout=600,
+            cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads((out / "summary.json").read_text())
+
+    s1 = run("1")
+    assert s1["dedup_index"]["bootstrap"] is True
+    kept1 = s1["stages"]["5_dsir_selected"]
+    assert kept1 > 0
+    # run 2: same five files plus one genuinely new doc
+    (src / "new.txt").write_text(
+        "\n".join([f"a brand new page arrives with words and the rest."]
+                  + [good_line] * 4)
+    )
+    s2 = run("2")
+    d2 = s2["dedup_index"]
+    assert d2["bootstrap"] is False
+    assert d2["ingested"] == 6  # all six passed C4 before the gate
+    # the gate drops exactly the indexed (run-1 KEPT) copies — cleaned
+    # text matched cleaned fingerprints
+    assert d2["fresh"] == 6 - kept1
+    assert s2["stages"]["0_raw"] == 6 - kept1
 
 
 def test_curation_pipeline_r13_flags_compose(tmp_path):

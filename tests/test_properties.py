@@ -555,7 +555,9 @@ C4_LINE = st.tuples(
     st.lists(st.sampled_from(C4_WORDS), min_size=0, max_size=6).map(
         " ".join
     ),
-    st.sampled_from(["", ".", "!", "?", '"', " ", ". "]),
+    # ".\t" and "\t" exercise the ASCII-whitespace regex trim (a
+    # trailing tab must not hide a terminal mark — review r13)
+    st.sampled_from(["", ".", "!", "?", '"', " ", ". ", ".\t", "\t"]),
 ).map(lambda t: t[0] + t[1])
 C4_DOCS = st.lists(
     st.lists(C4_LINE, min_size=0, max_size=8).map("\n".join),

@@ -53,12 +53,13 @@ def _match(pat: str, path: str) -> bool:
 
 def _token_match_len(tokens, agent: str) -> int:
     """Octet length of the best group token matching the crawler's
-    product token (RFC 9309 §2.2.1 substring matching, r13) — 0 when
-    none; '*' and '' never match (fallback tier / malformed line)."""
+    product token (RFC 9309 §2.2.1 — case-insensitive PREFIX matching,
+    the family ladder; r13) — 0 when none; '*' and '' never match
+    (fallback tier / malformed line)."""
     ls = [
         len(t.encode("utf-8"))
         for t in tokens
-        if t not in ("*", "") and t in agent
+        if t not in ("*", "") and agent.startswith(t)
     ]
     return max(ls) if ls else 0
 
@@ -203,10 +204,10 @@ def test_randomized_sweep_vs_python_oracle(spark):
     r12: ~1 in 5 groups is DELAY-ONLY (no path rules) — the generator
     shape that catches tier-mixing in group selection (a delay-only
     exact group must suppress the * group's path rules). r13: the pool
-    gains tokens that are SUBSTRINGS of the tested product tokens
-    ('corpus', 'bot') so the sweep exercises the specificity ladder
-    and equal-length combining, and a suffixed product token sweeps
-    the pure-substring path."""
+    gains 'corpus' (a PREFIX of the tested product tokens — exercises
+    the specificity ladder) and 'bot' (a SUFFIX — must never match,
+    the prefix rule's trap), and a suffixed product token
+    (CorpusBot-News/2.1) sweeps the pure-prefix path."""
     rng = np.random.default_rng(911)
     atoms = ["/a", "/b/c", "/data", "/*.js", "/img*", "/x/y.html$", "/p/*/q"]
     agents_pool = ["*", "corpusbot", "otherbot", "corpus", "bot"]
@@ -281,12 +282,13 @@ def test_delay_only_exact_group_suppresses_star_rules(spark):
     } == {host: 9.0}
 
 
-def test_product_token_substring_matching_most_specific_wins(spark):
+def test_product_token_prefix_matching_most_specific_wins(spark):
     """r13 (the last collapsed RFC leg): a group whose agent token is a
-    case-insensitive SUBSTRING of the crawler's product token governs
-    it; the longest (most octets) matching token wins; '*' stays the
+    case-insensitive PREFIX of the crawler's product token governs it;
+    the longest (most octets) matching token wins; '*' stays the
     no-match fallback — the specificity ladder crawler docs publish
-    (corpusbot-news > corpusbot > corpus > *)."""
+    (corpusbot-news > corpusbot > corpus > *). Prefix, not substring:
+    a generic suffix token must NOT capture unrelated crawlers."""
     body = (
         "User-agent: *\nDisallow: /star\n\n"
         "User-agent: corpus\nDisallow: /six\n\n"
@@ -299,8 +301,8 @@ def test_product_token_substring_matching_most_specific_wins(spark):
     cases = {
         "CorpusBot-News/2.1": "/news/x",  # 14-octet token wins
         "CorpusBot": "/nine/x",           # exact beats the 6-octet prefix
-        "corpusreader": "/six/x",         # only 'corpus' is a substring
-        "unrelatedbot": "/star/x",        # no match → * tier
+        "corpusreader": "/six/x",         # only 'corpus' is a prefix
+        "unrelatedbot": "/star/x",        # 'bot' is a SUFFIX → * tier
     }
     for agent, blocked in cases.items():
         got = _spark_decisions(spark, {host: body}, urls, agent)
@@ -310,41 +312,50 @@ def test_product_token_substring_matching_most_specific_wins(spark):
             assert got[u] is (p != blocked), (agent, p)
 
 
-def test_equal_length_matching_tokens_combine(spark):
-    """r13: two groups whose tokens match the product token at the
-    SAME octet length both govern — RFC 9309 §2.2.1's
-    multiple-matching-groups merge — and the delay ladder follows the
-    same selection (the substring group's delay, never the *
-    group's)."""
+def test_same_winning_token_groups_combine(spark):
+    """r13: separate groups naming the SAME winning token all govern —
+    RFC 9309 §2.2.1's multiple-matching-groups merge — and the delay
+    ladder follows the same selection (the matching groups' delay,
+    never the * group's). Non-prefix tokens stay out."""
     from mbfbigdatarandomforest_spark.operators.robots import (
         agent_crawl_delay,
     )
 
     host = "h.example"
     body = (
-        "User-agent: alpha\nDisallow: /a\n\n"
-        "User-agent: omega\nDisallow: /o\nCrawl-delay: 3\n\n"
+        "User-agent: corpus\nDisallow: /a\n\n"
+        "User-agent: corpus\nDisallow: /o\nCrawl-delay: 3\n\n"
+        "User-agent: omega\nDisallow: /m\n\n"
         "User-agent: *\nDisallow: /s\nCrawl-delay: 9\n"
     )
-    paths = ["/a/x", "/o/x", "/s/x", "/free"]
+    paths = ["/a/x", "/o/x", "/m/x", "/s/x", "/free"]
     urls = [f"https://{host}{p}" for p in paths]
-    got = _spark_decisions(spark, {host: body}, urls, "alphaomega")
+    got = _spark_decisions(spark, {host: body}, urls, "corpusbot")
     for p in paths:
-        assert got[f"https://{host}{p}"] == py_allowed(body, "alphaomega", p)
-    # both 5-octet groups combine; the * group is out of scope
+        assert got[f"https://{host}{p}"] == py_allowed(body, "corpusbot", p)
+    # both 'corpus' groups combine; 'omega' (no prefix) and '*' are out
     assert got[f"https://{host}/a/x"] is False
     assert got[f"https://{host}/o/x"] is False
+    assert got[f"https://{host}/m/x"] is True
     assert got[f"https://{host}/s/x"] is True
     assert got[f"https://{host}/free"] is True
     rules = _rules_df(spark, {host: body})
     assert {
         r["host"]: r["crawl_delay"]
-        for r in agent_crawl_delay(rules, "alphaomega").collect()
-    } == {host: 3.0}  # omega's 3, never *'s 9
+        for r in agent_crawl_delay(rules, "corpusbot").collect()
+    } == {host: 3.0}  # the corpus groups' 3, never *'s 9
     assert {
         r["host"]: r["crawl_delay"]
         for r in agent_crawl_delay(rules, "nomatchbot").collect()
     } == {host: 9.0}
+    # the suffix trap the prefix rule exists for: a bare 'bot' group
+    # must NOT capture 'corpusbot' off the * tier
+    trap = "User-agent: bot\nDisallow: /\n\nUser-agent: *\nAllow: /\n"
+    t = _spark_decisions(
+        spark, {host: trap}, [f"https://{host}/page"], "corpusbot"
+    )
+    assert t[f"https://{host}/page"] is True
+    assert py_allowed(trap, "corpusbot", "/page") is True
 
 
 def test_longest_match_ranks_by_octets_not_characters(spark):
