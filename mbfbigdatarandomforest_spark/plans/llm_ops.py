@@ -1046,13 +1046,25 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a BPE vocabulary on the corpus (distributed word counts →
     driver-local merge loop over the bounded count table → distributed
     encode of the distinct-word vocabulary) and report per-source token
-    accounting. The collect() is the model-fit step over a
-    language-bounded table — same sanctioned pattern as the ANN
-    centroid fit (operators/similarity.py). See operators/bpe.py."""
+    accounting. The collect() is the model-fit step over an EXPLICITLY
+    capped table: ``word_counts(max_words=500_000)`` LIMITs the merge
+    statistics to the top-500k words by count (count desc, word asc —
+    deterministic), the same bound ``curation_funnel_v2`` uses. A web
+    corpus's distinct-"word" table is unbounded garbage (URLs, hashes,
+    hex blobs), so a corpus-statistic bound is not enough for the
+    driver — the cap must be a constant. Tail words dropped from the
+    MERGE statistics still encode downstream: ``bpe_token_counts``
+    encodes the corpus's FULL distinct-word frame executor-side, so
+    token accounting keeps its no-NULL coverage contract. At gate SF
+    the corpus has far fewer distinct words than the cap, so the
+    learned merges are bit-identical with or without it."""
     from ..operators import bpe
 
     docs = load_table(spark, sf_dir, "documents")
-    wc = [(r["word"], r["c"]) for r in bpe.word_counts(docs).collect()]
+    wc = [
+        (r["word"], r["c"])
+        for r in bpe.word_counts(docs, max_words=500_000).collect()
+    ]
     merges = bpe.learn_bpe(wc, num_merges=100)
     # encoded=None means the vocab is the corpus's FULL distinct-word
     # table — corpus-statistic-bounded, so AQE decides the join side

@@ -134,6 +134,25 @@ def test_max_words_cap_is_deterministic(spark):
     assert sorted(top) == sorted(w for w, _ in full[:5])
 
 
+def test_registered_query_merge_cap_is_invisible_at_gate_sf(spark):
+    """The registered query's explicit 500k merge-statistics cap (r13
+    VERDICT finding 1) is a driver-safety bound, not a semantics change:
+    at gate SF the distinct-word table is far below the cap, so the
+    learned merges must be BIT-IDENTICAL with and without it."""
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    capped = [
+        (r["word"], r["c"])
+        for r in bpe.word_counts(docs, max_words=500_000).collect()
+    ]
+    uncapped = [
+        (r["word"], r["c"])
+        for r in bpe.word_counts(docs, max_words=None).collect()
+    ]
+    assert bpe.learn_bpe(capped, num_merges=100) == bpe.learn_bpe(
+        uncapped, num_merges=100
+    )
+
+
 def test_registered_query_runs(spark):
     from mbfbigdatarandomforest_spark.registry import load_all
 
