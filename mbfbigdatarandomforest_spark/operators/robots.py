@@ -12,31 +12,40 @@ checks are a host-equi-join of URLs against the host's rule set with
 the RFC's longest-match-wins resolved by one window. No Python in any
 path.
 
-User-agent resolution (r13 — the last collapsed RFC leg, closed):
-full product-token matching. A group governs a crawler when its agent
-token is a case-insensitive PREFIX of the crawler's product token —
-the family matching reference implementations apply (googlebot
-matches googlebot-news; a bare ``bot`` token does NOT capture
-``corpusbot`` off its suffix); among matching tokens the most
-specific — most octets — wins, and groups naming the SAME winning
-token COMBINE (RFC 9309 §2.2.1's multiple-matching-groups merge);
-``*`` remains the no-match fallback tier. ``allow``/``disallow`` patterns
-support the full RFC wildcard grammar (``*`` any-sequence, ``$``
-end-anchor, longest-pattern-wins, allow wins ties); ``crawl-delay``
-and ``sitemap`` lines are surfaced as rows, not interpreted.
+User-agent resolution (r13): the reference-parser FAMILY LADDER, a
+deliberate superset of RFC 9309 §2.2.1's exact case-insensitive
+product-token match. A group governs a crawler when its agent token
+is a case-insensitive PREFIX of the crawler's product token — the
+family matching deployed reference parsers apply (googlebot matches
+googlebot-news; a bare ``bot`` token does NOT capture ``corpusbot``
+off its suffix); among matching tokens the most specific — most
+octets — wins, and groups naming the SAME winning token COMBINE (the
+RFC's multiple-matching-groups merge); ``*`` remains the no-match
+fallback tier. Strict-RFC exact matching is the special case where
+only full-token prefixes occur, so a ``corpus`` group governing
+crawler ``corpusreader`` is ladder behavior the RFC itself would not
+mandate (r13 advice — documented, kept). ``allow``/``disallow``
+patterns support the full RFC wildcard grammar (``*`` any-sequence,
+``$`` end-anchor, longest-pattern-wins, allow wins ties);
+``crawl-delay`` and ``sitemap`` lines are surfaced as rows, not
+interpreted.
 
-Documented limit (r13): RFC 9309 §2.2.2's percent-encoding
-normalization (decode non-%2F octets on both sides before comparison)
-is NOT applied — rules and paths compare in their as-published
-encoding, so a rule spelled ``/a b`` does not match a URL spelled
-``/a%20b`` (or vice versa). Mixed-encoding pairs are rare in practice
-(published rules overwhelmingly match the encoding sites emit), and
-the mismatch direction is allow-biased — an unmatched ``disallow``
-allows — so the failure mode is over-fetching a blocked path, never
-silently dropping an allowed one. A faithful fix must also keep
-``%2A``/``%24`` distinct from the live ``*``/``$`` metacharacters
-through the regex translation; carried as backlog at this definition
-site.
+Percent-encoding normalization (r14 — RFC 9309 §2.2.2, the last RFC
+leg, closed): rule patterns and URL paths are both rewritten to ONE
+canonical percent-encoding before comparison (:func:`pct_canonical`):
+percent-encoded UNRESERVED octets (RFC 3986 ALPHA / DIGIT / ``-._~``)
+are decoded (``%62az`` ≡ ``baz``), every other retained ``%XX`` keeps
+uppercase hex (``%2f`` ≡ ``%2F``), and raw characters outside the
+canonical-raw set — spaces, quotes, stray ``%``, non-ASCII — are
+percent-encoded from their UTF-8 octets (``/a b`` ≡ ``/a%20b``, both
+directions). Reserved characters (``%2F`` vs ``/``, ``%3F`` vs ``?``)
+stay DISTINCT, as RFC 3986 §2.2 requires — an encoded slash is not a
+path separator. The two pattern metacharacters survive faithfully:
+in a RULE a raw ``*`` is the wildcard and a trailing raw ``$`` the
+anchor, while published ``%2A``/``%24`` stay encoded and match a
+path's literal ``*``/``$`` (which the path side canonicalizes to
+``%2A``/``%24``); a mid-pattern raw ``$`` is a literal and is folded
+to ``%24`` in the regex translation.
 """
 
 from __future__ import annotations
@@ -45,6 +54,68 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .urls import url_host
+
+#: RFC 3986 §2.3 unreserved characters — the ONLY octets §2.2.2 says
+#: to percent-DECODE (an encoded reserved character is semantically
+#: distinct from its raw form: %2F is not a path separator).
+_UNRESERVED_CLASS = "A-Za-z0-9._~\\-"
+#: Characters kept RAW in the canonical form: unreserved plus the
+#: gen-delims / sub-delims that appear raw in a path-query string.
+#: '%' is excluded (always the encoding trigger — a stray one is
+#: encoded to %25); '*' and '$' are excluded and handled per side
+#: (pattern metacharacters in rules, encoded literals in paths).
+_RAW_KEEP_CLASS = "A-Za-z0-9._~:/?#@!&'()+,;=\\[\\]\\-"
+
+
+def _pct_encode_raw(col: Column, keep_meta: bool) -> Column:
+    """Percent-encode every character outside the canonical-raw set
+    from its UTF-8 octets (uppercase hex — ``F.hex`` is uppercase by
+    contract), keeping canonical-raw characters as-is. Runs AFTER the
+    retained-%XX pass, so any ``%`` seen here is a stray literal and
+    encodes to ``%25`` unambiguously. Per-character ``transform`` over
+    short policy/path strings — pure codegen expressions, no Python."""
+    keep = _RAW_KEEP_CLASS + ("*$" if keep_meta else "")
+    keep_re = f"^[{keep}]$"
+    return F.array_join(
+        F.transform(
+            F.split(col, ""),
+            lambda c: F.when(c.rlike(keep_re) | (c == F.lit("")), c).otherwise(
+                F.regexp_replace(F.hex(F.encode(c, "UTF-8")), "(..)", r"%$1")
+            ),
+        ),
+        "",
+    )
+
+
+def pct_canonical(col: Column, keep_meta: bool = False) -> Column:
+    """RFC 9309 §2.2.2 canonical percent-encoding of a rule pattern or
+    URL path (module docstring): decode percent-encoded UNRESERVED
+    octets, uppercase the hex of every other retained ``%XX``, and
+    percent-encode raw characters outside the canonical-raw set from
+    their UTF-8 octets. ``keep_meta`` keeps raw ``*``/``$`` untouched
+    (rule side — they are pattern metacharacters); the path side
+    encodes them to ``%2A``/``%24`` so a rule's literal ``%2A`` matches
+    a path's literal ``*`` without colliding with the live wildcard.
+
+    ONE split pass bounds the work: segments open at each valid ``%XX``
+    (lookahead split — no double-decode: a decode can never mint a new
+    ``%XX``), the triplet is decoded or case-fixed, the tail goes
+    through the raw-character pass. All column expressions."""
+    segs = F.split(col, r"(?=%[0-9A-Fa-f]{2})")
+
+    def _seg(s: Column) -> Column:
+        has = s.rlike("^%[0-9A-Fa-f]{2}")
+        hexs = F.upper(F.substring(s, 2, 2))
+        ch = F.char(F.conv(hexs, 16, 10).cast("int"))
+        prefix = (
+            F.when(~has, F.lit(""))
+            .when(ch.rlike(f"^[{_UNRESERVED_CLASS}]$"), ch)
+            .otherwise(F.concat(F.lit("%"), hexs))
+        )
+        tail = F.when(has, F.substring(s, 4, 2_000_000_000)).otherwise(s)
+        return F.concat(prefix, _pct_encode_raw(tail, keep_meta))
+
+    return F.array_join(F.transform(segs, _seg), "")
 
 
 def parse_robots(
@@ -104,15 +175,20 @@ def parse_robots(
     rules = grouped.filter(F.col("is_ua") == 0).join(
         agents, ["host", "group_id"], "left"
     )
-    # rule pattern → anchored Java regex: escape specials via the $1
-    # backref (Java replacement — the pytest oracle is pure Python, no
-    # cross-SQL twin needed here), then the RFC's two metacharacters:
-    # '*' anywhere = any sequence; '$' is the end anchor ONLY at the
-    # pattern's end (escaped with everything else first, a trailing
-    # escaped one un-escaped back into the anchor)
-    pat = F.regexp_replace(F.col("value"), r"([.^+?(){}\[\]\\|$])", r"\\$1")
+    # rule pattern → anchored Java regex over the CANONICAL form
+    # (§2.2.2, r14 — keep_meta keeps raw */$ as live metacharacters):
+    # escape specials via the $1 backref (Java replacement — the pytest
+    # oracle is pure Python, no cross-SQL twin needed here), then the
+    # RFC's two metacharacters: '*' anywhere = any sequence; '$' is the
+    # end anchor ONLY at the pattern's end (escaped with everything
+    # else first, a trailing escaped one un-escaped back into the
+    # anchor); a remaining mid-pattern '$' is a LITERAL and folds to
+    # its canonical %24 so it matches the path side's encoding.
+    canon = pct_canonical(F.col("value"), keep_meta=True)
+    pat = F.regexp_replace(canon, r"([.^+?(){}\[\]\\|$])", r"\\$1")
     pat = F.regexp_replace(pat, r"\*", ".*")
     pat = F.regexp_replace(pat, r"\\\$$", "\\$")
+    pat = F.regexp_replace(pat, r"\\\$", "%24")
     pattern_re = F.concat(F.lit("^"), pat)
     return rules.select(
         "host",
@@ -129,7 +205,9 @@ def parse_robots(
 
 def _agent_match_len(agent_lower: str) -> Column:
     """Octet length of the BEST group token matching the crawler's
-    product token on each rule row — RFC 9309 §2.2.1 matching (r13): a
+    product token on each rule row — the reference-parser family
+    ladder (r13; a documented superset of RFC 9309 §2.2.1's exact
+    case-insensitive token match — module docstring): a
     token matches when it is a case-insensitive PREFIX of the
     crawler's token (``*`` and '' never match here — ``*`` is the
     fallback tier, an empty token a malformed line); 0 when none do.
@@ -180,6 +258,9 @@ def _agent_rules(rules: DataFrame, agent: str) -> DataFrame:
         "host",
         "directive",
         F.col("value").alias("pattern"),
+        # longest-match ranks octets of the CANONICAL pattern (r14 —
+        # §2.2.2: two spellings of one rule must rank identically)
+        pct_canonical(F.col("value"), keep_meta=True).alias("pattern_canon"),
         "pattern_re",
         _agent_match_len(a).alias("__mlen"),
         F.array_contains("agents", "*").alias("__star"),
@@ -190,7 +271,7 @@ def _agent_rules(rules: DataFrame, agent: str) -> DataFrame:
             ((F.col("__mlen") == F.col("__best")) & (F.col("__best") > 0))
             | (F.col("__star") & (F.col("__best") == 0))
         )
-        .select("host", "directive", "pattern", "pattern_re")
+        .select("host", "directive", "pattern", "pattern_canon", "pattern_re")
     )
 
 
@@ -284,26 +365,34 @@ def robots_allowed(
     """Adds boolean ``out_col``: may ``agent`` fetch each URL under the
     parsed ``rules`` (:func:`parse_robots` output)?
 
-    RFC 9309 §2.2.2 resolution, distributed: URLs equi-join their
-    host's governing rules, matching rules survive an rlike filter,
-    and ONE window picks the longest matched pattern (OCTET length —
-    ``octet_length``, the RFC's most-octets wording, so multi-byte
-    UTF-8 patterns rank as a byte-counting crawler would; tie → allow
-    wins). Hosts with no rules, or URLs matching no rule, are allowed.
-    Empty-value ``disallow:`` lines match nothing (the RFC's allow-all
-    idiom) — their regex is ``^`` with length 0 and empty patterns are
-    dropped below."""
+    RFC 9309 §2.2.2 resolution, distributed: URL paths are rewritten
+    to the canonical percent-encoding (:func:`pct_canonical` — rules
+    were canonicalized at parse time), URLs equi-join their host's
+    governing rules, matching rules survive an rlike filter, and ONE
+    window picks the longest matched pattern (OCTET length of the
+    CANONICAL pattern — the RFC's most-octets wording, so multi-byte
+    UTF-8 patterns rank as a byte-counting crawler would and two
+    spellings of one rule rank identically; tie → allow wins). Hosts
+    with no rules, or URLs matching no rule, are allowed. Empty-value
+    ``disallow:`` lines match nothing (the RFC's allow-all idiom) —
+    their regex is ``^`` with length 0 and empty patterns are dropped
+    below."""
     per_agent = _agent_rules(rules, agent).filter(F.col("pattern") != "")
     u = urls.withColumn("__host", url_host(url_col)).withColumn(
         "__path",
-        F.coalesce(
-            F.nullif(
-                F.regexp_extract(
-                    F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1
+        pct_canonical(
+            F.coalesce(
+                F.nullif(
+                    F.regexp_extract(
+                        F.col(url_col),
+                        r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$",
+                        1,
+                    ),
+                    F.lit(""),
                 ),
-                F.lit(""),
+                F.lit("/"),
             ),
-            F.lit("/"),
+            keep_meta=False,
         ),
     )
     matched = (
@@ -314,7 +403,7 @@ def robots_allowed(
             # longest match wins; ties → allow: rank by (octets, is_allow)
             F.max(
                 F.struct(
-                    F.octet_length("pattern").alias("l"),
+                    F.octet_length("pattern_canon").alias("l"),
                     (F.col("directive") == "allow").alias("a"),
                 )
             ).alias("best")

@@ -1,17 +1,19 @@
 """robots.txt policy oracle tests (operators/robots.py r11).
 
 The reference implementation here is an independent pure-Python RFC
-9309 evaluator (group parsing, most-specific-substring product-token
+9309 evaluator (group parsing, most-specific-prefix product-token
 selection falling back to ``*`` — r13, equal-length winners combine,
-wildcard/anchor matching, longest-match-wins with allow on ties) —
-Spark must agree URL-for-URL on crafted corner cases and on a
-randomized fixture sweep. stdlib urllib.robotparser is NOT the oracle:
-it implements the 1994 draft without wildcard support.
+wildcard/anchor matching, §2.2.2 percent-encoding canonicalization —
+r14, longest-match-wins with allow on ties) — Spark must agree
+URL-for-URL on crafted corner cases and on a randomized fixture
+sweep. stdlib urllib.robotparser is NOT the oracle: it implements the
+1994 draft without wildcard support.
 """
 
 from __future__ import annotations
 
 import re
+import string
 
 import numpy as np
 
@@ -19,6 +21,31 @@ from mbfbigdatarandomforest_spark.operators.robots import (
     parse_robots,
     robots_allowed,
 )
+
+_UNRESERVED = set(string.ascii_letters + string.digits + "-._~")
+_RAW_KEEP = _UNRESERVED | set(":/?#@!&'()+,;=[]")
+
+
+def py_canonical(s: str, keep_meta: bool = False) -> str:
+    """Independent mirror of pct_canonical (RFC 9309 §2.2.2): decode
+    percent-encoded unreserved octets, uppercase retained %XX hex,
+    UTF-8-percent-encode raw characters outside the canonical-raw set;
+    keep_meta leaves raw */$ alone (rule metacharacters)."""
+    out, i = [], 0
+    while i < len(s):
+        c = s[i]
+        if c == "%" and re.match(r"%[0-9A-Fa-f]{2}", s[i : i + 3]):
+            h = s[i + 1 : i + 3].upper()
+            ch = chr(int(h, 16))
+            out.append(ch if ch in _UNRESERVED else "%" + h)
+            i += 3
+        elif c in _RAW_KEEP or (keep_meta and c in "*$"):
+            out.append(c)
+            i += 1
+        else:
+            out.append("".join("%%%02X" % b for b in c.encode("utf-8")))
+            i += 1
+    return "".join(out)
 
 
 def _parse_groups(body: str):
@@ -45,10 +72,13 @@ def _parse_groups(body: str):
 
 
 def _match(pat: str, path: str) -> bool:
-    rx = "^" + re.escape(pat).replace(r"\*", ".*")
+    rx = "^" + re.escape(py_canonical(pat, keep_meta=True)).replace(
+        r"\*", ".*"
+    )
     if rx.endswith(r"\$"):
         rx = rx[:-2] + "$"
-    return re.search(rx, path) is not None
+    rx = rx.replace(r"\$", "%24")  # mid-pattern literal $ → canonical
+    return re.search(rx, py_canonical(path)) is not None
 
 
 def _token_match_len(tokens, agent: str) -> int:
@@ -82,8 +112,13 @@ def py_allowed(body: str, agent: str, path: str) -> bool:
                 continue
             if _match(pat, path):
                 # RFC 9309 ranks by most OCTETS, not characters —
-                # multi-byte UTF-8 patterns count their encoded bytes
-                key = (len(pat.encode("utf-8")), d == "allow")
+                # multi-byte UTF-8 patterns count their encoded bytes;
+                # octets of the CANONICAL pattern (r14 §2.2.2), so two
+                # spellings of one rule rank identically
+                key = (
+                    len(py_canonical(pat, keep_meta=True).encode("utf-8")),
+                    d == "allow",
+                )
                 if best is None or key > best:
                     best = key
     return True if best is None else best[1]
@@ -209,7 +244,13 @@ def test_randomized_sweep_vs_python_oracle(spark):
     the prefix rule's trap), and a suffixed product token
     (CorpusBot-News/2.1) sweeps the pure-prefix path."""
     rng = np.random.default_rng(911)
-    atoms = ["/a", "/b/c", "/data", "/*.js", "/img*", "/x/y.html$", "/p/*/q"]
+    atoms = [
+        "/a", "/b/c", "/data", "/*.js", "/img*", "/x/y.html$", "/p/*/q",
+        # r14 §2.2.2 atoms: mixed encodings, encoded metacharacters,
+        # unreserved octets, stray %, non-ASCII
+        "/enc dir", "/enc%20dir", "/f%2Axe", "/%62in", "/mid$lit",
+        "/100%", "/ü",
+    ]
     agents_pool = ["*", "corpusbot", "otherbot", "corpus", "bot"]
     bodies = {}
     for h in range(6):
@@ -229,6 +270,9 @@ def test_randomized_sweep_vs_python_oracle(spark):
     paths = [
         "/", "/a", "/a/z", "/b/c/d", "/data/set.js", "/img123/f",
         "/x/y.html", "/x/y.html?v=1", "/p/mid/q", "/other",
+        "/enc dir/x", "/enc%20dir/x", "/f*xe", "/f%2Axe", "/%2axe",
+        "/bin/z", "/%62in/z", "/mid$lit", "/100%", "/100%25",
+        "/ü", "/%C3%BC", "/%c3%bc",
     ]
     urls = [f"http://{h}{p}" for h in bodies for p in paths]
     for agent in ("*", "CorpusBot", "CorpusBot-News/2.1"):
@@ -371,6 +415,107 @@ def test_longest_match_ranks_by_octets_not_characters(spark):
         spark, {"h.example": body}, [f"https://h.example{path}"], "*"
     )
     assert got[f"https://h.example{path}"] is False
+
+
+def test_percent_encoding_canonicalization(spark):
+    """RFC 9309 §2.2.2 (r14): rule and path compare in ONE canonical
+    percent-encoding — both directions of the space case, encoded
+    metacharacters staying distinct from live */$, unreserved-octet
+    decoding, hex-case folding, stray %, and non-ASCII UTF-8."""
+    bodies = {
+        "sp1.example": "User-agent: *\nDisallow: /a b\n",
+        "sp2.example": "User-agent: *\nDisallow: /a%20b\n",
+        "meta.example": (
+            "User-agent: *\n"
+            "Disallow: /lit%2Astar\n"    # literal '*', not a wildcard
+            "Disallow: /wild*card\n"     # live wildcard
+            "Disallow: /dol%24lar\n"     # literal '$'
+            "Disallow: /mid$dollar\n"    # mid-pattern raw $ = literal
+            "Disallow: /end$\n"          # trailing raw $ = anchor
+        ),
+        "unres.example": "User-agent: *\nDisallow: /%62%61z\n",  # = /baz
+        "hex.example": "User-agent: *\nDisallow: /q%3fx\n",      # %3f≡%3F
+        "stray.example": "User-agent: *\nDisallow: /100%\n",
+        "utf8.example": "User-agent: *\nDisallow: /ü\n",
+    }
+    cases = {
+        # rule '/a b' blocks BOTH spellings of the path
+        "http://sp1.example/a b": False,
+        "http://sp1.example/a%20b": False,
+        "http://sp1.example/a-b": True,
+        # rule '/a%20b' blocks BOTH spellings too (other direction)
+        "http://sp2.example/a b": False,
+        "http://sp2.example/a%20b": False,
+        # %2A is a literal star: matches raw-* and %2A paths, but is
+        # NOT a wildcard (no match on arbitrary text)
+        "http://meta.example/lit*star": False,
+        "http://meta.example/lit%2Astar": False,
+        "http://meta.example/litXYZstar": True,
+        # live wildcard still wildcards
+        "http://meta.example/wildANYTHINGcard": False,
+        # %24 is a literal dollar, matching raw-$ and %24 paths
+        "http://meta.example/dol$lar": False,
+        "http://meta.example/dol%24lar": False,
+        # mid-pattern raw $ is a literal, not an anchor
+        "http://meta.example/mid$dollar": False,
+        "http://meta.example/mid%24dollar": False,
+        # trailing raw $ still anchors
+        "http://meta.example/end": False,
+        "http://meta.example/end/more": True,
+        # unreserved octets decode: %62%61z ≡ baz (both directions)
+        "http://unres.example/baz": False,
+        "http://unres.example/%62%61z": False,
+        "http://unres.example/bar": True,
+        # retained %XX hex case folds: rule %3f matches path %3F and
+        # %3f, and stays DISTINCT from a raw '?' (reserved)
+        "http://hex.example/q%3Fx": False,
+        "http://hex.example/q%3fx": False,
+        "http://hex.example/q?x": True,
+        # stray % encodes to %25 on both sides
+        "http://stray.example/100%": False,
+        "http://stray.example/100%25": False,
+        # raw non-ASCII ≡ its UTF-8 percent-encoding, any hex case
+        "http://utf8.example/ü": False,
+        "http://utf8.example/%C3%BC": False,
+        "http://utf8.example/%c3%bc": False,
+    }
+    got = _spark_decisions(spark, bodies, list(cases), "*")
+    for url, want in cases.items():
+        assert got[url] == want, url
+    # the Python oracle agrees on every case (the sweep's canonical
+    # mirror is itself pinned here against hand-derived expectations)
+    for url, want in cases.items():
+        host = url.split("/")[2]
+        path = url[url.index(host) + len(host):]
+        assert py_allowed(bodies[host], "*", path) == want, url
+
+
+def test_canonical_octet_ranking_spelling_invariant(spark):
+    """Two spellings of the same rule must rank identically: an
+    allow published as '/%64ir/ok' (7 canonical octets) must beat a
+    disallow '/dir' even though its PUBLISHED spelling is longer than
+    the canonical form of the allow."""
+    bodies = {
+        "r.example": (
+            "User-agent: *\nDisallow: /dir\nAllow: /%64ir/ok\n"
+        ),
+        # same policy, spelled canonically — decisions must be equal
+        "c.example": "User-agent: *\nDisallow: /dir\nAllow: /dir/ok\n",
+    }
+    urls = [
+        f"http://{h}{p}"
+        for h in bodies
+        for p in ("/dir", "/dir/ok", "/dir/ok/deep", "/%64ir/ok")
+    ]
+    got = _spark_decisions(spark, bodies, urls, "*")
+    for p, want in (
+        ("/dir", False),
+        ("/dir/ok", True),
+        ("/dir/ok/deep", True),
+        ("/%64ir/ok", True),
+    ):
+        assert got[f"http://r.example{p}"] == want, p
+        assert got[f"http://c.example{p}"] == want, p
 
 
 def test_robots_policy_stats_vs_python_twin(spark, duck):
