@@ -30,7 +30,7 @@ variants exist as correctness oracles for the banded paths at test scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -499,6 +499,111 @@ def _index_subdir(path: str, name: str) -> str:
     return path.rstrip("/") + "/" + name
 
 
+# --- filesystem plumbing shared by the index swap/repair machinery ----
+# (module-level indirection so crash-point tests can monkeypatch the
+# rename/delete boundaries — tests/test_dedup_index.py)
+
+
+def _hadoop_fs(spark, p: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hp = jvm.org.apache.hadoop.fs.Path(p)
+    return hp.getFileSystem(conf), jvm.org.apache.hadoop.fs.Path
+
+
+def _fs_exists(spark, p: str) -> bool:
+    fs, P = _hadoop_fs(spark, p)
+    return bool(fs.exists(P(p)))
+
+
+def _fs_rename(spark, src: str, dst: str) -> None:
+    fs, P = _hadoop_fs(spark, src)
+    if not fs.rename(P(src), P(dst)):
+        raise IOError(f"rename {src!r} -> {dst!r} failed")
+
+
+def _fs_delete(spark, p: str) -> None:
+    fs, P = _hadoop_fs(spark, p)
+    fs.delete(P(p), True)
+
+
+def _index_table_name(path: str, sub: str) -> str:
+    """Deterministic session-catalog name for a bucketed index
+    sub-table — derived from the index PATH (md5), so two indexes can
+    never collide and re-opening the same index in a fresh session
+    reuses (or re-registers) the same entry."""
+    import hashlib
+
+    h = hashlib.md5(path.rstrip("/").encode("utf-8")).hexdigest()[:12]
+    return f"dedup_index_{h}_{sub}"
+
+
+def _ensure_index_table(
+    spark, path: str, sub: str, cluster_cols: tuple[str, ...], n_buckets: int
+):
+    """Return the bucketed sub-table as a DataFrame WITH its bucketing
+    metadata visible to the planner (``spark.read.parquet`` on the same
+    files would discard it — bucket specs live in the catalog, not the
+    footers). Registers an external table over the index files when the
+    session hasn't seen this index yet; REFRESH picks up appended files
+    from other sessions."""
+    tname = _index_table_name(path, sub)
+    loc = _index_subdir(path, sub)
+    if not spark.catalog.tableExists(tname):
+        schema = spark.read.parquet(loc).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        cl = ", ".join(cluster_cols)
+        spark.sql(
+            f"CREATE TABLE {tname} ({cols}) USING parquet "
+            f"CLUSTERED BY ({cl}) SORTED BY ({cl}) INTO {n_buckets} BUCKETS "
+            f"LOCATION '{loc}'"
+        )
+    spark.sql(f"REFRESH TABLE {tname}")
+    return spark.table(tname)
+
+
+def _write_bucketed_sub(
+    df: DataFrame,
+    path: str,
+    sub: str,
+    cluster_cols: tuple[str, ...],
+    n_buckets: int,
+    mode: str,
+    table_name: str | None = None,
+    location: str | None = None,
+) -> None:
+    """Write an index sub-table bucketed by its join key (catalog
+    external table — ``sources/bucketing.py``'s posture applied to the
+    index): subsequent gate joins read the hash-partitioning from the
+    scan and shuffle ONLY the new-snapshot side. The pre-repartition on
+    the cluster columns (same hash family as bucketBy) keeps the file
+    count at ~n_buckets per write instead of tasks × buckets."""
+    tname = table_name or _index_table_name(path, sub)
+    loc = location or _index_subdir(path, sub)
+    (
+        df.repartition(n_buckets, *[F.col(c) for c in cluster_cols])
+        .write.mode(mode)
+        .bucketBy(n_buckets, *cluster_cols)
+        .sortBy(*cluster_cols)
+        .option("path", loc)
+        .format("parquet")
+        .saveAsTable(tname)
+    )
+
+
+def _shingle_pb(id_col: str | Column, parts: int) -> Column:
+    """Directory-partition key for the shingles sub-table: a stable
+    hash prefix of the id (cast to string first so int/long/string id
+    columns hash identically across snapshots). The verify join's
+    candidate ids derive the same key, so the gate reads ONLY the
+    shingle partitions its candidates live in — the shingle arrays are
+    the index's dominant bytes, and this is what bounds them."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(F.xxhash64(c.cast("string")), F.lit(parts)).cast("int")
+
+
 def build_dedup_index(
     reference: DataFrame,
     path: str,
@@ -508,55 +613,128 @@ def build_dedup_index(
     bands: int = 8,
     rows_per_band: int = 4,
     seed: int = 42,
+    file_buckets: int = 32,
+    shingle_parts: int = 64,
 ) -> None:
     """Materialize the EXISTING dataset's cross-snapshot dedup state as
-    a persistable parquet index (r13): the signature family is derived
-    purely from ``seed`` (no fitted model — the r4 design choice), so
-    the reference side of :func:`incremental_dedup` is pure data that
-    can be written ONCE and appended per accepted snapshot instead of
-    re-shingled and re-bucketed per gate. At 100 TB accumulated corpus
-    and a 1 TB snapshot, the rebuild path re-derives ~99 % identical
-    state every ingest — the index makes the per-snapshot cost O(new)
-    compute plus a narrow parquet scan of the index (no corpus-side
-    shingling, hashing, or shuffle).
+    a persistable parquet index (r13; layout v2 r14): the signature
+    family is derived purely from ``seed`` (no fitted model — the r4
+    design choice), so the reference side of :func:`incremental_dedup`
+    is pure data that can be written ONCE and appended per accepted
+    snapshot instead of re-shingled and re-bucketed per gate. At 100 TB
+    accumulated corpus and a 1 TB snapshot, the rebuild path re-derives
+    ~99 % identical state every ingest — the index makes the
+    per-snapshot cost O(new) compute AND O(new)-bounded shuffle/IO
+    (r14: v1 was O(new) compute but still scanned and shuffled the
+    whole index per gate — r13 VERDICT findings 2-3).
 
-    Layout (all parquet under ``path``):
+    Layout v2 (under ``path``; ``file_buckets``/``shingle_parts`` are
+    recorded in meta — readers never guess):
 
     - ``fingerprints/`` — distinct whitespace/case-normalized md5 over
-      ALL reference rows (the exact tier's anti-join side);
-    - ``buckets/`` — (id, band, bucket) LSH keys, UNCAPPED (the
-      hot-bucket guard needs FULL bucket sizes, so capping is a
-      query-time window — rebuild-path semantics preserved exactly);
-    - ``shingles/`` — (id, shingles) for the exact-Jaccard verify join
-      (column-pruned at query time: only candidate ids' arrays move);
-    - ``meta/`` — one row (version, n, bands, rows_per_band, seed):
-      the index is self-describing, and the query path takes its
-      STRUCTURAL parameters from here (a seed mismatch would silently
-      bucket the two sides incompatibly).
+      ALL reference rows, BUCKETED by fp (catalog external table): the
+      exact tier's anti-join reads the hash-partitioning from the scan
+      and shuffles only the new snapshot, never the index;
+    - ``buckets/`` — (id, band, bucket) LSH keys, UNCAPPED, BUCKETED by
+      (band, bucket): the candidate join shuffles only the new side;
+    - ``bucket_sizes/`` — (band, bucket, n) counts; appends add DELTA
+      rows and readers SUM per key, so the ``max_bucket_size`` guard is
+      a broadcast anti-join against the (tiny, by construction) hot
+      set instead of a per-gate window over the whole buckets table;
+    - ``shingles/`` — (id, shingles) directory-partitioned by ``__pb``
+      (:func:`_shingle_pb` id-hash prefix): the verify join derives its
+      candidates' partition keys (a bounded ≤ ``shingle_parts`` driver
+      list) and PRUNES the scan to the partitions candidates live in —
+      the shingle arrays outweigh the corpus text, so this is the
+      index's dominant-bytes bound;
+    - ``meta/`` — one row (version, n, bands, rows_per_band, seed,
+      file_buckets, shingle_parts): the index is self-describing, and
+      the query path takes its STRUCTURAL parameters from here (a seed
+      mismatch would silently bucket the two sides incompatibly).
 
-    Append accepted snapshots with :func:`append_dedup_index`. Writes
-    use mode("error") — building over an existing index raises.
-    Concurrent appends need external coordination (one writer per
-    snapshot — the ingestion-pipeline contract)."""
+    Version-1 indexes (r13, plain parquet throughout) stay readable:
+    gates fall back to the v1 plan shapes (window cap, full scans).
+
+    Append accepted snapshots with :func:`append_dedup_index`. The
+    meta write uses mode("error") — building over an existing index
+    raises. Concurrent appends need external coordination (one writer
+    per snapshot — the ingestion-pipeline contract)."""
     from .text import fingerprint
 
     spark = reference.sparkSession
     spark.createDataFrame(
-        [(1, n, bands, rows_per_band, seed)],
-        "version int, n int, bands int, rows_per_band int, seed long",
+        [(2, n, bands, rows_per_band, seed, file_buckets, shingle_parts)],
+        "version int, n int, bands int, rows_per_band int, seed long,"
+        " file_buckets int, shingle_parts int",
     ).coalesce(1).write.mode("error").parquet(_index_subdir(path, "meta"))
-    reference.select(
-        fingerprint(text_col).alias("fp")
-    ).distinct().write.mode("error").parquet(
-        _index_subdir(path, "fingerprints")
+    # the meta mode("error") write above is the build lock — any
+    # catalog entry for this path is stale (a deleted prior index)
+    for sub in ("fingerprints", "buckets"):
+        spark.sql(f"DROP TABLE IF EXISTS {_index_table_name(path, sub)}")
+    _write_bucketed_sub(
+        reference.select(fingerprint(text_col).alias("fp")).distinct(),
+        path,
+        "fingerprints",
+        ("fp",),
+        file_buckets,
+        mode="error",
     )
     sh = _shingle_frame(reference, text_col, id_col, n).cache()
     sh.count()  # eager: feeds the bucket build AND the shingle write
-    sh.write.mode("error").parquet(_index_subdir(path, "shingles"))
-    _band_buckets(
+    sh.withColumn("__pb", _shingle_pb("id", shingle_parts)).repartition(
+        "__pb"
+    ).write.mode("error").partitionBy("__pb").parquet(
+        _index_subdir(path, "shingles")
+    )
+    bb = _band_buckets(
         sh, bands=bands, rows_per_band=rows_per_band, seed=seed
-    ).write.mode("error").parquet(_index_subdir(path, "buckets"))
+    ).localCheckpoint(eager=True)  # feeds the bucket write AND the sizes
+    _write_bucketed_sub(
+        bb, path, "buckets", ("band", "bucket"), file_buckets, mode="error"
+    )
+    bb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n")).write.mode(
+        "error"
+    ).parquet(_index_subdir(path, "bucket_sizes"))
     sh.unpersist()
+
+
+def _repair_dedup_index(spark, path: str) -> list[str]:
+    """Repair a compaction swap interrupted at any boundary (r14 —
+    r13 VERDICT finding 4). :func:`compact_dedup_index` swaps each
+    sub-table as rename(live → __old), rename(__compact → live),
+    delete(__old) — every crash point leaves a readable state this
+    sweep restores: a dangling ``__compact`` WITH the live dir means
+    the swap never began (discard the rewrite); ``__compact`` without
+    the live dir means the rewrite completed and the swap rolls
+    FORWARD; a leftover ``__old`` with the live dir means the swap
+    completed (drop it); ``__old`` without the live dir (not reachable
+    under the ordering, kept as belt-and-braces) rolls back. Runs on
+    every index open via :func:`_read_dedup_index_meta` — a handful of
+    existence probes. Returns the repaired sub-table names."""
+    repaired = []
+    for sub in ("fingerprints", "buckets", "bucket_sizes", "shingles"):
+        src = _index_subdir(path, sub)
+        tmp, old = src + "__compact", src + "__old"
+        if _fs_exists(spark, tmp):
+            if _fs_exists(spark, src):
+                _fs_delete(spark, tmp)
+            else:
+                _fs_rename(spark, tmp, src)
+                if _fs_exists(spark, old):
+                    _fs_delete(spark, old)
+            repaired.append(sub)
+        elif _fs_exists(spark, old):
+            if _fs_exists(spark, src):
+                _fs_delete(spark, old)
+            else:
+                _fs_rename(spark, old, src)
+            repaired.append(sub)
+    if repaired:
+        for sub in ("fingerprints", "buckets"):
+            tname = _index_table_name(path, sub)
+            if spark.catalog.tableExists(tname):
+                spark.sql(f"REFRESH TABLE {tname}")
+    return repaired
 
 
 def _read_dedup_index_meta(spark, path: str) -> dict:
@@ -564,10 +742,11 @@ def _read_dedup_index_meta(spark, path: str) -> dict:
     if len(rows) != 1:
         raise ValueError(f"dedup index at {path!r} has a malformed meta")
     meta = rows[0].asDict()
-    if meta["version"] != 1:
+    if meta["version"] not in (1, 2):
         raise ValueError(
             f"dedup index version {meta['version']} unsupported"
         )
+    _repair_dedup_index(spark, path)
     return meta
 
 
@@ -586,23 +765,56 @@ def append_dedup_index(
     the anti-join and avoided anyway: an accepted row is by definition
     fingerprint-fresh vs the index). Cost is O(accepted), one parquet
     append per sub-table."""
-    meta = _read_dedup_index_meta(accepted.sparkSession, path)
+    spark = accepted.sparkSession
+    meta = _read_dedup_index_meta(spark, path)
     from .text import fingerprint
 
-    accepted.select(
-        fingerprint(text_col).alias("fp")
-    ).distinct().write.mode("append").parquet(
-        _index_subdir(path, "fingerprints")
-    )
+    v2 = meta["version"] >= 2
+    fp = accepted.select(fingerprint(text_col).alias("fp")).distinct()
+    if v2:
+        # ensure the catalog entry exists (fresh session) before the
+        # bucketed append — spec must match the build's
+        _ensure_index_table(
+            spark, path, "fingerprints", ("fp",), meta["file_buckets"]
+        )
+        _write_bucketed_sub(
+            fp, path, "fingerprints", ("fp",), meta["file_buckets"],
+            mode="append",
+        )
+    else:
+        fp.write.mode("append").parquet(_index_subdir(path, "fingerprints"))
     sh = _shingle_frame(accepted, text_col, id_col, meta["n"]).cache()
     sh.count()
-    sh.write.mode("append").parquet(_index_subdir(path, "shingles"))
-    _band_buckets(
+    if v2:
+        sh.withColumn(
+            "__pb", _shingle_pb("id", meta["shingle_parts"])
+        ).repartition("__pb").write.mode("append").partitionBy(
+            "__pb"
+        ).parquet(_index_subdir(path, "shingles"))
+    else:
+        sh.write.mode("append").parquet(_index_subdir(path, "shingles"))
+    bb = _band_buckets(
         sh,
         bands=meta["bands"],
         rows_per_band=meta["rows_per_band"],
         seed=meta["seed"],
-    ).write.mode("append").parquet(_index_subdir(path, "buckets"))
+    )
+    if v2:
+        bb = bb.localCheckpoint(eager=True)  # feeds buckets AND sizes
+        _ensure_index_table(
+            spark, path, "buckets", ("band", "bucket"), meta["file_buckets"]
+        )
+        _write_bucketed_sub(
+            bb, path, "buckets", ("band", "bucket"), meta["file_buckets"],
+            mode="append",
+        )
+        # DELTA size rows — readers SUM per (band, bucket), so the
+        # append stays O(accepted) and the guard's totals stay exact
+        bb.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("n")
+        ).write.mode("append").parquet(_index_subdir(path, "bucket_sizes"))
+    else:
+        bb.write.mode("append").parquet(_index_subdir(path, "buckets"))
     sh.unpersist()
 
 
@@ -619,34 +831,101 @@ def compact_dedup_index(spark, path: str) -> dict:
     rows): duplicate fingerprints, bucket rows, and per-id shingle
     rows all collapse — which matters because duplicated bucket rows
     would inflate the hot-bucket guard's window counts. Returns
-    {"fingerprints": n, "buckets": n, "shingles": n} row counts. Not
-    concurrency-safe with a simultaneous gate or append — run it in
-    the ingestion pipeline's maintenance slot (the same single-writer
-    contract as append)."""
-    _read_dedup_index_meta(spark, path)  # validates the index
+    {"fingerprints": n, "buckets": n, "shingles": n, "bucket_sizes": n}
+    row counts. Not concurrency-safe with a simultaneous gate or append
+    — run it in the ingestion pipeline's maintenance slot (the same
+    single-writer contract as append).
+
+    Crash safety (r14 — r13 VERDICT finding 4): each sub-table swap is
+    rename(live → __old), rename(__compact → live), delete(__old) — a
+    complete rewrite lands before the live dir ever moves, so every
+    crash point leaves a readable index, and the open-time sweep
+    (:func:`_repair_dedup_index`) finishes or discards whatever a crash
+    left behind. Each boundary is pytest-killed in
+    tests/test_dedup_index.py."""
+    meta = _read_dedup_index_meta(spark, path)  # validates + repairs
+    v2 = meta["version"] >= 2
     counts = {}
+
+    def _swap(sub: str, write_tmp) -> None:
+        src = _index_subdir(path, sub)
+        tmp, old = src + "__compact", src + "__old"
+        write_tmp(tmp)
+        _fs_rename(spark, src, old)
+        _fs_rename(spark, tmp, src)
+        _fs_delete(spark, old)
+
+    def _read_sub(sub: str) -> DataFrame:
+        # plain path reads suffice here (compaction rewrites data; the
+        # bucketed tables' catalog entries keep pointing at the same
+        # location and are refreshed after each swap)
+        df = spark.read.parquet(_index_subdir(path, sub))
+        return df
+
     for sub, dedup_cols in (
         ("fingerprints", ("fp",)),
         ("buckets", ("id", "band", "bucket")),
         ("shingles", ("id",)),
     ):
-        src = _index_subdir(path, sub)
-        frame = spark.read.parquet(src)
-        frame = frame.dropDuplicates(list(dedup_cols))
-        tmp = src.rstrip("/") + "__compact"
-        # size the rewrite at ~1 file per million rows (narrow tables)
+        frame = _read_sub(sub).dropDuplicates(list(dedup_cols))
         n = frame.count()
-        frame.coalesce(max(1, -(-n // 1_000_000))).write.mode(
-            "error"
-        ).parquet(tmp)
         counts[sub] = n
-        # swap via the filesystem the path lives on (local or HDFS)
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        hpath = jvm.org.apache.hadoop.fs.Path(src)
-        fs = hpath.getFileSystem(conf)
-        fs.delete(hpath, True)
-        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
+
+        if v2 and sub == "fingerprints":
+            def _w(tmp, frame=frame):
+                tt = _index_table_name(path, "fingerprints") + "__compact"
+                spark.sql(f"DROP TABLE IF EXISTS {tt}")
+                _write_bucketed_sub(
+                    frame, path, "fingerprints", ("fp",),
+                    meta["file_buckets"], mode="error",
+                    table_name=tt, location=tmp,
+                )
+                # external table: DROP removes only the catalog entry,
+                # the bucketed files stay for the swap
+                spark.sql(f"DROP TABLE {tt}")
+        elif v2 and sub == "buckets":
+            def _w(tmp, frame=frame):
+                tt = _index_table_name(path, "buckets") + "__compact"
+                spark.sql(f"DROP TABLE IF EXISTS {tt}")
+                _write_bucketed_sub(
+                    frame, path, "buckets", ("band", "bucket"),
+                    meta["file_buckets"], mode="error",
+                    table_name=tt, location=tmp,
+                )
+                spark.sql(f"DROP TABLE {tt}")
+        elif v2 and sub == "shingles":
+            def _w(tmp, frame=frame):
+                frame.withColumn(
+                    "__pb", _shingle_pb("id", meta["shingle_parts"])
+                ).repartition("__pb").write.mode("error").partitionBy(
+                    "__pb"
+                ).parquet(tmp)
+        else:
+            def _w(tmp, frame=frame, n=n):
+                # ~1 file per million rows (narrow tables)
+                frame.coalesce(max(1, -(-n // 1_000_000))).write.mode(
+                    "error"
+                ).parquet(tmp)
+
+        _swap(sub, _w)
+        if v2 and sub in ("fingerprints", "buckets"):
+            tname = _index_table_name(path, sub)
+            if spark.catalog.tableExists(tname):
+                spark.sql(f"REFRESH TABLE {tname}")
+
+    if v2:
+        # exact recount from the compacted buckets — collapses the
+        # per-append delta rows back to one row per (band, bucket)
+        sizes = (
+            _read_sub("buckets")
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        counts["bucket_sizes"] = sizes.count()
+        _swap(
+            "bucket_sizes",
+            lambda tmp: sizes.coalesce(1).write.mode("error").parquet(tmp),
+        )
     return counts
 
 
@@ -747,27 +1026,55 @@ def incremental_minhash_pairs(
         raise ValueError("pass exactly one of reference / index")
     spark = new.sparkSession
     caches: list[DataFrame] = []
+    meta = None
     if index is not None:
         meta = _read_dedup_index_meta(spark, index)
         n = meta["n"]
         bands = meta["bands"]
         rows_per_band = meta["rows_per_band"]
         seed = meta["seed"]
-        b_ref = spark.read.parquet(_index_subdir(index, "buckets"))
-        if max_bucket_size is not None:
-            # rebuild-path semantics exactly: cap by the FULL reference
-            # bucket size (the stored buckets are uncapped), one window
-            # over the narrow (id, band, bucket) scan
-            from pyspark.sql import Window
-
-            w = Window.partitionBy("band", "bucket")
-            b_ref = (
-                b_ref.withColumn("__bsz", F.count(F.lit(1)).over(w))
-                .filter(F.col("__bsz") <= max_bucket_size)
-                .drop("__bsz")
+        if meta["version"] >= 2:
+            # v2 layout: the buckets scan carries its (band, bucket)
+            # bucketing into the plan — the candidate join shuffles
+            # only the new side
+            b_ref = _ensure_index_table(
+                spark, index, "buckets", ("band", "bucket"),
+                meta["file_buckets"],
             )
+        else:
+            b_ref = spark.read.parquet(_index_subdir(index, "buckets"))
+        if max_bucket_size is not None:
+            if meta["version"] >= 2:
+                # v2: the guard is a broadcast anti-join against the
+                # precomputed hot set (r14 — r13 VERDICT finding 2).
+                # bucket_sizes carries per-append DELTA rows; the SUM
+                # per key is the exact full-reference bucket size, and
+                # the > cap survivors are tiny by construction (the
+                # guard exists because hot buckets are rare outliers)
+                hot = (
+                    spark.read.parquet(_index_subdir(index, "bucket_sizes"))
+                    .groupBy("band", "bucket")
+                    .agg(F.sum("n").alias("__bsz"))
+                    .filter(F.col("__bsz") > max_bucket_size)
+                    .select("band", "bucket")
+                )
+                b_ref = b_ref.join(
+                    broadcast(hot), ["band", "bucket"], "left_anti"
+                )
+            else:
+                # v1 fallback: rebuild-path semantics via one window
+                # over the narrow (id, band, bucket) scan — O(index)
+                # shuffle per gate, the cost v2 removes
+                from pyspark.sql import Window
+
+                w = Window.partitionBy("band", "bucket")
+                b_ref = (
+                    b_ref.withColumn("__bsz", F.count(F.lit(1)).over(w))
+                    .filter(F.col("__bsz") <= max_bucket_size)
+                    .drop("__bsz")
+                )
         b_ref = b_ref.select(F.col("id").alias("ref_id"), "band", "bucket")
-        sh_ref = spark.read.parquet(_index_subdir(index, "shingles"))
+        sh_ref = None  # resolved after candidates (v2 prunes by them)
     else:
         sh_ref = _shingle_frame(reference, text_col, id_col, n).cache()
         sh_ref.count()
@@ -797,6 +1104,33 @@ def incremental_minhash_pairs(
         .select("new_id", "ref_id")
         .distinct()
     )
+    if index is not None:
+        if meta["version"] >= 2:
+            # materialize the (small, O(new)-bounded) candidate set
+            # once: it feeds the partition-key collect AND the verify
+            # join — and the collect is bounded by shingle_parts, not
+            # by candidate count
+            cand = cand.localCheckpoint(eager=True)
+            parts = meta["shingle_parts"]
+            pbs = [
+                r[0]
+                for r in cand.select(
+                    _shingle_pb("ref_id", parts).alias("__pb")
+                )
+                .distinct()
+                .collect()
+            ]
+            sh_ref = spark.read.parquet(_index_subdir(index, "shingles"))
+            if pbs:
+                # partition PRUNING: only the shingle partitions the
+                # candidates live in are read — the dominant-bytes
+                # bound (plan-asserted in tests/test_plan_shape.py)
+                sh_ref = sh_ref.filter(F.col("__pb").isin(pbs))
+            else:
+                sh_ref = sh_ref.filter(F.lit(False))
+            sh_ref = sh_ref.drop("__pb")
+        else:
+            sh_ref = spark.read.parquet(_index_subdir(index, "shingles"))
     pairs = (
         cand.join(
             sh_new.select(
@@ -880,9 +1214,16 @@ def incremental_dedup(
         bands = meta["bands"]
         rows_per_band = meta["rows_per_band"]
         seed = meta["seed"]
-        ref_fp = spark.read.parquet(
-            _index_subdir(index, "fingerprints")
-        ).select(F.col("fp").alias("__fp"))
+        if meta["version"] >= 2:
+            # bucketed-by-fp scan: the exact-tier anti-join shuffles
+            # only the new snapshot, never the index side
+            ref_fp = _ensure_index_table(
+                spark, index, "fingerprints", ("fp",), meta["file_buckets"]
+            ).select(F.col("fp").alias("__fp"))
+        else:
+            ref_fp = spark.read.parquet(
+                _index_subdir(index, "fingerprints")
+            ).select(F.col("fp").alias("__fp"))
     else:
         ref_fp = reference.select(
             fingerprint(text_col).alias("__fp")
@@ -1371,6 +1712,150 @@ def intra_span_dedup(
         F.col("__occ") > max_occurrences
     )
     return _rebuild_minus_covered(base, flagged, text_col, id_col, n)
+
+
+def _sentence_array(text: Column) -> Column:
+    """Sentence segmentation shared by the C4 span dedup and its
+    streaming twin: split AFTER each terminal mark — the same
+    ``[.!?]`` class ``c4_clean`` counts sentences with — then trim
+    (regex trim: tabs count as whitespace, the r13 c4_clean lesson)
+    and drop empty segments. A trailing unterminated fragment is kept
+    as a segment: it is real text the rebuild must not lose, and a
+    span is three CONSECUTIVE segments wherever they sit."""
+    return F.filter(
+        F.transform(
+            F.split(F.coalesce(text, F.lit("")), r"(?<=[.!?])"),
+            lambda s: F.regexp_replace(s, r"^\s+|\s+$", ""),
+        ),
+        lambda s: s != F.lit(""),
+    )
+
+
+def _sentence_span_frames(
+    corpus, text_col: str, id_col: str, span: int
+):
+    """Shared head of the sentence-span operators: (base frame with the
+    sentence array, occurrence frame with start position + 128-bit hash
+    pair over the NORMALIZED span — lowercase, whitespace-collapsed,
+    the fingerprint contract's normalization — so span strings never
+    ride an exchange and cosmetic whitespace differences still
+    collide)."""
+    base = _widen(corpus.select(id_col, text_col)).select(
+        id_col, _sentence_array(F.col(text_col)).alias("__sents")
+    )
+    norm = F.transform(
+        F.col("__sents"),
+        lambda s: F.lower(F.regexp_replace(s, r"\s+", " ")),
+    )
+    spans = F.when(
+        F.size("__sents") >= span,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__sents") - F.lit(span - 1)),
+            lambda i: F.concat_ws("", F.slice(norm, i, span)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = base.select(
+        id_col, F.posexplode(spans).alias("__pos", "__span")
+    ).select(
+        id_col,
+        "__pos",
+        F.xxhash64("__span").alias("__h1"),
+        F.xxhash64(F.lit(1), F.col("__span")).alias("__h2"),
+    )
+    return base, occ
+
+
+def _rebuild_minus_covered_sentences(
+    base, covered, text_col: str, id_col: str
+):
+    """Rebuild each document from its uncovered sentences in original
+    order (single-space joined — sentences keep their own terminal
+    punctuation, so the rejoin loses only inter-sentence whitespace;
+    the same normalized-rejoin contract as ``span_dedup``). Rows with
+    nothing left survive as empty text."""
+    sents = base.select(
+        id_col, F.posexplode("__sents").alias("__cov", "__sent")
+    )
+    kept = sents.join(covered, [id_col, "__cov"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__cov", "__sent"))),
+                lambda s: s["__sent"],
+            ),
+            " ",
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_sentences_kept"),
+    )
+    totals = base.select(id_col, F.size("__sents").alias("__n_total"))
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        F.coalesce("n_sentences_kept", F.lit(0)).alias("n_sentences_kept"),
+        (
+            F.col("__n_total")
+            - F.coalesce("n_sentences_kept", F.lit(0))
+        ).alias("n_sentences_dropped"),
+    )
+
+
+def c4_sentence_span_dedup(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 3,
+) -> DataFrame:
+    """C4's remaining §2.2 rule (Raffel et al. 2020, arXiv:1910.10683):
+    "we discarded all but one of any three-sentence span occurring more
+    than once in the data set" — the sentence-unit counterpart of
+    :func:`span_dedup` (r14; the gram-hash variant approximates this on
+    token n-grams, but the paper's unit is sentences).
+
+    KEEP-ONE policy, faithful to the paper (and unlike ``span_dedup``'s
+    drop-all): for every span with more than one occurrence — across
+    documents AND within one — the globally first occurrence (min
+    ``(id, position)``, deterministic) keeps its sentences; every other
+    occurrence's sentence positions are dropped, and each document is
+    rebuilt from its surviving sentences in original order. A keeper's
+    sentences can still fall to ANOTHER span's duplicate coverage —
+    position coverage composes, exactly as overlapping three-sentence
+    windows do in the original C4 pipeline.
+
+    100 TB shape: spans ride the exchange as two 64-bit hashes (128-bit
+    effective — span STRINGS never shuffle), the duplicate-span set is
+    one count + min aggregate with map-side partials, coverage fan-out
+    is ``span``× only for occurrences actually removed, and the rebuild
+    is the shared sentence anti-join + per-doc sort. Sentence
+    segmentation is the same terminal-``[.!?]`` class ``c4_clean``
+    counts, one codegen scan.
+
+    Returns (id_col, text_col, n_sentences_kept, n_sentences_dropped).
+    NULL text ≡ empty document (0/0 counts), never a lost row."""
+    base, occ = _sentence_span_frames(corpus, text_col, id_col, span)
+    dup = (
+        occ.groupBy("__h1", "__h2")
+        .agg(
+            F.count(F.lit(1)).alias("__occs"),
+            F.min(F.struct(F.col(id_col).alias("i"), F.col("__pos").alias("p"))).alias(
+                "__keep"
+            ),
+        )
+        .filter(F.col("__occs") > 1)
+        .select("__h1", "__h2", "__keep")
+    )
+    flagged = occ.join(dup, ["__h1", "__h2"]).filter(
+        ~(
+            (F.col(id_col) == F.col("__keep.i"))
+            & (F.col("__pos") == F.col("__keep.p"))
+        )
+    )
+    covered = flagged.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("__pos"), F.col("__pos") + F.lit(span - 1))
+        ).alias("__cov"),
+    ).distinct()
+    return _rebuild_minus_covered_sentences(base, covered, text_col, id_col)
 
 
 def _span_frames(corpus, text_col: str, id_col: str, n: int):

@@ -11,6 +11,17 @@ FIXED new snapshot and time the cross-snapshot gate both ways —
   ~flat in K (index build time is reported separately — it is paid
   ONCE per corpus, not per snapshot).
 
+r14 (VERDICT item 1): each gate also reports BYTES — executor-summed
+input (scan), shuffle-read and shuffle-write — and the index path runs
+BOTH uncapped and with the hot-bucket cap ON (max_bucket_size=50). The
+v2 layout's claims under test: cap-ON adds ~no IO over cap-OFF (the
+guard is a broadcast anti-join against precomputed sizes, not a window
+over the whole buckets table), gate SHUFFLE stays ~flat in K (the
+bucketed index side never shuffles; only the fixed new snapshot does),
+and the verify join's shingle scan is partition-pruned to the
+candidates' id-hash partitions instead of reading the corpus-sized
+arrays.
+
 Reference replication reuses llmops_scale_probe's near-dup-aware
 design (one designated near-dup replica per doc, token-shuffled
 otherwise) so planted cross-snapshot matches grow linearly like a real
@@ -48,14 +59,38 @@ REPS = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "2"))
 THRESHOLD = 0.7
 
 
-def _timed(fn):
+def _io_totals(spark) -> dict:
+    """Cumulative input/shuffle bytes across all executors (local mode:
+    the single driver-executor) — deltas around a gate give its IO."""
+    exs = spark.sparkContext._jsc.sc().statusStore().executorList(False)
+    tot = {"input": 0, "sread": 0, "swrite": 0}
+    for i in range(exs.size()):
+        e = exs.apply(i)
+        tot["input"] += e.totalInputBytes()
+        tot["sread"] += e.totalShuffleRead()
+        tot["swrite"] += e.totalShuffleWrite()
+    return tot
+
+
+def _timed(fn, spark=None):
     walls = []
     out = None
+    io = None
     for _ in range(REPS):
+        before = _io_totals(spark) if spark is not None else None
         t0 = time.monotonic()
         out = fn()
         walls.append(time.monotonic() - t0)
-    return min(walls), out
+        if before is not None:
+            after = _io_totals(spark)
+            io = {
+                "input_mb": round((after["input"] - before["input"]) / 2**20, 1),
+                "sread_mb": round((after["sread"] - before["sread"]) / 2**20, 1),
+                "swrite_mb": round(
+                    (after["swrite"] - before["swrite"]) / 2**20, 1
+                ),
+            }
+    return min(walls), out, io
 
 
 def main() -> None:
@@ -78,25 +113,48 @@ def main() -> None:
             dd.build_dedup_index(ref, idx)
             build_sec = time.monotonic() - t0
 
-            w_rebuild, kept_r = _timed(
+            w_rebuild, kept_r, io_r = _timed(
                 lambda: dd.incremental_dedup(
                     new, ref, threshold=THRESHOLD
-                ).count()
+                ).count(),
+                spark,
             )
             spark.catalog.clearCache()
-            w_index, kept_i = _timed(
+            w_index, kept_i, io_i = _timed(
                 lambda: dd.incremental_dedup(
                     new, index=idx, threshold=THRESHOLD
-                ).count()
+                ).count(),
+                spark,
             )
             spark.catalog.clearCache()
+            # hot-bucket cap ON (r14): must add ~no IO over cap-OFF —
+            # the guard joins precomputed sizes instead of windowing
+            # the whole buckets table
+            w_cap, kept_c, io_c = _timed(
+                lambda: dd.incremental_dedup(
+                    new, index=idx, threshold=THRESHOLD, max_bucket_size=50
+                ).count(),
+                spark,
+            )
+            spark.catalog.clearCache()
+            # equality stays in-probe: identical kept sets, and the cap
+            # must equal the rebuild path's cap at the same setting
+            kept_cap_rebuild = dd.incremental_dedup(
+                new, ref, threshold=THRESHOLD, max_bucket_size=50
+            ).count()
+            spark.catalog.clearCache()
             assert kept_r == kept_i, (k, kept_r, kept_i)
+            assert kept_c == kept_cap_rebuild, (k, kept_c, kept_cap_rebuild)
             runs[k] = {
                 "ref_rows": ref_rows,
                 "build_sec": round(build_sec, 3),
                 "gate_rebuild_sec": round(w_rebuild, 3),
                 "gate_index_sec": round(w_index, 3),
+                "gate_index_capped_sec": round(w_cap, 3),
                 "kept": kept_i,
+                "io_rebuild": io_r,
+                "io_index": io_i,
+                "io_index_capped": io_c,
             }
             print(f"# K={k}: {runs[k]}", file=sys.stderr)
     finally:

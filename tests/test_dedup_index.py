@@ -1,0 +1,247 @@
+"""Dedup-index layout v2 (r14): crash-safe compaction swap, open-time
+repair, version-1 compatibility, and the O(new)-IO plan shapes.
+
+The swap contract under test (r13 VERDICT finding 4 / item 5): each
+sub-table compaction is write(__compact) → rename(live → __old) →
+rename(__compact → live) → delete(__old). We kill the filesystem at
+EVERY rename/delete boundary of the whole compaction run and assert
+the index stays readable AND gate-correct after the open-time repair —
+no crash point may lose data or serve a half-swapped table.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+import mbfbigdatarandomforest_spark.operators.dedup as dd
+from conftest import SF_DIR_SMALL
+
+KW = dict(threshold=0.7, seed=42)
+
+
+def _corpus(spark):
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1).unionByName(
+        ref.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+    )
+    return ref, new
+
+
+def _kept(spark, new, idx):
+    return {
+        r["doc_id"]
+        for r in dd.incremental_dedup(new, index=idx, **KW).collect()
+    }
+
+
+def _build_pristine(spark, tmp_path):
+    """One v2 index with an append (so bucket_sizes has delta rows and
+    every sub-table has multiple file sets) plus a retried append (the
+    duplicate rows compaction must collapse)."""
+    ref, new = _corpus(spark)
+    idx = str(tmp_path / "pristine")
+    dd.build_dedup_index(ref, idx)
+    accepted = dd.incremental_dedup(new, index=idx, **KW).localCheckpoint()
+    dd.append_dedup_index(accepted, idx)
+    dd.append_dedup_index(accepted, idx)  # at-least-once retry
+    return ref, new, idx
+
+
+def test_compact_swap_crash_at_every_boundary(spark, tmp_path):
+    """Kill the compaction at every rename/delete boundary; after the
+    open-time repair the gate answer must equal the pristine index's,
+    and a re-run compaction must complete cleanly."""
+    ref, new, pristine = _build_pristine(spark, tmp_path)
+    want = _kept(spark, new, pristine)
+
+    real_rename, real_delete = dd._fs_rename, dd._fs_delete
+
+    boundary = 0
+    while True:
+        idx = str(tmp_path / f"crash_{boundary}")
+        shutil.copytree(pristine, idx)
+        budget = [boundary]
+
+        def dying(fn):
+            def _wrap(spark_, *a):
+                if budget[0] <= 0:
+                    raise IOError("injected crash")
+                budget[0] -= 1
+                return fn(spark_, *a)
+
+            return _wrap
+
+        dd._fs_rename = dying(real_rename)
+        dd._fs_delete = dying(real_delete)
+        try:
+            dd.compact_dedup_index(spark, idx)
+            completed = True
+        except IOError as e:
+            assert "injected crash" in str(e)
+            completed = False
+        finally:
+            dd._fs_rename, dd._fs_delete = real_rename, real_delete
+
+        # open-time repair must restore a readable, gate-correct index
+        meta = dd._read_dedup_index_meta(spark, idx)
+        assert meta["version"] == 2
+        assert _kept(spark, new, idx) == want, f"boundary {boundary}"
+        # and the re-run compaction completes and stays correct
+        counts = dd.compact_dedup_index(spark, idx)
+        assert counts["fingerprints"] > 0
+        assert _kept(spark, new, idx) == want, f"boundary {boundary} post"
+        shutil.rmtree(idx, ignore_errors=True)
+        if completed:
+            break
+        boundary += 1
+    # the swap machinery really was exercised: 4 sub-tables × 3 fs ops
+    assert boundary >= 12
+
+
+def test_repair_is_noop_on_healthy_index(spark, tmp_path):
+    ref, new, idx = _build_pristine(spark, tmp_path)
+    assert dd._repair_dedup_index(spark, idx) == []
+
+
+def test_v1_index_layout_still_readable(spark, tmp_path):
+    """An r13-built index (version 1: plain parquet everywhere, no
+    bucket_sizes) must keep gating identically to the rebuild path,
+    including the hot-bucket cap's window fallback."""
+    ref, new = _corpus(spark)
+    idx = str(tmp_path / "v1")
+    # hand-write the v1 layout exactly as r13's build_dedup_index did
+    n, bands, rows_per_band, seed = 3, 8, 4, 42
+    spark.createDataFrame(
+        [(1, n, bands, rows_per_band, seed)],
+        "version int, n int, bands int, rows_per_band int, seed long",
+    ).coalesce(1).write.parquet(dd._index_subdir(idx, "meta"))
+    from mbfbigdatarandomforest_spark.operators.text import fingerprint
+
+    ref.select(fingerprint("text").alias("fp")).distinct().write.parquet(
+        dd._index_subdir(idx, "fingerprints")
+    )
+    sh = dd._shingle_frame(ref, "text", "doc_id", n).cache()
+    sh.count()
+    sh.write.parquet(dd._index_subdir(idx, "shingles"))
+    dd._band_buckets(
+        sh, bands=bands, rows_per_band=rows_per_band, seed=seed
+    ).write.parquet(dd._index_subdir(idx, "buckets"))
+    sh.unpersist()
+
+    for cap in (None, 2):
+        got = {
+            r["doc_id"]
+            for r in dd.incremental_dedup(
+                new, index=idx, max_bucket_size=cap, **KW
+            ).collect()
+        }
+        want = {
+            r["doc_id"]
+            for r in dd.incremental_dedup(
+                new, ref, max_bucket_size=cap, **KW
+            ).collect()
+        }
+        assert got == want, f"cap={cap}"
+
+
+def test_v2_capped_gate_has_no_index_side_window(spark, tmp_path):
+    """The r14 point: with max_bucket_size ON, the v2 index plan must
+    contain NO window over the stored buckets (the v1 O(index) shuffle)
+    — the guard is a broadcast anti-join against the precomputed hot
+    set — and the shingle scan must carry a partition filter."""
+    ref, new = _corpus(spark)
+    idx = str(tmp_path / "v2plan")
+    dd.build_dedup_index(ref, idx)
+    pairs = dd.incremental_minhash_pairs(
+        new, index=idx, max_bucket_size=3, **KW
+    )
+    # the result is localCheckpointed; re-derive the plan un-checkpointed
+    # by peeking at the physical plan of the same computation's parts:
+    # the hot-set guard itself
+    meta = dd._read_dedup_index_meta(spark, idx)
+    assert meta["version"] == 2
+    b_ref = dd._ensure_index_table(
+        spark, idx, "buckets", ("band", "bucket"), meta["file_buckets"]
+    )
+    hot = (
+        spark.read.parquet(dd._index_subdir(idx, "bucket_sizes"))
+        .groupBy("band", "bucket")
+        .agg(F.sum("n").alias("__bsz"))
+        .filter(F.col("__bsz") > 3)
+        .select("band", "bucket")
+    )
+    guarded = b_ref.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Window" not in plan
+
+    # when the new side is too big to broadcast (the 100 TB shape),
+    # the candidate join must exploit the stored bucketing: ONE
+    # Exchange (the new side shuffling to the index's partitioning),
+    # none on the index side
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        b_new = spark.createDataFrame(
+            [(0, 1, 7), (1, 2, 9)], "new_id long, band int, bucket long"
+        )
+        j = b_new.join(b_ref, ["band", "bucket"])
+        j.count()
+        jplan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in jplan
+        assert jplan.count("Exchange hashpartitioning") == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+    # the shingle layout supports partition pruning: the gate's
+    # candidate-derived __pb filter lands in PartitionFilters, not a
+    # post-scan Filter
+    sh = (
+        spark.read.parquet(dd._index_subdir(idx, "shingles"))
+        .filter(F.col("__pb").isin([1, 2, 3]))
+    )
+    shplan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in shplan and "__pb" in shplan.split(
+        "PartitionFilters"
+    )[1][:80]
+
+    # equality vs rebuild stays pinned with the new guard
+    def pairset(df):
+        return {(r["new_id"], r["ref_id"]) for r in df.collect()}
+
+    assert pairset(pairs) == pairset(
+        dd.incremental_minhash_pairs(new, ref, max_bucket_size=3, **KW)
+    )
+
+
+def test_v2_bucket_sizes_delta_sum_is_exact(spark, tmp_path):
+    """bucket_sizes carries per-append DELTA rows; their per-key SUM
+    must equal a fresh count over the buckets table after any number
+    of appends, and compaction collapses them to one row per key."""
+    ref, new, idx = _build_pristine(spark, tmp_path)
+    sizes = (
+        spark.read.parquet(dd._index_subdir(idx, "bucket_sizes"))
+        .groupBy("band", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    truth = (
+        spark.read.parquet(dd._index_subdir(idx, "buckets"))
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sizes.exceptAll(truth).count() == 0
+    assert truth.exceptAll(sizes).count() == 0
+    dd.compact_dedup_index(spark, idx)
+    post = spark.read.parquet(dd._index_subdir(idx, "bucket_sizes"))
+    assert (
+        post.groupBy("band", "bucket").count().filter("count > 1").count()
+        == 0
+    )

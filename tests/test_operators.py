@@ -678,6 +678,119 @@ def test_line_dedup_matches_pure_python(spark):
     assert again == {i: t for i, (t, _, _) in want.items()}
 
 
+def _py_c4_span_dedup(docs, span=3):
+    """Independent pure-Python mirror of c4_sentence_span_dedup:
+    sentence split after [.!?], trim, drop empties; normalized
+    (lower, whitespace-collapsed) spans; keep-one at global min
+    (id, pos); coverage composes across overlapping spans."""
+    import re
+    from collections import defaultdict
+
+    sents = {
+        i: [s.strip() for s in re.split(r"(?<=[.!?])", t or "") if s.strip()]
+        for i, t in docs
+    }
+    norm = lambda s: re.sub(r"\s+", " ", s).lower()  # noqa: E731
+    groups = defaultdict(list)
+    for i, ss in sents.items():
+        for p in range(len(ss) - span + 1):
+            key = "".join(norm(x) for x in ss[p : p + span])
+            groups[key].append((i, p))
+    covered = set()
+    for occs in groups.values():
+        if len(occs) > 1:
+            keeper = min(occs)
+            for o in occs:
+                if o != keeper:
+                    covered.update((o[0], o[1] + d) for d in range(span))
+    out = {}
+    for i, ss in sents.items():
+        kept = [s for p, s in enumerate(ss) if (i, p) not in covered]
+        out[i] = (" ".join(kept), len(kept), len(ss) - len(kept))
+    return out
+
+
+def test_c4_sentence_span_dedup_matches_pure_python(spark):
+    """The paper rule (Raffel et al. §2.2): all but ONE occurrence of
+    any three-sentence span discarded — planted duplicates keep exactly
+    the globally-first occurrence, normalization collides case and
+    whitespace variants, sub-span docs and NULL text are untouched."""
+    from mbfbigdatarandomforest_spark.operators.dedup import (
+        c4_sentence_span_dedup,
+    )
+
+    dup = "Alpha one. Beta two. Gamma three."
+    docs = [
+        (0, f"{dup} Unique tail zero."),
+        (1, f"Intro here. {dup} Own ending one."),
+        (2, "Alpha one.  beta Two. GAMMA three. Different tail."),
+        (3, "Too short. Only two."),
+        (4, None),
+        (5, "No terminal punctuation at all"),
+        # within-document duplicate: second occurrence drops too
+        (6, f"{dup} Filler mid. {dup} Closing note."),
+        # overlapping coverage: keeper sentences may still fall to
+        # another span's duplicate
+        (7, f"Pre text. {dup} Post text."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_sentences_kept"], r["n_sentences_dropped"])
+        for r in c4_sentence_span_dedup(df).collect()
+    }
+    want = _py_c4_span_dedup(docs)
+    assert got == want
+    # the planted span survives in EXACTLY one document
+    n_with_span = sum(
+        1 for t, _, _ in got.values() if "Alpha one." in (t or "")
+    )
+    assert n_with_span == 1
+    assert "Alpha one." in got[0][0]  # the globally-first occurrence
+    # idempotence: re-running on the deduped output is a no-op
+    out1 = spark.createDataFrame(
+        [(i, t) for i, (t, _, _) in got.items()], "doc_id long, text string"
+    )
+    again = {
+        r["doc_id"]: r["text"]
+        for r in c4_sentence_span_dedup(out1).collect()
+    }
+    assert again == {i: t for i, (t, _, _) in got.items()}
+
+
+def test_c4_sentence_span_dedup_property_random(spark):
+    """Randomized corpora over a tiny sentence alphabet (maximizing
+    collisions and overlaps) must match the Python mirror exactly."""
+    import numpy as np
+
+    from mbfbigdatarandomforest_spark.operators.dedup import (
+        c4_sentence_span_dedup,
+    )
+
+    rng = np.random.default_rng(1414)
+    pool = [f"Sentence {c}." for c in "abcdefg"]
+    for trial in range(4):
+        docs = [
+            (
+                i,
+                " ".join(
+                    pool[int(j)]
+                    for j in rng.integers(0, len(pool), int(rng.integers(0, 9)))
+                ),
+            )
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (
+                r["text"],
+                r["n_sentences_kept"],
+                r["n_sentences_dropped"],
+            )
+            for r in c4_sentence_span_dedup(df).collect()
+        }
+        assert got == _py_c4_span_dedup(docs), f"trial {trial}"
+
+
 def test_span_dedup_matches_pure_python(spark):
     """Cross-document repeated-span removal: tokens covered by an
     n-gram in > max_doc_freq distinct docs are dropped everywhere,
