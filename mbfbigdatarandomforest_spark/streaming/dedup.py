@@ -129,3 +129,106 @@ def run_incremental_dedup_available_now(
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def run_c4_span_dedup_available_now(
+    spark,
+    src_dir: str,
+    schema,
+    out_dir: str,
+    ledger_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 3,
+    query_name: str = "c4_span_dedup_stream",
+    source_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """C4 three-sentence-span dedup as a stream (r14): each micro-batch
+    drops span occurrences already seen — either in the persistent SPAN
+    LEDGER (the 128-bit hash pairs of every span in prior batches,
+    parquet at ``ledger_dir``) or earlier WITHIN the batch (the batch
+    operator's keep-one at min (id, pos)) — then appends its own span
+    set to the ledger.
+
+    Stream ≡ batch contract: when document ids are monotone in arrival
+    order (the ingestion convention every first-seen streaming tier
+    here relies on), the drained result EQUALS
+    :func:`operators.dedup.c4_sentence_span_dedup` over the union —
+    the ledger's keeper is by construction the globally-first
+    occurrence, and the within-batch rule is the same min-(id, pos).
+    Pinned in tests/test_streaming.py across multiple batch splits.
+
+    100 TB shape: the ledger is two longs per distinct span — the
+    cross-batch state is hash pairs, never text — and each batch pays
+    one anti-join-shaped duplicate lookup against it plus the batch
+    operator's own aggregates over O(batch) spans."""
+    from ..operators.dedup import (
+        _rebuild_minus_covered_sentences,
+        _sentence_span_frames,
+    )
+    from pyspark.sql import functions as F
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        base, occ = _sentence_span_frames(batch_df, text_col, id_col, span)
+        occ = occ.localCheckpoint(eager=True)  # feeds 3 consumers
+        try:
+            ledger = spark.read.parquet(ledger_dir).select("__h1", "__h2")
+        except Exception:  # noqa: BLE001 — first batch: no ledger yet
+            ledger = None
+        # occurrences whose span the ledger already keeps: ALL covered;
+        # the rest face the within-batch keep-one rule
+        if ledger is not None:
+            seen = occ.join(ledger, ["__h1", "__h2"], "left_semi")
+            fresh = occ.join(ledger, ["__h1", "__h2"], "left_anti")
+        else:
+            seen = occ.filter(F.lit(False))
+            fresh = occ
+        dup = (
+            fresh.groupBy("__h1", "__h2")
+            .agg(
+                F.count(F.lit(1)).alias("__occs"),
+                F.min(
+                    F.struct(
+                        F.col(id_col).alias("i"), F.col("__pos").alias("p")
+                    )
+                ).alias("__keep"),
+            )
+            .filter(F.col("__occs") > 1)
+            .select("__h1", "__h2", "__keep")
+        )
+        flagged_batch = fresh.join(dup, ["__h1", "__h2"]).filter(
+            ~(
+                (F.col(id_col) == F.col("__keep.i"))
+                & (F.col("__pos") == F.col("__keep.p"))
+            )
+        )
+        flagged = seen.select(id_col, "__pos").unionByName(
+            flagged_batch.select(id_col, "__pos")
+        )
+        covered = flagged.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + F.lit(span - 1))
+            ).alias("__cov"),
+        ).distinct()
+        rebuilt = _rebuild_minus_covered_sentences(
+            base, covered, text_col, id_col
+        )
+        rebuilt.write.mode("append").parquet(out_dir)
+        # the batch's spans now have a keeper — future occurrences drop
+        occ.select("__h1", "__h2").distinct().write.mode("append").parquet(
+            ledger_dir
+        )
+
+    reader = spark.readStream.schema(schema)
+    for k, v in (source_options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -50,7 +50,10 @@ LATER per-host slots than fresh discoveries. ``--c4-clean`` (r13)
 runs the C4 cleaning heuristics (Raffel et al. 2020 §2.2) before the
 funnel: the line filter rebuilds each document from its kept lines
 and the page filter drops lorem-ipsum/brace/under-sentenced pages —
-the published pipeline order. ``--dedup-index`` (r13)
+the published pipeline order. ``--c4-span-dedup`` (r14) adds the
+paper's remaining rule: all but one occurrence of any three-sentence
+span across the snapshot is discarded (keep-one), after the cleaning
+and before the index gate. ``--dedup-index`` (r13)
 closes the ingestion cycle on the CONTENT side: the ingested corpus
 is gated against the accumulated corpus's persistable dedup index
 before the funnel, and ``--dedup-index-append`` appends this run's
@@ -158,6 +161,13 @@ def main() -> None:
     ap.add_argument("--c4-min-words-per-line", type=int, default=3,
                     help="C4 line filter: minimum words per kept line "
                     "(paper: 3)")
+    ap.add_argument("--c4-span-dedup", action="store_true",
+                    help="run C4's remaining §2.2 rule (r14): discard "
+                    "all but one occurrence of any three-sentence span "
+                    "across the snapshot (keep-one at the globally "
+                    "first (doc, position)); runs after --c4-clean and "
+                    "before the dedup-index gate so the gate "
+                    "fingerprints the final text representation")
     ap.add_argument("--out", default="./curation_out")
     ap.add_argument("--packing", choices=["stream", "bestfit"],
                     default="stream",
@@ -409,6 +419,34 @@ def main() -> None:
         )
         c4_info = {"ingested": n_before, "passed": corpus.count()}
 
+    # --- C4 three-sentence-span dedup (r14): the paper's remaining
+    # §2.2 rule, applied AFTER the line/page cleaning (spans are built
+    # from the kept lines' sentences) and BEFORE the index gate (same
+    # load-bearing ordering: the gate must fingerprint the text the
+    # accepted docs will be appended with)
+    c4_span_info = None
+    if args.c4_span_dedup:
+        from mbfbigdatarandomforest_spark.operators.dedup import (
+            c4_sentence_span_dedup,
+        )
+
+        base_cols = corpus.columns
+        n_docs = corpus.count()
+        spans = c4_sentence_span_dedup(corpus).localCheckpoint()
+        dropped = spans.agg(
+            F.sum("n_sentences_dropped").alias("d")
+        ).collect()[0]["d"]
+        corpus = (
+            corpus.drop("text")
+            .join(spans.select("doc_id", "text"), "doc_id")
+            .select(*base_cols)
+            .localCheckpoint()
+        )
+        c4_span_info = {
+            "docs": n_docs,
+            "sentences_dropped": int(dropped or 0),
+        }
+
     # --- cross-snapshot gate (r13): drop documents the ACCUMULATED
     # corpus already holds before spending funnel compute on them —
     # the production tier order (gate, then curate, then append)
@@ -588,6 +626,8 @@ def main() -> None:
         summary["dedup_index"] = dedup_index_info
     if c4_info is not None:
         summary["c4_clean"] = c4_info
+    if c4_span_info is not None:
+        summary["c4_span_dedup"] = c4_span_info
     if lm_info is not None:
         summary["lm"] = lm_info
     (out / "summary.json").parent.mkdir(parents=True, exist_ok=True)

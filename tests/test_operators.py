@@ -3007,6 +3007,78 @@ def test_curation_pipeline_r13_flags_compose(tmp_path):
     assert blocks["n_tokens"].sum() == m["n_tokens"].sum()
 
 
+def test_curation_pipeline_c4_span_dedup_stage(tmp_path):
+    """r14: --c4-span-dedup composes after --c4-clean — a doc re-shipping
+    another's three-sentence span loses exactly those sentences (the
+    first doc keeps them), and the summary records the stage."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    good = [
+        "the quick crawler walks the corpus daily and carefully.",
+        "the parser then reads every fetched page tonight.",
+        "the curator finally scores and keeps the best text.",
+    ]
+
+    def filler(vocab: list[str], k: int) -> list[str]:
+        # enough distinct full sentences that every doc clears the
+        # downstream quality funnel even after losing the span — and
+        # distinct VOCABULARY per doc so the funnel's own near-dedup
+        # tier never collapses the fixture docs into one survivor
+        return [
+            f"the {vocab[i % len(vocab)]} report number {i} explains "
+            f"how {vocab[(i + 1) % len(vocab)]} conditions shaped the "
+            f"{vocab[(i + 2) % len(vocab)]} outcome this season."
+            for i in range(k)
+        ]
+
+    va = ["amber", "bridge", "copper", "delta", "ember", "fjord"]
+    vb = ["garlic", "harvest", "indigo", "jasmine", "kettle", "lantern"]
+    vc = ["marble", "nickel", "orchid", "pepper", "quartz", "russet"]
+    src = tmp_path / "dump" / "web"
+    src.mkdir(parents=True)
+    (src / "a_original.txt").write_text(
+        "\n".join(filler(va, 4) + good + filler(va[::-1], 4))
+    )
+    (src / "b_reship.txt").write_text(
+        "\n".join(filler(vb, 4) + good + filler(vb[::-1], 4))
+    )
+    (src / "c_fresh.txt").write_text("\n".join(filler(vc, 9)))
+    out = tmp_path / "cur"
+    r = subprocess.run(
+        [
+            sys.executable, "run_curation_pipeline.py",
+            "--text-dir", str(tmp_path / "dump"), "--out", str(out),
+            "--c4-clean", "--c4-min-sentences", "3",
+            "--c4-span-dedup",
+            "--keep-fraction", "1.0",
+        ],
+        capture_output=True, text=True, timeout=600,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads((out / "summary.json").read_text())
+    rec = summary["c4_span_dedup"]
+    assert rec["docs"] == 3
+    assert rec["sentences_dropped"] == 3  # b's re-shipped span, once
+    import glob
+
+    files = glob.glob(str(out / "kept_docs" / "*.json*"))
+    kept = pd.concat([pd.read_json(f, lines=True) for f in files])
+    texts = " || ".join(kept["text"].tolist())
+    # the span survives AT MOST once: the stage removed every copy but
+    # the keeper's (sentences_dropped above pins exactly one removal);
+    # whether the keeper doc itself then clears the LM tail-bucket cut
+    # is the funnel's business, not this stage's
+    assert texts.count("the quick crawler walks") <= 1
+    # and both a-and-b can never both carry it
+    per_doc = [t.count("the quick crawler walks") for t in kept["text"]]
+    assert all(c <= 1 for c in per_doc)
+
+
 def test_curation_pipeline_persistable_lm(tmp_path):
     """r13: --lm-dir — the perplexity-filter LM trains ONCE (run 1
     bootstraps and saves the artifact) and later snapshots LOAD it

@@ -1295,3 +1295,61 @@ def test_streaming_incremental_dedup_equals_batch(spark, tmp_path):
         run_incremental_dedup_available_now(
             spark, str(src), new.schema, str(tmp_path / "out2")
         )
+
+
+def test_streaming_c4_span_dedup_matches_batch(spark, tmp_path):
+    """r14: the C4 three-sentence-span dedup stream (cross-batch span
+    ledger, keep-one within batch) drains to EXACTLY the batch
+    operator's result when document ids are monotone in arrival order
+    — the documented contract. The planted span survives in exactly
+    one document across batch boundaries."""
+    import time
+
+    import mbfbigdatarandomforest_spark.operators.dedup as dd_ops
+    from mbfbigdatarandomforest_spark.streaming.dedup import (
+        run_c4_span_dedup_available_now,
+    )
+
+    dup = "Alpha one. Beta two. Gamma three."
+    batch_a = [
+        (1, f"{dup} Tail a."),
+        (2, "Solo text. More solo. Third one. Fourth bit."),
+        (3, f"Pre sentence. {dup} Post sentence."),
+    ]
+    batch_b = [
+        (11, f"{dup} Brand new tail."),
+        (12, f"Intro b. {dup}"),
+        (13, "Fresh content. Entirely new. Nothing shared here."),
+        # within-batch duplicate pair in batch 2 only: keep-one must
+        # fire inside the batch, not just against the ledger
+        (14, "Echo x. Echo y. Echo z. Echo tail."),
+        (15, f"Echo x. Echo y. Echo z. Different end."),
+    ]
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    spark.createDataFrame(batch_a, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    time.sleep(1.1)  # distinct mod-times: file order = arrival order
+    spark.createDataFrame(batch_b, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    got = run_c4_span_dedup_available_now(
+        spark,
+        str(src),
+        schema,
+        str(tmp_path / "out"),
+        str(tmp_path / "ledger"),
+        source_options={"maxFilesPerTrigger": "1"},
+    )
+    union = spark.createDataFrame(batch_a + batch_b, schema)
+    want = dd_ops.c4_sentence_span_dedup(union)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    texts = {r["doc_id"]: r["text"] for r in got.collect()}
+    assert sum(1 for t in texts.values() if "Alpha one." in t) == 1
+    assert "Alpha one." in texts[1]  # globally first = batch-1 doc
+    assert sum(1 for t in texts.values() if "Echo x." in t) == 1
+    assert "Echo x." in texts[14]  # within-batch keep-one at min id
