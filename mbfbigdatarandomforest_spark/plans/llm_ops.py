@@ -2450,6 +2450,62 @@ def text_c4_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the three-sentence span planted into every doc_id % 9 == 0 document
+#: by text_c4_span_dedup_stats — its keep-one survivor is the query's
+#: own evidence (the r13 planted-sentinel style)
+C4_SPAN_PLANTED = (
+    "Planted alpha sentence for the span. "
+    "Planted beta sentence follows it. "
+    "Planted gamma sentence closes the span."
+)
+
+
+@query("text_c4_span_dedup_stats", tags=("text", "dedup", "c4"))
+def text_c4_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's three-sentence-span rule over a sentinel-planted corpus
+    (r14; rows-only — the keep-one global min has no tractable SQL
+    twin; tests/test_operators.py carries the independent pure-Python
+    mirror and this query carries its OWN evidence): every
+    doc_id % 9 == 0 document re-ships one constant three-sentence span
+    at its head, every document otherwise holds sentences unique to its
+    id — so the operator must drop EXACTLY the planted copies minus the
+    single global keeper, and ``planted_survivors`` must sum to 1
+    across the result."""
+    from ..operators.dedup import c4_sentence_span_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    page = F.concat_ws(
+        " ",
+        F.when(did % 9 == 0, F.lit(C4_SPAN_PLANTED)),
+        F.concat(F.lit("Document "), s(did), F.lit(" opens uniquely.")),
+        F.concat(F.lit("Body line "), s(did), F.lit(" stays its own.")),
+        F.concat(F.lit("Ending "), s(did), F.lit(" closes the page.")),
+    )
+    deduped = c4_sentence_span_dedup(
+        docs.select("doc_id", page.alias("page")), text_col="page"
+    )
+    return (
+        deduped.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sentences_kept").alias("total_kept"),
+            F.sum("n_sentences_dropped").alias("total_dropped"),
+            F.sum(
+                (F.col("n_sentences_dropped") > 0).cast("long")
+            ).alias("n_docs_lost_sentences"),
+            F.sum(
+                F.col("page")
+                .contains("Planted alpha sentence")
+                .cast("long")
+            ).alias("planted_survivors"),
+        )
+        .orderBy("source")
+    )
+
+
 #: HTML page template shared by the warc_html_extract query and its
 #: DuckDB twin (tests/test_html.py) — head (title+style) to drop, a
 #: comment, the escaped body text, a script with '<'/'&' traps that

@@ -791,6 +791,61 @@ def test_c4_sentence_span_dedup_property_random(spark):
         assert got == _py_c4_span_dedup(docs), f"trial {trial}"
 
 
+def test_c4_span_dedup_stats_vs_python_twin(spark):
+    """The registered sentinel query (rows-only): its per-source
+    aggregates must match the pure-Python mirror over the same planted
+    corpus, and the planted span must survive in EXACTLY one document
+    corpus-wide."""
+    import pandas as pd
+
+    from mbfbigdatarandomforest_spark.plans.llm_ops import C4_SPAN_PLANTED
+    from mbfbigdatarandomforest_spark.registry import load_all
+
+    from conftest import SF_DIR_SMALL
+
+    spec = load_all()["text_c4_span_dedup_stats"]
+    got = spec.fn(spark, SF_DIR_SMALL).toPandas()
+    assert int(got["planted_survivors"].sum()) == 1
+
+    pdf = pd.read_parquet(f"{SF_DIR_SMALL}/documents.parquet")[
+        ["doc_id", "source"]
+    ]
+    docs = []
+    for did in pdf["doc_id"]:
+        parts = []
+        if did % 9 == 0:
+            parts.append(C4_SPAN_PLANTED)
+        parts += [
+            f"Document {did} opens uniquely.",
+            f"Body line {did} stays its own.",
+            f"Ending {did} closes the page.",
+        ]
+        docs.append((did, " ".join(parts)))
+    mirror = _py_c4_span_dedup(docs)
+    src = dict(zip(pdf["doc_id"], pdf["source"]))
+    agg = {}
+    for did, (text, kept, dropped) in mirror.items():
+        a = agg.setdefault(
+            src[did], dict(n=0, kept=0, dropped=0, lost=0, planted=0)
+        )
+        a["n"] += 1
+        a["kept"] += kept
+        a["dropped"] += dropped
+        a["lost"] += int(dropped > 0)
+        a["planted"] += int("Planted alpha sentence" in text)
+    for r in got.itertuples():
+        a = agg[r.source]
+        assert (
+            r.n_docs,
+            r.total_kept,
+            r.total_dropped,
+            r.n_docs_lost_sentences,
+            r.planted_survivors,
+        ) == (a["n"], a["kept"], a["dropped"], a["lost"], a["planted"]), (
+            r.source
+        )
+
+
 def test_span_dedup_matches_pure_python(spark):
     """Cross-document repeated-span removal: tokens covered by an
     n-gram in > max_doc_freq distinct docs are dropped everywhere,
