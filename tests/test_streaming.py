@@ -1353,3 +1353,77 @@ def test_streaming_c4_span_dedup_matches_batch(spark, tmp_path):
     assert "Alpha one." in texts[1]  # globally first = batch-1 doc
     assert sum(1 for t in texts.values() if "Echo x." in t) == 1
     assert "Echo x." in texts[14]  # within-batch keep-one at min id
+
+
+def test_streaming_recrawl_matches_batch(spark, tmp_path):
+    """r14 (r13 verdict item 8): the recrawl stream — sitemap lastmod
+    updates in micro-batches against the STATIC ledger — drains to
+    EXACTLY the batch operator over the union of entries, on the
+    bumped/older-lastmod/TTL fixture. The lastmod bump arriving in a
+    LATER batch than the url's first (no-signal) appearance must
+    upgrade the answer, never double-emit."""
+    import time
+
+    from mbfbigdatarandomforest_spark.plans.llm_ops import (
+        recrawl_candidates,
+    )
+    from mbfbigdatarandomforest_spark.streaming.recrawl import (
+        run_recrawl_available_now,
+    )
+
+    ledger = spark.createDataFrame(
+        [
+            ("https://a.example/fresh-bumped", "2024-02-20 00:00:00"),
+            ("https://a.example/fresh-older-lastmod", "2024-02-20 00:00:00"),
+            ("https://a.example/old-no-signal", "2024-01-01 00:00:00"),
+            ("https://a.example/young-no-signal", "2024-02-25 00:00:00"),
+            ("https://b.example/short-ttl", "2024-02-25 00:00:00"),
+        ],
+        "url string, scheduled_at string",
+    )
+    ttl = spark.createDataFrame(
+        [("b.example", 2.0)], "domain string, ttl_days double"
+    )
+    schema = "loc string, lastmod string"
+    batch_a = [
+        # an OLD lastmod for the soon-to-be-bumped url: the batch-2
+        # bump must supersede it (max-per-url state)
+        ("https://a.example/fresh-bumped", "2024-02-01"),
+        ("https://a.example/fresh-older-lastmod", "2024-02-10"),
+    ]
+    batch_b = [
+        ("https://a.example/fresh-bumped/?utm_source=x", "2024-02-25"),
+    ]
+    src = tmp_path / "src"
+    spark.createDataFrame(batch_a, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    time.sleep(1.1)
+    spark.createDataFrame(batch_b, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    kw = dict(
+        as_of="2024-03-01 00:00:00", default_ttl_days=30.0, domain_ttl=ttl
+    )
+    got = run_recrawl_available_now(
+        spark,
+        str(src),
+        schema,
+        str(tmp_path / "out"),
+        str(tmp_path / "state"),
+        ledger,
+        source_options={"maxFilesPerTrigger": "1"},
+        **kw,
+    )
+    union = spark.createDataFrame(batch_a + batch_b, schema)
+    want = recrawl_candidates(ledger, union, **kw)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    reasons = {r["url"]: r["reason"] for r in got.collect()}
+    assert reasons["https://a.example/fresh-bumped"] == "modified"
+    assert reasons["https://a.example/old-no-signal"] == "stale"
+    assert reasons["https://b.example/short-ttl"] == "stale"
+    assert "https://a.example/fresh-older-lastmod" not in reasons
+    assert "https://a.example/young-no-signal" not in reasons
