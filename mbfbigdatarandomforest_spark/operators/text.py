@@ -310,18 +310,24 @@ _TAG_ATTR_SKIP = "(?:[^>'\"]|\"[^\"<]*\"|'[^'<]*')*?"
 _HREF_VALUE = "(\"[^\"<>]*\"|'[^'<>]*'|[^'\"\\s>]+)"
 
 #: href values of anchor tags. RE2∩Java (no lookaround/backrefs), so
-#: the DuckDB twin runs the SAME pattern. The ``[\s'"]`` boundary
-#: before ``href`` (r12, ADVICE r11) rejects PREFIXED attributes —
-#: ``<a data-href="x" href="y">`` extracts 'y', not 'x' (an <a> tag
-#: always has whitespace or a quote before each attribute name).
-#: Remaining documented limits (r13): a tag with an UNBALANCED quote
-#: before href loses that one anchor (browsers see no href attribute
-#: there either), and attributes jammed against href with NO
-#: separating whitespace after a quoted value ("x"href=…, invalid
-#: HTML5) no longer anchor the boundary class. Proper handling beyond
-#: this is a DOM parser: a per-row Python UDF, the slow path.
+#: the DuckDB twin runs the SAME pattern. The boundary before ``href``
+#: (r12, ADVICE r11; widened r14, ADVICE r13) rejects PREFIXED
+#: attributes — ``<a data-href="x" href="y">`` extracts 'y', not 'x'
+#: (the '-' before the inner "href" satisfies no boundary alternative)
+#: — while accepting whitespace, a stray quote, OR a complete quoted
+#: attribute value jammed directly against href (``<a id='z'href=…``,
+#: a parse error whose attribute HTML5 tokenizers nevertheless keep —
+#: the r13 scan dropped that anchor). Remaining documented limit: a
+#: tag with an UNBALANCED quote before href loses that one anchor
+#: (browsers see no href attribute there either). Proper handling
+#: beyond this is a DOM parser: a per-row Python UDF, the slow path.
+_HREF_BOUNDARY = "(?:[\\s'\"]|\"[^\"<]*\"|'[^'<]*')"
 HTML_HREF_PATTERN = (
-    "(?is)<a\\b" + _TAG_ATTR_SKIP + "[\\s'\"]href\\s*=\\s*" + _HREF_VALUE
+    "(?is)<a\\b"
+    + _TAG_ATTR_SKIP
+    + _HREF_BOUNDARY
+    + "href\\s*=\\s*"
+    + _HREF_VALUE
 )
 
 

@@ -1781,6 +1781,7 @@ def crawl_frontier(
     cap: int = 100,
     url_col: str = "url",
     seen: DataFrame | None = None,
+    robots_exempt: DataFrame | None = None,
 ) -> DataFrame:
     """The crawl-frontier scheduler composition (r11 capstone of the
     crawl side, the `curation_funnel` of fetching): candidate URLs →
@@ -1804,6 +1805,13 @@ def crawl_frontier(
     genuinely new pages — the memory an iterative crawl loop needs
     (an anti join on the url key: shuffle- or broadcast-resolved by
     size, never collected).
+
+    ``robots_exempt`` (r14): urls exempt from the robots PATH rules —
+    the convention for sitemap files the host's own robots.txt
+    declared (ADVICE r13: a host disallowing its sitemap's path would
+    otherwise silently lose the discovery). Exempt urls still
+    normalize, dedup, anti-join the ledger, rank, and consume cap
+    slots; only the allow/disallow verdict is overridden.
 
     Scale shape: normalization/dedup are codegen + one hash groupBy;
     robots is the host equi-join + one window over matched rules;
@@ -1832,9 +1840,25 @@ def crawl_frontier(
         )
     delays = None
     if robots_rules is not None:
-        canon = robots_allowed(canon, robots_rules, agent=agent).filter(
-            "allowed"
-        ).drop("allowed")
+        decided = robots_allowed(canon, robots_rules, agent=agent)
+        if robots_exempt is not None:
+            # r14 (ADVICE r13): sitemap fetches DECLARED in robots.txt
+            # are conventionally exempt from the host's own path rules
+            # (a `Disallow: /maps` must not hide the sitemap the same
+            # file just pointed at) — callers pass those urls here;
+            # they still dedup, rank, and consume cap slots like every
+            # other candidate. Canonical-form semi-join flag, never a
+            # collect.
+            exempt = robots_exempt.select(
+                normalize_url("url").alias("url")
+            ).distinct()
+            decided = decided.join(
+                exempt.withColumn("__exempt", F.lit(True)), "url", "left"
+            ).withColumn(
+                "allowed",
+                F.col("allowed") | F.coalesce("__exempt", F.lit(False)),
+            ).drop("__exempt")
+        canon = decided.filter("allowed").drop("allowed")
         delays = agent_crawl_delay(robots_rules, agent=agent)
     capped = per_domain_cap(canon, "url", cap=cap).withColumnRenamed(
         "__domain", "domain"

@@ -271,11 +271,17 @@ def main() -> None:
             # robots-DECLARED sitemaps (RFC 9309 surfaces `Sitemap:`
             # lines as directive rows) are a third discovery source:
             # the files themselves belong on the frontier as fetches,
-            # the same posture as a <sitemapindex> loc found in the dump
+            # the same posture as a <sitemapindex> loc found in the
+            # dump. They are EXEMPT from the host's own path rules
+            # (r14, ADVICE r13: `Disallow: /maps` must not hide the
+            # sitemap the same robots.txt just declared) — passed to
+            # crawl_frontier as robots_exempt below; checkpointed once
+            # (consumed by the union AND the exempt flag join).
             robots_sitemaps = (
                 rules.filter(F.col("directive") == "sitemap")
                 .select(F.trim("value").alias("url"))
                 .filter(F.col("url") != "")
+                .localCheckpoint()
             )
             html_pages = fetched.filter(~is_robots & ~is_sitemap)
             auth = pagerank(
@@ -331,6 +337,7 @@ def main() -> None:
                 agent=args.frontier_agent,
                 cap=args.frontier_cap,
                 seen=seen,
+                robots_exempt=robots_sitemaps,
             ).localCheckpoint()
             if recr is not None:
                 # demote flag for the scheduler: recrawls take their

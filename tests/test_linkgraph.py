@@ -398,6 +398,15 @@ def test_html_links_extraction_and_duckdb_twin(spark, duck):
         # later anchors unaffected
         (10, '<a foo="bar href="/lost">x</a><a href="/found">y</a>',
          ["/found"]),
+        # r14 (ADVICE r13): an attribute's quoted value jammed directly
+        # against href (a parse error whose attribute HTML5 tokenizers
+        # keep) now anchors the boundary — single and double quoted
+        (11, '<a id=\'z\'href="/jammed">j</a>', ["/jammed"]),
+        (12, '<a title="t"href=\'/jammed2\'>j</a>', ["/jammed2"]),
+        # ...while a prefixed data-href jammed after a quote still
+        # cannot shadow the real attribute
+        (13, '<a id="z"data-href="/wrong" href="/right">p</a>',
+         ["/right"]),
     ]
     df = spark.createDataFrame(
         [(i, h) for i, h, _ in cases], "i long, html string"

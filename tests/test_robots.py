@@ -965,3 +965,48 @@ def test_crawl_recrawl_stats_vs_python_twin(spark, duck):
     # both reasons actually occur in the fixture
     assert any(m > 0 for _, m, _, _ in got.values())
     assert any(s > 0 for _, _, s, _ in got.values())
+
+
+def test_crawl_frontier_robots_exempt_sitemaps(spark):
+    """r14 (ADVICE r13): urls passed as robots_exempt — the
+    convention's robots-DECLARED sitemap fetches — survive the
+    frontier's path-rule filter even when the host's rules disallow
+    their path; they still dedup and consume cap slots, and the same
+    path stays blocked for ordinary candidates."""
+    from mbfbigdatarandomforest_spark.plans.llm_ops import crawl_frontier
+
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("h.example", "User-agent: *\nDisallow: /maps\n")],
+            "host string, body string",
+        )
+    )
+    cands = spark.createDataFrame(
+        [
+            ("https://h.example/maps/sitemap.xml",),   # declared sitemap
+            ("https://h.example/maps/sitemap.xml",),   # dup: must collapse
+            ("https://h.example/maps/other-page",),    # ordinary: blocked
+            ("https://h.example/allowed-page",),
+        ],
+        "url string",
+    )
+    exempt = spark.createDataFrame(
+        [("https://h.example/maps/sitemap.xml",)], "url string"
+    )
+    got = {
+        r["url"]
+        for r in crawl_frontier(cands, rules, robots_exempt=exempt)
+        .filter("kept")
+        .collect()
+    }
+    assert got == {
+        "https://h.example/maps/sitemap.xml",
+        "https://h.example/allowed-page",
+    }
+    # without the exemption the sitemap is (wrongly, for this file
+    # class) blocked — the behavior the flag exists to override
+    got_plain = {
+        r["url"]
+        for r in crawl_frontier(cands, rules).filter("kept").collect()
+    }
+    assert got_plain == {"https://h.example/allowed-page"}
