@@ -379,6 +379,53 @@ def load_ivf_index(spark, path: str):
     return cent
 
 
+def _cosine_probe_routes(narrow: DataFrame, centroids, n_probe: int):
+    """One narrow mapInPandas pass: each (id, v) row → its ``n_probe``
+    cosine-nearest cells, nearest first, with ``is_home`` marking the
+    rank-1 cell. Centroids are tiny (k × dim floats) and ride the UDF
+    closure — the moral equivalent of a broadcast join against a k-row
+    dim table. Stable sort breaks similarity ties toward the lower
+    cell id (matching the SQL row_number tiebreak this replaced).
+    Shared by :func:`ann_dup_pairs` (intra-corpus) and the r14
+    incremental semantic gate."""
+    import numpy as np
+    import pandas as pd
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    n_probe = min(n_probe, cent.shape[0])
+    route_schema = (
+        "cell int, is_home boolean, id long, v array<double>, nrm double"
+    )
+
+    def _route(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(pdf["v"].tolist(), dtype=np.float64)
+            nrm = _seq_norm(vecs)
+            sims = (vecs @ cent.T) / (
+                np.maximum(nrm[:, None], 1e-300)
+                * np.linalg.norm(cent, axis=1)[None, :]
+            )
+            order = np.argsort(-sims, axis=1, kind="stable")
+            probe = order[:, :n_probe]
+            ids = pdf["id"].to_numpy()
+            out_cell = probe.ravel()
+            out_id = np.repeat(ids, n_probe)
+            out_home = (probe == probe[:, :1]).ravel()  # rank-1 IS home
+            yield pd.DataFrame(
+                {
+                    "cell": out_cell.astype("int32"),
+                    "is_home": out_home,
+                    "id": out_id,
+                    "v": np.repeat(pdf["v"].to_numpy(), n_probe),
+                    "nrm": np.repeat(nrm, n_probe),
+                }
+            )
+
+    return narrow.mapInPandas(_route, schema=route_schema)
+
+
 def ann_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,
@@ -420,45 +467,10 @@ def ann_dup_pairs(
     n_probe = min(n_probe, k)
     thr = float(threshold)
 
-    # ---- pass 1 (narrow, no shuffle): per-row home cell + probe cells.
-    # Centroids are tiny (k × dim floats) and ride into the UDF closure —
-    # the moral equivalent of a broadcast join against a k-row dim table.
-    route_schema = (
-        "cell int, is_home boolean, id long, v array<double>, nrm double"
-    )
-
-    def _route(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            vecs = np.array(pdf["v"].tolist(), dtype=np.float64)
-            nrm = _seq_norm(vecs)
-            sims = (vecs @ centroids.T) / (
-                np.maximum(nrm[:, None], 1e-300)
-                * np.linalg.norm(centroids, axis=1)[None, :]
-            )
-            # top-n_probe cells per row, nearest first; stable sort
-            # breaks similarity ties toward the lower cell id (matching
-            # the SQL row_number tiebreak this replaced)
-            order = np.argsort(-sims, axis=1, kind="stable")
-            probe = order[:, :n_probe]
-            ids = pdf["id"].to_numpy()
-            n = len(pdf)
-            out_cell = probe.ravel()
-            out_id = np.repeat(ids, n_probe)
-            out_home = (probe == probe[:, :1]).ravel()  # rank-1 cell IS home
-            yield pd.DataFrame(
-                {
-                    "cell": out_cell.astype("int32"),
-                    "is_home": out_home,
-                    "id": out_id,
-                    "v": np.repeat(pdf["v"].to_numpy(), n_probe),
-                    "nrm": np.repeat(nrm, n_probe),
-                }
-            )
-
-    routed = _narrow_vectors(corpus, id_col, vec_col).mapInPandas(
-        _route, schema=route_schema
+    # ---- pass 1 (narrow, no shuffle): per-row home cell + probe cells
+    # (shared with the incremental semantic gate — r14).
+    routed = _cosine_probe_routes(
+        _narrow_vectors(corpus, id_col, vec_col), centroids, n_probe
     )
 
     # ---- pass 2 (one shuffle on the cell id): cell-local verify via
@@ -540,6 +552,259 @@ def semantic_dedup(
         centroids=centroids,
     )
     return dedup_filter(corpus, pairs, id_col=id_col)
+
+
+# --------------------------------------------------------------------------
+# Persistable SEMANTIC dedup index (r14) — the embedding-side mirror of
+# operators/dedup.py's MinHash index: gate each new snapshot against the
+# accumulated corpus at O(new) compute and probed-cells-only IO, append
+# accepted vectors, centroids stay fixed (the fixed-reference-model
+# posture the LM and the MinHash signature family already follow).
+# --------------------------------------------------------------------------
+
+
+def _semantic_subdir(path: str, name: str) -> str:
+    return path.rstrip("/") + "/" + name
+
+
+def build_semantic_index(
+    reference: DataFrame,
+    path: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int | None = None,
+    seed: int = 42,
+    kmeans_max_iter: int = 20,
+) -> None:
+    """Materialize the EXISTING corpus's semantic-dedup state (r14):
+
+    - ``ivf/`` — the coarse-quantizer centroids
+      (:func:`save_ivf_index` layout, kind-validated on load). FIXED
+      after build: appends never refit (quantizer drift would silently
+      re-route the accumulated vectors), so a corpus whose embedding
+      distribution has drifted rebuilds — the FAISS retrain contract;
+    - ``vectors/`` — (id, v float64, nrm) directory-partitioned by the
+      vector's cosine-nearest HOME cell: a gate collects its new
+      side's probe cells (≤ k ints — a bounded driver list) and PRUNES
+      the reference scan to exactly the cells it probes, the shingle-
+      partition trick applied to embeddings;
+    - ``meta/`` — (version, k, dim, seed): self-describing.
+
+    The meta write uses mode("error") — building over an existing
+    index raises. Append accepted snapshots with
+    :func:`append_semantic_index`; one writer per snapshot."""
+    spark = reference.sparkSession
+    centroids = _fit_centroids_sampled(
+        reference, vec_col=vec_col, id_col=id_col, k=n_clusters,
+        seed=seed, max_iter=kmeans_max_iter,
+    )
+    spark.createDataFrame(
+        [(1, int(centroids.shape[0]), int(centroids.shape[1]), seed)],
+        "version int, k int, dim int, seed long",
+    ).coalesce(1).write.mode("error").parquet(_semantic_subdir(path, "meta"))
+    save_ivf_index(spark, centroids, _semantic_subdir(path, "ivf"))
+    _home_routed(reference, centroids, id_col, vec_col).write.mode(
+        "error"
+    ).partitionBy("cell").parquet(_semantic_subdir(path, "vectors"))
+
+
+def _read_semantic_meta(spark, path: str) -> dict:
+    rows = spark.read.parquet(_semantic_subdir(path, "meta")).collect()
+    if len(rows) != 1:
+        raise ValueError(f"semantic index at {path!r} has a malformed meta")
+    meta = rows[0].asDict()
+    if meta["version"] != 1:
+        raise ValueError(
+            f"semantic index version {meta['version']} unsupported"
+        )
+    return meta
+
+
+def _home_routed(df: DataFrame, centroids, id_col: str, vec_col: str):
+    """(cell, id, v, nrm) home-cell rows — n_probe=1 routing."""
+    return (
+        _cosine_probe_routes(
+            _narrow_vectors(df, id_col, vec_col), centroids, 1
+        )
+        .select("cell", "id", "v", "nrm")
+        .repartition("cell")
+    )
+
+
+def append_semantic_index(
+    accepted: DataFrame,
+    path: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Append an ACCEPTED snapshot's vectors to a semantic index —
+    routed to their home cells under the index's OWN (fixed) centroids,
+    one partitioned parquet append. O(accepted)."""
+    spark = accepted.sparkSession
+    _read_semantic_meta(spark, path)
+    centroids = load_ivf_index(spark, _semantic_subdir(path, "ivf"))
+    _home_routed(accepted, centroids, id_col, vec_col).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(_semantic_subdir(path, "vectors"))
+
+
+def incremental_ann_pairs(
+    new: DataFrame,
+    reference: DataFrame | None = None,
+    *,
+    index: str | None = None,
+    threshold: float = 0.4,
+    n_clusters: int | None = None,
+    n_probe: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    kmeans_max_iter: int = 20,
+) -> DataFrame:
+    """(new_id, ref_id, cosine_sim) embedding near-duplicate pairs of a
+    NEW snapshot against the EXISTING corpus (r14) — the semantic
+    mirror of ``dedup.incremental_minhash_pairs``. Pass exactly one of
+    ``reference`` (quantizer fit in-flight on the reference — O(corpus)
+    per gate) or ``index`` (a :func:`build_semantic_index` path: the
+    new side routes to its ``n_probe`` cosine-nearest cells, the
+    bounded distinct probe-cell list PRUNES the stored vectors scan,
+    and the verify is cell-local — O(new) compute plus probed-cells
+    IO).
+
+    Candidate rule, one-sided (the standard IVF query semantics): a
+    (new, ref) pair is verified when the NEW vector's probe list
+    covers the REF vector's home cell — so each true pair materializes
+    in exactly ONE cell (the ref's home), no post-dedup needed, and
+    recall is the IVF query recall, tunable via ``n_probe``
+    (``n_probe=k`` is exact — pinned against the brute-force cross
+    oracle in tests). Both static sides use the SAME rule, so
+    index ≡ rebuild exactly. Emitted cosines are bit-exact vs the
+    sequential-sum SQL baseline (dimension-ordered accumulation,
+    ``ann_dup_pairs``'s contract)."""
+    import numpy as np
+    import pandas as pd
+
+    if (reference is None) == (index is None):
+        raise ValueError("pass exactly one of reference / index")
+    spark = new.sparkSession
+    if index is not None:
+        _read_semantic_meta(spark, index)
+        centroids = load_ivf_index(spark, _semantic_subdir(index, "ivf"))
+    else:
+        centroids = _fit_centroids_sampled(
+            reference, vec_col=vec_col, id_col=id_col, k=n_clusters,
+            seed=seed, max_iter=kmeans_max_iter,
+        )
+    routed_new = _cosine_probe_routes(
+        _narrow_vectors(new, id_col, vec_col), centroids, n_probe
+    ).select("cell", F.col("id").alias("new_id"), "v", "nrm")
+    routed_new = routed_new.localCheckpoint(eager=True)  # feeds 2 uses
+    if index is not None:
+        pbs = [
+            int(r[0])
+            for r in routed_new.select("cell").distinct().collect()
+        ]
+        ref_rows = spark.read.parquet(_semantic_subdir(index, "vectors"))
+        # partition PRUNING: only the probed cells are read — the
+        # index's dominant bytes are the vector arrays
+        ref_rows = (
+            ref_rows.filter(F.col("cell").isin(pbs))
+            if pbs
+            else ref_rows.filter(F.lit(False))
+        )
+    else:
+        ref_rows = _home_routed(reference, centroids, id_col, vec_col)
+    ref_rows = ref_rows.select(
+        "cell", F.col("id").alias("ref_id"),
+        F.col("v").alias("rv"), F.col("nrm").alias("rn"),
+    )
+    thr = float(threshold)
+    pair_schema = "new_id long, ref_id long, cosine_sim double"
+
+    def _verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        nmask = pdf["side"].to_numpy() == 0
+        nsub, rsub = pdf[nmask], pdf[~nmask]
+        if not len(nsub) or not len(rsub):
+            return pd.DataFrame(
+                {"new_id": [], "ref_id": [], "cosine_sim": []}
+            ).astype(
+                {"new_id": "int64", "ref_id": "int64",
+                 "cosine_sim": "float64"}
+            )
+        nv = np.array(nsub["v"].tolist(), dtype=np.float64)
+        rv = np.array(rsub["v"].tolist(), dtype=np.float64)
+        dots = np.zeros((len(nsub), len(rsub)), dtype=np.float64)
+        for d in range(nv.shape[1]):  # sequential over dims = exact order
+            dots += nv[:, d][:, None] * rv[:, d][None, :]
+        sims = dots / (
+            nsub["nrm"].to_numpy()[:, None] * rsub["nrm"].to_numpy()[None, :]
+        )
+        ii, jj = np.nonzero(sims >= thr - 5e-7)  # borderline guard
+        return pd.DataFrame(
+            {
+                "new_id": nsub["id"].to_numpy()[ii],
+                "ref_id": rsub["id"].to_numpy()[jj],
+                "cosine_sim": sims[ii, jj],
+            }
+        )
+
+    both = routed_new.select(
+        "cell", F.lit(0).alias("side"), F.col("new_id").alias("id"),
+        "v", "nrm",
+    ).unionByName(
+        ref_rows.select(
+            "cell", F.lit(1).alias("side"), F.col("ref_id").alias("id"),
+            F.col("rv").alias("v"), F.col("rn").alias("nrm"),
+        )
+    )
+    pairs = both.groupBy("cell").applyInPandas(_verify, schema=pair_schema)
+    # rounding Spark-side (HALF_UP parity with the oracle); each pair
+    # appears in exactly one cell (the ref's home) — no dedup needed
+    return pairs.select(
+        "new_id", "ref_id", F.round("cosine_sim", 6).alias("cosine_sim")
+    ).filter(F.col("cosine_sim") >= threshold)
+
+
+def incremental_semantic_dedup(
+    new: DataFrame,
+    reference: DataFrame | None = None,
+    *,
+    index: str | None = None,
+    threshold: float = 0.4,
+    n_clusters: int | None = None,
+    n_probe: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    kmeans_max_iter: int = 20,
+) -> DataFrame:
+    """Surviving rows of ``new`` whose embedding has NO cosine ≥
+    ``threshold`` near-duplicate in the existing corpus (r14) — the
+    semantic ingestion gate, composing with the MinHash gate the way
+    SemDeDup composes with exact/near text dedup in production
+    pipelines (text tiers first — cheaper — then the embedding tier
+    over what's left). After accepting survivors, call
+    :func:`append_semantic_index` so the next snapshot sees them.
+    Only removes rows, never reorders or rewrites them."""
+    near = (
+        incremental_ann_pairs(
+            new,
+            reference,
+            index=index,
+            threshold=threshold,
+            n_clusters=n_clusters,
+            n_probe=n_probe,
+            vec_col=vec_col,
+            id_col=id_col,
+            seed=seed,
+            kmeans_max_iter=kmeans_max_iter,
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new.join(near, id_col, "left_anti")
 
 
 def ivf_topk(

@@ -421,6 +421,46 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Cross-snapshot SEMANTIC dedup gate (r14) — the embedding-side mirror
+# of dedup_incremental_stats: new snapshot vectors gated against the
+# accumulated corpus by cosine. Rows-only (k-means centroids and the
+# grouped numpy verify have no SQL twin); the planted sentinels ARE the
+# query's evidence — an exact-copy vector routes to the identical probe
+# list, so its recall is guaranteed at any n_probe — and the index path
+# (build → gate → append → gate, partition-pruned) is pinned ≡ this
+# reference path value-exactly in tests/test_semantic_index.py.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_semantic_incremental_stats",
+    tags=("dedup", "similarity", "embedding", "incremental"),
+)
+def dedup_semantic_incremental_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    planted = ref.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + PLANTED_EXACT_BASE).alias("vec_id"), "embedding"
+    )
+    new = emb.filter(F.col("vec_id") % 2 == 1).unionByName(planted)
+    kept = sim.incremental_semantic_dedup(
+        new, ref, threshold=0.8, n_clusters=16, n_probe=6,
+        kmeans_max_iter=8,
+    )
+    is_planted = F.col("vec_id") >= PLANTED_EXACT_BASE
+    n_new, n_ref = new.count(), ref.count()
+    return kept.agg(
+        F.lit(n_new).alias("n_new"),
+        F.lit(n_ref).alias("n_ref"),
+        F.count(F.lit(1)).alias("n_kept"),
+        # exact copies MUST all be gone — guaranteed-recall sentinels
+        F.sum(is_planted.cast("long")).alias("planted_exact_kept"),
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash hamming near-dup pairs (pigeonhole banding) — rows-only
 # (xxhash64 signatures aren't DuckDB-expressible); pytest holds the
 # pure-Python oracle.

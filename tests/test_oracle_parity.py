@@ -82,7 +82,7 @@ def test_registry_fits_driver_window():
     # Pin the exact tallies so COVERAGE.md can't drift from the registry
     # (round-5 verdict nit: the doc said 71 when the registry held 72).
     # Update BOTH this assertion and COVERAGE.md when (de)registering.
-    assert len(names) == 83, f"registry holds {len(names)} queries, docs say 83"
+    assert len(names) == 84, f"registry holds {len(names)} queries, docs say 84"
     assert len(oracles) == 50, f"{len(oracles)} oracle gates, docs say 50"
     # r12 additions past the window (rows-only, pytest-twinned in
     # tests/test_linkgraph.py, tests/test_robots.py and
@@ -113,6 +113,10 @@ def test_registry_fits_driver_window():
     # three-sentence-span keep-one rule — the global-min keeper has no
     # tractable SQL twin.
     assert SPECS["text_c4_span_dedup_stats"].oracle is None
+    # r14 addition past the window (rows-only, guaranteed-recall planted
+    # sentinels; index ≡ reference pinned in tests/test_semantic_index.py):
+    # the embedding-side cross-snapshot gate.
+    assert SPECS["dedup_semantic_incremental_stats"].oracle is None
     # Round-11 gate swap (verdict item 2): customers_with_orders +
     # orders_without_lineitems fused into the method-tagged
     # semi_anti_suite (both join methods still hash-gated there); the

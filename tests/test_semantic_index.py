@@ -1,0 +1,172 @@
+"""Persistable semantic dedup index (r14): the embedding-side mirror
+of the MinHash ingestion cycle — build → gate → append → gate, with
+index ≡ rebuild pins, an exact (full-probe) brute-force oracle, and
+the partition-pruned plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import mbfbigdatarandomforest_spark.operators.similarity as sim
+from conftest import SF_DIR_SMALL
+
+THRESHOLD = 0.8
+
+
+def _frames(spark):
+    emb = spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    # new snapshot: the odd half + planted EXACT copies of ref vectors
+    # under fresh ids (the cross-snapshot duplicates the gate exists
+    # to catch — an exact copy routes to the identical probe list, so
+    # its recall is guaranteed at ANY n_probe)
+    planted = ref.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    new = emb.filter(F.col("vec_id") % 2 == 1).unionByName(planted)
+    return ref, new
+
+
+def _pairset(df):
+    return {
+        (r["new_id"], r["ref_id"], r["cosine_sim"]) for r in df.collect()
+    }
+
+
+def _brute_pairs(spark, new, ref, threshold):
+    """Independent oracle: driver-side numpy over the full cross
+    product, sequential-dimension dots (the engines' exactness
+    contract), round-half-up to 6 like the Spark side."""
+    import decimal
+
+    nrows = new.orderBy("vec_id").collect()
+    rrows = ref.orderBy("vec_id").collect()
+    nv = np.array([r["embedding"] for r in nrows], dtype=np.float64)
+    rv = np.array([r["embedding"] for r in rrows], dtype=np.float64)
+
+    def seqnorm(m):
+        acc = np.zeros(len(m))
+        for d in range(m.shape[1]):
+            acc += m[:, d] * m[:, d]
+        return np.sqrt(acc)
+
+    nn, rn = seqnorm(nv), seqnorm(rv)
+    dots = np.zeros((len(nv), len(rv)))
+    for d in range(nv.shape[1]):
+        dots += nv[:, d][:, None] * rv[:, d][None, :]
+    sims = dots / (nn[:, None] * rn[None, :])
+    out = set()
+    for i in range(len(nv)):
+        for j in range(len(rv)):
+            c = float(
+                decimal.Decimal(sims[i, j]).quantize(
+                    decimal.Decimal("0.000001"),
+                    rounding=decimal.ROUND_HALF_UP,
+                )
+            )
+            if c >= threshold:
+                out.add((nrows[i]["vec_id"], rrows[j]["vec_id"], c))
+    return out
+
+
+def test_full_probe_gate_equals_brute_force(spark):
+    """n_probe = k routes every new vector to every cell, so recall is
+    exact — the gate must equal the brute-force cross oracle
+    value-for-value (bit-exact cosines, HALF_UP rounding parity)."""
+    ref, new = _frames(spark)
+    k = 8
+    got = _pairset(
+        sim.incremental_ann_pairs(
+            new, ref, threshold=THRESHOLD, n_clusters=k, n_probe=k
+        )
+    )
+    want = _brute_pairs(spark, new, ref, THRESHOLD)
+    assert got == want
+    assert want  # the fixture really plants matches
+
+
+def test_index_path_equals_rebuild_and_cycle(spark, tmp_path):
+    """build → gate ≡ rebuild gate (pairs AND survivors) → append →
+    gate 2 catches copies of round-1-accepted vectors; double-build
+    raises; structural params come from the index."""
+    ref, new = _frames(spark)
+    idx = str(tmp_path / "semidx")
+    sim.build_semantic_index(ref, idx, n_clusters=8)
+    with pytest.raises(Exception):
+        sim.build_semantic_index(ref, idx, n_clusters=8)
+
+    kw = dict(threshold=THRESHOLD, n_probe=4)
+    got = _pairset(sim.incremental_ann_pairs(new, index=idx, **kw))
+    want = _pairset(
+        sim.incremental_ann_pairs(new, ref, n_clusters=8, **kw)
+    )
+    assert got == want
+    # planted exact copies are caught at ANY n_probe (identical vector
+    # → identical probe list → the ref home cell is always covered)
+    caught = {a for a, _, _ in got}
+    planted_ids = {
+        r["vec_id"]
+        for r in new.filter(F.col("vec_id") >= 10_000_000).collect()
+    }
+    assert planted_ids <= caught
+
+    kept = sim.incremental_semantic_dedup(new, index=idx, **kw)
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    assert kept_ids == {
+        r["vec_id"] for r in new.collect()
+    } - caught
+    assert not (planted_ids & kept_ids)
+
+    # ---- cycle: append survivors, gate a snapshot-2 with copies ----
+    accepted = new.join(
+        spark.createDataFrame([(i,) for i in kept_ids], "vec_id long"),
+        "vec_id",
+    )
+    sim.append_semantic_index(accepted, idx)
+    s2 = accepted.limit(5).select(
+        (F.col("vec_id") + 50_000_000).alias("vec_id"), "embedding"
+    )
+    got2 = _pairset(sim.incremental_ann_pairs(s2, index=idx, **kw))
+    # every copy of an appended vector is caught BY THE APPEND
+    assert {a for a, _, _ in got2} == {
+        r["vec_id"] for r in s2.collect()
+    }
+    want2 = _pairset(
+        sim.incremental_ann_pairs(
+            s2, ref.unionByName(accepted), n_clusters=8, **kw
+        )
+    )
+    assert got2 == want2
+
+
+def test_gate_scan_is_partition_pruned(spark, tmp_path):
+    """The index gate reads ONLY the probed cells: the stored vectors
+    scan carries a PartitionFilters clause on the cell key."""
+    ref, new = _frames(spark)
+    idx = str(tmp_path / "semidx_plan")
+    sim.build_semantic_index(ref, idx, n_clusters=8)
+    sh = spark.read.parquet(
+        sim._semantic_subdir(idx, "vectors")
+    ).filter(F.col("cell").isin([1, 2]))
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:80]
+    # and the real gate runs green against the pruned layout
+    n = sim.incremental_semantic_dedup(
+        new, index=idx, threshold=THRESHOLD, n_probe=2
+    ).count()
+    assert 0 < n <= new.count()
+
+
+def test_exactly_one_static_side_enforced(spark, tmp_path):
+    ref, new = _frames(spark)
+    with pytest.raises(ValueError, match="exactly one"):
+        sim.incremental_ann_pairs(new)
+    idx = str(tmp_path / "semidx_both")
+    sim.build_semantic_index(ref, idx, n_clusters=4)
+    with pytest.raises(ValueError, match="exactly one"):
+        sim.incremental_ann_pairs(new, ref, index=idx)
