@@ -131,6 +131,57 @@ def run_incremental_dedup_available_now(
     return spark.read.parquet(out_dir)
 
 
+def run_incremental_semantic_dedup_available_now(
+    spark,
+    src_dir: str,
+    schema,
+    out_dir: str,
+    index: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    n_probe: int = 6,
+    query_name: str = "incremental_semantic_dedup_stream",
+    source_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Cross-snapshot SEMANTIC dedup gate as a stream (r14): micro-
+    batched NEW vectors gated against a STATIC
+    :func:`operators.similarity.build_semantic_index` path — the
+    embedding-side twin of :func:`run_incremental_dedup_available_now`,
+    with the same contract: per-batch the batch-proven kernel runs
+    against the same static state, so the drained result is EXACTLY
+    the batch gate of the union regardless of micro-batch boundaries
+    (a per-row decision against static state); duplicate pairs
+    arriving in different batches both survive, and collapsing them is
+    the snapshot cycle's job (``append_semantic_index`` between stream
+    runs)."""
+    from ..operators.similarity import incremental_semantic_dedup
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        kept = incremental_semantic_dedup(
+            batch_df,
+            index=index,
+            threshold=threshold,
+            n_probe=n_probe,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+        kept.write.mode("append").parquet(out_dir)
+
+    reader = spark.readStream.schema(schema)
+    for k, v in (source_options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def run_c4_span_dedup_available_now(
     spark,
     src_dir: str,

@@ -170,3 +170,38 @@ def test_exactly_one_static_side_enforced(spark, tmp_path):
     sim.build_semantic_index(ref, idx, n_clusters=4)
     with pytest.raises(ValueError, match="exactly one"):
         sim.incremental_ann_pairs(new, ref, index=idx)
+
+
+def test_streaming_semantic_gate_matches_batch(spark, tmp_path):
+    """r14: the semantic gate as a stream against the static index —
+    drained result ≡ the batch gate of the union (per-row decision
+    against static state; micro-batch boundaries cannot change it)."""
+    from mbfbigdatarandomforest_spark.streaming.dedup import (
+        run_incremental_semantic_dedup_available_now,
+    )
+
+    ref, new = _frames(spark)
+    idx = str(tmp_path / "semidx_stream")
+    sim.build_semantic_index(ref, idx, n_clusters=8)
+    src = tmp_path / "src"
+    new.repartition(3).write.parquet(str(src))
+    got = run_incremental_semantic_dedup_available_now(
+        spark,
+        str(src),
+        new.schema,
+        str(tmp_path / "out"),
+        idx,
+        threshold=THRESHOLD,
+        n_probe=4,
+        source_options={"maxFilesPerTrigger": "1"},
+    )
+    want = sim.incremental_semantic_dedup(
+        new, index=idx, threshold=THRESHOLD, n_probe=4
+    )
+    assert sorted(r["vec_id"] for r in got.collect()) == sorted(
+        r["vec_id"] for r in want.collect()
+    )
+    # the planted exact copies are gone in the drained result too
+    assert not [
+        r for r in got.collect() if r["vec_id"] >= 10_000_000
+    ]
