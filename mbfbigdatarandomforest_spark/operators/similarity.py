@@ -618,6 +618,7 @@ def _read_semantic_meta(spark, path: str) -> dict:
         raise ValueError(
             f"semantic index version {meta['version']} unsupported"
         )
+    _repair_semantic_index(spark, path)
     return meta
 
 
@@ -648,6 +649,64 @@ def append_semantic_index(
     _home_routed(accepted, centroids, id_col, vec_col).write.mode(
         "append"
     ).partitionBy("cell").parquet(_semantic_subdir(path, "vectors"))
+
+
+def _repair_semantic_index(spark, path: str) -> list[str]:
+    """Open-time repair of an interrupted :func:`compact_semantic_index`
+    swap — the dedup index's crash discipline applied to ``vectors/``
+    (same rename-aside → rename-in → delete-old ordering, same
+    state machine: a dangling ``__compact`` beside the live dir is a
+    discarded rewrite, without the live dir it rolls forward, a
+    leftover ``__old`` drops)."""
+    from .dedup import _fs_delete, _fs_exists, _fs_rename
+
+    repaired = []
+    src = _semantic_subdir(path, "vectors")
+    tmp, old = src + "__compact", src + "__old"
+    if _fs_exists(spark, tmp):
+        if _fs_exists(spark, src):
+            _fs_delete(spark, tmp)
+        else:
+            _fs_rename(spark, tmp, src)
+            if _fs_exists(spark, old):
+                _fs_delete(spark, old)
+        repaired.append("vectors")
+    elif _fs_exists(spark, old):
+        if _fs_exists(spark, src):
+            _fs_delete(spark, old)
+        else:
+            _fs_rename(spark, old, src)
+        repaired.append("vectors")
+    return repaired
+
+
+def compact_semantic_index(spark, path: str) -> dict:
+    """Rewrite the semantic index's ``vectors/`` in place: per-snapshot
+    appends accumulate one file set per append (the small-files
+    problem), and a RETRIED append duplicates its rows — compaction
+    collapses duplicate ids (keep-any: rows for one id are identical
+    by construction) and rewrites one file per cell. Gate results are
+    unchanged by construction (the verify is set-semantics over ids).
+    Centroids are NOT refit — quantizer stability is the index's
+    contract; refitting for a drifted corpus is a rebuild. Same
+    single-writer maintenance-slot contract and the same crash-safe
+    swap as ``dedup.compact_dedup_index`` (every boundary repairable
+    by :func:`_repair_semantic_index`, which runs on every index open
+    via :func:`_read_semantic_meta`). Returns {"vectors": n}."""
+    from .dedup import _fs_delete, _fs_rename
+
+    _read_semantic_meta(spark, path)  # validates + repairs
+    src = _semantic_subdir(path, "vectors")
+    tmp, old = src + "__compact", src + "__old"
+    frame = spark.read.parquet(src).dropDuplicates(["id"])
+    n = frame.count()
+    frame.repartition("cell").write.mode("error").partitionBy(
+        "cell"
+    ).parquet(tmp)
+    _fs_rename(spark, src, old)
+    _fs_rename(spark, tmp, src)
+    _fs_delete(spark, old)
+    return {"vectors": n}
 
 
 def incremental_ann_pairs(

@@ -205,3 +205,69 @@ def test_streaming_semantic_gate_matches_batch(spark, tmp_path):
     assert not [
         r for r in got.collect() if r["vec_id"] >= 10_000_000
     ]
+
+
+def test_compact_semantic_index_and_crash_repair(spark, tmp_path):
+    """Compaction collapses a retried append's duplicate rows without
+    moving the gate answer, and every rename/delete boundary of the
+    swap leaves a repairable, gate-correct index (the dedup index's
+    crash discipline, applied here)."""
+    import shutil
+
+    import mbfbigdatarandomforest_spark.operators.dedup as dd
+
+    ref, new = _frames(spark)
+    pristine = str(tmp_path / "semidx_c")
+    sim.build_semantic_index(ref, pristine, n_clusters=8)
+    kw = dict(threshold=THRESHOLD, n_probe=4)
+    acc = sim.incremental_semantic_dedup(
+        new, index=pristine, **kw
+    ).localCheckpoint()
+    sim.append_semantic_index(acc, pristine)
+    sim.append_semantic_index(acc, pristine)  # the at-least-once retry
+
+    def kept(idx):
+        return {
+            r["vec_id"]
+            for r in sim.incremental_semantic_dedup(
+                new, index=idx, **kw
+            ).collect()
+        }
+
+    want = kept(pristine)
+    real_rename, real_delete = dd._fs_rename, dd._fs_delete
+    boundary = 0
+    while True:
+        idx = str(tmp_path / f"crash_{boundary}")
+        shutil.copytree(pristine, idx)
+        budget = [boundary]
+
+        def dying(fn):
+            def _wrap(spark_, *a):
+                if budget[0] <= 0:
+                    raise IOError("injected crash")
+                budget[0] -= 1
+                return fn(spark_, *a)
+
+            return _wrap
+
+        dd._fs_rename = dying(real_rename)
+        dd._fs_delete = dying(real_delete)
+        try:
+            counts = sim.compact_semantic_index(spark, idx)
+            completed = True
+        except IOError as e:
+            assert "injected crash" in str(e)
+            completed = False
+        finally:
+            dd._fs_rename, dd._fs_delete = real_rename, real_delete
+        sim._read_semantic_meta(spark, idx)  # triggers the repair
+        assert kept(idx) == want, f"boundary {boundary}"
+        shutil.rmtree(idx, ignore_errors=True)
+        if completed:
+            # the retried append's duplicate ids collapsed
+            n_ref = ref.count()
+            assert counts["vectors"] == n_ref + acc.count()
+            break
+        boundary += 1
+    assert boundary >= 3  # all three swap boundaries exercised
