@@ -245,3 +245,19 @@ def test_v2_bucket_sizes_delta_sum_is_exact(spark, tmp_path):
         post.groupBy("band", "bucket").count().filter("count > 1").count()
         == 0
     )
+
+
+def test_rebuild_after_delete_clears_stale_catalog(spark, tmp_path):
+    """Deleting an index directory and rebuilding at the SAME path must
+    work in one session: the build drops the stale catalog entries
+    (their location's files are gone) and re-registers over the new
+    ones; the gate answers from the new build."""
+    import shutil
+
+    ref, new = _corpus(spark)
+    idx = str(tmp_path / "rebuilt")
+    dd.build_dedup_index(ref, idx)
+    want = _kept(spark, new, idx)
+    shutil.rmtree(idx)
+    dd.build_dedup_index(ref, idx)
+    assert _kept(spark, new, idx) == want
