@@ -527,6 +527,46 @@ def _fs_delete(spark, p: str) -> None:
     fs.delete(P(p), True)
 
 
+def _swap_dir(spark, src: str, write_tmp) -> None:
+    """Crash-safe replace of directory ``src``: ``write_tmp`` lands a
+    COMPLETE rewrite at ``src + '__compact'``, then
+    rename(live → __old) → rename(__compact → live) → delete(__old).
+    Every crash point leaves a state :func:`_repair_dangling_dir`
+    restores. Shared by the MinHash and semantic index compactions —
+    one state machine, fixed in one place."""
+    tmp, old = src + "__compact", src + "__old"
+    write_tmp(tmp)
+    _fs_rename(spark, src, old)
+    _fs_rename(spark, tmp, src)
+    _fs_delete(spark, old)
+
+
+def _repair_dangling_dir(spark, src: str) -> bool:
+    """Repair one directory's interrupted :func:`_swap_dir`: a dangling
+    ``__compact`` beside the live dir means the swap never began
+    (discard the rewrite — it may be a PARTIAL write); ``__compact``
+    without the live dir means the rewrite completed and the swap
+    rolls FORWARD; a leftover ``__old`` with the live dir drops;
+    ``__old`` alone (unreachable under the ordering, belt-and-braces)
+    rolls back. Returns whether anything was repaired."""
+    tmp, old = src + "__compact", src + "__old"
+    if _fs_exists(spark, tmp):
+        if _fs_exists(spark, src):
+            _fs_delete(spark, tmp)
+        else:
+            _fs_rename(spark, tmp, src)
+            if _fs_exists(spark, old):
+                _fs_delete(spark, old)
+        return True
+    if _fs_exists(spark, old):
+        if _fs_exists(spark, src):
+            _fs_delete(spark, old)
+        else:
+            _fs_rename(spark, old, src)
+        return True
+    return False
+
+
 def _index_table_name(path: str, sub: str) -> str:
     """Deterministic session-catalog name for a bucketed index
     sub-table — derived from the index PATH (md5), so two indexes can
@@ -698,42 +738,51 @@ def build_dedup_index(
     sh.unpersist()
 
 
+def _recount_bucket_sizes(spark, path: str) -> None:
+    """Exact recount of ``bucket_sizes/`` from the current buckets
+    table, swapped in crash-safely — compaction's final step, also run
+    by crash REPAIR: an interrupted compaction can leave a compacted
+    (dedup'd) buckets table beside still-inflated retry deltas, and a
+    stale sum would make the hot-bucket cap mark cool buckets hot
+    (r14 review finding 1). Idempotent and itself repairable — a crash
+    here leaves a dangling dir the next open repairs, then recounts
+    again."""
+    sizes = (
+        spark.read.parquet(_index_subdir(path, "buckets"))
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    _swap_dir(
+        spark,
+        _index_subdir(path, "bucket_sizes"),
+        lambda tmp: sizes.coalesce(1).write.mode("error").parquet(tmp),
+    )
+
+
 def _repair_dedup_index(spark, path: str) -> list[str]:
     """Repair a compaction swap interrupted at any boundary (r14 —
-    r13 VERDICT finding 4). :func:`compact_dedup_index` swaps each
-    sub-table as rename(live → __old), rename(__compact → live),
-    delete(__old) — every crash point leaves a readable state this
-    sweep restores: a dangling ``__compact`` WITH the live dir means
-    the swap never began (discard the rewrite); ``__compact`` without
-    the live dir means the rewrite completed and the swap rolls
-    FORWARD; a leftover ``__old`` with the live dir means the swap
-    completed (drop it); ``__old`` without the live dir (not reachable
-    under the ordering, kept as belt-and-braces) rolls back. Runs on
-    every index open via :func:`_read_dedup_index_meta` — a handful of
-    existence probes. Returns the repaired sub-table names."""
+    r13 VERDICT finding 4): :func:`_repair_dangling_dir` per sub-table
+    (see its docstring for the state machine), then — when anything
+    WAS repaired on a v2 index — an exact ``bucket_sizes`` recount
+    from the post-repair buckets table, because a crash between the
+    buckets swap and the sizes swap leaves the two tables describing
+    different corpora and the hot-bucket cap would silently diverge
+    from rebuild-path semantics (review finding 1; the capped gate is
+    crash-boundary-pinned in tests/test_dedup_index.py). Runs on every
+    index open via :func:`_read_dedup_index_meta` — a handful of
+    existence probes on the healthy path. Returns the repaired
+    sub-table names."""
     repaired = []
     for sub in ("fingerprints", "buckets", "bucket_sizes", "shingles"):
-        src = _index_subdir(path, sub)
-        tmp, old = src + "__compact", src + "__old"
-        if _fs_exists(spark, tmp):
-            if _fs_exists(spark, src):
-                _fs_delete(spark, tmp)
-            else:
-                _fs_rename(spark, tmp, src)
-                if _fs_exists(spark, old):
-                    _fs_delete(spark, old)
-            repaired.append(sub)
-        elif _fs_exists(spark, old):
-            if _fs_exists(spark, src):
-                _fs_delete(spark, old)
-            else:
-                _fs_rename(spark, old, src)
+        if _repair_dangling_dir(spark, _index_subdir(path, sub)):
             repaired.append(sub)
     if repaired:
         for sub in ("fingerprints", "buckets"):
             tname = _index_table_name(path, sub)
             if spark.catalog.tableExists(tname):
                 spark.sql(f"REFRESH TABLE {tname}")
+        if _fs_exists(spark, _index_subdir(path, "bucket_sizes")):
+            _recount_bucket_sizes(spark, path)
     return repaired
 
 
@@ -848,12 +897,7 @@ def compact_dedup_index(spark, path: str) -> dict:
     counts = {}
 
     def _swap(sub: str, write_tmp) -> None:
-        src = _index_subdir(path, sub)
-        tmp, old = src + "__compact", src + "__old"
-        write_tmp(tmp)
-        _fs_rename(spark, src, old)
-        _fs_rename(spark, tmp, src)
-        _fs_delete(spark, old)
+        _swap_dir(spark, _index_subdir(path, sub), write_tmp)
 
     def _read_sub(sub: str) -> DataFrame:
         # plain path reads suffice here (compaction rewrites data; the
@@ -916,15 +960,9 @@ def compact_dedup_index(spark, path: str) -> dict:
     if v2:
         # exact recount from the compacted buckets — collapses the
         # per-append delta rows back to one row per (band, bucket)
-        sizes = (
-            _read_sub("buckets")
-            .groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        counts["bucket_sizes"] = sizes.count()
-        _swap(
-            "bucket_sizes",
-            lambda tmp: sizes.coalesce(1).write.mode("error").parquet(tmp),
+        _recount_bucket_sizes(spark, path)
+        counts["bucket_sizes"] = (
+            spark.read.parquet(_index_subdir(path, "bucket_sizes")).count()
         )
     return counts
 
@@ -995,6 +1033,7 @@ def incremental_minhash_pairs(
     max_bucket_size: int | None = None,
     index: str | None = None,
     shingled_new: DataFrame | None = None,
+    _meta: dict | None = None,
 ) -> DataFrame:
     """(new_id, ref_id, jaccard) near-duplicate pairs of a NEW corpus
     snapshot against the EXISTING dataset (r12) — the cross-snapshot
@@ -1028,7 +1067,11 @@ def incremental_minhash_pairs(
     caches: list[DataFrame] = []
     meta = None
     if index is not None:
-        meta = _read_dedup_index_meta(spark, index)
+        # callers that already opened the index (incremental_dedup)
+        # pass its meta through — the open includes the repair sweep's
+        # filesystem probes, which need not run twice per gate (r14
+        # review finding 6)
+        meta = _meta or _read_dedup_index_meta(spark, index)
         n = meta["n"]
         bands = meta["bands"]
         rows_per_band = meta["rows_per_band"]
@@ -1208,6 +1251,7 @@ def incremental_dedup(
     from .text import fingerprint
 
     spark = new.sparkSession
+    meta = None
     if index is not None:
         meta = _read_dedup_index_meta(spark, index)
         n = meta["n"]
@@ -1271,6 +1315,7 @@ def incremental_dedup(
             max_bucket_size=max_bucket_size,
             index=index,
             shingled_new=sh_fresh,
+            _meta=meta,
         )
         .select(F.col("new_id").alias(id_col))
         .distinct()

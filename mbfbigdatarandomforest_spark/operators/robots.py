@@ -196,6 +196,13 @@ def parse_robots(
         F.coalesce("agents", F.array()).alias("agents"),
         "directive",
         "value",
+        # the canonical form rides along: longest-match ranking uses
+        # its octets, and recomputing the per-character
+        # canonicalization at every agent resolution would duplicate
+        # work done here at parse time (r14 review finding 4)
+        F.when(
+            F.col("directive").isin("allow", "disallow"), canon
+        ).alias("pattern_canon"),
         F.when(
             F.col("directive").isin("allow", "disallow"), pattern_re
         ).alias("pattern_re"),
@@ -259,8 +266,9 @@ def _agent_rules(rules: DataFrame, agent: str) -> DataFrame:
         "directive",
         F.col("value").alias("pattern"),
         # longest-match ranks octets of the CANONICAL pattern (r14 —
-        # §2.2.2: two spellings of one rule must rank identically)
-        pct_canonical(F.col("value"), keep_meta=True).alias("pattern_canon"),
+        # §2.2.2: two spellings of one rule must rank identically);
+        # computed once at parse time (parse_robots), selected here
+        "pattern_canon",
         "pattern_re",
         _agent_match_len(a).alias("__mlen"),
         F.array_contains("agents", "*").alias("__star"),

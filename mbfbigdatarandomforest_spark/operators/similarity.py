@@ -653,31 +653,15 @@ def append_semantic_index(
 
 def _repair_semantic_index(spark, path: str) -> list[str]:
     """Open-time repair of an interrupted :func:`compact_semantic_index`
-    swap — the dedup index's crash discipline applied to ``vectors/``
-    (same rename-aside → rename-in → delete-old ordering, same
-    state machine: a dangling ``__compact`` beside the live dir is a
-    discarded rewrite, without the live dir it rolls forward, a
-    leftover ``__old`` drops)."""
-    from .dedup import _fs_delete, _fs_exists, _fs_rename
+    swap — :func:`dedup._repair_dangling_dir`, the ONE shared state
+    machine, applied to ``vectors/`` (the semantic index has no derived
+    sibling table, so unlike the MinHash index no post-repair recount
+    is needed)."""
+    from .dedup import _repair_dangling_dir
 
-    repaired = []
-    src = _semantic_subdir(path, "vectors")
-    tmp, old = src + "__compact", src + "__old"
-    if _fs_exists(spark, tmp):
-        if _fs_exists(spark, src):
-            _fs_delete(spark, tmp)
-        else:
-            _fs_rename(spark, tmp, src)
-            if _fs_exists(spark, old):
-                _fs_delete(spark, old)
-        repaired.append("vectors")
-    elif _fs_exists(spark, old):
-        if _fs_exists(spark, src):
-            _fs_delete(spark, old)
-        else:
-            _fs_rename(spark, old, src)
-        repaired.append("vectors")
-    return repaired
+    if _repair_dangling_dir(spark, _semantic_subdir(path, "vectors")):
+        return ["vectors"]
+    return []
 
 
 def compact_semantic_index(spark, path: str) -> dict:
@@ -693,19 +677,20 @@ def compact_semantic_index(spark, path: str) -> dict:
     swap as ``dedup.compact_dedup_index`` (every boundary repairable
     by :func:`_repair_semantic_index`, which runs on every index open
     via :func:`_read_semantic_meta`). Returns {"vectors": n}."""
-    from .dedup import _fs_delete, _fs_rename
+    from .dedup import _swap_dir
 
     _read_semantic_meta(spark, path)  # validates + repairs
     src = _semantic_subdir(path, "vectors")
-    tmp, old = src + "__compact", src + "__old"
     frame = spark.read.parquet(src).dropDuplicates(["id"])
     n = frame.count()
-    frame.repartition("cell").write.mode("error").partitionBy(
-        "cell"
-    ).parquet(tmp)
-    _fs_rename(spark, src, old)
-    _fs_rename(spark, tmp, src)
-    _fs_delete(spark, old)
+    _swap_dir(
+        spark,
+        src,
+        lambda tmp: frame.repartition("cell")
+        .write.mode("error")
+        .partitionBy("cell")
+        .parquet(tmp),
+    )
     return {"vectors": n}
 
 
@@ -721,6 +706,7 @@ def incremental_ann_pairs(
     id_col: str = "vec_id",
     seed: int = 42,
     kmeans_max_iter: int = 20,
+    centroids=None,
 ) -> DataFrame:
     """(new_id, ref_id, cosine_sim) embedding near-duplicate pairs of a
     NEW snapshot against the EXISTING corpus (r14) — the semantic
@@ -741,7 +727,13 @@ def incremental_ann_pairs(
     oracle in tests). Both static sides use the SAME rule, so
     index ≡ rebuild exactly. Emitted cosines are bit-exact vs the
     sequential-sum SQL baseline (dimension-ordered accumulation,
-    ``ann_dup_pairs``'s contract)."""
+    ``ann_dup_pairs``'s contract).
+
+    ``centroids``: with ``index``, a PRELOADED quantizer (the array
+    :func:`load_ivf_index` returns) — long-lived callers gating many
+    snapshots/micro-batches against one static index load it once
+    instead of paying the meta read + repair sweep + centroid collect
+    per call (the streaming gate does)."""
     import numpy as np
     import pandas as pd
 
@@ -749,8 +741,11 @@ def incremental_ann_pairs(
         raise ValueError("pass exactly one of reference / index")
     spark = new.sparkSession
     if index is not None:
-        _read_semantic_meta(spark, index)
-        centroids = load_ivf_index(spark, _semantic_subdir(index, "ivf"))
+        if centroids is None:
+            _read_semantic_meta(spark, index)
+            centroids = load_ivf_index(
+                spark, _semantic_subdir(index, "ivf")
+            )
     else:
         centroids = _fit_centroids_sampled(
             reference, vec_col=vec_col, id_col=id_col, k=n_clusters,
@@ -838,6 +833,7 @@ def incremental_semantic_dedup(
     id_col: str = "vec_id",
     seed: int = 42,
     kmeans_max_iter: int = 20,
+    centroids=None,
 ) -> DataFrame:
     """Surviving rows of ``new`` whose embedding has NO cosine ≥
     ``threshold`` near-duplicate in the existing corpus (r14) — the
@@ -859,6 +855,7 @@ def incremental_semantic_dedup(
             id_col=id_col,
             seed=seed,
             kmeans_max_iter=kmeans_max_iter,
+            centroids=centroids,
         )
         .select(F.col("new_id").alias(id_col))
         .distinct()

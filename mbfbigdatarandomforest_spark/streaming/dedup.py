@@ -155,7 +155,18 @@ def run_incremental_semantic_dedup_available_now(
     arriving in different batches both survive, and collapsing them is
     the snapshot cycle's job (``append_semantic_index`` between stream
     runs)."""
-    from ..operators.similarity import incremental_semantic_dedup
+    from ..operators.similarity import (
+        _read_semantic_meta,
+        _semantic_subdir,
+        incremental_semantic_dedup,
+        load_ivf_index,
+    )
+
+    # the index is STATIC for the whole stream (the gate's contract) —
+    # open, repair-sweep, and collect the quantizer ONCE, not per
+    # micro-batch (r14 review finding 3)
+    _read_semantic_meta(spark, index)
+    centroids = load_ivf_index(spark, _semantic_subdir(index, "ivf"))
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         kept = incremental_semantic_dedup(
@@ -165,6 +176,7 @@ def run_incremental_semantic_dedup_available_now(
             n_probe=n_probe,
             vec_col=vec_col,
             id_col=id_col,
+            centroids=centroids,
         )
         kept.write.mode("append").parquet(out_dir)
 
@@ -266,10 +278,13 @@ def run_c4_span_dedup_available_now(
             base, covered, text_col, id_col
         )
         rebuilt.write.mode("append").parquet(out_dir)
-        # the batch's spans now have a keeper — future occurrences drop
-        occ.select("__h1", "__h2").distinct().write.mode("append").parquet(
-            ledger_dir
-        )
+        # the batch's FRESH spans now have a keeper — future occurrences
+        # drop; spans in `seen` are by definition already ledgered, so
+        # re-appending them would grow the ledger by one duplicate row
+        # per recurring span per batch (r14 review finding 2)
+        fresh.select("__h1", "__h2").distinct().write.mode(
+            "append"
+        ).parquet(ledger_dir)
 
     reader = spark.readStream.schema(schema)
     for k, v in (source_options or {}).items():

@@ -41,7 +41,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from probe_dedup_index import _io_totals, _timed  # noqa: E402
+from probe_dedup_index import _timed  # noqa: E402
 from mbfbigdatarandomforest_spark.operators import similarity as sim  # noqa: E402
 from mbfbigdatarandomforest_spark.session import get_spark  # noqa: E402
 

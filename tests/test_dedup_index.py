@@ -94,6 +94,25 @@ def test_compact_swap_crash_at_every_boundary(spark, tmp_path):
         meta = dd._read_dedup_index_meta(spark, idx)
         assert meta["version"] == 2
         assert _kept(spark, new, idx) == want, f"boundary {boundary}"
+        # ...and a SIZE-CONSISTENT one (r14 review finding 1): a crash
+        # between the buckets swap and the sizes swap would otherwise
+        # leave retry-inflated deltas beside a deduplicated buckets
+        # table, silently diverging the CAPPED gate from rebuild
+        # semantics — the repair's recount restores sum(sizes) ≡
+        # count(buckets) per key at every boundary, which is exactly
+        # what the hot-bucket guard derives from
+        sizes = (
+            spark.read.parquet(dd._index_subdir(idx, "bucket_sizes"))
+            .groupBy("band", "bucket")
+            .agg(F.sum("n").alias("n"))
+        )
+        truth = (
+            spark.read.parquet(dd._index_subdir(idx, "buckets"))
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sizes.exceptAll(truth).count() == 0, f"boundary {boundary}"
+        assert truth.exceptAll(sizes).count() == 0, f"boundary {boundary}"
         # and the re-run compaction completes and stays correct
         counts = dd.compact_dedup_index(spark, idx)
         assert counts["fingerprints"] > 0
