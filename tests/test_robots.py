@@ -1010,3 +1010,40 @@ def test_crawl_frontier_robots_exempt_sitemaps(spark):
         for r in crawl_frontier(cands, rules).filter("kept").collect()
     }
     assert got_plain == {"https://h.example/allowed-page"}
+
+
+def test_pct_canonical_property_random_strings(spark):
+    """Direct expression-level pin of pct_canonical ≡ py_canonical over
+    adversarial random strings — partial %-sequences, metacharacters,
+    unicode, both keep_meta modes — independent of the decision-level
+    sweep (which only observes canonicalization through match
+    outcomes)."""
+    from pyspark.sql import functions as F
+
+    from mbfbigdatarandomforest_spark.operators.robots import pct_canonical
+
+    rng = np.random.default_rng(1441)
+    alphabet = list("ab/%.2AfF $*?#=&~_ü日\t'\"\\<>^{}|")
+    cases = [""]
+    for _ in range(300):
+        n = int(rng.integers(0, 14))
+        cases.append(
+            "".join(alphabet[int(j)] for j in rng.integers(0, len(alphabet), n))
+        )
+    # targeted traps alongside the fuzz
+    cases += [
+        "%", "%2", "%2f", "%2F", "%zz", "%2A%24", "a%", "%%41", "%41%42",
+        "/a b/%20/%252F", "*$", "%c3%bc", "ü%C3%BC", "/x%GG", "%0a", "% 41",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, s string")
+    for keep_meta in (False, True):
+        got = {
+            r["i"]: r["c"]
+            for r in df.select(
+                "i", pct_canonical(F.col("s"), keep_meta=keep_meta).alias("c")
+            ).collect()
+        }
+        for i, c in enumerate(cases):
+            assert got[i] == py_canonical(c, keep_meta=keep_meta), (
+                keep_meta, repr(c), got[i],
+            )
