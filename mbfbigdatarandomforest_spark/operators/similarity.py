@@ -609,6 +609,21 @@ def build_semantic_index(
     ).partitionBy("cell").parquet(_semantic_subdir(path, "vectors"))
 
 
+def _check_dim(df: DataFrame, vec_col: str, dim: int, caller: str) -> None:
+    """Fail FAST with a named error when a frame's embedding width
+    differs from the index's — mixed embedding models otherwise
+    surface as an opaque numpy broadcast error deep in the routed
+    kernel. One bounded 1-row probe (empty frames pass: nothing will
+    route)."""
+    row = df.select(F.size(vec_col).alias("d")).first()
+    if row is not None and row["d"] != dim:
+        raise ValueError(
+            f"{caller}: embedding dim {row['d']} does not match the "
+            f"index's dim {dim} — a semantic index is bound to ONE "
+            "embedding model; rebuild for a new one"
+        )
+
+
 def _read_semantic_meta(spark, path: str) -> dict:
     rows = spark.read.parquet(_semantic_subdir(path, "meta")).collect()
     if len(rows) != 1:
@@ -644,7 +659,8 @@ def append_semantic_index(
     routed to their home cells under the index's OWN (fixed) centroids,
     one partitioned parquet append. O(accepted)."""
     spark = accepted.sparkSession
-    _read_semantic_meta(spark, path)
+    meta = _read_semantic_meta(spark, path)
+    _check_dim(accepted, vec_col, meta["dim"], "append_semantic_index")
     centroids = load_ivf_index(spark, _semantic_subdir(path, "ivf"))
     _home_routed(accepted, centroids, id_col, vec_col).write.mode(
         "append"
@@ -742,7 +758,8 @@ def incremental_ann_pairs(
     spark = new.sparkSession
     if index is not None:
         if centroids is None:
-            _read_semantic_meta(spark, index)
+            meta = _read_semantic_meta(spark, index)
+            _check_dim(new, vec_col, meta["dim"], "incremental_ann_pairs")
             centroids = load_ivf_index(
                 spark, _semantic_subdir(index, "ivf")
             )

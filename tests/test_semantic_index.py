@@ -271,3 +271,19 @@ def test_compact_semantic_index_and_crash_repair(spark, tmp_path):
             break
         boundary += 1
     assert boundary >= 3  # all three swap boundaries exercised
+
+
+def test_dim_mismatch_raises_named_error(spark, tmp_path):
+    """A frame from a different embedding model (wrong width) fails
+    fast with a named error instead of an opaque numpy broadcast
+    failure inside the routed kernel."""
+    ref, _ = _frames(spark)
+    idx = str(tmp_path / "semidx_dim")
+    sim.build_semantic_index(ref, idx, n_clusters=4)
+    bad = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dim 3 does not match"):
+        sim.incremental_ann_pairs(bad, index=idx, threshold=0.5)
+    with pytest.raises(ValueError, match="dim 3 does not match"):
+        sim.append_semantic_index(bad, idx)
