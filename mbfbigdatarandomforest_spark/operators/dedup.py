@@ -595,10 +595,13 @@ def _ensure_index_table(
             f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
         )
         cl = ", ".join(cluster_cols)
+        # the LOCATION literal is caller-controlled — escape it (a
+        # quote in the index path otherwise breaks the SQL, ADVICE r14)
+        loc_sql = loc.replace("\\", "\\\\").replace("'", "\\'")
         spark.sql(
             f"CREATE TABLE {tname} ({cols}) USING parquet "
             f"CLUSTERED BY ({cl}) SORTED BY ({cl}) INTO {n_buckets} BUCKETS "
-            f"LOCATION '{loc}'"
+            f"LOCATION '{loc_sql}'"
         )
     spark.sql(f"REFRESH TABLE {tname}")
     return spark.table(tname)

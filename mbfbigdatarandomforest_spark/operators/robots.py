@@ -45,7 +45,8 @@ in a RULE a raw ``*`` is the wildcard and a trailing raw ``$`` the
 anchor, while published ``%2A``/``%24`` stay encoded and match a
 path's literal ``*``/``$`` (which the path side canonicalizes to
 ``%2A``/``%24``); a mid-pattern raw ``$`` is a literal and is folded
-to ``%24`` in the regex translation.
+to ``%24`` in the CANONICAL form itself (ADVICE r14), so the two
+spellings of one literal rule rank identically in longest-match-wins.
 """
 
 from __future__ import annotations
@@ -100,7 +101,15 @@ def pct_canonical(col: Column, keep_meta: bool = False) -> Column:
     ONE split pass bounds the work: segments open at each valid ``%XX``
     (lookahead split — no double-decode: a decode can never mint a new
     ``%XX``), the triplet is decoded or case-fixed, the tail goes
-    through the raw-character pass. All column expressions."""
+    through the raw-character pass. All column expressions.
+
+    ``keep_meta`` position rule (ADVICE r14): only a TRAILING raw
+    ``$`` is the live end anchor — a mid-pattern raw ``$`` is a
+    literal, so it folds to its canonical ``%24`` HERE, making the two
+    spellings of one literal rule (``/mid$lit`` / ``/mid%24lit``) rank
+    identically in longest-match-wins octet counting."""
+    if keep_meta:
+        col = F.regexp_replace(col, r"\$(?!\z)", "%24")
     segs = F.split(col, r"(?=%[0-9A-Fa-f]{2})")
 
     def _seg(s: Column) -> Column:
@@ -176,19 +185,19 @@ def parse_robots(
         agents, ["host", "group_id"], "left"
     )
     # rule pattern → anchored Java regex over the CANONICAL form
-    # (§2.2.2, r14 — keep_meta keeps raw */$ as live metacharacters):
-    # escape specials via the $1 backref (Java replacement — the pytest
-    # oracle is pure Python, no cross-SQL twin needed here), then the
-    # RFC's two metacharacters: '*' anywhere = any sequence; '$' is the
-    # end anchor ONLY at the pattern's end (escaped with everything
-    # else first, a trailing escaped one un-escaped back into the
-    # anchor); a remaining mid-pattern '$' is a LITERAL and folds to
-    # its canonical %24 so it matches the path side's encoding.
+    # (§2.2.2, r14 — keep_meta keeps a raw '*' anywhere and a raw '$'
+    # at the pattern END as live metacharacters; a mid-pattern raw '$'
+    # is a literal and pct_canonical already folded it to %24, so the
+    # canonical form used for RANKING and the regex agree — ADVICE
+    # r14): escape specials via the $1 backref (Java replacement — the
+    # pytest oracle is pure Python, no cross-SQL twin needed here),
+    # then '*' anywhere = any sequence; the only '$' that can survive
+    # canonicalization is the trailing anchor (escaped with everything
+    # else first, then un-escaped back into the live anchor).
     canon = pct_canonical(F.col("value"), keep_meta=True)
     pat = F.regexp_replace(canon, r"([.^+?(){}\[\]\\|$])", r"\\$1")
     pat = F.regexp_replace(pat, r"\*", ".*")
     pat = F.regexp_replace(pat, r"\\\$$", "\\$")
-    pat = F.regexp_replace(pat, r"\\\$", "%24")
     pattern_re = F.concat(F.lit("^"), pat)
     return rules.select(
         "host",

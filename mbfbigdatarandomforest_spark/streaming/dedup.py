@@ -205,6 +205,7 @@ def run_c4_span_dedup_available_now(
     span: int = 3,
     query_name: str = "c4_span_dedup_stream",
     source_options: dict[str, str] | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """C4 three-sentence-span dedup as a stream (r14): each micro-batch
     drops span occurrences already seen — either in the persistent SPAN
@@ -221,6 +222,17 @@ def run_c4_span_dedup_available_now(
     occurrence, and the within-batch rule is the same min-(id, pos).
     Pinned in tests/test_streaming.py across multiple batch splits.
 
+    Replay safety (ADVICE r14 — the medium finding): both the output
+    and the ledger land under ``batch_id=N`` subdirectories written
+    with OVERWRITE, and a batch recomputing itself EXCLUDES its own
+    prior ledger rows — so a micro-batch retry (or a whole re-run over
+    an existing ledger without a checkpoint) replaces its previous
+    attempt instead of seeing its own spans as "already ledgered" and
+    wrongly dropping each keeper's sentences beside the first
+    attempt's correct rows. ``checkpoint_dir``, when given, adds the
+    standard commit log so a restarted run skips processed files
+    entirely (the other streaming modules' contract).
+
     100 TB shape: the ledger is two longs per distinct span — the
     cross-batch state is hash pairs, never text — and each batch pays
     one anti-join-shaped duplicate lookup against it plus the batch
@@ -235,7 +247,14 @@ def run_c4_span_dedup_available_now(
         base, occ = _sentence_span_frames(batch_df, text_col, id_col, span)
         occ = occ.localCheckpoint(eager=True)  # feeds 3 consumers
         try:
-            ledger = spark.read.parquet(ledger_dir).select("__h1", "__h2")
+            led = spark.read.option("basePath", ledger_dir).parquet(
+                ledger_dir
+            )
+            if "batch_id" in led.columns:
+                # idempotent replay: a batch never gates against its
+                # OWN prior attempt's rows (partition-pruned filter)
+                led = led.filter(F.col("batch_id") != batch_id)
+            ledger = led.select("__h1", "__h2")
         except Exception:  # noqa: BLE001 — first batch: no ledger yet
             ledger = None
         # occurrences whose span the ledger already keeps: ALL covered;
@@ -277,24 +296,30 @@ def run_c4_span_dedup_available_now(
         rebuilt = _rebuild_minus_covered_sentences(
             base, covered, text_col, id_col
         )
-        rebuilt.write.mode("append").parquet(out_dir)
+        # batch_id-keyed OVERWRITE: a replayed batch replaces its own
+        # prior attempt instead of appending a second copy beside it
+        rebuilt.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
         # the batch's FRESH spans now have a keeper — future occurrences
         # drop; spans in `seen` are by definition already ledgered, so
         # re-appending them would grow the ledger by one duplicate row
         # per recurring span per batch (r14 review finding 2)
         fresh.select("__h1", "__h2").distinct().write.mode(
-            "append"
-        ).parquet(ledger_dir)
+            "overwrite"
+        ).parquet(f"{ledger_dir}/batch_id={batch_id}")
 
     reader = spark.readStream.schema(schema)
     for k, v in (source_options or {}).items():
         reader = reader.option(k, v)
     stream = reader.parquet(src_dir)
-    q = (
-        stream.writeStream.foreachBatch(_process)
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = stream.writeStream.foreachBatch(_process).queryName(query_name)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    return (
+        spark.read.option("basePath", out_dir)
+        .parquet(out_dir)
+        .drop("batch_id")
+    )

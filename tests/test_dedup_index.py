@@ -280,3 +280,15 @@ def test_rebuild_after_delete_clears_stale_catalog(spark, tmp_path):
     shutil.rmtree(idx)
     dd.build_dedup_index(ref, idx)
     assert _kept(spark, new, idx) == want
+
+
+def test_index_path_with_single_quote(spark, tmp_path):
+    """ADVICE r14: the bucketed sub-tables' CREATE TABLE ... LOCATION
+    literal is built from the caller's index path — a path containing
+    a single quote must register (escaped), not break the SQL."""
+    ref, new = _corpus(spark)
+    idx = str(tmp_path / "quo'ted" / "idx")
+    dd.build_dedup_index(ref, idx)
+    plain = str(tmp_path / "plain")
+    dd.build_dedup_index(ref, plain)
+    assert _kept(spark, new, idx) == _kept(spark, new, plain)

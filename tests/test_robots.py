@@ -30,7 +30,11 @@ def py_canonical(s: str, keep_meta: bool = False) -> str:
     """Independent mirror of pct_canonical (RFC 9309 §2.2.2): decode
     percent-encoded unreserved octets, uppercase retained %XX hex,
     UTF-8-percent-encode raw characters outside the canonical-raw set;
-    keep_meta leaves raw */$ alone (rule metacharacters)."""
+    keep_meta leaves a raw '*' anywhere and a raw '$' only at the
+    pattern END alone (the live metacharacter positions) — a
+    mid-pattern raw '$' is a literal and folds to %24 (ADVICE r14)."""
+    if keep_meta:
+        s = re.sub(r"\$(?!\Z)", "%24", s)
     out, i = [], 0
     while i < len(s):
         c = s[i]
@@ -72,12 +76,14 @@ def _parse_groups(body: str):
 
 
 def _match(pat: str, path: str) -> bool:
+    # py_canonical already folded mid-pattern literal '$' to %24
+    # (ADVICE r14) — the only '$' that can survive is the trailing
+    # anchor, un-escaped back to the live metacharacter here
     rx = "^" + re.escape(py_canonical(pat, keep_meta=True)).replace(
         r"\*", ".*"
     )
     if rx.endswith(r"\$"):
         rx = rx[:-2] + "$"
-    rx = rx.replace(r"\$", "%24")  # mid-pattern literal $ → canonical
     return re.search(rx, py_canonical(path)) is not None
 
 
@@ -1034,6 +1040,8 @@ def test_pct_canonical_property_random_strings(spark):
     cases += [
         "%", "%2", "%2f", "%2F", "%zz", "%2A%24", "a%", "%%41", "%41%42",
         "/a b/%20/%252F", "*$", "%c3%bc", "ü%C3%BC", "/x%GG", "%0a", "% 41",
+        # mid-pattern vs trailing '$' (ADVICE r14 — fold vs anchor)
+        "/mid$lit", "$", "$$", "a$b$", "$a", "%24$", "$%24",
     ]
     df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, s string")
     for keep_meta in (False, True):
@@ -1047,3 +1055,35 @@ def test_pct_canonical_property_random_strings(spark):
             assert got[i] == py_canonical(c, keep_meta=keep_meta), (
                 keep_meta, repr(c), got[i],
             )
+
+
+def test_mid_pattern_dollar_spellings_rank_identically(spark):
+    """ADVICE r14: '/mid$lit' and '/mid%24lit' are two spellings of ONE
+    literal rule — their canonical forms are equal, so they rank
+    identically (equal octets) in longest-match-wins, and the
+    documented spelling-invariance claim holds for the '$' literal.
+    The trailing raw '$' stays the live end anchor."""
+    # expression-level: the two rule spellings canonicalize identically
+    assert (
+        py_canonical("/mid$lit", keep_meta=True)
+        == py_canonical("/mid%24lit", keep_meta=True)
+        == "/mid%24lit"
+    )
+    # trailing '$' is positional — it survives as the anchor
+    assert py_canonical("/x$", keep_meta=True) == "/x$"
+    # decision-level: equal-octet disallow/allow pair → tie → allow,
+    # for BOTH rule spellings and BOTH path spellings, engine ≡ mirror
+    host = "site.example"
+    body = "User-agent: *\nDisallow: /mid$lit\nAllow: /mid%24lit\n"
+    paths = ["/mid$lit", "/mid%24lit"]
+    urls = [f"https://{host}{p}" for p in paths]
+    got = _spark_decisions(spark, {host: body}, urls, "*")
+    for u, p in zip(urls, paths):
+        assert got[u] is True, u
+        assert py_allowed(body, "*", p) is True, p
+    # and flipped spellings give the same tie resolution
+    body2 = "User-agent: *\nDisallow: /mid%24lit\nAllow: /mid$lit\n"
+    got2 = _spark_decisions(spark, {host: body2}, urls, "*")
+    for u, p in zip(urls, paths):
+        assert got2[u] is True, u
+        assert py_allowed(body2, "*", p) is True, p

@@ -1355,6 +1355,59 @@ def test_streaming_c4_span_dedup_matches_batch(spark, tmp_path):
     assert "Echo x." in texts[14]  # within-batch keep-one at min id
 
 
+def test_streaming_c4_span_dedup_replay_idempotent(spark, tmp_path):
+    """ADVICE r14 (medium): re-running the C4 span-dedup stream over a
+    POPULATED ledger must not mark the replayed docs' keepers as
+    'seen' and drop their sentences — batch_id-keyed overwrite writes
+    plus the own-batch ledger exclusion make a full replay (no
+    checkpoint) reproduce the first run exactly, and a checkpointed
+    re-run is a no-op."""
+    import mbfbigdatarandomforest_spark.operators.dedup as dd_ops
+    from mbfbigdatarandomforest_spark.streaming.dedup import (
+        run_c4_span_dedup_available_now,
+    )
+
+    dup = "Alpha one. Beta two. Gamma three."
+    rows = [
+        (1, f"{dup} Tail a."),
+        (2, "Solo text. More solo. Third one. Fourth bit."),
+        (3, f"Pre sentence. {dup} Post sentence."),
+    ]
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src))
+    want = sorted(
+        map(
+            tuple,
+            dd_ops.c4_sentence_span_dedup(
+                spark.createDataFrame(rows, schema)
+            ).collect(),
+        )
+    )
+
+    # run 1 (no checkpoint), then a FULL REPLAY over the populated
+    # ledger — the r14 failure mode: every replayed span looked
+    # 'seen', so the keeper doc's sentences were wrongly dropped and
+    # conflicting rows landed beside the first attempt's
+    args = (spark, str(src), schema, str(tmp_path / "out"),
+            str(tmp_path / "ledger"))
+    first = sorted(map(tuple, run_c4_span_dedup_available_now(*args).collect()))
+    assert first == want
+    replay = sorted(map(tuple, run_c4_span_dedup_available_now(*args).collect()))
+    assert replay == want  # identical — no dropped keepers, no dup rows
+
+    # checkpointed variant: the second run processes nothing new and
+    # the output is byte-for-byte the first run's
+    args2 = (spark, str(src), schema, str(tmp_path / "out2"),
+             str(tmp_path / "ledger2"))
+    ck = str(tmp_path / "ck")
+    r1 = sorted(map(tuple, run_c4_span_dedup_available_now(
+        *args2, checkpoint_dir=ck).collect()))
+    r2 = sorted(map(tuple, run_c4_span_dedup_available_now(
+        *args2, checkpoint_dir=ck).collect()))
+    assert r1 == r2 == want
+
+
 def test_streaming_recrawl_matches_batch(spark, tmp_path):
     """r14 (r13 verdict item 8): the recrawl stream — sitemap lastmod
     updates in micro-batches against the STATIC ledger — drains to
