@@ -658,6 +658,7 @@ def build_dedup_index(
     seed: int = 42,
     file_buckets: int = 32,
     shingle_parts: int = 64,
+    max_bucket_size: int | None = None,
 ) -> None:
     """Materialize the EXISTING dataset's cross-snapshot dedup state as
     a persistable parquet index (r13; layout v2 r14): the signature
@@ -684,6 +685,16 @@ def build_dedup_index(
       rows and readers SUM per key, so the ``max_bucket_size`` guard is
       a broadcast anti-join against the (tiny, by construction) hot
       set instead of a per-gate window over the whole buckets table;
+    - ``hot_buckets/`` — (band, bucket) keys over the CAP OF RECORD
+      (v3, r15 — r14 VERDICT finding 2: the capped gate's per-gate SUM
+      over ``bucket_sizes/`` grew with the index's delta rows; with a
+      cap recorded at build, the hot set is MAINTAINED at append time
+      — counts only grow between compactions, so hot keys never cool
+      and the append folds only its own touched keys — and a gate
+      whose ``max_bucket_size`` equals the recorded cap reads this
+      precomputed table with ZERO per-gate aggregate). Built only when
+      ``max_bucket_size`` is passed here; gates with a different cap
+      fall back to the v2 sum;
     - ``shingles/`` — (id, shingles) directory-partitioned by ``__pb``
       (:func:`_shingle_pb` id-hash prefix): the verify join derives its
       candidates' partition keys (a bounded ≤ ``shingle_parts`` driver
@@ -706,9 +717,20 @@ def build_dedup_index(
 
     spark = reference.sparkSession
     spark.createDataFrame(
-        [(2, n, bands, rows_per_band, seed, file_buckets, shingle_parts)],
+        [
+            (
+                3,
+                n,
+                bands,
+                rows_per_band,
+                seed,
+                file_buckets,
+                shingle_parts,
+                max_bucket_size,
+            )
+        ],
         "version int, n int, bands int, rows_per_band int, seed long,"
-        " file_buckets int, shingle_parts int",
+        " file_buckets int, shingle_parts int, cap int",
     ).coalesce(1).write.mode("error").parquet(_index_subdir(path, "meta"))
     # the meta mode("error") write above is the build lock — any
     # catalog entry for this path is stale (a deleted prior index)
@@ -735,9 +757,18 @@ def build_dedup_index(
     _write_bucketed_sub(
         bb, path, "buckets", ("band", "bucket"), file_buckets, mode="error"
     )
-    bb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n")).write.mode(
-        "error"
-    ).parquet(_index_subdir(path, "bucket_sizes"))
+    sizes = bb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    if max_bucket_size is not None:
+        sizes = sizes.localCheckpoint(eager=True)  # feeds sizes AND hot
+    sizes.write.mode("error").parquet(_index_subdir(path, "bucket_sizes"))
+    if max_bucket_size is not None:
+        # the cap-of-record hot set — usually empty at build (hot
+        # buckets are rare outliers), maintained by every append
+        sizes.filter(F.col("n") > max_bucket_size).select(
+            "band", "bucket"
+        ).coalesce(1).write.mode("error").parquet(
+            _index_subdir(path, "hot_buckets")
+        )
     sh.unpersist()
 
 
@@ -755,11 +786,33 @@ def _recount_bucket_sizes(spark, path: str) -> None:
         .groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    cap = _raw_index_cap(spark, path)
+    if cap is not None:
+        sizes = sizes.localCheckpoint(eager=True)  # feeds both swaps
     _swap_dir(
         spark,
         _index_subdir(path, "bucket_sizes"),
         lambda tmp: sizes.coalesce(1).write.mode("error").parquet(tmp),
     )
+    if cap is not None:
+        # re-derive the cap-of-record hot set from the exact counts —
+        # compaction/repair squeezes retry inflation out of it (r15)
+        hot = sizes.filter(F.col("n") > cap).select("band", "bucket")
+        _swap_dir(
+            spark,
+            _index_subdir(path, "hot_buckets"),
+            lambda tmp: hot.coalesce(1).write.mode("error").parquet(tmp),
+        )
+
+
+def _raw_index_cap(spark, path: str):
+    """The index's cap of record (meta v3's ``cap``), read WITHOUT the
+    open-time repair sweep — callers here are the repair/recount
+    machinery itself (meta is plain write-once parquet; it never needs
+    repairing)."""
+    row = spark.read.parquet(_index_subdir(path, "meta")).first()
+    meta = row.asDict() if row is not None else {}
+    return meta.get("cap")
 
 
 def _repair_dedup_index(spark, path: str) -> list[str]:
@@ -776,7 +829,13 @@ def _repair_dedup_index(spark, path: str) -> list[str]:
     existence probes on the healthy path. Returns the repaired
     sub-table names."""
     repaired = []
-    for sub in ("fingerprints", "buckets", "bucket_sizes", "shingles"):
+    for sub in (
+        "fingerprints",
+        "buckets",
+        "bucket_sizes",
+        "shingles",
+        "hot_buckets",
+    ):
         if _repair_dangling_dir(spark, _index_subdir(path, sub)):
             repaired.append(sub)
     if repaired:
@@ -794,10 +853,11 @@ def _read_dedup_index_meta(spark, path: str) -> dict:
     if len(rows) != 1:
         raise ValueError(f"dedup index at {path!r} has a malformed meta")
     meta = rows[0].asDict()
-    if meta["version"] not in (1, 2):
+    if meta["version"] not in (1, 2, 3):
         raise ValueError(
             f"dedup index version {meta['version']} unsupported"
         )
+    meta.setdefault("cap", None)  # v1/v2 metas carry no cap of record
     _repair_dedup_index(spark, path)
     return meta
 
@@ -865,9 +925,44 @@ def append_dedup_index(
         bb.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("n")
         ).write.mode("append").parquet(_index_subdir(path, "bucket_sizes"))
+        if meta.get("cap") is not None:
+            _fold_hot_buckets(spark, path, bb, meta["cap"])
     else:
         bb.write.mode("append").parquet(_index_subdir(path, "buckets"))
     sh.unpersist()
+
+
+def _fold_hot_buckets(spark, path: str, bb: DataFrame, cap: int) -> None:
+    """Maintain the cap-of-record hot set at append time (r15 — r14
+    VERDICT finding 2 / item 2): only keys THIS append touched can
+    become hot (everything else's total is unchanged), and between
+    compactions counts only grow, so hot keys never cool — the new hot
+    set is old ∪ (touched keys whose summed total now exceeds the
+    cap). The sizes scan stays narrow and the shuffle is bounded by
+    the append's own touched keys (left-semi first); the gate then
+    pays ZERO per-gate aggregate. Crash between the sizes append and
+    this swap leaves a stale-but-readable hot set; the retry (the
+    append contract) or the compaction recount re-derives it."""
+    touched = bb.select("band", "bucket").distinct()
+    newly_hot = (
+        spark.read.parquet(_index_subdir(path, "bucket_sizes"))
+        .join(touched, ["band", "bucket"], "left_semi")
+        .groupBy("band", "bucket")
+        .agg(F.sum("n").alias("t"))
+        .filter(F.col("t") > cap)
+        .select("band", "bucket")
+    )
+    hot = (
+        spark.read.parquet(_index_subdir(path, "hot_buckets"))
+        .unionByName(newly_hot)
+        .distinct()
+        .localCheckpoint(eager=True)  # materialize BEFORE the swap
+    )
+    _swap_dir(
+        spark,
+        _index_subdir(path, "hot_buckets"),
+        lambda tmp: hot.coalesce(1).write.mode("error").parquet(tmp),
+    )
 
 
 def compact_dedup_index(spark, path: str) -> dict:
@@ -968,6 +1063,43 @@ def compact_dedup_index(spark, path: str) -> dict:
             spark.read.parquet(_index_subdir(path, "bucket_sizes")).count()
         )
     return counts
+
+
+def dedup_index_stats(spark, path: str) -> dict:
+    """Maintenance-slot report of a dedup index (r15 — r14 VERDICT
+    item 4): structural meta, per-tier row counts (narrow scans — the
+    shingle arrays, the index's dominant bytes, are never read), the
+    occupancy extremes the ``max_bucket_size`` guard derives from, and
+    the materialized hot set when the index carries a cap of record.
+    Keys: ``version, cap, n_fingerprints, n_bucket_rows,
+    n_distinct_buckets, max_bucket, hot_buckets``."""
+    meta = _read_dedup_index_meta(spark, path)
+    fp_n = spark.read.parquet(_index_subdir(path, "fingerprints")).count()
+    bk = spark.read.parquet(_index_subdir(path, "buckets"))
+    stats = {
+        "version": meta["version"],
+        "cap": meta.get("cap"),
+        "n_fingerprints": fp_n,
+        "n_bucket_rows": bk.count(),
+    }
+    if _fs_exists(spark, _index_subdir(path, "bucket_sizes")):
+        row = (
+            spark.read.parquet(_index_subdir(path, "bucket_sizes"))
+            .groupBy("band", "bucket")
+            .agg(F.sum("n").alias("t"))
+            .agg(
+                F.count(F.lit(1)).alias("keys"),
+                F.coalesce(F.max("t"), F.lit(0)).alias("mx"),
+            )
+            .first()
+        )
+        stats["n_distinct_buckets"] = int(row["keys"])
+        stats["max_bucket"] = int(row["mx"])
+    if _fs_exists(spark, _index_subdir(path, "hot_buckets")):
+        stats["hot_buckets"] = spark.read.parquet(
+            _index_subdir(path, "hot_buckets")
+        ).count()
+    return stats
 
 
 def corpus_diff(
@@ -1090,9 +1222,27 @@ def incremental_minhash_pairs(
         else:
             b_ref = spark.read.parquet(_index_subdir(index, "buckets"))
         if max_bucket_size is not None:
-            if meta["version"] >= 2:
-                # v2: the guard is a broadcast anti-join against the
-                # precomputed hot set (r14 — r13 VERDICT finding 2).
+            if (
+                meta["version"] >= 3
+                and meta.get("cap") == max_bucket_size
+                and _fs_exists(spark, _index_subdir(index, "hot_buckets"))
+            ):
+                # v3 cap-of-record fast path (r15 — r14 VERDICT finding
+                # 2): the hot set was materialized at build/append
+                # time, so the gate reads a precomputed (tiny by
+                # construction) table with ZERO per-gate aggregate
+                # over bucket_sizes — the capped gate's last
+                # index-growing shuffle is gone
+                hot = spark.read.parquet(
+                    _index_subdir(index, "hot_buckets")
+                ).select("band", "bucket")
+                b_ref = b_ref.join(
+                    broadcast(hot), ["band", "bucket"], "left_anti"
+                )
+            elif meta["version"] >= 2:
+                # v2 (or a cap different from the cap of record): the
+                # guard is a broadcast anti-join against the summed
+                # delta rows (r14 — r13 VERDICT finding 2).
                 # bucket_sizes carries per-append DELTA rows; the SUM
                 # per key is the exact full-reference bucket size, and
                 # the > cap survivors are tiny by construction (the

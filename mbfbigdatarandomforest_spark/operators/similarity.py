@@ -426,6 +426,65 @@ def _cosine_probe_routes(narrow: DataFrame, centroids, n_probe: int):
     return narrow.mapInPandas(_route, schema=route_schema)
 
 
+def _salt_cells(tagged: DataFrame, max_cell_size: int) -> DataFrame:
+    """2-D deterministic sub-cell split of oversized IVF cells (r15 —
+    r14 VERDICT finding 1: the cell-local verify shipped whole cells to
+    one task, so a hot cell — boilerplate embeddings piling onto one
+    centroid — grew the dense verify matrix quadratically and OOMed an
+    executor long before the quantizer's k ceiling mattered; the
+    minhash tier's ``max_bucket_size`` pattern, applied to embeddings
+    but EXACT instead of dropping).
+
+    ``tagged`` carries (cell, __role, id, ...) with ``__role`` 0 = left
+    side of the verify product, 1 = right side. Left rows take
+    ``__sa = xxhash64(id) % s`` and replicate over ``__sb``; right rows
+    take ``__sb = xxhash64(id) % s`` and replicate over ``__sa`` — so
+    every (left, right) pair of one cell meets in EXACTLY one
+    (cell, __sa, __sb) group (the blocked-matrix-multiply split), and
+    capped output ≡ uncapped output value-for-value, unconditionally.
+    Group size is ~cell/s ≤ ``max_cell_size`` rows, bounding both the
+    shuffled group and the dense verify matrix per task.
+
+    The split factors come from ONE narrow per-cell count (column-
+    pruned: the parquet side of a gate's union answers from footers)
+    collected to a bounded ≤ k-row driver list and broadcast; cells at
+    or under the cap ride through with s = 1 and zero replication."""
+    sizes = tagged.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    splits = [
+        (int(r["cell"]), int(-(-r["n"] // max_cell_size)))
+        for r in sizes
+        if r["n"] > max_cell_size
+    ]
+    if not splits:
+        return tagged.withColumn("__sa", F.lit(0)).withColumn(
+            "__sb", F.lit(0)
+        )
+    spark = tagged.sparkSession
+    sdf = spark.createDataFrame(splits, "cell int, __s int")
+    own = F.pmod(F.xxhash64(F.col("id")), F.col("__s")).cast("int")
+    return (
+        tagged.join(broadcast(sdf), "cell", "left")
+        .withColumn("__s", F.coalesce(F.col("__s"), F.lit(1)))
+        .withColumn("__own", own)
+        .withColumn(
+            "__oth", F.explode(F.sequence(F.lit(0), F.col("__s") - F.lit(1)))
+        )
+        .withColumn(
+            "__sa",
+            F.when(F.col("__role") == 0, F.col("__own")).otherwise(
+                F.col("__oth")
+            ),
+        )
+        .withColumn(
+            "__sb",
+            F.when(F.col("__role") == 0, F.col("__oth")).otherwise(
+                F.col("__own")
+            ),
+        )
+        .drop("__s", "__own", "__oth")
+    )
+
+
 def ann_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,
@@ -436,6 +495,7 @@ def ann_dup_pairs(
     seed: int = 42,
     kmeans_max_iter: int = 20,
     centroids=None,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via IVF candidates + exact
     verify — the 100 TB path (the all-pairs ``cosine_dup_pairs`` is the
@@ -449,12 +509,21 @@ def ann_dup_pairs(
     a candidate when either member's probe list covers the other's home
     cell — candidate count ≈(n_probe/n_clusters)·n²/2, linear in
     n_probe, unlike symmetric co-probing whose cost grows with
-    n_probe². Per-cell work is bounded by cell size (salt oversized
-    cells or raise n_clusters at larger corpora). Emitted cosines are
-    bit-exact vs the sequential-sum SQL baseline (see ``_verify``);
-    only recall is approximate — raise ``n_probe`` to trade cost for
-    recall. Output matches ``cosine_dup_pairs``:
-    (id_a, id_b, cosine_sim ≥ threshold)."""
+    n_probe². Emitted cosines are bit-exact vs the sequential-sum SQL
+    baseline (see ``_verify``); only recall is approximate — raise
+    ``n_probe`` to trade cost for recall. Output matches
+    ``cosine_dup_pairs``: (id_a, id_b, cosine_sim ≥ threshold).
+
+    ``max_cell_size`` (r15 — r14 VERDICT finding 1) bounds per-task
+    work: a cell whose routed row count exceeds it splits into
+    deterministic id-hash sub-cells (:func:`_salt_cells` — the 2-D
+    blocked split; every pair of one cell meets in exactly one
+    sub-cell group), so the shuffled group and the dense verify matrix
+    stay ≤ ~``max_cell_size`` rows per task while the output stays
+    EXACTLY the uncapped result (pinned in tests) — unlike the minhash
+    tier's ``max_bucket_size``, nothing is dropped. Size it to the
+    rows an executor comfortably verifies (matrix side × dim × 8 B);
+    None preserves the one-group-per-cell plan unchanged."""
     import numpy as np
     import pandas as pd
 
@@ -506,7 +575,52 @@ def ann_dup_pairs(
         out = pd.DataFrame({"id_a": a, "id_b": b, "cosine_sim": sims[ii, jj]})
         return out.drop_duplicates(["id_a", "id_b"])
 
-    pairs = routed.groupBy("cell").applyInPandas(_verify, schema=pair_schema)
+    def _verify_salted(pdf: pd.DataFrame) -> pd.DataFrame:
+        # salted twin of _verify: the left (probe) side and the right
+        # (home) side arrive as tagged copies instead of one frame with
+        # an is_home flag — the math and the IEEE summation order are
+        # IDENTICAL (capped ≡ uncapped is pinned value-for-value)
+        role = pdf["__role"].to_numpy()
+        left, home = pdf[role == 0], pdf[role == 1]
+        if not len(home) or not len(left):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"}
+            )
+        pv = np.array(left["v"].tolist(), dtype=np.float64)
+        hv = np.array(home["v"].tolist(), dtype=np.float64)
+        pid, hid = left["id"].to_numpy(), home["id"].to_numpy()
+        pn, hn = left["nrm"].to_numpy(), home["nrm"].to_numpy()
+        dots = np.zeros((len(left), len(home)), dtype=np.float64)
+        for d in range(pv.shape[1]):  # sequential over dims = exact order
+            dots += pv[:, d][:, None] * hv[:, d][None, :]
+        sims = dots / (pn[:, None] * hn[None, :])
+        ii, jj = np.nonzero(sims >= thr - 5e-7)
+        keep = pid[ii] != hid[jj]
+        ii, jj = ii[keep], jj[keep]
+        a = np.minimum(pid[ii], hid[jj])
+        b = np.maximum(pid[ii], hid[jj])
+        out = pd.DataFrame({"id_a": a, "id_b": b, "cosine_sim": sims[ii, jj]})
+        return out.drop_duplicates(["id_a", "id_b"])
+
+    if max_cell_size is None:
+        pairs = routed.groupBy("cell").applyInPandas(
+            _verify, schema=pair_schema
+        )
+    else:
+        # bounded-cell path: materialize the routing once (it feeds the
+        # per-cell count AND the verify), tag the two verify sides, and
+        # split oversized cells into id-hash sub-cell pairs
+        routed = routed.localCheckpoint(eager=True)
+        tagged = routed.select(
+            "cell", F.lit(0).alias("__role"), "id", "v", "nrm"
+        ).unionByName(
+            routed.filter(F.col("is_home")).select(
+                "cell", F.lit(1).alias("__role"), "id", "v", "nrm"
+            )
+        )
+        pairs = _salt_cells(tagged, max_cell_size).groupBy(
+            "cell", "__sa", "__sb"
+        ).applyInPandas(_verify_salted, schema=pair_schema)
     return (
         pairs.dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
@@ -525,6 +639,7 @@ def semantic_dedup(
     seed: int = 42,
     kmeans_max_iter: int = 20,
     centroids=None,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — cluster embeddings, drop within-cluster
@@ -550,6 +665,7 @@ def semantic_dedup(
         seed=seed,
         kmeans_max_iter=kmeans_max_iter,
         centroids=centroids,
+        max_cell_size=max_cell_size,
     )
     return dedup_filter(corpus, pairs, id_col=id_col)
 
@@ -577,7 +693,8 @@ def build_semantic_index(
     seed: int = 42,
     kmeans_max_iter: int = 20,
 ) -> None:
-    """Materialize the EXISTING corpus's semantic-dedup state (r14):
+    """Materialize the EXISTING corpus's semantic-dedup state (r14;
+    layout v2 r15 — r14 VERDICT finding 1 / item 1):
 
     - ``ivf/`` — the coarse-quantizer centroids
       (:func:`save_ivf_index` layout, kind-validated on load). FIXED
@@ -589,24 +706,71 @@ def build_semantic_index(
       side's probe cells (≤ k ints — a bounded driver list) and PRUNES
       the reference scan to exactly the cells it probes, the shingle-
       partition trick applied to embeddings;
-    - ``meta/`` — (version, k, dim, seed): self-describing.
+    - ``cell_sizes/`` — (cell, n) occupancy counts (v2): appends add
+      DELTA rows and readers SUM per cell — the minhash
+      ``bucket_sizes`` contract applied to the embedding tier. This is
+      what makes the documented FAISS retrain contract OBSERVABLE
+      (:func:`semantic_index_stats`): the quantizer is frozen at build
+      while appends grow occupancy without bound, and before r15
+      nothing measured that growth. Sizes come from the just-written
+      ``vectors/`` footers (the cell key is the partition directory —
+      a zero-data-column count);
+    - ``meta/`` — (version, k, dim, seed, build_n, target_cell):
+      self-describing, and ``build_n``/``target_cell`` anchor the
+      occupancy watermark (growth = n_vectors / build_n).
 
     The meta write uses mode("error") — building over an existing
     index raises. Append accepted snapshots with
-    :func:`append_semantic_index`; one writer per snapshot."""
+    :func:`append_semantic_index`; one writer per snapshot. Version-1
+    indexes (r14, no ``cell_sizes/``) stay readable — gates are
+    unchanged; stats fall back to counting ``vectors/`` footers."""
+    from .dedup import _fs_exists
+
     spark = reference.sparkSession
+    # fail-fast build lock: meta is written LAST (it needs build_n and
+    # marks the index complete), so the existence check must happen
+    # BEFORE anything gets clobbered — save_ivf_index overwrites
+    if _fs_exists(spark, _semantic_subdir(path, "meta")):
+        raise ValueError(
+            f"semantic index already exists at {path!r} — append with "
+            "append_semantic_index, or delete the directory to rebuild"
+        )
     centroids = _fit_centroids_sampled(
         reference, vec_col=vec_col, id_col=id_col, k=n_clusters,
         seed=seed, max_iter=kmeans_max_iter,
     )
-    spark.createDataFrame(
-        [(1, int(centroids.shape[0]), int(centroids.shape[1]), seed)],
-        "version int, k int, dim int, seed long",
-    ).coalesce(1).write.mode("error").parquet(_semantic_subdir(path, "meta"))
     save_ivf_index(spark, centroids, _semantic_subdir(path, "ivf"))
     _home_routed(reference, centroids, id_col, vec_col).write.mode(
         "error"
     ).partitionBy("cell").parquet(_semantic_subdir(path, "vectors"))
+    # occupancy state, free at write time: the count's only read
+    # column is the partition key, so it answers from parquet footers
+    sizes = (
+        spark.read.parquet(_semantic_subdir(path, "vectors"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # feeds the write AND build_n
+    )
+    sizes.coalesce(1).write.mode("error").parquet(
+        _semantic_subdir(path, "cell_sizes")
+    )
+    build_n = sizes.agg(F.sum("n")).first()[0] or 0
+    # meta LAST (its mode("error") is the build lock, and a crash
+    # before it leaves no readable index — the build is all-or-retry)
+    spark.createDataFrame(
+        [
+            (
+                2,
+                int(centroids.shape[0]),
+                int(centroids.shape[1]),
+                seed,
+                int(build_n),
+                ANN_TARGET_CELL_ROWS,
+            )
+        ],
+        "version int, k int, dim int, seed long, build_n long,"
+        " target_cell int",
+    ).coalesce(1).write.mode("error").parquet(_semantic_subdir(path, "meta"))
 
 
 def _check_dim(df: DataFrame, vec_col: str, dim: int, caller: str) -> None:
@@ -629,10 +793,13 @@ def _read_semantic_meta(spark, path: str) -> dict:
     if len(rows) != 1:
         raise ValueError(f"semantic index at {path!r} has a malformed meta")
     meta = rows[0].asDict()
-    if meta["version"] != 1:
+    if meta["version"] not in (1, 2):
         raise ValueError(
             f"semantic index version {meta['version']} unsupported"
         )
+    # v1 (r14) metas carry no occupancy anchors — stats fall back
+    meta.setdefault("build_n", None)
+    meta.setdefault("target_cell", ANN_TARGET_CELL_ROWS)
     _repair_semantic_index(spark, path)
     return meta
 
@@ -654,30 +821,75 @@ def append_semantic_index(
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> None:
+) -> dict:
     """Append an ACCEPTED snapshot's vectors to a semantic index —
     routed to their home cells under the index's OWN (fixed) centroids,
-    one partitioned parquet append. O(accepted)."""
+    one partitioned parquet append plus (v2) one DELTA append of the
+    snapshot's per-cell counts to ``cell_sizes/``. O(accepted).
+
+    Returns :func:`semantic_index_stats`'s occupancy watermark (r15 —
+    r14 VERDICT item 1c): the quantizer is FROZEN at build, so the
+    caller of the ingestion cycle is the one who must see
+    ``rebuild_advised`` flip as appends outgrow the build corpus — the
+    documented FAISS retrain contract made observable at exactly the
+    moment occupancy changes."""
     spark = accepted.sparkSession
     meta = _read_semantic_meta(spark, path)
     _check_dim(accepted, vec_col, meta["dim"], "append_semantic_index")
     centroids = load_ivf_index(spark, _semantic_subdir(path, "ivf"))
-    _home_routed(accepted, centroids, id_col, vec_col).write.mode(
-        "append"
-    ).partitionBy("cell").parquet(_semantic_subdir(path, "vectors"))
+    routed = _home_routed(accepted, centroids, id_col, vec_col)
+    if meta["version"] >= 2:
+        # materialize once: the routing feeds the vectors append AND
+        # the delta counts (O(accepted) transient blocks)
+        routed = routed.localCheckpoint(eager=True)
+    routed.write.mode("append").partitionBy("cell").parquet(
+        _semantic_subdir(path, "vectors")
+    )
+    if meta["version"] >= 2:
+        routed.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n")
+        ).write.mode("append").parquet(_semantic_subdir(path, "cell_sizes"))
+    return semantic_index_stats(spark, path, _meta=meta)
+
+
+def _recount_cell_sizes(spark, path: str) -> None:
+    """Exact recount of ``cell_sizes/`` from the current vectors table,
+    swapped in crash-safely — compaction's final step, also run by
+    crash repair (the minhash ``_recount_bucket_sizes`` contract: a
+    crash between the vectors swap and the sizes swap would leave the
+    two tables describing different corpora, and a stale watermark
+    would mis-advise the rebuild decision). Footer-cheap: the only
+    read column is the partition key."""
+    from .dedup import _swap_dir
+
+    sizes = (
+        spark.read.parquet(_semantic_subdir(path, "vectors"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    _swap_dir(
+        spark,
+        _semantic_subdir(path, "cell_sizes"),
+        lambda tmp: sizes.coalesce(1).write.mode("error").parquet(tmp),
+    )
 
 
 def _repair_semantic_index(spark, path: str) -> list[str]:
     """Open-time repair of an interrupted :func:`compact_semantic_index`
     swap — :func:`dedup._repair_dangling_dir`, the ONE shared state
-    machine, applied to ``vectors/`` (the semantic index has no derived
-    sibling table, so unlike the MinHash index no post-repair recount
-    is needed)."""
-    from .dedup import _repair_dangling_dir
+    machine, applied to ``vectors/`` and (v2) ``cell_sizes/``; when
+    anything WAS repaired and the index carries a sizes table, an
+    exact recount re-syncs it with the post-repair vectors (the
+    minhash repair contract — r15)."""
+    from .dedup import _fs_exists, _repair_dangling_dir
 
-    if _repair_dangling_dir(spark, _semantic_subdir(path, "vectors")):
-        return ["vectors"]
-    return []
+    repaired = []
+    for sub in ("vectors", "cell_sizes"):
+        if _repair_dangling_dir(spark, _semantic_subdir(path, sub)):
+            repaired.append(sub)
+    if repaired and _fs_exists(spark, _semantic_subdir(path, "cell_sizes")):
+        _recount_cell_sizes(spark, path)
+    return repaired
 
 
 def compact_semantic_index(spark, path: str) -> dict:
@@ -685,15 +897,20 @@ def compact_semantic_index(spark, path: str) -> dict:
     appends accumulate one file set per append (the small-files
     problem), and a RETRIED append duplicates its rows — compaction
     collapses duplicate ids (keep-any: rows for one id are identical
-    by construction) and rewrites one file per cell. Gate results are
-    unchanged by construction (the verify is set-semantics over ids).
-    Centroids are NOT refit — quantizer stability is the index's
-    contract; refitting for a drifted corpus is a rebuild. Same
+    by construction) and rewrites one file per cell, then (v2)
+    recounts ``cell_sizes/`` exactly, collapsing the per-append delta
+    rows back to one row per cell and squeezing retry inflation out of
+    the occupancy watermark. Gate results are unchanged by
+    construction (the verify is set-semantics over ids). Centroids are
+    NOT refit — quantizer stability is the index's contract; refitting
+    for a drifted corpus is a rebuild (see
+    :func:`semantic_index_stats`'s ``rebuild_advised``). Same
     single-writer maintenance-slot contract and the same crash-safe
     swap as ``dedup.compact_dedup_index`` (every boundary repairable
     by :func:`_repair_semantic_index`, which runs on every index open
-    via :func:`_read_semantic_meta`). Returns {"vectors": n}."""
-    from .dedup import _swap_dir
+    via :func:`_read_semantic_meta`). Returns {"vectors": n} plus
+    {"cell_sizes": n} on v2 indexes."""
+    from .dedup import _fs_exists, _swap_dir
 
     _read_semantic_meta(spark, path)  # validates + repairs
     src = _semantic_subdir(path, "vectors")
@@ -707,7 +924,79 @@ def compact_semantic_index(spark, path: str) -> dict:
         .partitionBy("cell")
         .parquet(tmp),
     )
-    return {"vectors": n}
+    counts = {"vectors": n}
+    if _fs_exists(spark, _semantic_subdir(path, "cell_sizes")):
+        _recount_cell_sizes(spark, path)
+        counts["cell_sizes"] = spark.read.parquet(
+            _semantic_subdir(path, "cell_sizes")
+        ).count()
+    return counts
+
+
+#: Occupancy watermark thresholds (r15 — r14 VERDICT item 1c). The
+#: quantizer is frozen at build; these make its documented retrain
+#: contract observable. GROWTH: once the corpus is 4× the build
+#: corpus, the sample the centroids were trained on describes ≤25 % of
+#: the data — cell balance (and therefore recall at a given n_probe)
+#: degrades, and mean occupancy is 4× the build target. HOT_CELL: one
+#: cell at 32× the target (boilerplate embeddings piling onto one
+#: centroid) marks pathological skew no global growth factor sees —
+#: ``max_cell_size`` bounds the per-task damage, a rebuild fixes the
+#: cause.
+SEMANTIC_REBUILD_GROWTH = 4.0
+SEMANTIC_HOT_CELL_FACTOR = 32
+
+
+def semantic_index_stats(spark, path: str, *, _meta: dict | None = None) -> dict:
+    """Occupancy watermark of a semantic index (r15): totals and
+    per-cell extremes from ``cell_sizes/`` (v2 — one narrow aggregate
+    over ≤ one row per cell per append, never the vector bytes; v1
+    indexes fall back to counting ``vectors/`` partition footers), and
+    the ``rebuild_advised`` flag per the thresholds above. Keys:
+    ``n_vectors, k, build_n, target_cell, max_cell, mean_cell,
+    hot_cells, growth, rebuild_advised``."""
+    from .dedup import _fs_exists
+
+    meta = _meta or _read_semantic_meta(spark, path)
+    if _fs_exists(spark, _semantic_subdir(path, "cell_sizes")):
+        sizes = (
+            spark.read.parquet(_semantic_subdir(path, "cell_sizes"))
+            .groupBy("cell")
+            .agg(F.sum("n").alias("n"))
+        )
+    else:  # v1 fallback: partition-key-only count — footer-cheap
+        sizes = (
+            spark.read.parquet(_semantic_subdir(path, "vectors"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    target = meta.get("target_cell") or ANN_TARGET_CELL_ROWS
+    hot_at = SEMANTIC_HOT_CELL_FACTOR * target
+    row = sizes.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("total"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("mx"),
+        F.coalesce(
+            F.sum((F.col("n") > hot_at).cast("int")), F.lit(0)
+        ).alias("hot"),
+    ).first()
+    total, mx, hot = int(row["total"]), int(row["mx"]), int(row["hot"])
+    build_n = meta.get("build_n")
+    growth = (total / build_n) if build_n else None
+    advised = bool(
+        (growth is not None and growth >= SEMANTIC_REBUILD_GROWTH)
+        or mx > hot_at
+    )
+    return {
+        "n_vectors": total,
+        "k": int(meta["k"]),
+        "build_n": build_n,
+        "target_cell": int(target),
+        "max_cell": mx,
+        "mean_cell": (total / meta["k"]) if meta["k"] else 0.0,
+        "hot_cells": hot,
+        "growth": growth,
+        "rebuild_advised": advised,
+    }
 
 
 def incremental_ann_pairs(
@@ -723,6 +1012,7 @@ def incremental_ann_pairs(
     seed: int = 42,
     kmeans_max_iter: int = 20,
     centroids=None,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """(new_id, ref_id, cosine_sim) embedding near-duplicate pairs of a
     NEW snapshot against the EXISTING corpus (r14) — the semantic
@@ -749,7 +1039,18 @@ def incremental_ann_pairs(
     :func:`load_ivf_index` returns) — long-lived callers gating many
     snapshots/micro-batches against one static index load it once
     instead of paying the meta read + repair sweep + centroid collect
-    per call (the streaming gate does)."""
+    per call (the streaming gate does).
+
+    ``max_cell_size`` (r15 — r14 VERDICT finding 1): the quantizer is
+    FROZEN at build while appends grow occupancy without bound, so a
+    hot cell would otherwise ship whole to one task and grow the dense
+    verify matrix quadratically. Cells whose combined (new + ref) row
+    count exceeds the cap split into deterministic id-hash sub-cells
+    (:func:`_salt_cells` — every (new, ref) pair of a cell meets in
+    exactly one sub-cell group), bounding per-task rows and matrix at
+    ~``max_cell_size`` while the output stays EXACTLY the uncapped
+    result — nothing is dropped, capped ≡ uncapped is pinned in
+    tests."""
     import numpy as np
     import pandas as pd
 
@@ -762,6 +1063,18 @@ def incremental_ann_pairs(
             _check_dim(new, vec_col, meta["dim"], "incremental_ann_pairs")
             centroids = load_ivf_index(
                 spark, _semantic_subdir(index, "ivf")
+            )
+        else:
+            # preloaded-quantizer path (the streaming gate): the
+            # fail-fast dim probe must run here too, or a wrong-width
+            # micro-batch regains the opaque numpy broadcast error the
+            # probe exists to prevent (ADVICE r14). Expected dim comes
+            # from the quantizer itself — no meta read needed.
+            _check_dim(
+                new,
+                vec_col,
+                int(np.asarray(centroids).shape[1]),
+                "incremental_ann_pairs",
             )
     else:
         centroids = _fit_centroids_sampled(
@@ -830,7 +1143,23 @@ def incremental_ann_pairs(
             F.col("rv").alias("v"), F.col("rn").alias("nrm"),
         )
     )
-    pairs = both.groupBy("cell").applyInPandas(_verify, schema=pair_schema)
+    if max_cell_size is None:
+        pairs = both.groupBy("cell").applyInPandas(
+            _verify, schema=pair_schema
+        )
+    else:
+        # bounded-cell path: _salt_cells counts per cell first — a
+        # column-pruned pass (the index side answers from partition
+        # footers; the new side re-reads its local checkpoint blocks)
+        # — then oversized cells split into id-hash sub-cell pairs.
+        # _verify already keys on the side column, so it serves both
+        # the whole-cell and the sub-cell groups unchanged.
+        salted = _salt_cells(
+            both.withColumn("__role", F.col("side")), max_cell_size
+        )
+        pairs = salted.groupBy("cell", "__sa", "__sb").applyInPandas(
+            _verify, schema=pair_schema
+        )
     # rounding Spark-side (HALF_UP parity with the oracle); each pair
     # appears in exactly one cell (the ref's home) — no dedup needed
     return pairs.select(
@@ -851,6 +1180,7 @@ def incremental_semantic_dedup(
     seed: int = 42,
     kmeans_max_iter: int = 20,
     centroids=None,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """Surviving rows of ``new`` whose embedding has NO cosine ≥
     ``threshold`` near-duplicate in the existing corpus (r14) — the
@@ -873,6 +1203,7 @@ def incremental_semantic_dedup(
             seed=seed,
             kmeans_max_iter=kmeans_max_iter,
             centroids=centroids,
+            max_cell_size=max_cell_size,
         )
         .select(F.col("new_id").alias(id_col))
         .distinct()

@@ -116,26 +116,53 @@ def _psl_alt(entries: tuple[str, ...]) -> str:
     return "|".join(s.replace(".", r"\.") for s in entries)
 
 
-_PSL_ALT = _psl_alt(PUBLIC_SUFFIXES_2LABEL)
-_PSL_LONG_ALT = _psl_alt(PUBLIC_SUFFIXES_LONG)
+def build_psl_tables(rules: dict) -> dict:
+    """Alternation literals + the self-suffix regex from parsed PSL
+    bins — ONE formula shared by the import-time build over the
+    vendored data file and the synthetic-rule-universe property test
+    (r15 — r14 VERDICT item 6: the loader handles any depth/kind, but
+    the snapshot exercises ~300 rules; tests drive this same
+    construction over a generated 1k-rule universe so a real-list
+    swap-in cannot surprise the tier expressions). Keys: ``alt``
+    (2-label), ``long_alt``, ``wc_alts`` ([(parent depth, alternation)]
+    deepest first), ``exc_alt``, ``self_suffix_re``."""
+    alt = _psl_alt(rules["two_label"])
+    long_alt = _psl_alt(rules["long"])
+    wc_alts = [
+        (k, _psl_alt(rules["wildcards"][k]))
+        for k in sorted(rules["wildcards"], reverse=True)
+    ]
+    exc_alt = _psl_alt(rules["exceptions"])
+    # A host that IS a public suffix has no registrable domain (PSL
+    # semantics; r12 verdict What's-wrong 3): exact long/2-label
+    # entries, a direct child of a wildcard parent (``test.ck``,
+    # ``foo.kawasaki.jp``), or an exact <second-level>.<cc> of the
+    # generic heuristic tier. Exceptions (``!www.ck``) are checked
+    # FIRST by the resolver, so they never reach this pattern. (Bare
+    # one-label hosts keep their heuristic bucket — the documented
+    # divergence.)
+    self_suffix_re = (
+        r"^(?:(?:" + long_alt + r")|(?:" + alt + r")"
+        + "".join(r"|[^.]+\.(?:" + a + r")" for _, a in wc_alts)
+        + r"|" + _SECOND_LEVEL + r"\.[a-z]{2})$"
+    )
+    return {
+        "alt": alt,
+        "long_alt": long_alt,
+        "wc_alts": wc_alts,
+        "exc_alt": exc_alt,
+        "self_suffix_re": self_suffix_re,
+    }
+
+
+_PSL_TABLES = build_psl_tables(_PSL_RULES)
+_PSL_ALT = _PSL_TABLES["alt"]
+_PSL_LONG_ALT = _PSL_TABLES["long_alt"]
 #: one alternation per wildcard parent depth, deepest parents first —
 #: the resolver and the DuckDB twin both iterate this list
-_PSL_WC_ALTS: list[tuple[int, str]] = [
-    (k, _psl_alt(PSL_WILDCARDS[k])) for k in sorted(PSL_WILDCARDS, reverse=True)
-]
-_PSL_EXC_ALT = _psl_alt(PSL_EXCEPTIONS)
-#: A host that IS a public suffix has no registrable domain (PSL
-#: semantics; r12 verdict What's-wrong 3): exact long/2-label entries,
-#: a direct child of a wildcard parent (``test.ck``,
-#: ``foo.kawasaki.jp``), or an exact <second-level>.<cc> of the
-#: generic heuristic tier. Exceptions (``!www.ck``) are checked FIRST
-#: by the resolver, so they never reach this pattern. (Bare one-label
-#: hosts keep their heuristic bucket — the documented divergence.)
-_SELF_SUFFIX_RE = (
-    r"^(?:(?:" + _PSL_LONG_ALT + r")|(?:" + _PSL_ALT + r")"
-    + "".join(r"|[^.]+\.(?:" + alt + r")" for _, alt in _PSL_WC_ALTS)
-    + r"|" + _SECOND_LEVEL + r"\.[a-z]{2})$"
-)
+_PSL_WC_ALTS: list[tuple[int, str]] = _PSL_TABLES["wc_alts"]
+_PSL_EXC_ALT = _PSL_TABLES["exc_alt"]
+_SELF_SUFFIX_RE = _PSL_TABLES["self_suffix_re"]
 
 
 def _col(col: Column | str) -> Column:

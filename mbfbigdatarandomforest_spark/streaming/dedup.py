@@ -143,6 +143,7 @@ def run_incremental_semantic_dedup_available_now(
     n_probe: int = 6,
     query_name: str = "incremental_semantic_dedup_stream",
     source_options: dict[str, str] | None = None,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """Cross-snapshot SEMANTIC dedup gate as a stream (r14): micro-
     batched NEW vectors gated against a STATIC
@@ -177,6 +178,7 @@ def run_incremental_semantic_dedup_available_now(
             vec_col=vec_col,
             id_col=id_col,
             centroids=centroids,
+            max_cell_size=max_cell_size,
         )
         kept.write.mode("append").parquet(out_dir)
 

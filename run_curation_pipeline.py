@@ -194,6 +194,27 @@ def main() -> None:
                     "(its saved order wins over --lm-order), else "
                     "train on this run's target corpus and save it "
                     "there — the model-side analogue of --dedup-index")
+    ap.add_argument("--semantic-index", default=None,
+                    help="accumulated-corpus SEMANTIC dedup index dir "
+                    "(operators.similarity.build_semantic_index "
+                    "layout) — maintenance target for --index-compact/"
+                    "--index-stats")
+    ap.add_argument("--recrawl-state", default=None,
+                    help="streaming recrawl lastmod-state dir "
+                    "(streaming.recrawl layout) — maintenance target "
+                    "for --index-compact/--index-stats")
+    ap.add_argument("--index-compact", action="store_true",
+                    help="MAINTENANCE MODE (r15): compact every given "
+                    "persistent state (--dedup-index, --semantic-index, "
+                    "--recrawl-state) in the single-writer maintenance "
+                    "slot — gate answers are unchanged by construction "
+                    "— print one JSON report, and exit without running "
+                    "the funnel")
+    ap.add_argument("--index-stats", action="store_true",
+                    help="MAINTENANCE MODE (r15): report each given "
+                    "state's size tables and the semantic index's "
+                    "occupancy watermark (rebuild_advised), then exit "
+                    "without running the funnel")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -215,6 +236,57 @@ def main() -> None:
     out = Path(args.out)
     spark = get_spark(app_name="curation-pipeline")
     spark.sparkContext.setLogLevel("WARN")
+
+    if args.index_compact or args.index_stats:
+        # ONE maintenance surface for all three persistent states
+        # (r15 — r14 VERDICT item 4); its own run = the documented
+        # single-writer maintenance slot, never concurrent with gates
+        report: dict = {"maintenance": True}
+        if args.dedup_index:
+            ent: dict = {}
+            if args.index_compact:
+                ent["compacted"] = dd.compact_dedup_index(
+                    spark, args.dedup_index
+                )
+            if args.index_stats:
+                ent["stats"] = dd.dedup_index_stats(spark, args.dedup_index)
+            report["dedup_index"] = ent
+        if args.semantic_index:
+            from mbfbigdatarandomforest_spark.operators import (
+                similarity as sim_ops,
+            )
+
+            ent = {}
+            if args.index_compact:
+                ent["compacted"] = sim_ops.compact_semantic_index(
+                    spark, args.semantic_index
+                )
+            if args.index_stats:
+                ent["stats"] = sim_ops.semantic_index_stats(
+                    spark, args.semantic_index
+                )
+            report["semantic_index"] = ent
+        if args.recrawl_state:
+            from mbfbigdatarandomforest_spark.streaming.recrawl import (
+                compact_recrawl_state,
+            )
+
+            ent = {}
+            if args.index_compact:
+                ent["compacted"] = compact_recrawl_state(
+                    spark, args.recrawl_state
+                )
+            if args.index_stats:
+                st = spark.read.parquet(args.recrawl_state)
+                ent["stats"] = {
+                    "delta_rows": st.count(),
+                    "urls": st.select("loc").distinct().count(),
+                }
+            report["recrawl_state"] = ent
+        report["wall_sec"] = round(time.time() - t0, 1)
+        print(json.dumps(report))
+        spark.stop()
+        return
 
     if args.warc_dir:
         from mbfbigdatarandomforest_spark.sources.warc import (

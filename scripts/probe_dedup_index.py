@@ -110,7 +110,11 @@ def main() -> None:
             ref_rows = ref.count()
             idx = f"{scratch}/idx_k{k}"
             t0 = time.monotonic()
-            dd.build_dedup_index(ref, idx)
+            # cap of record (r15): the capped gate lane below reads the
+            # hot set materialized at build/append — zero per-gate
+            # aggregate over bucket_sizes, so cap-lane shuffle should
+            # now be ~the uncapped lane's (new-side-only) at every K
+            dd.build_dedup_index(ref, idx, max_bucket_size=50)
             build_sec = time.monotonic() - t0
 
             w_rebuild, kept_r, io_r = _timed(

@@ -20,10 +20,24 @@ grow linearly like a real accumulating corpus — while the stored
 bytes are unique per replica (exact copies would compress away in
 parquet and fake a flat-IO result).
 
+r15 additions (r14 VERDICT items 1 and 5):
+
+- a CAPPED gate lane per K (``max_cell_size`` — the bounded-verify
+  split): kept must equal the uncapped gate exactly, wall/IO reported;
+- a PLANTED-HOT-CELL section at the top K: a pile of cosine-scaled
+  copies of one vector lands on one centroid, the capped gate must
+  still answer exactly, and the report carries the measured max verify
+  GROUP rows capped vs uncapped — the group is what one task holds
+  (its pandas frame and its dense matrix scale with it), so bounded
+  groups ARE bounded per-task peak memory;
+- a STREAMING drain against the top-K index with the preloaded-
+  centroids path: per-batch walls and drained ≡ batch pinned in-probe.
+
 Prints one JSON line:
 {"new_rows": N, "runs": {K: {"ref_rows": R, "build_sec": B,
- "gate_rebuild_sec": W1, "gate_index_sec": W2, "kept": C,
- "io_rebuild": {...}, "io_index": {...}}}}
+ "gate_rebuild_sec": W1, "gate_index_sec": W2, "gate_index_capped_sec":
+ W3, "kept": C, "io_rebuild": {...}, "io_index": {...},
+ "io_index_capped": {...}}}, "hot_cell": {...}, "streaming": {...}}
 """
 
 from __future__ import annotations
@@ -52,6 +66,8 @@ KS = tuple(
 THRESHOLD = 0.8
 K_CLUSTERS = 64
 N_PROBE = 6
+MAX_CELL = 2000  # capped lane: small enough to split cells at every K
+HOT_PILE = 12_000  # planted hot-cell occupancy (≫ MAX_CELL)
 
 
 def _replicate(ref, k: int, stride: int):
@@ -66,6 +82,170 @@ def _replicate(ref, k: int, stride: int):
                 ).alias("embedding"),
             )
         )
+    return out
+
+
+def _max_group_rows(spark, new, idx, cap):
+    """Measured max verify-GROUP rows for the capped vs uncapped gate —
+    the group is one task's whole input (pandas frame + dense matrix),
+    so this IS the per-task peak-memory driver. Re-derives the gate's
+    own tagged/salted frames through the operator's helpers."""
+    cents = sim.load_ivf_index(spark, sim._semantic_subdir(idx, "ivf"))
+    routed_new = sim._cosine_probe_routes(
+        sim._narrow_vectors(new, "vec_id", "embedding"), cents, N_PROBE
+    ).select("cell", F.lit(0).alias("__role"), "id", "v", "nrm")
+    pbs = [r[0] for r in routed_new.select("cell").distinct().collect()]
+    ref_rows = (
+        spark.read.parquet(sim._semantic_subdir(idx, "vectors"))
+        .filter(F.col("cell").isin(pbs))
+        .select("cell", F.lit(1).alias("__role"), "id", "v", "nrm")
+    )
+    both = routed_new.unionByName(ref_rows)
+    uncapped = (
+        both.groupBy("cell").count().agg(F.max("count")).first()[0] or 0
+    )
+    capped = (
+        sim._salt_cells(both, cap)
+        .groupBy("cell", "__sa", "__sb")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+        or 0
+    )
+    return int(uncapped), int(capped)
+
+
+def _hot_cell_probe(spark, emb, scratch: str) -> dict:
+    """Plant a HOT cell via the EXACT failure mode of r14 VERDICT
+    finding 1: the quantizer freezes at build, then boilerplate
+    embeddings pile onto one centroid through APPENDS (a pile present
+    at build time would instead attract several centroids of its own
+    — k-means absorbs it; the frozen-quantizer append is what nothing
+    used to bound). HOT_PILE cosine-scaled copies of one vector all
+    route to the same fixed home cell; the capped gate must answer
+    exactly the uncapped gate while its max verify group stays
+    ~MAX_CELL rows instead of the pile, and the occupancy watermark
+    must flag the index."""
+    base = emb.orderBy("vec_id").limit(1).localCheckpoint()
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    idx = f"{scratch}/idx_hot"
+    sim.build_semantic_index(ref, idx, n_clusters=K_CLUSTERS)
+    pile = spark.range(1, HOT_PILE + 1).crossJoin(base).select(
+        (F.col("vec_id") + 500_000_000 + F.col("id")).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x * (F.lit(1.0) + F.col("id") / F.lit(1e7))).cast(
+                "double"
+            ),
+        ).alias("embedding"),
+    )
+    stats = sim.append_semantic_index(pile, idx)
+    # the new side probes the hot cell: scaled copies of the same base
+    new = (
+        emb.filter(F.col("vec_id") % 2 == 1)
+        .unionByName(
+            spark.range(1, 101)
+            .crossJoin(base)
+            .select(
+                (F.col("vec_id") + 700_000_000 + F.col("id")).alias(
+                    "vec_id"
+                ),
+                F.transform(
+                    "embedding",
+                    lambda x: (
+                        x * (F.lit(1.0) + F.col("id") / F.lit(1e6))
+                    ).cast("double"),
+                ).alias("embedding"),
+            )
+        )
+        .localCheckpoint()
+    )
+    assert stats["max_cell"] >= HOT_PILE  # the pile really concentrated
+    # 12k-on-one-cell at a 1k-row build corpus: growth flags the index
+    assert stats["rebuild_advised"] is True
+    kw = dict(threshold=THRESHOLD, n_probe=N_PROBE)
+    w_unc, kept_u, io_u = _timed(
+        lambda: sim.incremental_semantic_dedup(new, index=idx, **kw).count(),
+        spark,
+    )
+    spark.catalog.clearCache()
+    w_cap, kept_c, io_c = _timed(
+        lambda: sim.incremental_semantic_dedup(
+            new, index=idx, max_cell_size=MAX_CELL, **kw
+        ).count(),
+        spark,
+    )
+    spark.catalog.clearCache()
+    assert kept_c == kept_u, (kept_c, kept_u)
+    g_unc, g_cap = _max_group_rows(spark, new, idx, MAX_CELL)
+    assert g_cap <= 2 * MAX_CELL, (g_cap, MAX_CELL)  # bounded per task
+    assert g_unc >= HOT_PILE  # the pile really concentrated
+    out = {
+        "pile": HOT_PILE,
+        "max_cell_occupancy": stats["max_cell"],
+        "hot_cells": stats["hot_cells"],
+        "rebuild_advised": stats["rebuild_advised"],
+        "kept": kept_u,
+        "gate_uncapped_sec": round(w_unc, 3),
+        "gate_capped_sec": round(w_cap, 3),
+        "max_group_rows_uncapped": g_unc,
+        "max_group_rows_capped": g_cap,
+        "io_uncapped": io_u,
+        "io_capped": io_c,
+    }
+    print(f"# hot_cell: {out}", file=sys.stderr)
+    return out
+
+
+def _streaming_probe(spark, new, idx: str, scratch: str) -> dict:
+    """Drain the semantic STREAMING gate against the top-K (40×) index
+    with the preloaded-centroids path (r14 VERDICT item 5): the hoisted
+    quantizer load + per-micro-batch capped gates. Reports total and
+    mean per-batch wall plus the drain's input/shuffle bytes; drained ≡
+    batch asserted in-probe."""
+    from probe_dedup_index import _io_totals
+    from mbfbigdatarandomforest_spark.streaming.dedup import (
+        run_incremental_semantic_dedup_available_now,
+    )
+
+    src = f"{scratch}/stream_src"
+    out_dir = f"{scratch}/stream_out"
+    n_batches = 4
+    new.repartition(n_batches).write.parquet(src)
+    before = _io_totals(spark)
+    t0 = time.monotonic()
+    got = run_incremental_semantic_dedup_available_now(
+        spark,
+        src,
+        new.schema,
+        out_dir,
+        idx,
+        threshold=THRESHOLD,
+        n_probe=N_PROBE,
+        source_options={"maxFilesPerTrigger": "1"},
+        max_cell_size=MAX_CELL,
+    )
+    drain_sec = time.monotonic() - t0
+    after = _io_totals(spark)
+    drained = got.count()
+    batch = sim.incremental_semantic_dedup(
+        new, index=idx, threshold=THRESHOLD, n_probe=N_PROBE
+    ).count()
+    assert drained == batch, (drained, batch)
+    out = {
+        "batches": n_batches,
+        "drain_sec": round(drain_sec, 3),
+        "mean_batch_sec": round(drain_sec / n_batches, 3),
+        "drained": drained,
+        "io_drain": {
+            "input_mb": round((after["input"] - before["input"]) / 2**20, 1),
+            "sread_mb": round((after["sread"] - before["sread"]) / 2**20, 1),
+            "swrite_mb": round(
+                (after["swrite"] - before["swrite"]) / 2**20, 1
+            ),
+        },
+    }
+    print(f"# streaming: {out}", file=sys.stderr)
     return out
 
 
@@ -106,6 +286,17 @@ def main() -> None:
                 spark,
             )
             spark.catalog.clearCache()
+            # capped lane (r15): the bounded-verify split must answer
+            # EXACTLY the uncapped gate at any cap — probe one small
+            # enough to force multi-way splits at every K
+            w_cap, kept_c, io_c = _timed(
+                lambda: sim.incremental_semantic_dedup(
+                    new, index=idx, max_cell_size=MAX_CELL, **kw
+                ).count(),
+                spark,
+            )
+            spark.catalog.clearCache()
+            assert kept_c == kept_i, (k, kept_c, kept_i)
             # the rebuild path refits on the REPLICATED ref (identical
             # point set duplicated → same centroids family but k-means
             # sampling differs with row count) — so equality vs the
@@ -118,16 +309,30 @@ def main() -> None:
                 "build_sec": round(build_sec, 3),
                 "gate_rebuild_sec": round(w_rebuild, 3),
                 "gate_index_sec": round(w_index, 3),
+                "gate_index_capped_sec": round(w_cap, 3),
                 "kept": kept_i,
                 "io_rebuild": io_r,
                 "io_index": io_i,
+                "io_index_capped": io_c,
             }
             print(f"# K={k}: {runs[k]}", file=sys.stderr)
         kepts = {r["kept"] for r in runs.values()}
         assert len(kepts) == 1, f"kept set varied across K: {kepts}"
+        top_idx = f"{scratch}/idx_k{max(KS)}"
+        hot = _hot_cell_probe(spark, emb, scratch)
+        streaming = _streaming_probe(spark, new, top_idx, scratch)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    print(json.dumps({"new_rows": n_new, "runs": runs}))
+    print(
+        json.dumps(
+            {
+                "new_rows": n_new,
+                "runs": runs,
+                "hot_cell": hot,
+                "streaming": streaming,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -92,7 +92,7 @@ def test_compact_swap_crash_at_every_boundary(spark, tmp_path):
 
         # open-time repair must restore a readable, gate-correct index
         meta = dd._read_dedup_index_meta(spark, idx)
-        assert meta["version"] == 2
+        assert meta["version"] == 3
         assert _kept(spark, new, idx) == want, f"boundary {boundary}"
         # ...and a SIZE-CONSISTENT one (r14 review finding 1): a crash
         # between the buckets swap and the sizes swap would otherwise
@@ -186,7 +186,7 @@ def test_v2_capped_gate_has_no_index_side_window(spark, tmp_path):
     # by peeking at the physical plan of the same computation's parts:
     # the hot-set guard itself
     meta = dd._read_dedup_index_meta(spark, idx)
-    assert meta["version"] == 2
+    assert meta["version"] == 3
     b_ref = dd._ensure_index_table(
         spark, idx, "buckets", ("band", "bucket"), meta["file_buckets"]
     )
@@ -292,3 +292,253 @@ def test_index_path_with_single_quote(spark, tmp_path):
     plain = str(tmp_path / "plain")
     dd.build_dedup_index(ref, plain)
     assert _kept(spark, new, idx) == _kept(spark, new, plain)
+
+
+def _hot_set(spark, idx):
+    return {
+        (r["band"], r["bucket"])
+        for r in spark.read.parquet(
+            dd._index_subdir(idx, "hot_buckets")
+        ).collect()
+    }
+
+
+def _summed_hot(spark, idx, cap):
+    return {
+        (r["band"], r["bucket"])
+        for r in spark.read.parquet(dd._index_subdir(idx, "bucket_sizes"))
+        .groupBy("band", "bucket")
+        .agg(F.sum("n").alias("t"))
+        .filter(F.col("t") > cap)
+        .collect()
+    }
+
+
+def test_cap_of_record_hot_set_lifecycle(spark, tmp_path):
+    """r15 (r14 VERDICT finding 2 / item 2): an index built with a cap
+    of record materializes its hot-(band,bucket) set at build and
+    every append, so the matching-cap gate reads it with zero per-gate
+    aggregate — and the gate answers stay EXACTLY the v2 aggregate
+    path's and the rebuild path's, across append, retried append, and
+    compaction. Hot keys never cool between compactions."""
+    ref, new = _corpus(spark)
+    cap = 2  # tiny: the fixture really produces hot buckets
+    idx = str(tmp_path / "capidx")
+    dd.build_dedup_index(ref, idx, max_bucket_size=cap)
+    plain = str(tmp_path / "plainidx")
+    dd.build_dedup_index(ref, plain)  # no cap of record: aggregate lane
+
+    kwc = dict(KW, max_bucket_size=cap)
+
+    def gate(index):
+        return {
+            r["doc_id"]
+            for r in dd.incremental_dedup(new, index=index, **kwc).collect()
+        }
+
+    want = {
+        r["doc_id"]
+        for r in dd.incremental_dedup(new, ref, **kwc).collect()
+    }
+    assert gate(idx) == gate(plain) == want
+    # the materialized hot set IS the exact summed-totals hot set
+    assert _hot_set(spark, idx) == _summed_hot(spark, idx, cap)
+
+    # append maintains the hot set (old ∪ newly-hot touched keys)
+    acc = dd.incremental_dedup(new, index=idx, **kwc).localCheckpoint()
+    hot_before = _hot_set(spark, idx)
+    dd.append_dedup_index(acc, idx)
+    hot_after = _hot_set(spark, idx)
+    assert hot_after == _summed_hot(spark, idx, cap)
+    assert hot_before <= hot_after  # never cools
+
+    # deterministic growth: two identical-text copies of 5 ref docs
+    # push EVERY bucket those docs occupy to ≥ 3 > cap — all of their
+    # (band, bucket) keys MUST turn hot
+    meta = dd._read_dedup_index_meta(spark, idx)
+    base5 = ref.orderBy("doc_id").limit(5).localCheckpoint()
+    for off in (900_000_000, 910_000_000):
+        dd.append_dedup_index(
+            base5.select(
+                (F.col("doc_id") + off).alias("doc_id"), "text"
+            ),
+            idx,
+        )
+    hot_grown = _hot_set(spark, idx)
+    assert hot_grown == _summed_hot(spark, idx, cap)
+    assert hot_after <= hot_grown
+    sh5 = dd._shingle_frame(base5, "text", "doc_id", meta["n"])
+    must_hot = {
+        (r["band"], r["bucket"])
+        for r in dd._band_buckets(
+            sh5,
+            bands=meta["bands"],
+            rows_per_band=meta["rows_per_band"],
+            seed=meta["seed"],
+        ).collect()
+    }
+    assert must_hot and must_hot <= hot_grown
+
+    # retried append: hot set derived from inflated sums stays
+    # consistent with those sums (the documented retry contract)...
+    dd.append_dedup_index(acc, idx)
+    assert _hot_set(spark, idx) == _summed_hot(spark, idx, cap)
+    # ...and compaction squeezes the inflation back out, exactly
+    dd.compact_dedup_index(spark, idx)
+    assert _hot_set(spark, idx) == _summed_hot(spark, idx, cap)
+
+    # post-cycle equality: the capped gate on the index ≡ the rebuild
+    # gate over everything the index accumulated (ref ∪ accepted ∪ the
+    # planted copies)
+    s2 = new.limit(40)
+    got2 = {
+        r["doc_id"]
+        for r in dd.incremental_dedup(s2, index=idx, **kwc).collect()
+    }
+    full_ref = ref.unionByName(acc.select("doc_id", "text"))
+    for off in (900_000_000, 910_000_000):
+        full_ref = full_ref.unionByName(
+            base5.select((F.col("doc_id") + off).alias("doc_id"), "text")
+        )
+    want2 = {
+        r["doc_id"]
+        for r in dd.incremental_dedup(s2, full_ref, **kwc).collect()
+    }
+    assert got2 == want2
+
+
+def test_cap_of_record_gate_plan_has_no_sizes_aggregate(spark, tmp_path):
+    """The matching-cap gate's candidate side reads the PRECOMPUTED
+    hot set — its plan contains no aggregate over bucket_sizes (the
+    v2 lane's per-gate sum, which grew with the index's delta rows)."""
+    ref, new = _corpus(spark)
+    idx = str(tmp_path / "capplan")
+    dd.build_dedup_index(ref, idx, max_bucket_size=3)
+    meta = dd._read_dedup_index_meta(spark, idx)
+    assert meta["cap"] == 3
+    b_ref = dd._ensure_index_table(
+        spark, idx, "buckets", ("band", "bucket"), meta["file_buckets"]
+    )
+    hot = spark.read.parquet(dd._index_subdir(idx, "hot_buckets")).select(
+        "band", "bucket"
+    )
+    guarded = b_ref.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    # the guard side is a plain broadcast scan of the materialized hot
+    # set — NO aggregate anywhere in the lane (the v2 path's per-gate
+    # SUM over bucket_sizes is gone), and the join is the broadcast
+    # anti-join, never a nested loop
+    assert "HashAggregate" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_maintenance_cli_compacts_all_three_states(spark, tmp_path):
+    """r15 (r14 VERDICT item 4): ONE maintenance surface — the curation
+    CLI's --index-compact/--index-stats compacts the dedup index, the
+    semantic index, and the streaming recrawl state in a single
+    maintenance-slot run, and every gate answers identically
+    before/after. The stats report carries the v2 size tables and the
+    semantic occupancy watermark."""
+    import json
+    import subprocess
+    import sys
+
+    import mbfbigdatarandomforest_spark.operators.similarity as sim
+    from conftest import SF_DIR_SMALL
+
+    # --- dedup index with a retried append (rows to collapse)
+    ref, new = _corpus(spark)
+    didx = str(tmp_path / "didx")
+    dd.build_dedup_index(ref, didx, max_bucket_size=2)
+    acc = dd.incremental_dedup(
+        new, index=didx, max_bucket_size=2, **KW
+    ).localCheckpoint()
+    dd.append_dedup_index(acc, didx)
+    dd.append_dedup_index(acc, didx)
+    want_text = {
+        r["doc_id"]
+        for r in dd.incremental_dedup(
+            new, index=didx, max_bucket_size=2, **KW
+        ).collect()
+    }
+
+    # --- semantic index with a retried append
+    emb = spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    sref = emb.filter(F.col("vec_id") % 2 == 0)
+    snew = emb.filter(F.col("vec_id") % 2 == 1)
+    sidx = str(tmp_path / "sidx")
+    sim.build_semantic_index(sref, sidx, n_clusters=4)
+    sim.append_semantic_index(snew.limit(20), sidx)
+    sim.append_semantic_index(snew.limit(20), sidx)
+    want_sem = {
+        r["vec_id"]
+        for r in sim.incremental_semantic_dedup(
+            snew, index=sidx, threshold=0.8, n_probe=2
+        ).collect()
+    }
+
+    # --- recrawl state with delta rows per url
+    rstate = str(tmp_path / "rstate")
+    for lm in ("2024-01-01 00:00:00", "2024-02-01 00:00:00"):
+        spark.createDataFrame(
+            [("https://a.example/p", lm), ("https://b.example/q", lm)],
+            "loc string, __lm string",
+        ).select(
+            "loc", F.col("__lm").cast("timestamp").alias("__lm")
+        ).write.mode("append").parquet(rstate)
+    want_state = {
+        (r["loc"], str(r["m"]))
+        for r in spark.read.parquet(rstate)
+        .groupBy("loc")
+        .agg(F.max("__lm").alias("m"))
+        .collect()
+    }
+
+    r = subprocess.run(
+        [
+            sys.executable, "run_curation_pipeline.py",
+            "--dedup-index", didx,
+            "--semantic-index", sidx,
+            "--recrawl-state", rstate,
+            "--index-compact", "--index-stats",
+        ],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads(r.stdout.strip().splitlines()[-1])
+    assert report["maintenance"] is True
+    assert report["dedup_index"]["compacted"]["fingerprints"] > 0
+    assert report["dedup_index"]["stats"]["cap"] == 2
+    assert report["dedup_index"]["stats"]["hot_buckets"] >= 0
+    sem_stats = report["semantic_index"]["stats"]
+    assert sem_stats["n_vectors"] == sref.count() + 20  # retry collapsed
+    assert "rebuild_advised" in sem_stats
+    assert report["recrawl_state"]["compacted"]["urls"] == 2
+    assert report["recrawl_state"]["stats"]["delta_rows"] == 2  # folded
+
+    # gates answer identically after the maintenance run
+    got_text = {
+        r2["doc_id"]
+        for r2 in dd.incremental_dedup(
+            new, index=didx, max_bucket_size=2, **KW
+        ).collect()
+    }
+    assert got_text == want_text
+    got_sem = {
+        r2["vec_id"]
+        for r2 in sim.incremental_semantic_dedup(
+            snew, index=sidx, threshold=0.8, n_probe=2
+        ).collect()
+    }
+    assert got_sem == want_sem
+    got_state = {
+        (r2["loc"], str(r2["m"]))
+        for r2 in spark.read.parquet(rstate)
+        .groupBy("loc")
+        .agg(F.max("__lm").alias("m"))
+        .collect()
+    }
+    assert got_state == want_state

@@ -287,3 +287,170 @@ def test_dim_mismatch_raises_named_error(spark, tmp_path):
         sim.incremental_ann_pairs(bad, index=idx, threshold=0.5)
     with pytest.raises(ValueError, match="dim 3 does not match"):
         sim.append_semantic_index(bad, idx)
+    # the PRELOADED-quantizer path (the streaming gate's hoisted-load
+    # shape) must fail fast too — ADVICE r14: it previously skipped
+    # the probe entirely, regaining the opaque broadcast error
+    cents = sim.load_ivf_index(spark, sim._semantic_subdir(idx, "ivf"))
+    with pytest.raises(ValueError, match="dim 3 does not match"):
+        sim.incremental_ann_pairs(
+            bad, index=idx, threshold=0.5, centroids=cents
+        )
+
+
+def _sum_sizes(spark, idx):
+    return (
+        spark.read.parquet(sim._semantic_subdir(idx, "cell_sizes"))
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+
+
+def _n_vectors(spark, idx):
+    return spark.read.parquet(sim._semantic_subdir(idx, "vectors")).count()
+
+
+def test_capped_gate_equals_uncapped(spark, tmp_path):
+    """r15 (r14 VERDICT item 1b): max_cell_size splits oversized cells
+    into id-hash sub-cell pairs — an EXACT transform, so the capped
+    gate must equal the uncapped gate value-for-value even with a cap
+    tiny enough to force multi-way splits of every cell, on both
+    static-side forms and on the intra-corpus path."""
+    ref, new = _frames(spark)
+    idx = str(tmp_path / "semidx_cap")
+    sim.build_semantic_index(ref, idx, n_clusters=4)
+    kw = dict(threshold=THRESHOLD, n_probe=3)
+    want = _pairset(sim.incremental_ann_pairs(new, index=idx, **kw))
+    got = _pairset(
+        sim.incremental_ann_pairs(new, index=idx, max_cell_size=7, **kw)
+    )
+    assert got == want and want
+    # in-flight reference path
+    want_r = _pairset(
+        sim.incremental_ann_pairs(new, ref, n_clusters=4, **kw)
+    )
+    got_r = _pairset(
+        sim.incremental_ann_pairs(
+            new, ref, n_clusters=4, max_cell_size=7, **kw
+        )
+    )
+    assert got_r == want_r == want
+    # intra-corpus (ann_dup_pairs): pairs, not gate — same exactness
+    corpus = ref.unionByName(new)
+    base = {
+        (r["id_a"], r["id_b"], r["cosine_sim"])
+        for r in sim.ann_dup_pairs(
+            corpus, threshold=THRESHOLD, n_clusters=4, n_probe=3
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"], r["cosine_sim"])
+        for r in sim.ann_dup_pairs(
+            corpus,
+            threshold=THRESHOLD,
+            n_clusters=4,
+            n_probe=3,
+            max_cell_size=7,
+        ).collect()
+    }
+    assert capped == base and base
+    # survivors through the full gate agree too
+    kept_cap = {
+        r["vec_id"]
+        for r in sim.incremental_semantic_dedup(
+            new, index=idx, max_cell_size=7, **kw
+        ).collect()
+    }
+    kept_unc = {
+        r["vec_id"]
+        for r in sim.incremental_semantic_dedup(new, index=idx, **kw).collect()
+    }
+    assert kept_cap == kept_unc
+
+
+def test_cell_sizes_invariant_and_watermark(spark, tmp_path):
+    """r15 (r14 VERDICT item 1a/1c): sum(cell_sizes) ≡ count(vectors)
+    at every lifecycle point (build, append, retried append,
+    compaction, crash repair is covered by the boundary test), and the
+    occupancy watermark flips rebuild_advised once appends outgrow the
+    build corpus by the documented growth factor."""
+    ref, new = _frames(spark)
+    small = ref.orderBy("vec_id").limit(30).localCheckpoint()
+    idx = str(tmp_path / "semidx_sizes")
+    sim.build_semantic_index(small, idx, n_clusters=4)
+    assert _sum_sizes(spark, idx) == _n_vectors(spark, idx) == 30
+
+    stats0 = sim.semantic_index_stats(spark, idx)
+    assert stats0["n_vectors"] == stats0["build_n"] == 30
+    assert stats0["growth"] == 1.0
+    assert stats0["rebuild_advised"] is False
+
+    # append ~5× the build corpus: growth crosses the 4.0 threshold
+    big = new.orderBy("vec_id").limit(150).localCheckpoint()
+    stats1 = sim.append_semantic_index(big, idx)
+    assert _sum_sizes(spark, idx) == _n_vectors(spark, idx) == 180
+    assert stats1["n_vectors"] == 180
+    assert stats1["growth"] == 180 / 30
+    assert stats1["rebuild_advised"] is True
+
+    # retried append inflates BOTH tables equally — the invariant holds
+    sim.append_semantic_index(big, idx)
+    assert _sum_sizes(spark, idx) == _n_vectors(spark, idx) == 330
+    counts = sim.compact_semantic_index(spark, idx)
+    assert counts["vectors"] == 180
+    assert _sum_sizes(spark, idx) == _n_vectors(spark, idx) == 180
+    # post-compaction the sizes table is folded: one row per cell
+    sz = spark.read.parquet(sim._semantic_subdir(idx, "cell_sizes"))
+    assert sz.groupBy("cell").count().filter("count > 1").count() == 0
+
+
+def test_v1_index_stays_readable(spark, tmp_path):
+    """A version-1 (r14) semantic index — no cell_sizes/, no build_n —
+    still gates identically, still accepts appends, and stats fall
+    back to counting the vectors partitions."""
+    import shutil
+
+    ref, new = _frames(spark)
+    idx = str(tmp_path / "semidx_v1")
+    sim.build_semantic_index(ref, idx, n_clusters=8)
+    kw = dict(threshold=THRESHOLD, n_probe=4)
+    want = _pairset(sim.incremental_ann_pairs(new, index=idx, **kw))
+
+    # demote to the v1 layout: meta without occupancy anchors, no sizes
+    meta = spark.read.parquet(sim._semantic_subdir(idx, "meta")).first()
+    shutil.rmtree(sim._semantic_subdir(idx, "cell_sizes"))
+    shutil.rmtree(sim._semantic_subdir(idx, "meta"))
+    spark.createDataFrame(
+        [(1, meta["k"], meta["dim"], meta["seed"])],
+        "version int, k int, dim int, seed long",
+    ).coalesce(1).write.parquet(sim._semantic_subdir(idx, "meta"))
+
+    assert _pairset(sim.incremental_ann_pairs(new, index=idx, **kw)) == want
+    stats = sim.semantic_index_stats(spark, idx)
+    assert stats["n_vectors"] == ref.count()
+    assert stats["build_n"] is None and stats["growth"] is None
+    # append still works on v1 (no sizes delta to write)
+    extra = new.limit(5)
+    st2 = sim.append_semantic_index(extra, idx)
+    assert st2["n_vectors"] == ref.count() + 5
+    # double-build still refuses over an existing index
+    with pytest.raises(ValueError, match="already exists"):
+        sim.build_semantic_index(ref, idx, n_clusters=8)
+
+
+def test_registered_semantic_index_cycle_query(spark):
+    """The r15 registered query runs the full index lifecycle (build →
+    capped gate → append → gate 2) per invocation: both sentinel
+    families must be fully caught — planted ref copies by the build,
+    planted copies of round-1 SURVIVORS by the append — and the
+    occupancy watermark must ride along."""
+    from mbfbigdatarandomforest_spark.registry import load_all
+
+    spec = load_all()["dedup_semantic_index_cycle"]
+    assert spec.oracle is None  # rows-only by design (k-means + numpy)
+    r = spec.fn(spark, SF_DIR_SMALL).collect()[0]
+    assert r["planted1_kept"] == 0
+    assert r["planted2_kept"] == 0
+    assert 0 < r["kept1"] < r["n_snap1"]
+    assert 0 < r["kept2"] < r["n_snap2"]
+    assert r["index_vectors"] == r["n_ref"] + r["kept1"]
+    assert r["rebuild_advised"] in (True, False)

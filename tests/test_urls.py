@@ -415,3 +415,130 @@ def test_psl_loader_and_published_vectors(spark, duck):
     assert parsed["exceptions"] == ("baz.foo",)
     # the live tables came from the data file (not hand literals)
     assert PSL_WILDCARDS[1] and PSL_WILDCARDS[2]
+
+
+def test_psl_synthetic_1k_rule_universe(spark, duck):
+    """r15 (r14 VERDICT item 6): the vendored snapshot exercises ~300
+    rules; this drives parse_psl + build_psl_tables over a GENERATED
+    ~1k-rule universe — every kind × depth combination, punycode
+    mixes — and property-tests Spark ≡ DuckDB twin agreement on
+    randomized hostnames, plus exact per-kind expectations. Retires
+    the risk that swapping in the complete published list surprises
+    the tier expressions."""
+    import numpy as np
+
+    import mbfbigdatarandomforest_spark.operators.urls as u
+
+    rng = np.random.default_rng(1551)
+
+    def lab(i, punycode_ok=True):
+        if punycode_ok and i % 17 == 0:
+            return f"xn--{i}abc-{i % 7}q"
+        return f"l{i}x"
+
+    lines = ["// synthetic PSL universe — generated, r15", ""]
+    # ~400 two-label rules under disjoint synthetic TLDs
+    for i in range(400):
+        lines.append(f"s{i}.zz{i}")
+    # ~400 long literals, depth 3-5
+    for i in range(400):
+        depth = 3 + i % 3
+        parts = [lab(j + i) for j in range(depth - 1)] + [f"ll{i}"]
+        lines.append(".".join(parts))
+    # wildcard parents at depth 1-3 (disjoint parents), with an
+    # exception under every 5th
+    for i in range(150):
+        depth = 1 + i % 3
+        parent = ".".join([lab(j + 7 * i) for j in range(depth - 1)] + [f"wc{i}"])
+        lines.append(f"*.{parent}")
+        if i % 5 == 0:
+            lines.append(f"!ok{i}.{parent}")
+    # one-label TLD literals + junk the parser must skip
+    for i in range(60):
+        lines.append(f"tld{i}")
+    lines += ["   ", "// comment mid-file", "MiXeD.CaSe0 trailing tokens"]
+    text = "\n".join(lines)
+
+    rules = u.parse_psl(text)
+    # loader properties: every kind landed in its bin, lowercased
+    assert len(rules["two_label"]) == 400 + 1  # +1: the mixed.case0 line
+    assert "mixed.case0" in rules["two_label"]
+    assert len(rules["long"]) == 400
+    assert sorted(rules["wildcards"]) == [1, 2, 3]
+    assert sum(len(v) for v in rules["wildcards"].values()) == 150
+    assert len(rules["exceptions"]) == 30
+    assert len(rules["one_label"]) == 60
+    # deepest/longest-first ordering of the long bin
+    longs = rules["long"]
+    depths = [e.count(".") for e in longs]
+    assert depths == sorted(depths, reverse=True)
+
+    tables = u.build_psl_tables(rules)
+    saved = {
+        n: getattr(u, n)
+        for n in (
+            "_PSL_ALT", "_PSL_LONG_ALT", "_PSL_WC_ALTS", "_PSL_EXC_ALT",
+            "_SELF_SUFFIX_RE",
+        )
+    }
+    try:
+        u._PSL_ALT = tables["alt"]
+        u._PSL_LONG_ALT = tables["long_alt"]
+        u._PSL_WC_ALTS = tables["wc_alts"]
+        u._PSL_EXC_ALT = tables["exc_alt"]
+        u._SELF_SUFFIX_RE = tables["self_suffix_re"]
+
+        # exact per-kind expectations (one per rule kind × position)
+        exact = [
+            ("a.s3.zz3", "a.s3.zz3"),            # 2-label: keep three
+            ("www.a.s3.zz3", "a.s3.zz3"),
+            ("s3.zz3", ""),                      # IS the suffix
+            (longs[0], ""),                      # long literal itself
+            (f"reg.{longs[0]}", f"reg.{longs[0]}"),
+            (f"www.reg.{longs[0]}", f"reg.{longs[0]}"),
+            ("child.wc0", ""),                   # wildcard child = suffix
+            ("reg.child.wc0", "reg.child.wc0"),  # grandchild registrable
+            ("ok0.wc0", "ok0.wc0"),              # exception: itself
+            ("deep.ok0.wc0", "ok0.wc0"),
+            ("plain.example", "plain.example"),  # unrelated: last two
+        ]
+        # randomized hosts over the universe: rule + 0-3 random labels
+        all_suffixes = (
+            list(rules["two_label"][:150])
+            + list(longs[:150])
+            + [f"kid{i}.{p}" for i, ps in rules["wildcards"].items()
+               for p in ps[:30]]
+            + list(rules["exceptions"][:30])
+        )
+        hosts = [h for h, _ in exact]
+        for i, s in enumerate(all_suffixes):
+            n_pre = int(rng.integers(0, 4))
+            pre = [lab(int(rng.integers(0, 5000)), punycode_ok=True)
+                   for _ in range(n_pre)]
+            hosts.append(".".join(pre + [s]))
+        rows = [(i, f"https://{h}/p?x=1") for i, h in enumerate(hosts)]
+        df = spark.createDataFrame(rows, "i long, url string")
+        got = {
+            r["i"]: r["d"]
+            for r in df.select(
+                "i", u.url_registered_domain("url").alias("d")
+            ).collect()
+        }
+        for i, (h, want) in enumerate(exact):
+            assert got[i] == want, (h, got[i], want)
+        duck.execute(
+            "CREATE OR REPLACE TABLE __pslsyn(i BIGINT, url VARCHAR)"
+        )
+        duck.executemany("INSERT INTO __pslsyn VALUES (?, ?)", rows)
+        twin = u.url_twin_sql("url")
+        want_twin = {
+            i: d
+            for i, d in duck.sql(
+                f"SELECT i, {twin['registered_domain']} FROM __pslsyn"
+            ).fetchall()
+        }
+        assert got == want_twin
+        assert len(got) == len(hosts)
+    finally:
+        for n, v in saved.items():
+            setattr(u, n, v)
