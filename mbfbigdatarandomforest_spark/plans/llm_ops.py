@@ -218,6 +218,103 @@ def dedup_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# MinHash INDEX-PATH cycle (r15 — the text-tier twin of
+# dedup_semantic_index_cycle): dedup_incremental_stats above times the
+# in-flight reference gate; THIS query runs the persistable index's
+# full lifecycle per sweep — build WITH a cap of record (hot_buckets/
+# materialized) → capped gate (planted ref copies caught by the build's
+# fingerprints, near-copies by the bucketed LSH keys) → append
+# survivors (which also folds the hot set) → gate snapshot 2 (planted
+# copies of APPENDED docs caught, proving the append is what the second
+# gate sees) — against a run-scoped index path, so the bench wall
+# covers the build/gate/append/hot-set costs the ingestion cycle pays.
+# Rows-only; sentinels are the evidence (index ≡ rebuild and the
+# hot-set lifecycle are value-pinned in tests/test_dedup_index.py).
+# --------------------------------------------------------------------------
+@query(
+    "dedup_index_cycle",
+    tags=("dedup", "minhash", "incremental", "index"),
+)
+def dedup_index_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    # deterministic ~1/8 slices: the cycle's evidence is its SHAPE
+    # (build → capped gate → append → gate 2, sentinels caught at the
+    # right leg), not its volume — dedup_incremental_stats already
+    # times the full-corpus gate every sweep
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 8 == 0)
+    planted1_exact = ref.filter(F.col("doc_id") % 16 == 0).select(
+        (F.col("doc_id") + PLANTED_EXACT_BASE).alias("doc_id"), "text"
+    )
+    planted1_near = ref.filter(F.col("doc_id") % 16 == 8).select(
+        (F.col("doc_id") + PLANTED_NEAR_BASE).alias("doc_id"),
+        F.concat("text", F.lit(" zyzzyva")).alias("text"),
+    )
+    snap1 = (
+        docs.filter(F.col("doc_id") % 8 == 4)
+        .unionByName(planted1_exact)
+        .unionByName(planted1_near)
+    )
+    idx = tempfile.mkdtemp(prefix="dedup_idx_cycle_")
+    try:
+        shutil.rmtree(idx)  # build wants a fresh path (meta is the lock)
+        cap = 200  # cap of record, far above this corpus's occupancy
+        dd.build_dedup_index(ref, idx, max_bucket_size=cap)
+        kw = dict(threshold=0.7, max_bucket_size=cap)
+        kept1 = dd.incremental_dedup(
+            snap1, index=idx, **kw
+        ).localCheckpoint(eager=True)
+        dd.append_dedup_index(kept1, idx)
+        snap2_base = 4 * PLANTED_EXACT_BASE  # clear of both plant tiers
+        planted2 = kept1.limit(50).select(
+            (F.col("doc_id") + snap2_base).alias("doc_id"), "text"
+        )
+        snap2 = docs.filter(F.col("doc_id") % 8 == 1).unionByName(planted2)
+        kept2 = dd.incremental_dedup(snap2, index=idx, **kw)
+        # round-1 sentinels: BOTH tiers (exact ≥ 10M, near ≥ 20M)
+        is_p1 = F.col("doc_id") >= PLANTED_EXACT_BASE
+        is_p2 = F.col("doc_id") >= snap2_base
+        row1 = kept1.agg(
+            F.count(F.lit(1)).alias("k1"),
+            F.sum(is_p1.cast("long")).alias("p1"),
+        ).first()
+        row2 = kept2.agg(
+            F.count(F.lit(1)).alias("k2"),
+            F.sum(is_p2.cast("long")).alias("p2"),
+        ).first()
+        stats = dd.dedup_index_stats(spark, idx)
+        return spark.createDataFrame(
+            [
+                (
+                    ref.count(),
+                    snap1.count(),
+                    int(row1["k1"]),
+                    int(row1["p1"] or 0),
+                    snap2.count(),
+                    int(row2["k2"]),
+                    int(row2["p2"] or 0),
+                    int(stats["n_fingerprints"]),
+                    int(stats.get("hot_buckets", 0)),
+                )
+            ],
+            "n_ref long, n_snap1 long, kept1 long, planted1_kept long,"
+            " n_snap2 long, kept2 long, planted2_kept long,"
+            " index_fingerprints long, hot_buckets long",
+        )
+    finally:
+        # drop the run-scoped catalog entries before the files go —
+        # the bucketed sub-tables registered under this temp path
+        # would otherwise accumulate one stale pair per bench rep
+        for sub in ("fingerprints", "buckets"):
+            spark.sql(
+                f"DROP TABLE IF EXISTS {dd._index_table_name(idx, sub)}"
+            )
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
 # Snapshot content diff (r13): what changed between two crawls of the
 # same corpus — the reporting complement of the incremental-dedup
 # ingestion gate (which DROPS known content; this one COUNTS it). The

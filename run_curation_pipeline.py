@@ -215,6 +215,12 @@ def main() -> None:
                     "state's size tables and the semantic index's "
                     "occupancy watermark (rebuild_advised), then exit "
                     "without running the funnel")
+    ap.add_argument("--semantic-rebuild", action="store_true",
+                    help="MAINTENANCE MODE (r15): refit the semantic "
+                    "index's quantizer over its own accumulated "
+                    "vectors (auto-k at current occupancy) — the "
+                    "operation its rebuild_advised watermark advises; "
+                    "crash-safe whole-index swap, then exit")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -237,7 +243,7 @@ def main() -> None:
     spark = get_spark(app_name="curation-pipeline")
     spark.sparkContext.setLogLevel("WARN")
 
-    if args.index_compact or args.index_stats:
+    if args.index_compact or args.index_stats or args.semantic_rebuild:
         # ONE maintenance surface for all three persistent states
         # (r15 — r14 VERDICT item 4); its own run = the documented
         # single-writer maintenance slot, never concurrent with gates
@@ -259,6 +265,10 @@ def main() -> None:
             ent = {}
             if args.index_compact:
                 ent["compacted"] = sim_ops.compact_semantic_index(
+                    spark, args.semantic_index
+                )
+            if args.semantic_rebuild:
+                ent["rebuilt"] = sim_ops.rebuild_semantic_index(
                     spark, args.semantic_index
                 )
             if args.index_stats:

@@ -542,3 +542,22 @@ def test_maintenance_cli_compacts_all_three_states(spark, tmp_path):
         .collect()
     }
     assert got_state == want_state
+
+
+def test_registered_dedup_index_cycle_query(spark):
+    """The r15 registered text-tier index-cycle query: build (cap of
+    record) → capped gate → append → gate 2 per invocation — both
+    round-1 sentinel tiers (exact + near) caught by the build, the
+    round-2 exact copies of SURVIVORS caught by the append; the
+    fingerprint count reflects the append."""
+    from mbfbigdatarandomforest_spark.registry import load_all
+
+    spec = load_all()["dedup_index_cycle"]
+    assert spec.oracle is None  # rows-only by design
+    r = spec.fn(spark, SF_DIR_SMALL).collect()[0]
+    assert r["planted1_kept"] == 0
+    assert r["planted2_kept"] == 0
+    assert 0 < r["kept1"] < r["n_snap1"]
+    assert 0 < r["kept2"] < r["n_snap2"]
+    assert r["index_fingerprints"] >= r["n_ref"]
+    assert r["hot_buckets"] == 0  # cap of record far above occupancy

@@ -82,7 +82,7 @@ def test_registry_fits_driver_window():
     # Pin the exact tallies so COVERAGE.md can't drift from the registry
     # (round-5 verdict nit: the doc said 71 when the registry held 72).
     # Update BOTH this assertion and COVERAGE.md when (de)registering.
-    assert len(names) == 84, f"registry holds {len(names)} queries, docs say 84"
+    assert len(names) == 86, f"registry holds {len(names)} queries, docs say 86"
     assert len(oracles) == 50, f"{len(oracles)} oracle gates, docs say 50"
     # r12 additions past the window (rows-only, pytest-twinned in
     # tests/test_linkgraph.py, tests/test_robots.py and

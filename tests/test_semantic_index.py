@@ -454,3 +454,102 @@ def test_registered_semantic_index_cycle_query(spark):
     assert 0 < r["kept2"] < r["n_snap2"]
     assert r["index_vectors"] == r["n_ref"] + r["kept1"]
     assert r["rebuild_advised"] in (True, False)
+
+
+def test_rebuild_semantic_index(spark, tmp_path):
+    """r15 (closing r14 What's-missing 4's loop): rebuild_advised now
+    has an operator to trigger. After a rebuild over the accumulated
+    vectors: the id set is preserved (retry duplicates collapsed),
+    auto-k grows to the corpus (the IVF capacity rule), the watermark
+    resets (growth 1.0), and the FULL-PROBE gate — exact at any
+    quantizer — answers identically before and after. Every root-swap
+    crash boundary leaves a repairable index."""
+    import shutil
+
+    import mbfbigdatarandomforest_spark.operators.dedup as dd
+
+    ref, new = _frames(spark)
+    small = ref.orderBy("vec_id").limit(30).localCheckpoint()
+    idx = str(tmp_path / "semidx_rb")
+    sim.build_semantic_index(small, idx, n_clusters=4)
+    grown = new.orderBy("vec_id").limit(150).localCheckpoint()
+    st = sim.append_semantic_index(grown, idx)
+    sim.append_semantic_index(grown, idx)  # retried append
+    assert st["rebuild_advised"] is True
+
+    # probe = fresh ref vectors + exact copies of INDEXED vectors under
+    # new ids — the copies guarantee non-empty matches at any quantizer
+    probe = (
+        ref.orderBy(F.desc("vec_id"))
+        .limit(40)
+        .unionByName(
+            small.limit(10).select(
+                (F.col("vec_id") + 900_000_000).alias("vec_id"),
+                "embedding",
+            )
+        )
+        .localCheckpoint()
+    )
+
+    def full_probe_gate(k):
+        return _pairset(
+            sim.incremental_ann_pairs(
+                probe, index=idx, threshold=THRESHOLD, n_probe=k
+            )
+        )
+
+    before = full_probe_gate(4)  # n_probe = current k = 4 → exact
+    st2 = sim.rebuild_semantic_index(spark, idx)
+    assert st2["n_vectors"] == 180  # duplicates collapsed
+    assert st2["build_n"] == 180 and st2["growth"] == 1.0
+    assert st2["rebuild_advised"] is False
+    assert st2["k"] >= 16  # auto-k re-sized to the grown corpus
+    after = full_probe_gate(st2["k"])  # full probe again → exact
+    assert after == before and before
+    # sizes invariant holds on the rebuilt layout
+    assert _sum_sizes(spark, idx) == _n_vectors(spark, idx) == 180
+
+    # --- crash boundaries of the whole-index root swap
+    pristine = str(tmp_path / "rb_pristine")
+    shutil.copytree(idx, pristine)
+    real_rename, real_delete = dd._fs_rename, dd._fs_delete
+    boundary = 0
+    while True:
+        c = str(tmp_path / f"rb_crash_{boundary}")
+        shutil.copytree(pristine, c)
+        budget = [boundary]
+
+        def dying(fn):
+            def _wrap(spark_, *a):
+                if budget[0] <= 0:
+                    raise IOError("injected crash")
+                budget[0] -= 1
+                return fn(spark_, *a)
+
+            return _wrap
+
+        dd._fs_rename = dying(real_rename)
+        dd._fs_delete = dying(real_delete)
+        try:
+            sim.rebuild_semantic_index(spark, c)
+            completed = True
+        except IOError as e:
+            assert "injected crash" in str(e)
+            completed = False
+        finally:
+            dd._fs_rename, dd._fs_delete = real_rename, real_delete
+        # the open-time root sweep restores a readable index; the gate
+        # at full probe answers the pre-rebuild truth either way
+        st3 = sim.semantic_index_stats(spark, c)
+        assert st3["n_vectors"] == 180, f"boundary {boundary}"
+        got = _pairset(
+            sim.incremental_ann_pairs(
+                probe, index=c, threshold=THRESHOLD, n_probe=st3["k"]
+            )
+        )
+        assert got == before, f"boundary {boundary}"
+        shutil.rmtree(c, ignore_errors=True)
+        if completed:
+            break
+        boundary += 1
+    assert boundary >= 3
