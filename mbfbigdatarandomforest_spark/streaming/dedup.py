@@ -77,6 +77,7 @@ def run_incremental_dedup_available_now(
     max_bucket_size: int | None = None,
     query_name: str = "incremental_dedup_stream",
     source_options: dict[str, str] | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cross-snapshot dedup gate as a stream (r13, verdict item 7):
     micro-batched NEW documents gated against the STATIC accumulated
@@ -99,7 +100,14 @@ def run_incremental_dedup_available_now(
     like the batch operator's default). Collapsing them is the
     snapshot cycle's job — append accepted snapshots to the index
     between stream runs (``append_dedup_index``), the same contract as
-    the batch pipeline."""
+    the batch pipeline.
+
+    Replay safety (r15 — the C4 stream's ADVICE fix applied here too):
+    output lands under ``batch_id=N`` subdirectories written with
+    OVERWRITE, so a micro-batch retry (or a whole re-run without a
+    checkpoint) replaces its previous attempt instead of appending a
+    second copy of every kept row; ``checkpoint_dir`` adds the
+    standard commit log so a restarted run skips processed files."""
     from ..operators.dedup import incremental_dedup
 
     if (reference is None) == (index is None):
@@ -115,20 +123,24 @@ def run_incremental_dedup_available_now(
             max_bucket_size=max_bucket_size,
             index=index,
         )
-        kept.write.mode("append").parquet(out_dir)
+        kept.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
 
     reader = spark.readStream.schema(schema)
     for k, v in (source_options or {}).items():
         reader = reader.option(k, v)
     stream = reader.parquet(src_dir)
-    q = (
-        stream.writeStream.foreachBatch(_process)
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = stream.writeStream.foreachBatch(_process).queryName(query_name)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    return (
+        spark.read.option("basePath", out_dir)
+        .parquet(out_dir)
+        .drop("batch_id")
+    )
 
 
 def run_incremental_semantic_dedup_available_now(
@@ -144,6 +156,7 @@ def run_incremental_semantic_dedup_available_now(
     query_name: str = "incremental_semantic_dedup_stream",
     source_options: dict[str, str] | None = None,
     max_cell_size: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cross-snapshot SEMANTIC dedup gate as a stream (r14): micro-
     batched NEW vectors gated against a STATIC
@@ -155,7 +168,9 @@ def run_incremental_semantic_dedup_available_now(
     (a per-row decision against static state); duplicate pairs
     arriving in different batches both survive, and collapsing them is
     the snapshot cycle's job (``append_semantic_index`` between stream
-    runs)."""
+    runs). Replay safety (r15): batch_id-keyed OVERWRITE output and an
+    optional ``checkpoint_dir`` — a retried/replayed batch replaces
+    its prior attempt instead of appending duplicates."""
     from ..operators.similarity import (
         _read_semantic_meta,
         _semantic_subdir,
@@ -180,20 +195,24 @@ def run_incremental_semantic_dedup_available_now(
             centroids=centroids,
             max_cell_size=max_cell_size,
         )
-        kept.write.mode("append").parquet(out_dir)
+        kept.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
 
     reader = spark.readStream.schema(schema)
     for k, v in (source_options or {}).items():
         reader = reader.option(k, v)
     stream = reader.parquet(src_dir)
-    q = (
-        stream.writeStream.foreachBatch(_process)
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = stream.writeStream.foreachBatch(_process).queryName(query_name)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    return (
+        spark.read.option("basePath", out_dir)
+        .parquet(out_dir)
+        .drop("batch_id")
+    )
 
 
 def run_c4_span_dedup_available_now(

@@ -1480,3 +1480,79 @@ def test_streaming_recrawl_matches_batch(spark, tmp_path):
     assert reasons["https://b.example/short-ttl"] == "stale"
     assert "https://a.example/fresh-older-lastmod" not in reasons
     assert "https://a.example/young-no-signal" not in reasons
+
+
+def test_streaming_incremental_gates_replay_idempotent(spark, tmp_path):
+    """r15 (the C4 replay fix applied to the other two gate streams):
+    re-running the text and semantic incremental-dedup streams over
+    the same source without a checkpoint must reproduce the first
+    run's output exactly — batch_id-keyed overwrite, not a second
+    appended copy of every kept row."""
+    import mbfbigdatarandomforest_spark.operators.dedup as dd_ops
+    import mbfbigdatarandomforest_spark.operators.similarity as sim
+    from conftest import SF_DIR_SMALL
+    from pyspark.sql import functions as F
+    from mbfbigdatarandomforest_spark.streaming.dedup import (
+        run_incremental_dedup_available_now,
+        run_incremental_semantic_dedup_available_now,
+    )
+
+    # --- text gate
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    src = tmp_path / "tsrc"
+    new.repartition(2).write.parquet(str(src))
+    args = (spark, str(src), new.schema, str(tmp_path / "tout"))
+    r1 = sorted(
+        r["doc_id"]
+        for r in run_incremental_dedup_available_now(
+            *args, reference=ref, threshold=0.7
+        ).collect()
+    )
+    r2 = sorted(
+        r["doc_id"]
+        for r in run_incremental_dedup_available_now(
+            *args, reference=ref, threshold=0.7
+        ).collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in dd_ops.incremental_dedup(
+            new, ref, threshold=0.7
+        ).collect()
+    )
+    assert r1 == r2 == want
+
+    # --- semantic gate
+    emb = spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    sref = emb.filter(F.col("vec_id") % 2 == 0)
+    snew = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "semidx_replay")
+    sim.build_semantic_index(sref, idx, n_clusters=8)
+    ssrc = tmp_path / "ssrc"
+    snew.repartition(2).write.parquet(str(ssrc))
+    sargs = (spark, str(ssrc), snew.schema, str(tmp_path / "sout"), idx)
+    s1 = sorted(
+        r["vec_id"]
+        for r in run_incremental_semantic_dedup_available_now(
+            *sargs, threshold=0.8, n_probe=4
+        ).collect()
+    )
+    s2 = sorted(
+        r["vec_id"]
+        for r in run_incremental_semantic_dedup_available_now(
+            *sargs, threshold=0.8, n_probe=4
+        ).collect()
+    )
+    swant = sorted(
+        r["vec_id"]
+        for r in sim.incremental_semantic_dedup(
+            snew, index=idx, threshold=0.8, n_probe=4
+        ).collect()
+    )
+    assert s1 == s2 == swant
