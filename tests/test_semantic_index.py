@@ -553,3 +553,57 @@ def test_rebuild_semantic_index(spark, tmp_path):
             break
         boundary += 1
     assert boundary >= 3
+
+
+def test_salt_cells_property_exact_pair_coverage(spark):
+    """Direct pin of the 2-D sub-cell split's contract on randomized
+    skewed inputs: every (left, right) pair of one cell meets in
+    EXACTLY one (cell, __sa, __sb) group (so any per-group verify sees
+    each pair once — the capped ≡ uncapped theorem), and no group
+    exceeds ~max_cell_size rows."""
+    import numpy as np
+
+    rng = np.random.default_rng(1661)
+    rows = []
+    rid = 0
+    # skewed cells: sizes 1, 3, 40, 170, 900 — caps below several
+    sizes = {0: 1, 1: 3, 2: 40, 3: 170, 4: 900}
+    for cell, n in sizes.items():
+        for _ in range(n):
+            role = int(rng.integers(0, 2))
+            rows.append((cell, role, rid))
+            rid += 1
+    df = spark.createDataFrame(rows, "cell int, __role int, id long")
+    cap = 64
+    salted = sim._salt_cells(df, cap).localCheckpoint()
+
+    # group-size bound: ≤ cap plus hash-uneven slack (2× is the
+    # documented envelope; the expectation is ~cap)
+    mx = (
+        salted.groupBy("cell", "__sa", "__sb")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert mx <= 2 * cap, mx
+
+    # exact pair coverage: joining the two roles on the full group key
+    # yields every within-cell (left, right) pair EXACTLY once
+    left = salted.filter("__role = 0").select(
+        "cell", "__sa", "__sb", F.col("id").alias("l")
+    )
+    right = salted.filter("__role = 1").select(
+        "cell", "__sa", "__sb", F.col("id").alias("r")
+    )
+    pairs = left.join(right, ["cell", "__sa", "__sb"]).groupBy(
+        "cell", "l", "r"
+    ).count()
+    assert pairs.filter("count != 1").count() == 0
+    want_pairs = 0
+    base = df.groupBy("cell", "__role").count().collect()
+    per = {}
+    for r0 in base:
+        per.setdefault(r0["cell"], {})[r0["__role"]] = r0["count"]
+    for c, d in per.items():
+        want_pairs += d.get(0, 0) * d.get(1, 0)
+    assert pairs.count() == want_pairs > 0
