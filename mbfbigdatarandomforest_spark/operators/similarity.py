@@ -995,6 +995,75 @@ def rebuild_semantic_index(
     return semantic_index_stats(spark, path)
 
 
+def estimate_probe_recall(
+    spark,
+    index: str,
+    queries: DataFrame,
+    *,
+    n_probes: tuple[int, ...] = (1, 2, 4, 8),
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_cap: int = 1000,
+    truth_n_probe: int | None = None,
+) -> dict:
+    """MEASURED IVF recall of a semantic index on a bounded query
+    sample (r15): the occupancy watermark's growth/skew thresholds are
+    PROXIES for what the FAISS retrain contract actually protects —
+    recall at a given ``n_probe`` — and this measures the real thing
+    in a maintenance slot. Ground truth is the full-probe gate
+    (``n_probe = k`` routes every query to every cell, so its pair set
+    is exact — the same theorem tests/test_semantic_index.py pins
+    against the brute-force oracle); ``truth_n_probe`` can cap the
+    truth pass for a cheaper RELATIVE recall when a full-index scan
+    per measurement is too dear. The sample is the first
+    ``sample_cap`` queries by id — deterministic across runs, so the
+    number is comparable release-over-release.
+
+    Returns {"sample": n, "truth_pairs": t, "truth_n_probe": P,
+    "recall": {p: pairs@p / t}}; recall is 1.0 for every p when t is 0
+    (nothing to find). One truth pass + one pass per probe setting,
+    each O(sample)-routed and pruned to its probed cells."""
+    meta = _read_semantic_meta(spark, index)
+    centroids = load_ivf_index(spark, _semantic_subdir(index, "ivf"))
+    sample = (
+        queries.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_cap)
+        .localCheckpoint(eager=True)
+    )
+    p_truth = truth_n_probe or meta["k"]
+    kw = dict(
+        threshold=threshold, vec_col=vec_col, id_col=id_col,
+        centroids=centroids,
+    )
+    truth = incremental_ann_pairs(
+        sample, index=index, n_probe=p_truth, **kw
+    ).select("new_id", "ref_id").localCheckpoint(eager=True)
+    t = truth.count()
+    recall: dict[int, float] = {}
+    for p in n_probes:
+        if p >= p_truth:
+            recall[int(p)] = 1.0
+            continue
+        if t == 0:
+            recall[int(p)] = 1.0
+            continue
+        got = (
+            incremental_ann_pairs(sample, index=index, n_probe=p, **kw)
+            .select("new_id", "ref_id")
+            .join(truth, ["new_id", "ref_id"], "left_semi")
+            .count()
+        )
+        recall[int(p)] = got / t
+    return {
+        "sample": sample.count(),
+        "truth_pairs": t,
+        "truth_n_probe": int(p_truth),
+        "recall": recall,
+    }
+
+
 #: Occupancy watermark thresholds (r15 — r14 VERDICT item 1c). The
 #: quantizer is frozen at build; these make its documented retrain
 #: contract observable. GROWTH: once the corpus is 4× the build

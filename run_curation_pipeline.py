@@ -221,6 +221,12 @@ def main() -> None:
                     "vectors (auto-k at current occupancy) — the "
                     "operation its rebuild_advised watermark advises; "
                     "crash-safe whole-index swap, then exit")
+    ap.add_argument("--semantic-recall-sample", type=int, default=None,
+                    metavar="N",
+                    help="with --index-stats and --semantic-index: "
+                    "also MEASURE IVF recall@n_probe on the first N "
+                    "stored vectors (full-probe ground truth) — the "
+                    "quantity the rebuild_advised proxies protect")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -275,6 +281,21 @@ def main() -> None:
                 ent["stats"] = sim_ops.semantic_index_stats(
                     spark, args.semantic_index
                 )
+                if args.semantic_recall_sample:
+                    # query sample = stored vectors re-read (id, v):
+                    # every stored vector should at least find itself
+                    sample = spark.read.parquet(
+                        args.semantic_index.rstrip("/") + "/vectors"
+                    ).select(
+                        F.col("id").alias("vec_id"),
+                        F.col("v").alias("embedding"),
+                    )
+                    ent["recall"] = sim_ops.estimate_probe_recall(
+                        spark,
+                        args.semantic_index,
+                        sample,
+                        sample_cap=args.semantic_recall_sample,
+                    )
             report["semantic_index"] = ent
         if args.recrawl_state:
             from mbfbigdatarandomforest_spark.streaming.recrawl import (

@@ -607,3 +607,42 @@ def test_salt_cells_property_exact_pair_coverage(spark):
     for c, d in per.items():
         want_pairs += d.get(0, 0) * d.get(1, 0)
     assert pairs.count() == want_pairs > 0
+
+
+def test_estimate_probe_recall(spark, tmp_path):
+    """r15: measured IVF recall on a deterministic sample — the real
+    quantity behind the rebuild_advised proxies. Full probe is exact
+    (recall 1.0 by the pinned theorem); recall is monotone
+    non-decreasing in n_probe; capping the truth pass normalizes to
+    the relative contract."""
+    ref, new = _frames(spark)
+    idx = str(tmp_path / "semidx_recall")
+    sim.build_semantic_index(ref, idx, n_clusters=8)
+
+    n_new = new.count()
+    out = sim.estimate_probe_recall(
+        spark, idx, new, threshold=THRESHOLD,
+        n_probes=(1, 2, 4, 8), sample_cap=n_new,
+    )
+    assert out["sample"] == n_new  # whole fixture incl. planted copies
+    assert out["truth_n_probe"] == 8  # k — exact truth
+    assert out["truth_pairs"] > 0  # the planted copies guarantee pairs
+    rec = out["recall"]
+    assert rec[8] == 1.0  # full probe IS the truth
+    # monotone non-decreasing in n_probe
+    vals = [rec[p] for p in (1, 2, 4, 8)]
+    assert all(a <= b + 1e-12 for a, b in zip(vals, vals[1:])), vals
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    # an exact copy always finds its twin even at n_probe=1 (identical
+    # vector → identical rank-1 cell), so recall@1 is bounded away
+    # from zero on this fixture
+    assert rec[1] > 0.0
+
+    # capped truth: relative recall vs a 4-probe reference — settings
+    # at or past the truth cap report 1.0 by construction
+    out2 = sim.estimate_probe_recall(
+        spark, idx, new, threshold=THRESHOLD,
+        n_probes=(1, 4, 8), sample_cap=n_new, truth_n_probe=4,
+    )
+    assert out2["recall"][4] == 1.0 and out2["recall"][8] == 1.0
+    assert out2["recall"][1] <= 1.0
