@@ -646,3 +646,22 @@ def test_estimate_probe_recall(spark, tmp_path):
     )
     assert out2["recall"][4] == 1.0 and out2["recall"][8] == 1.0
     assert out2["recall"][1] <= 1.0
+
+
+def test_capped_gate_plan_keeps_pruning_no_cartesian(spark, tmp_path):
+    """Plan pin for the r15 bounded-verify lane: the salting join and
+    the sub-cell explode sit AFTER the stored-vectors scan, so the
+    probed-cells PartitionFilters pruning survives, the split table
+    rides a broadcast join, and no nested-loop/cartesian appears."""
+    ref, new = _frames(spark)
+    idx = str(tmp_path / "semidx_capplan")
+    sim.build_semantic_index(ref, idx, n_clusters=8)
+    pairs = sim.incremental_ann_pairs(
+        new, index=idx, threshold=THRESHOLD, n_probe=3, max_cell_size=7
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # and the lane still answers (the plan really executes)
+    assert pairs.count() > 0
