@@ -971,11 +971,15 @@ def rebuild_semantic_index(
     from .dedup import _swap_dir
 
     meta = _read_semantic_meta(spark, path)
+    # NO materialization of the corpus: _swap_dir runs the write FIRST
+    # (the rebuild lands complete at path__compact while the live index
+    # is untouched), so every read of the old vectors happens while
+    # their files still exist — at 100 TB a localCheckpoint here would
+    # spill the whole index for nothing
     corpus = (
         spark.read.parquet(_semantic_subdir(path, "vectors"))
         .select("id", "v")
         .dropDuplicates(["id"])
-        .localCheckpoint(eager=True)  # survives the root swap
     )
     if seed is None:
         seed = meta["seed"]
