@@ -796,13 +796,20 @@ def _recount_bucket_sizes(spark, path: str) -> None:
     )
     if cap is not None:
         # re-derive the cap-of-record hot set from the exact counts —
-        # compaction/repair squeezes retry inflation out of it (r15)
+        # compaction/repair squeezes retry inflation out of it (r15).
+        # A MISSING hot dir (a build crash between the sizes and hot
+        # writes) is recreated directly — _swap_dir would rename a
+        # non-existent live dir and brick the documented remedy
         hot = sizes.filter(F.col("n") > cap).select("band", "bucket")
-        _swap_dir(
-            spark,
-            _index_subdir(path, "hot_buckets"),
-            lambda tmp: hot.coalesce(1).write.mode("error").parquet(tmp),
-        )
+        hot_dir = _index_subdir(path, "hot_buckets")
+        if _fs_exists(spark, hot_dir):
+            _swap_dir(
+                spark,
+                hot_dir,
+                lambda tmp: hot.coalesce(1).write.mode("error").parquet(tmp),
+            )
+        else:
+            hot.coalesce(1).write.mode("error").parquet(hot_dir)
 
 
 def _raw_index_cap(spark, path: str):
@@ -943,6 +950,17 @@ def _fold_hot_buckets(spark, path: str, bb: DataFrame, cap: int) -> None:
     pays ZERO per-gate aggregate. Crash between the sizes append and
     this swap leaves a stale-but-readable hot set; the retry (the
     append contract) or the compaction recount re-derives it."""
+    hot_dir = _index_subdir(path, "hot_buckets")
+    if not _fs_exists(spark, hot_dir):
+        # a build crash between the sizes and hot writes left a
+        # cap-of-record index without its hot table — derive it from
+        # scratch over ALL keys (exact) instead of failing the append
+        spark.read.parquet(_index_subdir(path, "bucket_sizes")).groupBy(
+            "band", "bucket"
+        ).agg(F.sum("n").alias("t")).filter(F.col("t") > cap).select(
+            "band", "bucket"
+        ).coalesce(1).write.mode("error").parquet(hot_dir)
+        return
     touched = bb.select("band", "bucket").distinct()
     newly_hot = (
         spark.read.parquet(_index_subdir(path, "bucket_sizes"))
@@ -953,14 +971,14 @@ def _fold_hot_buckets(spark, path: str, bb: DataFrame, cap: int) -> None:
         .select("band", "bucket")
     )
     hot = (
-        spark.read.parquet(_index_subdir(path, "hot_buckets"))
+        spark.read.parquet(hot_dir)
         .unionByName(newly_hot)
         .distinct()
         .localCheckpoint(eager=True)  # materialize BEFORE the swap
     )
     _swap_dir(
         spark,
-        _index_subdir(path, "hot_buckets"),
+        hot_dir,
         lambda tmp: hot.coalesce(1).write.mode("error").parquet(tmp),
     )
 

@@ -426,6 +426,27 @@ def _cosine_probe_routes(narrow: DataFrame, centroids, n_probe: int):
     return narrow.mapInPandas(_route, schema=route_schema)
 
 
+def _dense_sims(lv_list, rv_list, lnrm, rnrm, thr: float):
+    """THE dense-verify numeric core, shared by every cell-local
+    kernel (intra, intra-salted, incremental — review r15: three
+    copies of this math would let a future fix silently diverge capped
+    vs uncapped results): cosine similarities of a left × right block
+    with dimension-SEQUENTIAL float64 accumulation — the IEEE
+    operation order the SQL/DuckDB oracles pin bit-exactly — plus the
+    5e-7 borderline prefilter (final HALF_UP rounding happens
+    Spark-side). Returns (ii, jj, sims)."""
+    import numpy as np
+
+    lv = np.array(lv_list, dtype=np.float64)
+    rv = np.array(rv_list, dtype=np.float64)
+    dots = np.zeros((len(lv), len(rv)), dtype=np.float64)
+    for d in range(lv.shape[1]):  # sequential over dims = exact order
+        dots += lv[:, d][:, None] * rv[:, d][None, :]
+    sims = dots / (lnrm[:, None] * rnrm[None, :])
+    ii, jj = np.nonzero(sims >= thr - 5e-7)
+    return ii, jj, sims
+
+
 def _salt_cells(tagged: DataFrame, max_cell_size: int) -> DataFrame:
     """2-D deterministic sub-cell split of oversized IVF cells (r15 —
     r14 VERDICT finding 1: the cell-local verify shipped whole cells to
@@ -551,23 +572,18 @@ def ann_dup_pairs(
     # emitted cosines are bit-exact vs the all-pairs baseline.
     pair_schema = "id_a long, id_b long, cosine_sim double"
 
-    def _verify(pdf: pd.DataFrame) -> pd.DataFrame:
-        home = pdf[pdf["is_home"].to_numpy()]
-        if not len(home) or len(pdf) < 2:
+    def _emit_pairs(left: pd.DataFrame, home: pd.DataFrame) -> pd.DataFrame:
+        # shared framing around the ONE numeric core (_dense_sims):
+        # drop self-pairs, canonicalize (min, max), dedupe in-group
+        if not len(home) or not len(left):
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"}
             )
-        pv = np.array(pdf["v"].tolist(), dtype=np.float64)
-        hv = np.array(home["v"].tolist(), dtype=np.float64)
-        pid, hid = pdf["id"].to_numpy(), home["id"].to_numpy()
-        pn, hn = pdf["nrm"].to_numpy(), home["nrm"].to_numpy()
-        dots = np.zeros((len(pdf), len(home)), dtype=np.float64)
-        for d in range(pv.shape[1]):  # sequential over dims = exact order
-            dots += pv[:, d][:, None] * hv[:, d][None, :]
-        sims = dots / (pn[:, None] * hn[None, :])
-        # rounding happens Spark-side (HALF_UP parity with the oracle);
-        # prefilter with a 5e-7 guard so borderline values survive
-        ii, jj = np.nonzero(sims >= thr - 5e-7)
+        ii, jj, sims = _dense_sims(
+            left["v"].tolist(), home["v"].tolist(),
+            left["nrm"].to_numpy(), home["nrm"].to_numpy(), thr,
+        )
+        pid, hid = left["id"].to_numpy(), home["id"].to_numpy()
         keep = pid[ii] != hid[jj]
         ii, jj = ii[keep], jj[keep]
         a = np.minimum(pid[ii], hid[jj])
@@ -575,32 +591,17 @@ def ann_dup_pairs(
         out = pd.DataFrame({"id_a": a, "id_b": b, "cosine_sim": sims[ii, jj]})
         return out.drop_duplicates(["id_a", "id_b"])
 
+    def _verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one frame with an is_home flag: left = every routed copy,
+        # right = the rows whose home is this cell
+        return _emit_pairs(pdf, pdf[pdf["is_home"].to_numpy()])
+
     def _verify_salted(pdf: pd.DataFrame) -> pd.DataFrame:
-        # salted twin of _verify: the left (probe) side and the right
-        # (home) side arrive as tagged copies instead of one frame with
-        # an is_home flag — the math and the IEEE summation order are
-        # IDENTICAL (capped ≡ uncapped is pinned value-for-value)
+        # salted twin: the two sides arrive as tagged copies — the
+        # math rides the same _dense_sims core, so capped ≡ uncapped
+        # is identical by construction
         role = pdf["__role"].to_numpy()
-        left, home = pdf[role == 0], pdf[role == 1]
-        if not len(home) or not len(left):
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"}
-            )
-        pv = np.array(left["v"].tolist(), dtype=np.float64)
-        hv = np.array(home["v"].tolist(), dtype=np.float64)
-        pid, hid = left["id"].to_numpy(), home["id"].to_numpy()
-        pn, hn = left["nrm"].to_numpy(), home["nrm"].to_numpy()
-        dots = np.zeros((len(left), len(home)), dtype=np.float64)
-        for d in range(pv.shape[1]):  # sequential over dims = exact order
-            dots += pv[:, d][:, None] * hv[:, d][None, :]
-        sims = dots / (pn[:, None] * hn[None, :])
-        ii, jj = np.nonzero(sims >= thr - 5e-7)
-        keep = pid[ii] != hid[jj]
-        ii, jj = ii[keep], jj[keep]
-        a = np.minimum(pid[ii], hid[jj])
-        b = np.maximum(pid[ii], hid[jj])
-        out = pd.DataFrame({"id_a": a, "id_b": b, "cosine_sim": sims[ii, jj]})
-        return out.drop_duplicates(["id_a", "id_b"])
+        return _emit_pairs(pdf[role == 0], pdf[role == 1])
 
     if max_cell_size is None:
         pairs = routed.groupBy("cell").applyInPandas(
@@ -727,14 +728,28 @@ def build_semantic_index(
     from .dedup import _fs_exists
 
     spark = reference.sparkSession
-    # fail-fast build lock: meta is written LAST (it needs build_n and
-    # marks the index complete), so the existence check must happen
-    # BEFORE anything gets clobbered — save_ivf_index overwrites
+    # fail-fast build claim: meta is written LAST (it needs build_n and
+    # marks the index complete), so a friendly existence check runs
+    # first — and because check-then-act alone would let a racing or
+    # retried build clobber a completed index's quantizer
+    # (save_ivf_index is mode("overwrite")), an ATOMIC one-row lock
+    # write with mode("error") claims the path BEFORE anything is
+    # touched (the r14 meta-first atomicity, kept while meta moves
+    # last — review r15)
     if _fs_exists(spark, _semantic_subdir(path, "meta")):
         raise ValueError(
             f"semantic index already exists at {path!r} — append with "
             "append_semantic_index, or delete the directory to rebuild"
         )
+    if _fs_exists(spark, _semantic_subdir(path, "lock")):
+        raise ValueError(
+            f"a semantic index build at {path!r} started and did not "
+            "complete (lock present, meta absent) — delete the "
+            "directory and rebuild; builds are all-or-retry"
+        )
+    spark.createDataFrame([(1,)], "locked int").coalesce(1).write.mode(
+        "error"
+    ).parquet(_semantic_subdir(path, "lock"))
     centroids = _fit_centroids_sampled(
         reference, vec_col=vec_col, id_col=id_col, k=n_clusters,
         seed=seed, max_iter=kmeans_max_iter,
@@ -1243,6 +1258,10 @@ def incremental_ann_pairs(
     pair_schema = "new_id long, ref_id long, cosine_sim double"
 
     def _verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        # directed (new × ref) framing around the ONE numeric core
+        # (_dense_sims) — no self-pair filter or canonicalization: the
+        # two sides are disjoint by construction and each pair lands
+        # in exactly one cell (the ref's home)
         nmask = pdf["side"].to_numpy() == 0
         nsub, rsub = pdf[nmask], pdf[~nmask]
         if not len(nsub) or not len(rsub):
@@ -1252,15 +1271,10 @@ def incremental_ann_pairs(
                 {"new_id": "int64", "ref_id": "int64",
                  "cosine_sim": "float64"}
             )
-        nv = np.array(nsub["v"].tolist(), dtype=np.float64)
-        rv = np.array(rsub["v"].tolist(), dtype=np.float64)
-        dots = np.zeros((len(nsub), len(rsub)), dtype=np.float64)
-        for d in range(nv.shape[1]):  # sequential over dims = exact order
-            dots += nv[:, d][:, None] * rv[:, d][None, :]
-        sims = dots / (
-            nsub["nrm"].to_numpy()[:, None] * rsub["nrm"].to_numpy()[None, :]
+        ii, jj, sims = _dense_sims(
+            nsub["v"].tolist(), rsub["v"].tolist(),
+            nsub["nrm"].to_numpy(), rsub["nrm"].to_numpy(), thr,
         )
-        ii, jj = np.nonzero(sims >= thr - 5e-7)  # borderline guard
         return pd.DataFrame(
             {
                 "new_id": nsub["id"].to_numpy()[ii],

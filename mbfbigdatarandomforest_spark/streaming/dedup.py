@@ -64,6 +64,37 @@ def run_dedup_available_now(
     return spark.table(query_name)
 
 
+def _prepare_replayable_dirs(spark, checkpoint_dir, *dirs) -> None:
+    """Make the batch_id-keyed replay contract hold for ANY batch
+    partitioning (review r15): a no-checkpoint run reprocesses the
+    whole source, so prior batch dirs are a previous attempt's state —
+    if the new run carves different batch boundaries (different
+    maxFilesPerTrigger, compacted source files), overwriting only the
+    ids it produces would leave stale higher-numbered dirs duplicating
+    output (and, for the C4 ledger, wrongly marking replayed spans
+    'seen'). So: no checkpoint → clear the dirs up front. With a
+    checkpoint, Spark's commit log resumes batch ids monotonically and
+    existing dirs are this stream's own — but a FRESH checkpoint
+    paired with EXISTING dirs would restart ids at 0 over stale state,
+    so that pairing raises (streaming/warc.py's contract)."""
+    from ..operators.dedup import _fs_delete, _fs_exists
+
+    if checkpoint_dir is None:
+        for d in dirs:
+            if _fs_exists(spark, d):
+                _fs_delete(spark, d)
+        return
+    if not _fs_exists(spark, checkpoint_dir):
+        for d in dirs:
+            if _fs_exists(spark, d):
+                raise ValueError(
+                    f"output dir {d!r} exists but checkpoint_dir "
+                    f"{checkpoint_dir!r} is fresh — batch ids would "
+                    "restart over stale state; reuse the original "
+                    "checkpoint, or clear the output dirs"
+                )
+
+
 def run_incremental_dedup_available_now(
     spark,
     src_dir: str,
@@ -127,6 +158,7 @@ def run_incremental_dedup_available_now(
             f"{out_dir}/batch_id={batch_id}"
         )
 
+    _prepare_replayable_dirs(spark, checkpoint_dir, out_dir)
     reader = spark.readStream.schema(schema)
     for k, v in (source_options or {}).items():
         reader = reader.option(k, v)
@@ -199,6 +231,7 @@ def run_incremental_semantic_dedup_available_now(
             f"{out_dir}/batch_id={batch_id}"
         )
 
+    _prepare_replayable_dirs(spark, checkpoint_dir, out_dir)
     reader = spark.readStream.schema(schema)
     for k, v in (source_options or {}).items():
         reader = reader.option(k, v)
@@ -330,6 +363,7 @@ def run_c4_span_dedup_available_now(
             "overwrite"
         ).parquet(f"{ledger_dir}/batch_id={batch_id}")
 
+    _prepare_replayable_dirs(spark, checkpoint_dir, out_dir, ledger_dir)
     reader = spark.readStream.schema(schema)
     for k, v in (source_options or {}).items():
         reader = reader.option(k, v)

@@ -252,7 +252,26 @@ def main() -> None:
     if args.index_compact or args.index_stats or args.semantic_rebuild:
         # ONE maintenance surface for all three persistent states
         # (r15 — r14 VERDICT item 4); its own run = the documented
-        # single-writer maintenance slot, never concurrent with gates
+        # single-writer maintenance slot, never concurrent with gates.
+        # Fail FAST on no-op invocations (review r15): a maintenance
+        # flag with no state path would print an empty success report
+        # and exit 0 — the rebuild the watermark advised silently
+        # never happening is worse than an error.
+        if not (args.dedup_index or args.semantic_index or args.recrawl_state):
+            ap.error(
+                "maintenance flags (--index-compact/--index-stats/"
+                "--semantic-rebuild) need at least one state path: "
+                "--dedup-index, --semantic-index, or --recrawl-state"
+            )
+        if args.semantic_rebuild and not args.semantic_index:
+            ap.error("--semantic-rebuild needs --semantic-index")
+        if args.semantic_recall_sample and not (
+            args.index_stats and args.semantic_index
+        ):
+            ap.error(
+                "--semantic-recall-sample needs --index-stats and "
+                "--semantic-index"
+            )
         report: dict = {"maintenance": True}
         if args.dedup_index:
             ent: dict = {}
@@ -269,7 +288,11 @@ def main() -> None:
             )
 
             ent = {}
-            if args.index_compact:
+            if args.index_compact and not args.semantic_rebuild:
+                # a rebuild re-routes and rewrites every vector anyway
+                # (and collapses retry duplicates itself) — compacting
+                # first would pay a second full-index rewrite for
+                # nothing (review r15)
                 ent["compacted"] = sim_ops.compact_semantic_index(
                     spark, args.semantic_index
                 )

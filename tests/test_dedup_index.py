@@ -561,3 +561,59 @@ def test_registered_dedup_index_cycle_query(spark):
     assert 0 < r["kept2"] < r["n_snap2"]
     assert r["index_fingerprints"] >= r["n_ref"]
     assert r["hot_buckets"] == 0  # cap of record far above occupancy
+
+
+def test_missing_hot_buckets_recreated_not_bricked(spark, tmp_path):
+    """Review r15: a build crash between the bucket_sizes and
+    hot_buckets writes leaves a cap-of-record index whose gates work —
+    append and compaction must RECREATE the hot table (exact, from the
+    summed sizes) instead of failing on the missing dir."""
+    import shutil
+
+    ref, new = _corpus(spark)
+    cap = 2
+    idx = str(tmp_path / "nohot")
+    dd.build_dedup_index(ref, idx, max_bucket_size=cap)
+    shutil.rmtree(dd._index_subdir(idx, "hot_buckets"))  # the crash
+
+    kwc = dict(KW, max_bucket_size=cap)
+    # gate still answers (falls back to the summed-sizes lane)
+    want = {
+        r["doc_id"]
+        for r in dd.incremental_dedup(new, ref, **kwc).collect()
+    }
+    assert {
+        r["doc_id"]
+        for r in dd.incremental_dedup(new, index=idx, **kwc).collect()
+    } == want
+    # append recreates the hot table exactly
+    acc = dd.incremental_dedup(new, index=idx, **kwc).localCheckpoint()
+    dd.append_dedup_index(acc, idx)
+    assert _hot_set(spark, idx) == _summed_hot(spark, idx, cap)
+    # and compaction over a hot-less copy recreates it too
+    idx2 = str(tmp_path / "nohot2")
+    dd.build_dedup_index(ref, idx2, max_bucket_size=cap)
+    shutil.rmtree(dd._index_subdir(idx2, "hot_buckets"))
+    dd.compact_dedup_index(spark, idx2)
+    assert _hot_set(spark, idx2) == _summed_hot(spark, idx2, cap)
+
+
+def test_maintenance_cli_rejects_no_op_invocations(tmp_path):
+    """Review r15: maintenance flags with no state path (or
+    --semantic-rebuild without --semantic-index) must error, never
+    print an empty success report and exit 0."""
+    import subprocess
+    import sys
+
+    for args in (
+        ["--index-compact"],
+        ["--semantic-rebuild"],
+        ["--semantic-rebuild", "--dedup-index", str(tmp_path / "d")],
+        ["--index-stats", "--semantic-recall-sample", "10",
+         "--dedup-index", str(tmp_path / "d")],
+    ):
+        r = subprocess.run(
+            [sys.executable, "run_curation_pipeline.py", *args],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert r.returncode == 2, (args, r.returncode, r.stdout[-300:])

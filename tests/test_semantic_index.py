@@ -665,3 +665,25 @@ def test_capped_gate_plan_keeps_pruning_no_cartesian(spark, tmp_path):
     assert "BroadcastNestedLoop" not in plan
     # and the lane still answers (the plan really executes)
     assert pairs.count() > 0
+
+
+def test_build_lock_claims_path_before_touching_anything(spark, tmp_path):
+    """Review r15: the build claims its path ATOMICALLY (one-row lock,
+    mode error) before the overwriting quantizer save — a crashed
+    build (lock present, meta absent) fails a retry with a clear
+    message instead of clobbering state, and a completed index refuses
+    a second build without its quantizer being touched."""
+    import shutil
+
+    ref, _ = _frames(spark)
+    idx = str(tmp_path / "semidx_lock")
+    sim.build_semantic_index(ref, idx, n_clusters=4)
+    # completed index: double build refuses at the meta check
+    with pytest.raises(ValueError, match="already exists"):
+        sim.build_semantic_index(ref, idx, n_clusters=4)
+    # crashed build: lock without meta → named error on retry
+    crashed = str(tmp_path / "semidx_crashed")
+    shutil.copytree(idx, crashed)
+    shutil.rmtree(sim._semantic_subdir(crashed, "meta"))
+    with pytest.raises(ValueError, match="did not\n?.*complete|did not"):
+        sim.build_semantic_index(ref, crashed, n_clusters=4)

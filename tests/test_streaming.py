@@ -1556,3 +1556,94 @@ def test_streaming_incremental_gates_replay_idempotent(spark, tmp_path):
         ).collect()
     )
     assert s1 == s2 == swant
+
+
+def test_streaming_replay_with_different_batch_partitioning(spark, tmp_path):
+    """Review r15: a no-checkpoint re-run that carves DIFFERENT batch
+    boundaries (run 1: one file per batch; run 2: everything in batch
+    0) must still reproduce the batch answer — stale higher-numbered
+    batch dirs from the first attempt are cleared, not left to
+    duplicate output (or, for C4, to poison the ledger and drop
+    keepers). A fresh checkpoint over existing dirs refuses."""
+    import mbfbigdatarandomforest_spark.operators.dedup as dd_ops
+    from conftest import SF_DIR_SMALL
+    from pyspark.sql import functions as F
+    from mbfbigdatarandomforest_spark.streaming.dedup import (
+        run_c4_span_dedup_available_now,
+        run_incremental_dedup_available_now,
+    )
+
+    import time
+
+    dup = "Alpha one. Beta two. Gamma three."
+    rows = [
+        (1, f"{dup} Tail a."),
+        (2, "Solo text. More solo. Third one. Fourth bit."),
+        (3, f"Pre sentence. {dup} Post sentence."),
+        (4, f"{dup} Brand new tail."),
+    ]
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    # sequential files with distinct mtimes: arrival order = id order,
+    # the C4 stream ≡ batch contract's precondition
+    spark.createDataFrame(rows[:2], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    time.sleep(1.1)
+    spark.createDataFrame(rows[2:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    want = sorted(
+        map(
+            tuple,
+            dd_ops.c4_sentence_span_dedup(
+                spark.createDataFrame(rows, schema)
+            ).collect(),
+        )
+    )
+    args = (spark, str(src), schema, str(tmp_path / "out"),
+            str(tmp_path / "ledger"))
+    # run 1: many small batches
+    r1 = sorted(map(tuple, run_c4_span_dedup_available_now(
+        *args, source_options={"maxFilesPerTrigger": "1"}).collect()))
+    assert r1 == want
+    # run 2: ONE batch over the same dirs — different partitioning
+    r2 = sorted(map(tuple, run_c4_span_dedup_available_now(*args).collect()))
+    assert r2 == want
+
+    # the text gate too: many batches then one batch
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    gsrc = tmp_path / "gsrc"
+    new.repartition(3).write.parquet(str(gsrc))
+    gargs = (spark, str(gsrc), new.schema, str(tmp_path / "gout"))
+    g1 = sorted(
+        r["doc_id"]
+        for r in run_incremental_dedup_available_now(
+            *gargs, reference=ref, threshold=0.7,
+            source_options={"maxFilesPerTrigger": "1"},
+        ).collect()
+    )
+    g2 = sorted(
+        r["doc_id"]
+        for r in run_incremental_dedup_available_now(
+            *gargs, reference=ref, threshold=0.7
+        ).collect()
+    )
+    gwant = sorted(
+        r["doc_id"]
+        for r in dd_ops.incremental_dedup(new, ref, threshold=0.7).collect()
+    )
+    assert g1 == g2 == gwant
+
+    # fresh checkpoint + existing output dirs → refuse
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="checkpoint"):
+        run_incremental_dedup_available_now(
+            *gargs, reference=ref, threshold=0.7,
+            checkpoint_dir=str(tmp_path / "fresh_ck"),
+        )
