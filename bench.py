@@ -105,6 +105,17 @@ ML_NOISE_LANE = frozenset(
     ("ml_random_forest_metrics", "ml_gbt_metrics", "ml_dart_metrics")
 )
 
+#: The persisted-index lifecycle queries (r16 — r15 VERDICT finding 2:
+#: each cycle is ~30 small Spark actions — job-count-bound at test
+#: scale, so ~35 s/sweep of min-of-3 was pure scheduling latency, not
+#: data). They run ONE rep per sweep; their evidence is the sentinel
+#: columns they emit, and their per-leg walls ride the output row
+#: (build_s/gate1_s/append_s/gate2_s[/rebuild_s/gate3_s]) so leg-level
+#: drift stays visible without extra reps.
+LIFECYCLE_LANE = frozenset(
+    ("dedup_index_cycle", "dedup_semantic_index_cycle")
+)
+
 #: Hard ceiling for the driver-facing final stdout line. The harness
 #: keeps the last 2000 bytes of stdout; 1900 leaves margin for the
 #: trailing newline and any stray stderr interleaving.
@@ -376,6 +387,8 @@ def main() -> None:
         # every rep wall (BENCH_FULL only; the compact line is pinned)
         # so steal can be separated from variance after the fact.
         n_reps = max(reps, 5) if name in ML_NOISE_LANE else reps
+        if name in LIFECYCLE_LANE:
+            n_reps = 1
         if name in ML_NOISE_LANE:
             # r15 (r14 VERDICT finding 3): the lane's first rep is dead
             # weight — ml_rep_walls shows one JIT/daemon outlier then a

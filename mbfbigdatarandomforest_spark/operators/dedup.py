@@ -527,6 +527,11 @@ def _fs_delete(spark, p: str) -> None:
     fs.delete(P(p), True)
 
 
+def _fs_mkdirs(spark, p: str) -> None:
+    fs, P = _hadoop_fs(spark, p)
+    fs.mkdirs(P(p))
+
+
 def _swap_dir(spark, src: str, write_tmp) -> None:
     """Crash-safe replace of directory ``src``: ``write_tmp`` lands a
     COMPLETE rewrite at ``src + '__compact'``, then
@@ -713,24 +718,27 @@ def build_dedup_index(
     meta write uses mode("error") — building over an existing index
     raises. Concurrent appends need external coordination (one writer
     per snapshot — the ingestion-pipeline contract)."""
+    from ..sources.sinks import materialize_local
     from .text import fingerprint
 
     spark = reference.sparkSession
-    spark.createDataFrame(
-        [
-            (
-                3,
-                n,
-                bands,
-                rows_per_band,
-                seed,
-                file_buckets,
-                shingle_parts,
-                max_bucket_size,
-            )
-        ],
-        "version int, n int, bands int, rows_per_band int, seed long,"
-        " file_buckets int, shingle_parts int, cap int",
+    materialize_local(
+        spark.createDataFrame(
+            [
+                (
+                    3,
+                    n,
+                    bands,
+                    rows_per_band,
+                    seed,
+                    file_buckets,
+                    shingle_parts,
+                    max_bucket_size,
+                )
+            ],
+            "version int, n int, bands int, rows_per_band int, seed long,"
+            " file_buckets int, shingle_parts int, cap int",
+        )
     ).coalesce(1).write.mode("error").parquet(_index_subdir(path, "meta"))
     # the meta mode("error") write above is the build lock — any
     # catalog entry for this path is stale (a deleted prior index)
@@ -834,7 +842,19 @@ def _repair_dedup_index(spark, path: str) -> list[str]:
     crash-boundary-pinned in tests/test_dedup_index.py). Runs on every
     index open via :func:`_read_dedup_index_meta` — a handful of
     existence probes on the healthy path. Returns the repaired
-    sub-table names."""
+    sub-table names.
+
+    Also detects an UNCLEAN APPEND (ADVICE r15, low): a crash anywhere
+    inside :func:`append_dedup_index`'s derived-state tail (buckets →
+    size deltas → hot-set fold) leaves ``bucket_sizes``/``hot_buckets``
+    stale relative to the buckets table — a bucket that just crossed
+    the cap would be missing from the hot set, silently diverging the
+    v3 matching-cap gate from the v2 exact-sum lane until a retry or
+    compaction. The append claims an ``append_pending/`` token before
+    that tail and releases it after; a surviving token triggers the
+    exact recount (which re-derives the hot set too) right here, at
+    the next open — gates self-heal without relying on the caller
+    retrying."""
     repaired = []
     for sub in (
         "fingerprints",
@@ -845,13 +865,18 @@ def _repair_dedup_index(spark, path: str) -> list[str]:
     ):
         if _repair_dangling_dir(spark, _index_subdir(path, sub)):
             repaired.append(sub)
-    if repaired:
+    pending = _index_subdir(path, "append_pending")
+    unclean_append = _fs_exists(spark, pending)
+    if repaired or unclean_append:
         for sub in ("fingerprints", "buckets"):
             tname = _index_table_name(path, sub)
             if spark.catalog.tableExists(tname):
                 spark.sql(f"REFRESH TABLE {tname}")
         if _fs_exists(spark, _index_subdir(path, "bucket_sizes")):
             _recount_bucket_sizes(spark, path)
+    if unclean_append:
+        _fs_delete(spark, pending)
+        repaired.append("append_pending")
     return repaired
 
 
@@ -923,6 +948,13 @@ def append_dedup_index(
         _ensure_index_table(
             spark, path, "buckets", ("band", "bucket"), meta["file_buckets"]
         )
+        # append_pending token (ADVICE r15): claimed before the
+        # derived-state tail, released only after the hot fold — a
+        # crash inside the tail leaves sizes/hot stale relative to
+        # buckets, and the token makes the NEXT open recount exactly
+        # (_repair_dedup_index) instead of trusting the caller to retry
+        pending = _index_subdir(path, "append_pending")
+        _fs_mkdirs(spark, pending)
         _write_bucketed_sub(
             bb, path, "buckets", ("band", "bucket"), meta["file_buckets"],
             mode="append",
@@ -934,6 +966,7 @@ def append_dedup_index(
         ).write.mode("append").parquet(_index_subdir(path, "bucket_sizes"))
         if meta.get("cap") is not None:
             _fold_hot_buckets(spark, path, bb, meta["cap"])
+        _fs_delete(spark, pending)
     else:
         bb.write.mode("append").parquet(_index_subdir(path, "buckets"))
     sh.unpersist()
@@ -948,8 +981,10 @@ def _fold_hot_buckets(spark, path: str, bb: DataFrame, cap: int) -> None:
     cap). The sizes scan stays narrow and the shuffle is bounded by
     the append's own touched keys (left-semi first); the gate then
     pays ZERO per-gate aggregate. Crash between the sizes append and
-    this swap leaves a stale-but-readable hot set; the retry (the
-    append contract) or the compaction recount re-derives it."""
+    this swap leaves a stale-but-readable hot set — and the append's
+    ``append_pending`` token (ADVICE r15) makes the NEXT index open
+    detect it and recount exactly, so gates self-heal even when the
+    caller never retries."""
     hot_dir = _index_subdir(path, "hot_buckets")
     if not _fs_exists(spark, hot_dir):
         # a build crash between the sizes and hot writes left a

@@ -745,9 +745,11 @@ def save_lm(lm: BigramLM, path: str) -> None:
     lm.vocab.write.mode("overwrite").parquet(f"{path}/vocab")
     meta = json.dumps({"v": lm.v, "k": lm.k, "order": lm.order, "kind": "ngram"})
     spark = lm.bigrams.sparkSession
-    spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
-        "overwrite"
-    ).text(f"{path}/meta")
+    from ..sources.sinks import materialize_local
+
+    materialize_local(
+        spark.createDataFrame([(meta,)], "meta string")
+    ).coalesce(1).write.mode("overwrite").text(f"{path}/meta")
 
 
 def load_lm(spark, path: str) -> BigramLM:

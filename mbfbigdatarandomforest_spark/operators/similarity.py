@@ -343,17 +343,19 @@ def save_ivf_index(spark, centroids, path: str) -> None:
 
     import numpy as np
 
+    from ..sources.sinks import materialize_local
+
     cent = np.asarray(centroids, dtype=np.float64)
     rows = [(i, [float(x) for x in cent[i]]) for i in range(cent.shape[0])]
-    spark.createDataFrame(
-        rows, "cluster int, centroid array<double>"
+    materialize_local(
+        spark.createDataFrame(rows, "cluster int, centroid array<double>")
     ).write.mode("overwrite").parquet(f"{path}/centroids")
     meta = json.dumps(
         {"kind": "ivf", "k": int(cent.shape[0]), "dim": int(cent.shape[1])}
     )
-    spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
-        "overwrite"
-    ).text(f"{path}/meta")
+    materialize_local(
+        spark.createDataFrame([(meta,)], "meta string")
+    ).coalesce(1).write.mode("overwrite").text(f"{path}/meta")
 
 
 def load_ivf_index(spark, path: str):
@@ -379,7 +381,14 @@ def load_ivf_index(spark, path: str):
     return cent
 
 
-def _cosine_probe_routes(narrow: DataFrame, centroids, n_probe: int):
+def _cosine_probe_routes(
+    narrow: DataFrame,
+    centroids,
+    n_probe: int,
+    *,
+    cells_only: bool = False,
+    emit_roles: bool = False,
+):
     """One narrow mapInPandas pass: each (id, v) row → its ``n_probe``
     cosine-nearest cells, nearest first, with ``is_home`` marking the
     rank-1 cell. Centroids are tiny (k × dim floats) and ride the UDF
@@ -387,15 +396,36 @@ def _cosine_probe_routes(narrow: DataFrame, centroids, n_probe: int):
     dim table. Stable sort breaks similarity ties toward the lower
     cell id (matching the SQL row_number tiebreak this replaced).
     Shared by :func:`ann_dup_pairs` (intra-corpus) and the r14
-    incremental semantic gate."""
+    incremental semantic gate.
+
+    ``cells_only=True`` (r16 — VERDICT r15 finding 1) emits just
+    (cell, is_home): the same deterministic routing with no vectors
+    crossing the Arrow boundary — the cheap second pass that lets the
+    capped batch path COUNT cells without materializing O(corpus ×
+    n_probe) vector copies to executor storage. Column pruning cannot
+    reach inside a Python kernel, so the narrowing has to happen here,
+    at the source.
+
+    ``emit_roles=True`` (r16) emits the capped verify's TAGGED frame in
+    one pass — every probe copy as ``__role`` 0 plus the home copy
+    again as ``__role`` 1 (n_probe+1 rows per vector) — replacing the
+    r15 union-of-two-projections that either recomputed the kernel
+    twice or forced the storage checkpoint this round removed."""
     import numpy as np
     import pandas as pd
 
     cent = np.asarray(centroids, dtype=np.float64)
     n_probe = min(n_probe, cent.shape[0])
-    route_schema = (
-        "cell int, is_home boolean, id long, v array<double>, nrm double"
-    )
+    if cells_only:
+        route_schema = "cell int, is_home boolean"
+    elif emit_roles:
+        route_schema = (
+            "cell int, __role int, id long, v array<double>, nrm double"
+        )
+    else:
+        route_schema = (
+            "cell int, is_home boolean, id long, v array<double>, nrm double"
+        )
 
     def _route(batches):
         for pdf in batches:
@@ -409,10 +439,43 @@ def _cosine_probe_routes(narrow: DataFrame, centroids, n_probe: int):
             )
             order = np.argsort(-sims, axis=1, kind="stable")
             probe = order[:, :n_probe]
-            ids = pdf["id"].to_numpy()
             out_cell = probe.ravel()
-            out_id = np.repeat(ids, n_probe)
             out_home = (probe == probe[:, :1]).ravel()  # rank-1 IS home
+            if cells_only:
+                yield pd.DataFrame(
+                    {
+                        "cell": out_cell.astype("int32"),
+                        "is_home": out_home,
+                    }
+                )
+                continue
+            ids = pdf["id"].to_numpy()
+            out_id = np.repeat(ids, n_probe)
+            if emit_roles:
+                # probe copies (role 0) + the home copy again (role 1)
+                home_cell = probe[:, 0]
+                yield pd.DataFrame(
+                    {
+                        "cell": np.concatenate(
+                            [out_cell, home_cell]
+                        ).astype("int32"),
+                        "__role": np.concatenate(
+                            [
+                                np.zeros(len(out_cell), dtype="int32"),
+                                np.ones(len(home_cell), dtype="int32"),
+                            ]
+                        ),
+                        "id": np.concatenate([out_id, ids]),
+                        "v": np.concatenate(
+                            [
+                                np.repeat(pdf["v"].to_numpy(), n_probe),
+                                pdf["v"].to_numpy(),
+                            ]
+                        ),
+                        "nrm": np.concatenate([np.repeat(nrm, n_probe), nrm]),
+                    }
+                )
+                continue
             yield pd.DataFrame(
                 {
                     "cell": out_cell.astype("int32"),
@@ -447,7 +510,11 @@ def _dense_sims(lv_list, rv_list, lnrm, rnrm, thr: float):
     return ii, jj, sims
 
 
-def _salt_cells(tagged: DataFrame, max_cell_size: int) -> DataFrame:
+def _salt_cells(
+    tagged: DataFrame,
+    max_cell_size: int,
+    splits: list[tuple[int, int]] | None = None,
+) -> DataFrame:
     """2-D deterministic sub-cell split of oversized IVF cells (r15 —
     r14 VERDICT finding 1: the cell-local verify shipped whole cells to
     one task, so a hot cell — boilerplate embeddings piling onto one
@@ -469,12 +536,18 @@ def _salt_cells(tagged: DataFrame, max_cell_size: int) -> DataFrame:
     The split factors come from ONE narrow per-cell count (column-
     pruned: the parquet side of a gate's union answers from footers)
     collected to a bounded ≤ k-row driver list and broadcast; cells at
-    or under the cap ride through with s = 1 and zero replication."""
-    sizes = tagged.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    or under the cap ride through with s = 1 and zero replication.
+    Callers that can count more cheaply than re-aggregating ``tagged``
+    (r16 — the batch path recounts from a vector-free second routing
+    pass; an index-backed path could read ``cell_sizes/``) pass the
+    (cell, tagged-row-count) list via ``splits`` precomputed."""
+    if splits is None:
+        sizes = (
+            tagged.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        splits = [(int(r["cell"]), int(r["n"])) for r in sizes]
     splits = [
-        (int(r["cell"]), int(-(-r["n"] // max_cell_size)))
-        for r in sizes
-        if r["n"] > max_cell_size
+        (cell, -(-n // max_cell_size)) for cell, n in splits if n > max_cell_size
     ]
     if not splits:
         return tagged.withColumn("__sa", F.lit(0)).withColumn(
@@ -544,7 +617,11 @@ def ann_dup_pairs(
     EXACTLY the uncapped result (pinned in tests) — unlike the minhash
     tier's ``max_bucket_size``, nothing is dropped. Size it to the
     rows an executor comfortably verifies (matrix side × dim × 8 B);
-    None preserves the one-group-per-cell plan unchanged."""
+    None preserves the one-group-per-cell plan unchanged. The capped
+    path is storage-free (r16): cell sizes come from a vector-free
+    routing pass and the verify frame from a role-tagged one — no
+    checkpoint, no O(corpus × n_probe) vector copies in executor
+    storage."""
     import numpy as np
     import pandas as pd
 
@@ -559,9 +636,7 @@ def ann_dup_pairs(
 
     # ---- pass 1 (narrow, no shuffle): per-row home cell + probe cells
     # (shared with the incremental semantic gate — r14).
-    routed = _cosine_probe_routes(
-        _narrow_vectors(corpus, id_col, vec_col), centroids, n_probe
-    )
+    narrow = _narrow_vectors(corpus, id_col, vec_col)
 
     # ---- pass 2 (one shuffle on the cell id): cell-local verify via
     # vectorized dot products. A pair is a candidate when either
@@ -604,22 +679,39 @@ def ann_dup_pairs(
         return _emit_pairs(pdf[role == 0], pdf[role == 1])
 
     if max_cell_size is None:
+        routed = _cosine_probe_routes(narrow, centroids, n_probe)
         pairs = routed.groupBy("cell").applyInPandas(
             _verify, schema=pair_schema
         )
     else:
-        # bounded-cell path: materialize the routing once (it feeds the
-        # per-cell count AND the verify), tag the two verify sides, and
-        # split oversized cells into id-hash sub-cell pairs
-        routed = routed.localCheckpoint(eager=True)
-        tagged = routed.select(
-            "cell", F.lit(0).alias("__role"), "id", "v", "nrm"
-        ).unionByName(
-            routed.filter(F.col("is_home")).select(
-                "cell", F.lit(1).alias("__role"), "id", "v", "nrm"
+        # bounded-cell path (r16, storage-free — VERDICT r15 finding 1:
+        # the r15 form localCheckpointed the FULL routed corpus, ~
+        # n_probe+1 vector copies per row spilled to executor storage
+        # even when no cell exceeded the cap; at 100 TB of embeddings
+        # that is a multi-hundred-TB transient): count the cells from a
+        # vector-free routing pass — the routing is deterministic, so
+        # recomputing it trades bounded CPU for unbounded storage —
+        # then emit the role-tagged verify frame in ONE second pass
+        # (probe copies role 0 + home copies role 1) and split
+        # oversized cells into id-hash sub-cell pairs. The tagged frame
+        # per cell sizes to count(*) + count_if(is_home) of the
+        # cells-only pass.
+        cell_counts = (
+            _cosine_probe_routes(narrow, centroids, n_probe, cells_only=True)
+            .groupBy("cell")
+            .agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(F.col("is_home").cast("long"))
+                ).alias("n")
             )
+            .collect()
         )
-        pairs = _salt_cells(tagged, max_cell_size).groupBy(
+        splits = [(int(r["cell"]), int(r["n"])) for r in cell_counts]
+        tagged = _cosine_probe_routes(
+            narrow, centroids, n_probe, emit_roles=True
+        )
+        pairs = _salt_cells(tagged, max_cell_size, splits=splits).groupBy(
             "cell", "__sa", "__sb"
         ).applyInPandas(_verify_salted, schema=pair_schema)
     return (
@@ -725,7 +817,8 @@ def build_semantic_index(
     :func:`append_semantic_index`; one writer per snapshot. Version-1
     indexes (r14, no ``cell_sizes/``) stay readable — gates are
     unchanged; stats fall back to counting ``vectors/`` footers."""
-    from .dedup import _fs_exists
+    from ..sources.sinks import materialize_local
+    from .dedup import _fs_delete, _fs_exists
 
     spark = reference.sparkSession
     # fail-fast build claim: meta is written LAST (it needs build_n and
@@ -747,9 +840,9 @@ def build_semantic_index(
             "complete (lock present, meta absent) — delete the "
             "directory and rebuild; builds are all-or-retry"
         )
-    spark.createDataFrame([(1,)], "locked int").coalesce(1).write.mode(
-        "error"
-    ).parquet(_semantic_subdir(path, "lock"))
+    materialize_local(
+        spark.createDataFrame([(1,)], "locked int")
+    ).coalesce(1).write.mode("error").parquet(_semantic_subdir(path, "lock"))
     centroids = _fit_centroids_sampled(
         reference, vec_col=vec_col, id_col=id_col, k=n_clusters,
         seed=seed, max_iter=kmeans_max_iter,
@@ -772,20 +865,28 @@ def build_semantic_index(
     build_n = sizes.agg(F.sum("n")).first()[0] or 0
     # meta LAST (its mode("error") is the build lock, and a crash
     # before it leaves no readable index — the build is all-or-retry)
-    spark.createDataFrame(
-        [
-            (
-                2,
-                int(centroids.shape[0]),
-                int(centroids.shape[1]),
-                seed,
-                int(build_n),
-                ANN_TARGET_CELL_ROWS,
-            )
-        ],
-        "version int, k int, dim int, seed long, build_n long,"
-        " target_cell int",
+    materialize_local(
+        spark.createDataFrame(
+            [
+                (
+                    2,
+                    int(centroids.shape[0]),
+                    int(centroids.shape[1]),
+                    seed,
+                    int(build_n),
+                    ANN_TARGET_CELL_ROWS,
+                )
+            ],
+            "version int, k int, dim int, seed long, build_n long,"
+            " target_cell int",
+        )
     ).coalesce(1).write.mode("error").parquet(_semantic_subdir(path, "meta"))
+    # release the claim on success (ADVICE r15, low): lock presence now
+    # ALWAYS means an interrupted build — before this, every completed
+    # index (including every rebuild output) carried lock/ forever and
+    # the "started and did not complete" error stayed truthful only
+    # because the meta existence check happened to run first
+    _fs_delete(spark, _semantic_subdir(path, "lock"))
 
 
 def _check_dim(df: DataFrame, vec_col: str, dim: int, caller: str) -> None:
@@ -853,6 +954,8 @@ def append_semantic_index(
     ``rebuild_advised`` flip as appends outgrow the build corpus — the
     documented FAISS retrain contract made observable at exactly the
     moment occupancy changes."""
+    from .dedup import _fs_delete, _fs_mkdirs
+
     spark = accepted.sparkSession
     meta = _read_semantic_meta(spark, path)
     _check_dim(accepted, vec_col, meta["dim"], "append_semantic_index")
@@ -862,14 +965,28 @@ def append_semantic_index(
         # materialize once: the routing feeds the vectors append AND
         # the delta counts (O(accepted) transient blocks)
         routed = routed.localCheckpoint(eager=True)
+        # append_pending token (r16 — the minhash tier's ADVICE fix
+        # mirrored): a crash between the vectors append and the sizes
+        # delta leaves the occupancy watermark stale; a surviving
+        # token makes the next open recount exactly
+        pending = _semantic_subdir(path, "append_pending")
+        _fs_mkdirs(spark, pending)
     routed.write.mode("append").partitionBy("cell").parquet(
         _semantic_subdir(path, "vectors")
     )
     if meta["version"] >= 2:
-        routed.groupBy("cell").agg(
-            F.count(F.lit(1)).alias("n")
-        ).write.mode("append").parquet(_semantic_subdir(path, "cell_sizes"))
+        _append_cell_size_deltas(path, routed)
+        _fs_delete(spark, pending)
     return semantic_index_stats(spark, path, _meta=meta)
+
+
+def _append_cell_size_deltas(path: str, routed: DataFrame) -> None:
+    """The append's DELTA rows for ``cell_sizes/`` — module-level so
+    crash-point tests can kill the boundary between the vectors append
+    and this write (the window the ``append_pending`` token covers)."""
+    routed.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n")
+    ).write.mode("append").parquet(_semantic_subdir(path, "cell_sizes"))
 
 
 def _recount_cell_sizes(spark, path: str) -> None:
@@ -900,15 +1017,32 @@ def _repair_semantic_index(spark, path: str) -> list[str]:
     machine, applied to ``vectors/`` and (v2) ``cell_sizes/``; when
     anything WAS repaired and the index carries a sizes table, an
     exact recount re-syncs it with the post-repair vectors (the
-    minhash repair contract — r15)."""
-    from .dedup import _fs_exists, _repair_dangling_dir
+    minhash repair contract — r15). Also sweeps a stale build claim
+    (r16): this runs only on indexes whose meta read succeeded, so a
+    surviving ``lock/`` is a crash between the final meta write and
+    the on-success unlock — the index is complete; drop the claim.
+    And an UNCLEAN APPEND (r16, the minhash token contract): a
+    surviving ``append_pending/`` means a crash between the vectors
+    append and the sizes delta — the watermark would under-report
+    occupancy; recount exactly and release the token."""
+    from .dedup import _fs_delete, _fs_exists, _repair_dangling_dir
 
     repaired = []
     for sub in ("vectors", "cell_sizes"):
         if _repair_dangling_dir(spark, _semantic_subdir(path, sub)):
             repaired.append(sub)
-    if repaired and _fs_exists(spark, _semantic_subdir(path, "cell_sizes")):
+    pending = _semantic_subdir(path, "append_pending")
+    unclean_append = _fs_exists(spark, pending)
+    if (repaired or unclean_append) and _fs_exists(
+        spark, _semantic_subdir(path, "cell_sizes")
+    ):
         _recount_cell_sizes(spark, path)
+    if unclean_append:
+        _fs_delete(spark, pending)
+        repaired.append("append_pending")
+    if _fs_exists(spark, _semantic_subdir(path, "lock")):
+        _fs_delete(spark, _semantic_subdir(path, "lock"))
+        repaired.append("lock")
     return repaired
 
 

@@ -230,6 +230,8 @@ def dedup_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covers the build/gate/append/hot-set costs the ingestion cycle pays.
 # Rows-only; sentinels are the evidence (index ≡ rebuild and the
 # hot-set lifecycle are value-pinned in tests/test_dedup_index.py).
+# Runs at ONE bench rep with per-leg walls in the output row (r16 —
+# r15 VERDICT item 2: the cycle is job-count-bound, not data-bound).
 # --------------------------------------------------------------------------
 @query(
     "dedup_index_cycle",
@@ -238,6 +240,7 @@ def dedup_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_index_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
+    import time as _time
 
     # deterministic ~1/8 slices: the cycle's evidence is its SHAPE
     # (build → capped gate → append → gate 2, sentinels caught at the
@@ -261,30 +264,45 @@ def dedup_index_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         shutil.rmtree(idx)  # build wants a fresh path (meta is the lock)
         cap = 200  # cap of record, far above this corpus's occupancy
+        legs: dict[str, float] = {}
+        t0 = _time.perf_counter()
         dd.build_dedup_index(ref, idx, max_bucket_size=cap)
+        legs["build"] = _time.perf_counter() - t0
         kw = dict(threshold=0.7, max_bucket_size=cap)
+        t0 = _time.perf_counter()
         kept1 = dd.incremental_dedup(
             snap1, index=idx, **kw
         ).localCheckpoint(eager=True)
+        legs["gate1"] = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
         dd.append_dedup_index(kept1, idx)
+        legs["append"] = _time.perf_counter() - t0
         snap2_base = 4 * PLANTED_EXACT_BASE  # clear of both plant tiers
         planted2 = kept1.limit(50).select(
             (F.col("doc_id") + snap2_base).alias("doc_id"), "text"
         )
         snap2 = docs.filter(F.col("doc_id") % 8 == 1).unionByName(planted2)
-        kept2 = dd.incremental_dedup(snap2, index=idx, **kw)
         # round-1 sentinels: BOTH tiers (exact ≥ 10M, near ≥ 20M)
         is_p1 = F.col("doc_id") >= PLANTED_EXACT_BASE
         is_p2 = F.col("doc_id") >= snap2_base
+        t0 = _time.perf_counter()
+        row2 = (
+            dd.incremental_dedup(snap2, index=idx, **kw)
+            .agg(
+                F.count(F.lit(1)).alias("k2"),
+                F.sum(is_p2.cast("long")).alias("p2"),
+            )
+            .first()
+        )
+        legs["gate2"] = _time.perf_counter() - t0
         row1 = kept1.agg(
             F.count(F.lit(1)).alias("k1"),
             F.sum(is_p1.cast("long")).alias("p1"),
         ).first()
-        row2 = kept2.agg(
-            F.count(F.lit(1)).alias("k2"),
-            F.sum(is_p2.cast("long")).alias("p2"),
-        ).first()
         stats = dd.dedup_index_stats(spark, idx)
+        # per-leg walls ride the rows-only record (VERDICT r15 item 2:
+        # the cycle's evidence is its sentinels; the walls make the
+        # job-count-bound legs visible without extra bench reps)
         return spark.createDataFrame(
             [
                 (
@@ -297,11 +315,17 @@ def dedup_index_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
                     int(row2["p2"] or 0),
                     int(stats["n_fingerprints"]),
                     int(stats.get("hot_buckets", 0)),
+                    round(legs["build"], 3),
+                    round(legs["gate1"], 3),
+                    round(legs["append"], 3),
+                    round(legs["gate2"], 3),
                 )
             ],
             "n_ref long, n_snap1 long, kept1 long, planted1_kept long,"
             " n_snap2 long, kept2 long, planted2_kept long,"
-            " index_fingerprints long, hot_buckets long",
+            " index_fingerprints long, hot_buckets long,"
+            " build_s double, gate1_s double, append_s double,"
+            " gate2_s double",
         )
     finally:
         # drop the run-scoped catalog entries before the files go —
@@ -558,18 +582,26 @@ def dedup_semantic_incremental_stats(
 
 
 # --------------------------------------------------------------------------
-# Semantic INDEX-PATH cycle (r15 — r14 VERDICT item 7): the registered
-# evidence for the persistable semantic index's append leg. The in-flight
-# gate above times reference=; THIS query runs the full index lifecycle
-# per sweep — build → capped gate (planted ref copies all caught) →
-# append survivors → gate snapshot 2 (planted copies of APPENDED rows
-# all caught, proving the append is what the second gate sees) — against
-# a run-scoped index path, so the driver's bench wall covers the
-# build/gate/append costs the production ingestion cycle actually pays.
-# Rows-only (k-means + numpy verify have no SQL twin); the sentinels and
-# the occupancy watermark are the evidence. max_cell_size exercises the
-# bounded-verify lane (capped ≡ uncapped is value-pinned in
-# tests/test_semantic_index.py; the cap here sits far above occupancy).
+# Semantic INDEX-PATH cycle (r15 — r14 VERDICT item 7; rebuild leg r16
+# — r15 VERDICT item 5): the registered evidence for the persistable
+# semantic index's append AND rebuild legs. The in-flight gate above
+# times reference=; THIS query runs the full index lifecycle per sweep
+# — build → capped gate (planted ref copies all caught) → append
+# survivors → gate snapshot 2 (planted copies of APPENDED rows all
+# caught, proving the append is what the second gate sees) → REBUILD
+# (the operation rebuild_advised advises: quantizer refit + re-route +
+# watermark re-anchor) → gate 3 (the same planted copies still caught:
+# exact copies route identically under any quantizer) — against a
+# run-scoped index path, so the driver's bench wall covers the
+# build/gate/append/rebuild costs the production ingestion cycle
+# actually pays. Rows-only (k-means + numpy verify have no SQL twin);
+# the sentinels, the occupancy watermark, and the per-leg walls are the
+# evidence. max_cell_size exercises the bounded-verify lane (capped ≡
+# uncapped is value-pinned in tests/test_semantic_index.py; the cap
+# here sits far above occupancy). Runs at ONE bench rep (bench.py's
+# LIFECYCLE_LANE — r15 VERDICT item 2: the legs are ~30 small Spark
+# actions, scheduling-latency-bound at test scale; min-of-3 buys no
+# noise reduction worth 2 extra full lifecycles per sweep).
 # --------------------------------------------------------------------------
 @query(
     "dedup_semantic_index_cycle",
@@ -578,6 +610,7 @@ def dedup_semantic_incremental_stats(
 def dedup_semantic_index_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
+    import time as _time
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
@@ -590,31 +623,65 @@ def dedup_semantic_index_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = tempfile.mkdtemp(prefix="semidx_cycle_")
     try:
         shutil.rmtree(idx)  # build wants a fresh path (meta is the lock)
+        legs: dict[str, float] = {}
+        t0 = _time.perf_counter()
         sim.build_semantic_index(ref, idx, n_clusters=16)
+        legs["build"] = _time.perf_counter() - t0
         kw = dict(threshold=0.8, n_probe=6, max_cell_size=100_000)
+        t0 = _time.perf_counter()
         kept1 = sim.incremental_semantic_dedup(
             snap1, index=idx, **kw
         ).localCheckpoint(eager=True)
+        legs["gate1"] = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
         stats = sim.append_semantic_index(kept1, idx)
+        legs["append"] = _time.perf_counter() - t0
         # snapshot 2: fresh odds + exact copies of round-1 SURVIVORS —
         # only the append can catch those
         planted2 = kept1.limit(50).select(
             (F.col("vec_id") + 2 * PLANTED_EXACT_BASE).alias("vec_id"),
             "embedding",
         )
-        snap2 = emb.filter(F.col("vec_id") % 2 == 1).unionByName(planted2)
-        kept2 = sim.incremental_semantic_dedup(snap2, index=idx, **kw)
+        snap2 = emb.filter(F.col("vec_id") % 2 == 1).unionByName(
+            planted2
+        ).localCheckpoint(eager=True)  # feeds gate 2 AND gate 3
         is_p1 = (F.col("vec_id") >= PLANTED_EXACT_BASE) & (
             F.col("vec_id") < 2 * PLANTED_EXACT_BASE
         )
         is_p2 = F.col("vec_id") >= 2 * PLANTED_EXACT_BASE
+        t0 = _time.perf_counter()
+        row2 = (
+            sim.incremental_semantic_dedup(snap2, index=idx, **kw)
+            .agg(
+                F.count(F.lit(1)).alias("k2"),
+                F.sum(is_p2.cast("long")).alias("p2"),
+            )
+            .first()
+        )
+        legs["gate2"] = _time.perf_counter() - t0
+        # rebuild leg (r16 — VERDICT r15 item 5): the operation
+        # rebuild_advised advises, timed by the driver's bench like the
+        # other legs. The quantizer refits over the accumulated corpus
+        # (small k — the cycle's evidence is its sentinels, not volume)
+        # and gate 3 re-runs snapshot 2: EXACT copies of appended
+        # survivors route identically under ANY quantizer, so
+        # planted2 must still be fully caught post-rebuild.
+        t0 = _time.perf_counter()
+        post = sim.rebuild_semantic_index(spark, idx, n_clusters=16)
+        legs["rebuild"] = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        row3 = (
+            sim.incremental_semantic_dedup(snap2, index=idx, **kw)
+            .agg(
+                F.count(F.lit(1)).alias("k3"),
+                F.sum(is_p2.cast("long")).alias("p3"),
+            )
+            .first()
+        )
+        legs["gate3"] = _time.perf_counter() - t0
         row1 = kept1.agg(
             F.count(F.lit(1)).alias("k1"),
             F.sum(is_p1.cast("long")).alias("p1"),
-        ).first()
-        row2 = kept2.agg(
-            F.count(F.lit(1)).alias("k2"),
-            F.sum(is_p2.cast("long")).alias("p2"),
         ).first()
         return spark.createDataFrame(
             [
@@ -628,11 +695,26 @@ def dedup_semantic_index_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
                     int(row2["p2"] or 0),
                     int(stats["n_vectors"]),
                     bool(stats["rebuild_advised"]),
+                    # the rebuild really re-anchored the watermark:
+                    # build_n resets to the current corpus → growth 1.0
+                    bool(post["growth"] == 1.0),
+                    int(row3["k3"]),
+                    int(row3["p3"] or 0),
+                    round(legs["build"], 3),
+                    round(legs["gate1"], 3),
+                    round(legs["append"], 3),
+                    round(legs["gate2"], 3),
+                    round(legs["rebuild"], 3),
+                    round(legs["gate3"], 3),
                 )
             ],
             "n_ref long, n_snap1 long, kept1 long, planted1_kept long,"
             " n_snap2 long, kept2 long, planted2_kept long,"
-            " index_vectors long, rebuild_advised boolean",
+            " index_vectors long, rebuild_advised boolean,"
+            " rebuilt boolean, post_rebuild_kept long,"
+            " planted2_kept_post_rebuild long,"
+            " build_s double, gate1_s double, append_s double,"
+            " gate2_s double, rebuild_s double, gate3_s double",
         )
     finally:
         shutil.rmtree(idx, ignore_errors=True)

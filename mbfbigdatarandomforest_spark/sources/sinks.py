@@ -10,6 +10,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def materialize_local(df: DataFrame) -> DataFrame:
+    """JVM-materialize a Python-built local-literal frame BEFORE a file
+    write (r16 — found while slimming the index-lifecycle queries'
+    dead wall, VERDICT r15 finding 2): on this stack, a
+    ``spark.createDataFrame(local_rows)`` plan whose action is a FILE
+    write (parquet/text/csv) pays a ~5 s FIXED cost per write —
+    measured 5.5 s for a one-row frame vs 0.5 s for the same frame
+    materialized first, while collect/noop of the identical frame run
+    in ~0.4 s, so it is specifically the FileFormatWriter job spinning
+    up a fresh Python stage. ``localCheckpoint(eager=True)`` runs that
+    Python stage once on the regular daemon pool and hands the writer
+    a JVM-resident RDD; the tiny persisted block is released by the
+    ContextCleaner when the frame goes out of scope.
+
+    Use for every metadata/lock/model-artifact write built from driver
+    data — an index build/append composes several such writes, so the
+    fixed cost multiplied into tens of seconds per lifecycle."""
+    return df.localCheckpoint(eager=True)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

@@ -64,7 +64,9 @@ def run_dedup_available_now(
     return spark.table(query_name)
 
 
-def _prepare_replayable_dirs(spark, checkpoint_dir, *dirs) -> None:
+def _prepare_replayable_dirs(
+    spark, checkpoint_dir, *dirs, clear_existing: bool = False
+) -> None:
     """Make the batch_id-keyed replay contract hold for ANY batch
     partitioning (review r15): a no-checkpoint run reprocesses the
     whole source, so prior batch dirs are a previous attempt's state —
@@ -72,27 +74,48 @@ def _prepare_replayable_dirs(spark, checkpoint_dir, *dirs) -> None:
     maxFilesPerTrigger, compacted source files), overwriting only the
     ids it produces would leave stale higher-numbered dirs duplicating
     output (and, for the C4 ledger, wrongly marking replayed spans
-    'seen'). So: no checkpoint → clear the dirs up front. With a
-    checkpoint, Spark's commit log resumes batch ids monotonically and
-    existing dirs are this stream's own — but a FRESH checkpoint
-    paired with EXISTING dirs would restart ids at 0 over stale state,
-    so that pairing raises (streaming/warc.py's contract)."""
+    'seen').
+
+    Deleting is NEVER silent (ADVICE r15, medium): a pre-existing dir
+    raises unless the caller passed ``clear_existing=True`` — the r15
+    form rm -rf'd the caller-supplied out_dir (and the C4 span ledger)
+    on every no-checkpoint run, so a caller accumulating a ledger
+    across runs without a checkpoint silently lost all prior state,
+    and a mistyped out_dir pointing at unrelated data was destroyed.
+    Cross-run accumulation REQUIRES ``checkpoint_dir``: with one,
+    Spark's commit log resumes batch ids monotonically and existing
+    dirs are this stream's own. A FRESH checkpoint paired with
+    EXISTING dirs would restart ids at 0 over stale state, so that
+    pairing raises too (streaming/warc.py's contract) unless
+    ``clear_existing`` opts into the wipe."""
     from ..operators.dedup import _fs_delete, _fs_exists
 
-    if checkpoint_dir is None:
-        for d in dirs:
-            if _fs_exists(spark, d):
-                _fs_delete(spark, d)
-        return
-    if not _fs_exists(spark, checkpoint_dir):
-        for d in dirs:
-            if _fs_exists(spark, d):
-                raise ValueError(
-                    f"output dir {d!r} exists but checkpoint_dir "
-                    f"{checkpoint_dir!r} is fresh — batch ids would "
-                    "restart over stale state; reuse the original "
-                    "checkpoint, or clear the output dirs"
-                )
+    fresh_checkpoint = checkpoint_dir is None or not _fs_exists(
+        spark, checkpoint_dir
+    )
+    if not fresh_checkpoint:
+        return  # resuming: existing dirs are this stream's own state
+    for d in dirs:
+        if not _fs_exists(spark, d):
+            continue
+        if clear_existing:
+            _fs_delete(spark, d)
+        elif checkpoint_dir is None:
+            raise ValueError(
+                f"output dir {d!r} already exists and no checkpoint_dir "
+                "was given — this run would replay the whole source over "
+                "stale batch dirs; pass clear_existing=True to wipe the "
+                "previous attempt, or pass the original checkpoint_dir "
+                "to resume it (cross-run accumulation requires a "
+                "checkpoint)"
+            )
+        else:
+            raise ValueError(
+                f"output dir {d!r} exists but checkpoint_dir "
+                f"{checkpoint_dir!r} is fresh — batch ids would "
+                "restart over stale state; reuse the original "
+                "checkpoint, or pass clear_existing=True"
+            )
 
 
 def run_incremental_dedup_available_now(
@@ -109,6 +132,7 @@ def run_incremental_dedup_available_now(
     query_name: str = "incremental_dedup_stream",
     source_options: dict[str, str] | None = None,
     checkpoint_dir: str | None = None,
+    clear_existing: bool = False,
 ) -> DataFrame:
     """Cross-snapshot dedup gate as a stream (r13, verdict item 7):
     micro-batched NEW documents gated against the STATIC accumulated
@@ -116,6 +140,10 @@ def run_incremental_dedup_available_now(
     (a :func:`operators.dedup.build_dedup_index` path, the
     pipeline-economical side: the stream pays O(batch) compute plus a
     narrow index scan per micro-batch, never corpus-side shingling).
+
+    A pre-existing ``out_dir`` raises unless ``clear_existing=True``
+    (ADVICE r16 — deletes are opt-in, never silent); accumulating
+    output across runs requires ``checkpoint_dir``.
 
     ``foreachBatch`` runs the batch-proven
     :func:`operators.dedup.incremental_dedup` kernel per micro-batch —
@@ -158,7 +186,9 @@ def run_incremental_dedup_available_now(
             f"{out_dir}/batch_id={batch_id}"
         )
 
-    _prepare_replayable_dirs(spark, checkpoint_dir, out_dir)
+    _prepare_replayable_dirs(
+        spark, checkpoint_dir, out_dir, clear_existing=clear_existing
+    )
     reader = spark.readStream.schema(schema)
     for k, v in (source_options or {}).items():
         reader = reader.option(k, v)
@@ -189,6 +219,7 @@ def run_incremental_semantic_dedup_available_now(
     source_options: dict[str, str] | None = None,
     max_cell_size: int | None = None,
     checkpoint_dir: str | None = None,
+    clear_existing: bool = False,
 ) -> DataFrame:
     """Cross-snapshot SEMANTIC dedup gate as a stream (r14): micro-
     batched NEW vectors gated against a STATIC
@@ -202,7 +233,8 @@ def run_incremental_semantic_dedup_available_now(
     the snapshot cycle's job (``append_semantic_index`` between stream
     runs). Replay safety (r15): batch_id-keyed OVERWRITE output and an
     optional ``checkpoint_dir`` — a retried/replayed batch replaces
-    its prior attempt instead of appending duplicates."""
+    its prior attempt instead of appending duplicates. A pre-existing
+    ``out_dir`` raises unless ``clear_existing=True`` (ADVICE r16)."""
     from ..operators.similarity import (
         _read_semantic_meta,
         _semantic_subdir,
@@ -231,7 +263,9 @@ def run_incremental_semantic_dedup_available_now(
             f"{out_dir}/batch_id={batch_id}"
         )
 
-    _prepare_replayable_dirs(spark, checkpoint_dir, out_dir)
+    _prepare_replayable_dirs(
+        spark, checkpoint_dir, out_dir, clear_existing=clear_existing
+    )
     reader = spark.readStream.schema(schema)
     for k, v in (source_options or {}).items():
         reader = reader.option(k, v)
@@ -260,6 +294,7 @@ def run_c4_span_dedup_available_now(
     query_name: str = "c4_span_dedup_stream",
     source_options: dict[str, str] | None = None,
     checkpoint_dir: str | None = None,
+    clear_existing: bool = False,
 ) -> DataFrame:
     """C4 three-sentence-span dedup as a stream (r14): each micro-batch
     drops span occurrences already seen — either in the persistent SPAN
@@ -285,7 +320,10 @@ def run_c4_span_dedup_available_now(
     wrongly dropping each keeper's sentences beside the first
     attempt's correct rows. ``checkpoint_dir``, when given, adds the
     standard commit log so a restarted run skips processed files
-    entirely (the other streaming modules' contract).
+    entirely (the other streaming modules' contract). A pre-existing
+    ``out_dir`` or ``ledger_dir`` raises unless ``clear_existing=True``
+    (ADVICE r16 — deletes are opt-in); accumulating the ledger across
+    runs requires ``checkpoint_dir``.
 
     100 TB shape: the ledger is two longs per distinct span — the
     cross-batch state is hash pairs, never text — and each batch pays
@@ -363,7 +401,13 @@ def run_c4_span_dedup_available_now(
             "overwrite"
         ).parquet(f"{ledger_dir}/batch_id={batch_id}")
 
-    _prepare_replayable_dirs(spark, checkpoint_dir, out_dir, ledger_dir)
+    _prepare_replayable_dirs(
+        spark,
+        checkpoint_dir,
+        out_dir,
+        ledger_dir,
+        clear_existing=clear_existing,
+    )
     reader = spark.readStream.schema(schema)
     for k, v in (source_options or {}).items():
         reader = reader.option(k, v)

@@ -71,11 +71,24 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def _maybe_crash(point: str) -> None:
+    """Deterministic fault injection for the maintenance crash-boundary
+    e2e (r16 — r15 VERDICT item 6): ``os._exit`` at a named point — no
+    cleanup handlers, no JVM shutdown hooks, exactly the lost-host
+    failure the per-state open-time repairs exist for. Inert unless
+    SPARK_GRAFT_MAINT_CRASH_POINT names this point; never set it in a
+    real maintenance slot."""
+    if os.environ.get("SPARK_GRAFT_MAINT_CRASH_POINT") == point:
+        print(f"# injected crash at {point}", file=sys.stderr, flush=True)
+        os._exit(137)
 
 
 def main() -> None:
@@ -282,6 +295,7 @@ def main() -> None:
             if args.index_stats:
                 ent["stats"] = dd.dedup_index_stats(spark, args.dedup_index)
             report["dedup_index"] = ent
+        _maybe_crash("after_dedup_state")
         if args.semantic_index:
             from mbfbigdatarandomforest_spark.operators import (
                 similarity as sim_ops,
@@ -320,6 +334,7 @@ def main() -> None:
                         sample_cap=args.semantic_recall_sample,
                     )
             report["semantic_index"] = ent
+        _maybe_crash("after_semantic_state")
         if args.recrawl_state:
             from mbfbigdatarandomforest_spark.streaming.recrawl import (
                 compact_recrawl_state,

@@ -407,6 +407,51 @@ def test_cap_of_record_hot_set_lifecycle(spark, tmp_path):
     assert got2 == want2
 
 
+def test_unclean_append_token_heals_stale_hot_set(spark, tmp_path, monkeypatch):
+    """ADVICE r15 (low): a crash between append_dedup_index's
+    bucket_sizes delta append and the hot-set fold leaves a bucket that
+    just crossed the cap MISSING from the materialized hot set — the
+    v3 matching-cap gate would silently diverge from the v2 exact-sum
+    lane until a retry or compaction. The append claims an
+    ``append_pending`` token before the derived-state tail; a surviving
+    token makes the NEXT index open recount exactly — gates self-heal
+    with no caller retry."""
+    ref, _ = _corpus(spark)
+    cap = 2
+    idx = str(tmp_path / "tokenidx")
+    dd.build_dedup_index(ref, idx, max_bucket_size=cap)
+    base5 = ref.orderBy("doc_id").limit(5).localCheckpoint()
+    # first copy: those docs' buckets reach 2 (= cap, not hot yet)
+    dd.append_dedup_index(
+        base5.select((F.col("doc_id") + 900_000_000).alias("doc_id"), "text"),
+        idx,
+    )
+    assert not dd._fs_exists(spark, dd._index_subdir(idx, "append_pending"))
+    # second copy pushes them to 3 > cap — crash RIGHT BEFORE the fold
+    monkeypatch.setattr(
+        dd,
+        "_fold_hot_buckets",
+        lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("crash before hot fold")
+        ),
+    )
+    with pytest.raises(RuntimeError, match="crash before hot fold"):
+        dd.append_dedup_index(
+            base5.select(
+                (F.col("doc_id") + 910_000_000).alias("doc_id"), "text"
+            ),
+            idx,
+        )
+    monkeypatch.undo()
+    # the crash left the token AND a stale (strictly smaller) hot set
+    assert dd._fs_exists(spark, dd._index_subdir(idx, "append_pending"))
+    assert _hot_set(spark, idx) < _summed_hot(spark, idx, cap)
+    # the next open — any gate or append starts with one — self-heals
+    dd._read_dedup_index_meta(spark, idx)
+    assert not dd._fs_exists(spark, dd._index_subdir(idx, "append_pending"))
+    assert _hot_set(spark, idx) == _summed_hot(spark, idx, cap)
+
+
 def test_cap_of_record_gate_plan_has_no_sizes_aggregate(spark, tmp_path):
     """The matching-cap gate's candidate side reads the PRECOMPUTED
     hot set — its plan contains no aggregate over bucket_sizes (the
@@ -544,6 +589,116 @@ def test_maintenance_cli_compacts_all_three_states(spark, tmp_path):
     assert got_state == want_state
 
 
+def test_maintenance_cli_crash_between_states(spark, tmp_path):
+    """r16 (r15 VERDICT item 6): the one-invocation maintenance CLI,
+    KILLED between states — after the dedup compaction completes,
+    before the semantic one starts (injected os._exit, no cleanup, the
+    lost-host failure) — must leave every state openable and
+    gate-identical: the completed compaction stands, the untouched
+    states are unharmed (still carrying their retry duplicates), and
+    the retried invocation finishes the job."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import mbfbigdatarandomforest_spark.operators.similarity as sim
+    from conftest import SF_DIR_SMALL
+
+    ref, new = _corpus(spark)
+    didx = str(tmp_path / "didx")
+    dd.build_dedup_index(ref, didx, max_bucket_size=2)
+    acc = dd.incremental_dedup(
+        new, index=didx, max_bucket_size=2, **KW
+    ).localCheckpoint()
+    dd.append_dedup_index(acc, didx)
+    dd.append_dedup_index(acc, didx)  # retry rows for compaction
+    want_text = {
+        r["doc_id"]
+        for r in dd.incremental_dedup(
+            new, index=didx, max_bucket_size=2, **KW
+        ).collect()
+    }
+    emb = spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    sref = emb.filter(F.col("vec_id") % 2 == 0)
+    snew = emb.filter(F.col("vec_id") % 2 == 1)
+    sidx = str(tmp_path / "sidx")
+    sim.build_semantic_index(sref, sidx, n_clusters=4)
+    sim.append_semantic_index(snew.limit(20), sidx)
+    sim.append_semantic_index(snew.limit(20), sidx)  # retry duplicates
+    want_sem = {
+        r["vec_id"]
+        for r in sim.incremental_semantic_dedup(
+            snew, index=sidx, threshold=0.8, n_probe=2
+        ).collect()
+    }
+    rstate = str(tmp_path / "rstate")
+    spark.createDataFrame(
+        [("https://a.example/p", "2024-01-01 00:00:00")],
+        "loc string, __lm string",
+    ).select(
+        "loc", F.col("__lm").cast("timestamp").alias("__lm")
+    ).write.parquet(rstate)
+
+    args = [
+        sys.executable, "run_curation_pipeline.py",
+        "--dedup-index", didx,
+        "--semantic-index", sidx,
+        "--recrawl-state", rstate,
+        "--index-compact", "--index-stats",
+    ]
+    env = dict(os.environ, SPARK_GRAFT_MAINT_CRASH_POINT="after_dedup_state")
+    r = subprocess.run(
+        args, capture_output=True, text=True, timeout=600,
+        cwd="/root/repo", env=env,
+    )
+    assert r.returncode == 137, (r.returncode, r.stderr[-2000:])
+    assert "injected crash at after_dedup_state" in r.stderr
+
+    # the completed dedup compaction stands and gates identically
+    got_text = {
+        r2["doc_id"]
+        for r2 in dd.incremental_dedup(
+            new, index=didx, max_bucket_size=2, **KW
+        ).collect()
+    }
+    assert got_text == want_text
+    # the semantic state was never touched: retry duplicates still on
+    # disk, and its gate still answers identically through repair
+    assert (
+        spark.read.parquet(sidx + "/vectors").count()
+        == sref.count() + 40
+    )
+    got_sem = {
+        r2["vec_id"]
+        for r2 in sim.incremental_semantic_dedup(
+            snew, index=sidx, threshold=0.8, n_probe=2
+        ).collect()
+    }
+    assert got_sem == want_sem
+
+    # the retried invocation (no crash) finishes the remaining states
+    r2 = subprocess.run(
+        args, capture_output=True, text=True, timeout=600,
+        cwd="/root/repo",
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    report = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert report["semantic_index"]["stats"]["n_vectors"] == (
+        sref.count() + 20  # retry duplicates collapsed this time
+    )
+    assert report["recrawl_state"]["compacted"]["urls"] == 1
+    got_sem2 = {
+        r3["vec_id"]
+        for r3 in sim.incremental_semantic_dedup(
+            snew, index=sidx, threshold=0.8, n_probe=2
+        ).collect()
+    }
+    assert got_sem2 == want_sem
+
+
 def test_registered_dedup_index_cycle_query(spark):
     """The r15 registered text-tier index-cycle query: build (cap of
     record) → capped gate → append → gate 2 per invocation — both
@@ -561,6 +716,9 @@ def test_registered_dedup_index_cycle_query(spark):
     assert 0 < r["kept2"] < r["n_snap2"]
     assert r["index_fingerprints"] >= r["n_ref"]
     assert r["hot_buckets"] == 0  # cap of record far above occupancy
+    # r16: per-leg walls ride the rows-only record (VERDICT r15 item 2)
+    for leg in ("build_s", "gate1_s", "append_s", "gate2_s"):
+        assert r[leg] > 0
 
 
 def test_missing_hot_buckets_recreated_not_bricked(spark, tmp_path):

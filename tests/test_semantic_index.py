@@ -367,6 +367,71 @@ def test_capped_gate_equals_uncapped(spark, tmp_path):
     assert kept_cap == kept_unc
 
 
+def test_semantic_unclean_append_token_heals_watermark(
+    spark, tmp_path, monkeypatch
+):
+    """r16 (the minhash tier's ADVICE token contract mirrored): a crash
+    between append_semantic_index's vectors append and the cell_sizes
+    delta leaves the occupancy watermark under-reporting — the
+    ``append_pending`` token makes the next index open recount exactly,
+    so ``rebuild_advised`` never mis-advises off a stale sum."""
+    from mbfbigdatarandomforest_spark.operators.dedup import _fs_exists
+
+    ref, new = _frames(spark)
+    idx = str(tmp_path / "semidx_token")
+    sim.build_semantic_index(ref, idx, n_clusters=4)
+    pending = sim._semantic_subdir(idx, "append_pending")
+    # healthy append claims and releases the token
+    sim.append_semantic_index(new.limit(20).localCheckpoint(), idx)
+    assert not _fs_exists(spark, pending)
+    assert _sum_sizes(spark, idx) == _n_vectors(spark, idx)
+    # crash the boundary the token covers
+    monkeypatch.setattr(
+        sim,
+        "_append_cell_size_deltas",
+        lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("crash before sizes delta")
+        ),
+    )
+    with pytest.raises(RuntimeError, match="crash before sizes delta"):
+        sim.append_semantic_index(new.limit(40).localCheckpoint(), idx)
+    monkeypatch.undo()
+    assert _fs_exists(spark, pending)
+    assert _sum_sizes(spark, idx) < _n_vectors(spark, idx)  # stale
+    # the next open — every gate/append/stats call starts with one —
+    # recounts exactly and releases the token
+    sim._read_semantic_meta(spark, idx)
+    assert not _fs_exists(spark, pending)
+    assert _sum_sizes(spark, idx) == _n_vectors(spark, idx)
+
+
+def test_capped_batch_ann_pairs_adds_no_storage(spark):
+    """r16 (VERDICT r15 finding 1): the capped BATCH ann_dup_pairs is
+    storage-free — cell sizes come from a vector-free second routing
+    pass and the verify frame from a role-tagged one, NOT from a
+    localCheckpoint of the full routed corpus — so the call leaves no
+    new persisted RDD blocks behind. (The r15 form spilled ~n_probe+1
+    vector copies per row to executor storage even when no cell
+    exceeded the cap — a multi-hundred-TB transient at 100 TB of
+    embeddings. The incremental INDEX gate path may and does
+    checkpoint its O(new) snapshot; the batch path has no such
+    right-sized side.)"""
+    ref, new = _frames(spark)
+    corpus = ref.unionByName(new)
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    got = sim.ann_dup_pairs(
+        corpus,
+        threshold=THRESHOLD,
+        n_clusters=4,
+        n_probe=3,
+        max_cell_size=7,
+    ).collect()
+    after = set(jsc.getPersistentRDDs().keySet().toArray())
+    assert got  # the capped path really ran and found pairs
+    assert after - before == set()  # and persisted nothing
+
+
 def test_cell_sizes_invariant_and_watermark(spark, tmp_path):
     """r15 (r14 VERDICT item 1a/1c): sum(cell_sizes) ≡ count(vectors)
     at every lifecycle point (build, append, retried append,
@@ -439,10 +504,12 @@ def test_v1_index_stays_readable(spark, tmp_path):
 
 def test_registered_semantic_index_cycle_query(spark):
     """The r15 registered query runs the full index lifecycle (build →
-    capped gate → append → gate 2) per invocation: both sentinel
-    families must be fully caught — planted ref copies by the build,
-    planted copies of round-1 SURVIVORS by the append — and the
-    occupancy watermark must ride along."""
+    capped gate → append → gate 2 → rebuild → gate 3 since r16) per
+    invocation: both sentinel families must be fully caught — planted
+    ref copies by the build, planted copies of round-1 SURVIVORS by
+    the append AND still post-rebuild (exact copies route identically
+    under any quantizer) — the occupancy watermark must ride along,
+    and the per-leg walls land in the rows-only record."""
     from mbfbigdatarandomforest_spark.registry import load_all
 
     spec = load_all()["dedup_semantic_index_cycle"]
@@ -454,6 +521,14 @@ def test_registered_semantic_index_cycle_query(spark):
     assert 0 < r["kept2"] < r["n_snap2"]
     assert r["index_vectors"] == r["n_ref"] + r["kept1"]
     assert r["rebuild_advised"] in (True, False)
+    # r16 rebuild leg (VERDICT r15 item 5): watermark re-anchored and
+    # the appended survivors' copies still fully caught by gate 3
+    assert r["rebuilt"] is True
+    assert r["planted2_kept_post_rebuild"] == 0
+    assert 0 < r["post_rebuild_kept"] < r["n_snap2"]
+    for leg in ("build_s", "gate1_s", "append_s", "gate2_s",
+                "rebuild_s", "gate3_s"):
+        assert r[leg] > 0
 
 
 def test_rebuild_semantic_index(spark, tmp_path):
@@ -673,11 +748,18 @@ def test_build_lock_claims_path_before_touching_anything(spark, tmp_path):
     build (lock present, meta absent) fails a retry with a clear
     message instead of clobbering state, and a completed index refuses
     a second build without its quantizer being touched."""
+    import os
     import shutil
+
+    from mbfbigdatarandomforest_spark.operators.dedup import _fs_exists
 
     ref, _ = _frames(spark)
     idx = str(tmp_path / "semidx_lock")
     sim.build_semantic_index(ref, idx, n_clusters=4)
+    # ADVICE r15 (low): the claim is RELEASED on success — lock
+    # presence always means an interrupted build, so a completed index
+    # (and every rebuild output) must not carry lock/ forever
+    assert not _fs_exists(spark, sim._semantic_subdir(idx, "lock"))
     # completed index: double build refuses at the meta check
     with pytest.raises(ValueError, match="already exists"):
         sim.build_semantic_index(ref, idx, n_clusters=4)
@@ -685,5 +767,13 @@ def test_build_lock_claims_path_before_touching_anything(spark, tmp_path):
     crashed = str(tmp_path / "semidx_crashed")
     shutil.copytree(idx, crashed)
     shutil.rmtree(sim._semantic_subdir(crashed, "meta"))
+    os.makedirs(sim._semantic_subdir(crashed, "lock"))
     with pytest.raises(ValueError, match="did not\n?.*complete|did not"):
         sim.build_semantic_index(ref, crashed, n_clusters=4)
+    # crash BETWEEN the final meta write and the unlock: the index is
+    # complete — the next open sweeps the stale claim (r16)
+    stale = str(tmp_path / "semidx_stale_lock")
+    shutil.copytree(idx, stale)
+    os.makedirs(sim._semantic_subdir(stale, "lock"))
+    sim._read_semantic_meta(spark, stale)
+    assert not _fs_exists(spark, sim._semantic_subdir(stale, "lock"))

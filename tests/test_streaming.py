@@ -1393,7 +1393,15 @@ def test_streaming_c4_span_dedup_replay_idempotent(spark, tmp_path):
             str(tmp_path / "ledger"))
     first = sorted(map(tuple, run_c4_span_dedup_available_now(*args).collect()))
     assert first == want
-    replay = sorted(map(tuple, run_c4_span_dedup_available_now(*args).collect()))
+    # ADVICE r16: a no-checkpoint replay over existing dirs must be an
+    # EXPLICIT opt-in — without the flag it refuses instead of silently
+    # rm -rf'ing caller-supplied state
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="clear_existing"):
+        run_c4_span_dedup_available_now(*args)
+    replay = sorted(map(tuple, run_c4_span_dedup_available_now(
+        *args, clear_existing=True).collect()))
     assert replay == want  # identical — no dropped keepers, no dup rows
 
     # checkpointed variant: the second run processes nothing new and
@@ -1515,7 +1523,7 @@ def test_streaming_incremental_gates_replay_idempotent(spark, tmp_path):
     r2 = sorted(
         r["doc_id"]
         for r in run_incremental_dedup_available_now(
-            *args, reference=ref, threshold=0.7
+            *args, reference=ref, threshold=0.7, clear_existing=True
         ).collect()
     )
     want = sorted(
@@ -1546,7 +1554,7 @@ def test_streaming_incremental_gates_replay_idempotent(spark, tmp_path):
     s2 = sorted(
         r["vec_id"]
         for r in run_incremental_semantic_dedup_available_now(
-            *sargs, threshold=0.8, n_probe=4
+            *sargs, threshold=0.8, n_probe=4, clear_existing=True
         ).collect()
     )
     swant = sorted(
@@ -1562,9 +1570,10 @@ def test_streaming_replay_with_different_batch_partitioning(spark, tmp_path):
     """Review r15: a no-checkpoint re-run that carves DIFFERENT batch
     boundaries (run 1: one file per batch; run 2: everything in batch
     0) must still reproduce the batch answer — stale higher-numbered
-    batch dirs from the first attempt are cleared, not left to
-    duplicate output (or, for C4, to poison the ledger and drop
-    keepers). A fresh checkpoint over existing dirs refuses."""
+    batch dirs from the first attempt are cleared (via the explicit
+    ``clear_existing`` opt-in, ADVICE r16), not left to duplicate
+    output (or, for C4, to poison the ledger and drop keepers). A
+    fresh checkpoint over existing dirs refuses."""
     import mbfbigdatarandomforest_spark.operators.dedup as dd_ops
     from conftest import SF_DIR_SMALL
     from pyspark.sql import functions as F
@@ -1608,7 +1617,8 @@ def test_streaming_replay_with_different_batch_partitioning(spark, tmp_path):
         *args, source_options={"maxFilesPerTrigger": "1"}).collect()))
     assert r1 == want
     # run 2: ONE batch over the same dirs — different partitioning
-    r2 = sorted(map(tuple, run_c4_span_dedup_available_now(*args).collect()))
+    r2 = sorted(map(tuple, run_c4_span_dedup_available_now(
+        *args, clear_existing=True).collect()))
     assert r2 == want
 
     # the text gate too: many batches then one batch
@@ -1630,7 +1640,7 @@ def test_streaming_replay_with_different_batch_partitioning(spark, tmp_path):
     g2 = sorted(
         r["doc_id"]
         for r in run_incremental_dedup_available_now(
-            *gargs, reference=ref, threshold=0.7
+            *gargs, reference=ref, threshold=0.7, clear_existing=True
         ).collect()
     )
     gwant = sorted(
