@@ -744,40 +744,80 @@ def build_dedup_index(
     # catalog entry for this path is stale (a deleted prior index)
     for sub in ("fingerprints", "buckets"):
         spark.sql(f"DROP TABLE IF EXISTS {_index_table_name(path, sub)}")
-    _write_bucketed_sub(
-        reference.select(fingerprint(text_col).alias("fp")).distinct(),
-        path,
-        "fingerprints",
-        ("fp",),
-        file_buckets,
-        mode="error",
-    )
     sh = _shingle_frame(reference, text_col, id_col, n).cache()
     sh.count()  # eager: feeds the bucket build AND the shingle write
-    sh.withColumn("__pb", _shingle_pb("id", shingle_parts)).repartition(
-        "__pb"
-    ).write.mode("error").partitionBy("__pb").parquet(
-        _index_subdir(path, "shingles")
-    )
-    bb = _band_buckets(
-        sh, bands=bands, rows_per_band=rows_per_band, seed=seed
-    ).localCheckpoint(eager=True)  # feeds the bucket write AND the sizes
-    _write_bucketed_sub(
-        bb, path, "buckets", ("band", "bucket"), file_buckets, mode="error"
-    )
-    sizes = bb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
-    if max_bucket_size is not None:
-        sizes = sizes.localCheckpoint(eager=True)  # feeds sizes AND hot
-    sizes.write.mode("error").parquet(_index_subdir(path, "bucket_sizes"))
-    if max_bucket_size is not None:
-        # the cap-of-record hot set — usually empty at build (hot
-        # buckets are rare outliers), maintained by every append
-        sizes.filter(F.col("n") > max_bucket_size).select(
-            "band", "bucket"
-        ).coalesce(1).write.mode("error").parquet(
-            _index_subdir(path, "hot_buckets")
+    # the three sub-table lineages are independent once the shingle
+    # frame is materialized — commit them from three threads (r16,
+    # VERDICT r15 finding 2: the build is a chain of small jobs whose
+    # SCHEDULING latency, not data, dominated at test scale; a real
+    # cluster's driver overlaps them the same way). Spark job
+    # submission is thread-safe; each thread's writes stay internally
+    # ordered (buckets → sizes → hot).
+
+    def _w_fingerprints() -> None:
+        _write_bucketed_sub(
+            reference.select(fingerprint(text_col).alias("fp")).distinct(),
+            path,
+            "fingerprints",
+            ("fp",),
+            file_buckets,
+            mode="error",
         )
+
+    def _w_shingles() -> None:
+        sh.withColumn("__pb", _shingle_pb("id", shingle_parts)).repartition(
+            "__pb"
+        ).write.mode("error").partitionBy("__pb").parquet(
+            _index_subdir(path, "shingles")
+        )
+
+    def _w_bucket_chain() -> None:
+        bb = _band_buckets(
+            sh, bands=bands, rows_per_band=rows_per_band, seed=seed
+        ).localCheckpoint(eager=True)  # feeds the bucket write AND sizes
+        _write_bucketed_sub(
+            bb, path, "buckets", ("band", "bucket"), file_buckets,
+            mode="error",
+        )
+        sizes = bb.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        if max_bucket_size is not None:
+            sizes = sizes.localCheckpoint(eager=True)  # sizes AND hot
+        sizes.write.mode("error").parquet(_index_subdir(path, "bucket_sizes"))
+        if max_bucket_size is not None:
+            # the cap-of-record hot set — usually empty at build (hot
+            # buckets are rare outliers), maintained by every append
+            sizes.filter(F.col("n") > max_bucket_size).select(
+                "band", "bucket"
+            ).coalesce(1).write.mode("error").parquet(
+                _index_subdir(path, "hot_buckets")
+            )
+
+    _run_subtable_writes(_w_fingerprints, _w_shingles, _w_bucket_chain)
     sh.unpersist()
+
+
+def _run_subtable_writes(*writers) -> None:
+    """Run independent sub-table commits concurrently (r16 — VERDICT
+    r15 finding 2's 'multi-threaded commit'): Spark job submission is
+    thread-safe, the writers touch disjoint directories/tables, and
+    each writer keeps its own internal ordering. The first failure is
+    re-raised after every thread finishes — a partially-committed
+    append is exactly the documented at-least-once retry state (and,
+    for the derived tail, the append_pending token's recount)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(writers)) as ex:
+        futures = [ex.submit(w) for w in writers]
+        errs = []
+        for f in futures:
+            try:
+                f.result()
+            except Exception as exc:  # noqa: BLE001 — collect, re-raise first
+                errs.append(exc)
+        if errs:
+            raise errs[0]
 
 
 def _recount_bucket_sizes(spark, path: str) -> None:
@@ -915,36 +955,15 @@ def append_dedup_index(
 
     v2 = meta["version"] >= 2
     fp = accepted.select(fingerprint(text_col).alias("fp")).distinct()
-    if v2:
-        # ensure the catalog entry exists (fresh session) before the
-        # bucketed append — spec must match the build's
-        _ensure_index_table(
-            spark, path, "fingerprints", ("fp",), meta["file_buckets"]
-        )
-        _write_bucketed_sub(
-            fp, path, "fingerprints", ("fp",), meta["file_buckets"],
-            mode="append",
-        )
-    else:
-        fp.write.mode("append").parquet(_index_subdir(path, "fingerprints"))
     sh = _shingle_frame(accepted, text_col, id_col, meta["n"]).cache()
     sh.count()
     if v2:
-        sh.withColumn(
-            "__pb", _shingle_pb("id", meta["shingle_parts"])
-        ).repartition("__pb").write.mode("append").partitionBy(
-            "__pb"
-        ).parquet(_index_subdir(path, "shingles"))
-    else:
-        sh.write.mode("append").parquet(_index_subdir(path, "shingles"))
-    bb = _band_buckets(
-        sh,
-        bands=meta["bands"],
-        rows_per_band=meta["rows_per_band"],
-        seed=meta["seed"],
-    )
-    if v2:
-        bb = bb.localCheckpoint(eager=True)  # feeds buckets AND sizes
+        # ensure the catalog entries exist (fresh session) before the
+        # bucketed appends — specs must match the build's. Registered
+        # OUTSIDE the write threads: catalog DDL stays single-threaded.
+        _ensure_index_table(
+            spark, path, "fingerprints", ("fp",), meta["file_buckets"]
+        )
         _ensure_index_table(
             spark, path, "buckets", ("band", "bucket"), meta["file_buckets"]
         )
@@ -955,20 +974,52 @@ def append_dedup_index(
         # (_repair_dedup_index) instead of trusting the caller to retry
         pending = _index_subdir(path, "append_pending")
         _fs_mkdirs(spark, pending)
-        _write_bucketed_sub(
-            bb, path, "buckets", ("band", "bucket"), meta["file_buckets"],
-            mode="append",
-        )
-        # DELTA size rows — readers SUM per (band, bucket), so the
-        # append stays O(accepted) and the guard's totals stay exact
-        bb.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("n")
-        ).write.mode("append").parquet(_index_subdir(path, "bucket_sizes"))
-        if meta.get("cap") is not None:
-            _fold_hot_buckets(spark, path, bb, meta["cap"])
+
+        def _a_fingerprints() -> None:
+            _write_bucketed_sub(
+                fp, path, "fingerprints", ("fp",), meta["file_buckets"],
+                mode="append",
+            )
+
+        def _a_shingles() -> None:
+            sh.withColumn(
+                "__pb", _shingle_pb("id", meta["shingle_parts"])
+            ).repartition("__pb").write.mode("append").partitionBy(
+                "__pb"
+            ).parquet(_index_subdir(path, "shingles"))
+
+        def _a_bucket_chain() -> None:
+            bb = _band_buckets(
+                sh,
+                bands=meta["bands"],
+                rows_per_band=meta["rows_per_band"],
+                seed=meta["seed"],
+            ).localCheckpoint(eager=True)  # feeds buckets AND sizes
+            _write_bucketed_sub(
+                bb, path, "buckets", ("band", "bucket"),
+                meta["file_buckets"], mode="append",
+            )
+            # DELTA size rows — readers SUM per (band, bucket), so the
+            # append stays O(accepted) and the guard's totals stay exact
+            bb.groupBy("band", "bucket").agg(
+                F.count(F.lit(1)).alias("n")
+            ).write.mode("append").parquet(
+                _index_subdir(path, "bucket_sizes")
+            )
+            if meta.get("cap") is not None:
+                _fold_hot_buckets(spark, path, bb, meta["cap"])
+
+        _run_subtable_writes(_a_fingerprints, _a_shingles, _a_bucket_chain)
         _fs_delete(spark, pending)
     else:
-        bb.write.mode("append").parquet(_index_subdir(path, "buckets"))
+        fp.write.mode("append").parquet(_index_subdir(path, "fingerprints"))
+        sh.write.mode("append").parquet(_index_subdir(path, "shingles"))
+        _band_buckets(
+            sh,
+            bands=meta["bands"],
+            rows_per_band=meta["rows_per_band"],
+            seed=meta["seed"],
+        ).write.mode("append").parquet(_index_subdir(path, "buckets"))
     sh.unpersist()
 
 

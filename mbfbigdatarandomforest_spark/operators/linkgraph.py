@@ -35,6 +35,112 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: Below these bounds the whole graph state fits comfortably on the
+#: driver and the power iteration runs there (r16 — VERDICT r15 item 4:
+#: the registered linkgraph queries run 10-20 FIXED rounds over 9-node
+#: domain graphs, so their wall was ~20+ scheduler-floor jobs — pure
+#: per-round latency, the exact pathology the sampled k-means fit
+#: removed from IVF builds; the 4.5 → 6.2 s drift across rounds was
+#: this floor wobbling with host scheduling, not a plan change). The
+#: arithmetic mirrors the distributed loop term for term; above the
+#: bounds — the 100 TB posture, V in the millions — the distributed
+#: E-shuffle loop below runs unchanged.
+DRIVER_SOLVE_MAX_NODES = 100_000
+DRIVER_SOLVE_MAX_EDGES = 1_000_000
+
+
+def _collect_small_graph(e, base, traw_cols: list[str]):
+    """Bounded driver collects for the small-graph solve: the node
+    count is already known ≤ DRIVER_SOLVE_MAX_NODES; edge rows are
+    probed with a capped limit-collect and the solve is declined
+    (None) when they exceed DRIVER_SOLVE_MAX_EDGES. Edges are
+    lexsorted (src, dst) so the float accumulation order — and with it
+    the result at the bit level — is deterministic across sessions and
+    shuffle orders."""
+    import numpy as np
+
+    erows = e.limit(DRIVER_SOLVE_MAX_EDGES + 1).collect()
+    if len(erows) > DRIVER_SOLVE_MAX_EDGES:
+        return None
+    brows = base.collect()
+    nodes = [r["node"] for r in brows]
+    idx = {v: i for i, v in enumerate(nodes)}
+    out_w = np.array([float(r["out_w"]) for r in brows], dtype=np.float64)
+    t_raw = np.array(
+        [[float(r[c]) for c in traw_cols] for r in brows], dtype=np.float64
+    )
+    src_idx = np.array([idx[r["src"]] for r in erows], dtype=np.int64)
+    dst_idx = np.array([idx[r["dst"]] for r in erows], dtype=np.int64)
+    w = np.array([float(r["w"]) for r in erows], dtype=np.float64)
+    order = np.lexsort((dst_idx, src_idx))
+    return nodes, out_w, t_raw, src_idx[order], dst_idx[order], w[order]
+
+
+def _np_pagerank_rounds(out_w, T, src_idx, dst_idx, w, d, max_iter, tol):
+    """The power iteration on driver numpy — the distributed loop's
+    formula term for term (init rank = t; per round: dangling mass
+    from the CURRENT ranks, unit = rank/out_w on non-dangling sources,
+    in_sum via indexed accumulation, rank' = t·(1-d+d·dangling) +
+    d·in_sum; stop when every column's L1 delta ≤ tol). ``T`` is the
+    (n, k) matrix of NORMALIZED teleport columns; returns the (n, k)
+    rank matrix and the per-round list of max-column L1 deltas."""
+    import numpy as np
+
+    rank = T.copy()
+    dang = out_w == 0.0
+    nz = ~dang
+    k = T.shape[1]
+    deltas: list[float] = []
+    for _ in range(max_iter):
+        dangling = (
+            rank[dang].sum(axis=0) if dang.any() else np.zeros(k)
+        )
+        unit = np.zeros_like(rank)
+        unit[nz] = rank[nz] / out_w[nz, None]
+        in_sum = np.zeros_like(rank)
+        np.add.at(in_sum, dst_idx, unit[src_idx] * w[:, None])
+        new = T * ((1.0 - d) + d * dangling)[None, :] + d * in_sum
+        delta = float(np.abs(new - rank).sum(axis=0).max()) if k else 0.0
+        rank = new
+        deltas.append(delta)
+        if delta <= tol:
+            break
+    return rank, deltas
+
+
+def _np_hits_rounds(n, src_idx, dst_idx, w, max_iter, tol, track):
+    """HITS on driver numpy — the distributed loop term for term:
+    Gauss-Seidel halves (a' = Aᵀh then h' = A·a'), per-round L2
+    normalization + hub L1 delta in ``track`` mode, the every-5-rounds
+    overflow rescale + one final normalization otherwise. Returns
+    (hub, authority, per-round hub deltas)."""
+    import numpy as np
+
+    hub = np.ones(n, dtype=np.float64)
+    auth = np.zeros(n, dtype=np.float64)
+    deltas: list[float] = []
+    for it in range(max_iter):
+        a_un = np.zeros(n, dtype=np.float64)
+        np.add.at(a_un, dst_idx, hub[src_idx] * w)
+        h_un = np.zeros(n, dtype=np.float64)
+        np.add.at(h_un, src_idx, a_un[dst_idx] * w)
+        prev_hub = hub
+        auth, hub = a_un, h_un
+        if track:
+            hub = hub / float(np.sqrt((hub * hub).sum()))
+            auth = auth / float(np.sqrt((auth * auth).sum()))
+            deltas.append(float(np.abs(hub - prev_hub).sum()))
+            if tol > 0 and deltas[-1] <= tol:
+                break
+        elif (it + 1) % 5 == 0 and it + 1 < max_iter:
+            hub = hub / float(np.sqrt((hub * hub).sum()))
+            auth = auth / float(np.sqrt((auth * auth).sum()))
+    if not track:
+        hub = hub / float(np.sqrt((hub * hub).sum()))
+        auth = auth / float(np.sqrt((auth * auth).sum()))
+    return hub, auth, deltas
+
+
 def _ckpt_tools(df: DataFrame):
     """(persisted_ids, ckpt, free) bound to df's SparkContext — the
     deterministic checkpoint-free discipline shared by both iterative
@@ -184,6 +290,33 @@ def pagerank(
             .limit(0)
             .select("node", F.lit(0.0).alias("rank"))
         )
+
+    if n <= DRIVER_SOLVE_MAX_NODES:
+        small = _collect_small_graph(e, base, ["t_raw"])
+        if small is not None:
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            node_dt = base.schema["node"].dataType
+            _free(base_ids | e_ids)
+            node_vals, out_w, t_raw, si, di, w_arr = small
+            rank, deltas = _np_pagerank_rounds(
+                out_w, t_raw / t_total, si, di, w_arr,
+                float(damping), max_iter, tol,
+            )
+            if stats is not None:
+                stats["rounds"] = len(deltas)
+                stats["l1_deltas"] = deltas
+                stats["live_ckpt_rdds"] = [0] * len(deltas)
+            spark = edges.sparkSession
+            return spark.createDataFrame(
+                [(v, float(r)) for v, r in zip(node_vals, rank[:, 0])],
+                StructType(
+                    [
+                        StructField("node", node_dt),
+                        StructField("rank", DoubleType()),
+                    ]
+                ),
+            )
 
     # normalized teleport rides the state frame; init rank = teleport
     # (uniform: exactly the old 1/N start)
@@ -424,6 +557,39 @@ def pagerank_multi(
             "node", *[F.lit(0.0).alias(n_) for n_ in names]
         )
 
+    if n <= DRIVER_SOLVE_MAX_NODES:
+        small = _collect_small_graph(
+            e, base, [f"__traw_{n_}" for n_ in names]
+        )
+        if small is not None:
+            import numpy as np
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            node_dt = base.schema["node"].dataType
+            _free(base_ids | e_ids)
+            node_vals, out_w, t_raw, si, di, w_arr = small
+            T = t_raw / np.array(
+                [t_totals[n_] for n_ in names], dtype=np.float64
+            )[None, :]
+            # fixed-iteration mode by contract: tol=-1 never stops early
+            rank, deltas = _np_pagerank_rounds(
+                out_w, T, si, di, w_arr, float(damping), max_iter, -1.0
+            )
+            if stats is not None:
+                stats["rounds"] = len(deltas)
+                stats["live_ckpt_rdds"] = [0] * len(deltas)
+            spark = edges.sparkSession
+            return spark.createDataFrame(
+                [
+                    (v, *[float(x) for x in rank[i]])
+                    for i, v in enumerate(node_vals)
+                ],
+                StructType(
+                    [StructField("node", node_dt)]
+                    + [StructField(n_, DoubleType()) for n_ in names]
+                ),
+            )
+
     ranks, rank_ids = _ckpt(
         base.select(
             "node",
@@ -606,6 +772,39 @@ def hits(
             .limit(0)
             .select("node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth"))
         )
+
+    if n <= DRIVER_SOLVE_MAX_NODES:
+        small = _collect_small_graph(
+            e, state.withColumn("out_w", F.lit(0.0)), []
+        )
+        if small is not None:
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            node_dt = state.schema["node"].dataType
+            _free(state_ids | e_ids)
+            node_vals, _, _, si, di, w_arr = small
+            hub, auth, deltas = _np_hits_rounds(
+                len(node_vals), si, di, w_arr, max_iter, tol,
+                track=(tol > 0 or stats is not None),
+            )
+            if stats is not None:
+                stats["rounds"] = len(deltas)
+                stats["l1_hub_deltas"] = deltas
+                stats["live_ckpt_rdds"] = [0] * len(deltas)
+            spark = edges.sparkSession
+            return spark.createDataFrame(
+                [
+                    (v, float(hub[i]), float(auth[i]))
+                    for i, v in enumerate(node_vals)
+                ],
+                StructType(
+                    [
+                        StructField("node", node_dt),
+                        StructField("hub", DoubleType()),
+                        StructField("authority", DoubleType()),
+                    ]
+                ),
+            )
 
     sess = edges.sparkSession
     sp_key = "spark.sql.shuffle.partitions"

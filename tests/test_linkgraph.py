@@ -924,3 +924,75 @@ def test_base_href_reroots_relative_resolution(spark):
     )
     edges = {(r["src"], r["dst"]) for r in page_link_edges(pages).collect()}
     assert edges == {("page.example", "cdn.example")}
+
+
+def test_driver_solve_equals_distributed(spark, monkeypatch):
+    """r16 (VERDICT r15 item 4): graphs under DRIVER_SOLVE_MAX_NODES
+    solve driver-side (numpy) — the sampled-kmeans rationale applied to
+    the iterative family: the registered queries ran 10-20 fixed rounds
+    over 9-node domain graphs, pure scheduler-floor jobs. The driver
+    path must agree with the distributed loop at 1e-12 on a fixture
+    exercising weights, dangling mass, and a personalized teleport —
+    for pagerank, pagerank_multi, and HITS (both tol modes) — and the
+    distributed loop stays covered by forcing the threshold to 0."""
+    import mbfbigdatarandomforest_spark.operators.linkgraph as lg
+
+    edges = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "c", 1.0), ("a", "c", 3.0),
+         ("c", "d", 1.0), ("e", "a", 4.0)],  # d dangles
+        "src string, dst string, w double",
+    )
+    seed = spark.createDataFrame(
+        [("a", 1.0), ("b", 3.0)], "node string, seed double"
+    )
+    kw = dict(weight="w", max_iter=17, tol=0.0)
+
+    def ranks(**extra):
+        return {
+            r["node"]: r["rank"]
+            for r in lg.pagerank(edges, **kw, **extra).collect()
+        }
+
+    def multi():
+        return {
+            r["node"]: (r["u"], r["t"])
+            for r in lg.pagerank_multi(
+                edges, {"u": None, "t": seed}, weight="w", max_iter=17
+            ).collect()
+        }
+
+    def hits_ranks(tol):
+        return {
+            r["node"]: (r["hub"], r["authority"])
+            for r in lg.hits(edges, weight="w", max_iter=9, tol=tol).collect()
+        }
+
+    drv = ranks()
+    drv_t = ranks(teleport=seed)
+    drv_m = multi()
+    drv_h0 = hits_ranks(0.0)
+    drv_ht = hits_ranks(1e-12)
+    st = {}
+    lg.pagerank(edges, stats=st, **kw)
+    assert st["rounds"] == 17 and st["live_ckpt_rdds"] == [0] * 17
+
+    monkeypatch.setattr(lg, "DRIVER_SOLVE_MAX_NODES", 0)
+    dist = ranks()
+    dist_t = ranks(teleport=seed)
+    dist_m = multi()
+    dist_h0 = hits_ranks(0.0)
+    dist_ht = hits_ranks(1e-12)
+    st2 = {}
+    lg.pagerank(edges, stats=st2, **kw)
+    assert st2["rounds"] == 17 and max(st2["live_ckpt_rdds"]) <= 2
+
+    assert set(drv) == set(dist)
+    for v in drv:
+        assert abs(drv[v] - dist[v]) <= 1e-12, ("uniform", v)
+        assert abs(drv_t[v] - dist_t[v]) <= 1e-12, ("teleport", v)
+        assert abs(drv_m[v][0] - dist_m[v][0]) <= 1e-12, ("multi-u", v)
+        assert abs(drv_m[v][1] - dist_m[v][1]) <= 1e-12, ("multi-t", v)
+        for i in (0, 1):
+            assert abs(drv_h0[v][i] - dist_h0[v][i]) <= 1e-12, ("hits0", v)
+            assert abs(drv_ht[v][i] - dist_ht[v][i]) <= 1e-12, ("hitst", v)
+    assert abs(sum(drv.values()) - 1.0) < 1e-9
