@@ -205,10 +205,16 @@ def _hot_cell_probe(spark, emb, scratch: str) -> dict:
     # quantizer splits it (the CAP bounds the verify task, the rebuild
     # restores the watermark's anchor and the auto-k capacity rule).
     meta = sim._read_semantic_meta(spark, idx)
-    sample = new.limit(400)
+    # query sample = the 100 scaled copies of the pile's base vector
+    # (vec_id ≥ 700M): each has thousands of true ≥-threshold matches
+    # inside the indexed pile, so the recall denominator is real — a
+    # uniform sample of this corpus has ZERO truth pairs at 0.8 and
+    # recall would read a vacuous 1.0
+    sample = new.filter(F.col("vec_id") >= 700_000_000)
     rec_before = sim.estimate_probe_recall(
         spark, idx, sample, n_probes=(1, 2, 4), threshold=THRESHOLD
     )
+    assert rec_before["truth_pairs"] > 0  # non-vacuous denominator
     full_kw = dict(threshold=THRESHOLD, n_probe=meta["k"])
     full_before = sim.incremental_semantic_dedup(
         new, index=idx, **full_kw
@@ -218,7 +224,11 @@ def _hot_cell_probe(spark, emb, scratch: str) -> dict:
     rebuild_sec = time.monotonic() - t0
     assert post["rebuild_advised"] is False  # watermark re-anchored
     meta2 = sim._read_semantic_meta(spark, idx)
-    assert meta2["k"] >= meta["k"]  # auto-k grew to the corpus
+    # auto-k re-sizes to the CURRENT corpus by the IVF capacity rule —
+    # here that means SHRINKING: the fixture's build is deliberately
+    # over-clustered (64 cells on a 1k-row ref) and the pile is one
+    # point mass, so the right-sized quantizer has fewer, fuller cells
+    assert meta2["k"] == sim._clusters_for_n(post["n_vectors"])
     rec_after = sim.estimate_probe_recall(
         spark, idx, sample, n_probes=(1, 2, 4), threshold=THRESHOLD
     )
@@ -272,9 +282,9 @@ def _batch_capped_probe(spark, emb) -> dict:
             "disk_mb": round(sum(i.diskSize() for i in infos) / 2**20, 1),
         }
 
-    kw = dict(
-        threshold=THRESHOLD, n_clusters=K_CLUSTERS, n_probe=N_PROBE
-    )
+    # threshold 0.4 (not the gate lanes' 0.8): this corpus holds no
+    # 0.8-cosine pairs, and a 0 == 0 equality would pin nothing
+    kw = dict(threshold=0.4, n_clusters=K_CLUSTERS, n_probe=N_PROBE)
     w_unc, n_unc, io_u = _timed(
         lambda: sim.ann_dup_pairs(emb, **kw).count(), spark
     )
