@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import broadcast
 
 from .text import fingerprint
@@ -1630,6 +1631,21 @@ def _banded_minhash_candidates(
     )
 
 
+#: Distinct directed-edge bound below which connected_components
+#: collects the (already checkpointed) edge list once and solves with
+#: a driver-side union-find instead of iterating distributed rounds —
+#: the same small-input pathology fix as linkgraph's
+#: DRIVER_SOLVE_MAX_NODES (r16, guide §1.2: at gate scale each
+#: large/small-star round is 2 scheduled jobs of pure latency over a
+#: few hundred edges). Min-label components are a partition- and
+#: order-independent function of the edge set, so the two paths are
+#: value-identical by construction (pinned by tests/test_operators.py::
+#: test_connected_components_random_graphs_vs_union_find, both paths).
+#: ~1M two-long rows collect in tens of MB; above the bound the
+#: unchanged SoCC'14 loop runs — at 100 TB nothing changes.
+CC_DRIVER_SOLVE_MAX_EDGES = 1_000_000
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -1733,6 +1749,44 @@ def connected_components(
         stats["round_walls_s"] = []
         stats["ckpt_baseline"] = ckpt_baseline
         stats["live_ckpt_rdds"] = []
+    if prev_fp[0] <= CC_DRIVER_SOLVE_MAX_EDGES:
+        # small graph: the convergence fingerprint just told us the
+        # distinct-edge count for free — collect the checkpointed edge
+        # list once (bounded by the constant above) and union-find on
+        # the driver. Union-by-min keeps every tree's root at its
+        # component minimum, so labels ≡ the distributed fixpoint.
+        rows = cur.collect()
+        _free(cur_ckpt_ids)
+        parent: dict = {}
+
+        def _find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for r in rows:
+            u, v = r[0], r[1]
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = _find(u), _find(v)
+            if ru != rv:
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru  # smaller id stays the root
+        out = sorted((n, _find(n)) for n in parent)
+        if stats is not None:
+            stats["driver_solved"] = True
+        id_type = edges.schema["u"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("node", id_type),
+                T.StructField("component", id_type),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(out, schema)
     for _ in range(max_iter):
         t0 = _time.perf_counter()
         sym = _sym(cur)

@@ -205,15 +205,32 @@ def dedup_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < PLANTED_INTERNAL_BASE
     )
     is_internal = F.col("doc_id") >= PLANTED_INTERNAL_BASE
-    n_new = new.count()
-    n_ref = ref.count()
-    return kept.agg(
-        F.lit(n_new).alias("n_new"),
-        F.lit(n_ref).alias("n_ref"),
-        F.count(F.lit(1)).alias("n_kept"),
-        F.sum(is_exact.cast("long")).alias("planted_exact_kept"),
-        F.sum(is_near.cast("long")).alias("planted_near_kept"),
-        F.sum(is_internal.cast("long")).alias("planted_internal_kept"),
+    # r16 (guide §1.5/§2.6): the two driver-side .count() actions were
+    # one scheduled job each (~0.3-0.5 s floor at test scale, a full
+    # documents re-scan each at any scale). The same numbers now ride
+    # the single noop-sink action as broadcast 1-row aggregates —
+    # branches of one job run concurrently instead of as serial
+    # actions. Casts pin the pre-fusion int schema (F.lit(py_int)).
+    counts = (
+        new.agg(F.count(F.lit(1)).cast("int").alias("n_new"))
+        .crossJoin(ref.agg(F.count(F.lit(1)).cast("int").alias("n_ref")))
+    )
+    return (
+        kept.agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(is_exact.cast("long")).alias("planted_exact_kept"),
+            F.sum(is_near.cast("long")).alias("planted_near_kept"),
+            F.sum(is_internal.cast("long")).alias("planted_internal_kept"),
+        )
+        .crossJoin(F.broadcast(counts))
+        .select(
+            "n_new",
+            "n_ref",
+            "n_kept",
+            "planted_exact_kept",
+            "planted_near_kept",
+            "planted_internal_kept",
+        )
     )
 
 
@@ -295,22 +312,38 @@ def dedup_index_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .first()
         )
         legs["gate2"] = _time.perf_counter() - t0
-        row1 = kept1.agg(
-            F.count(F.lit(1)).alias("k1"),
-            F.sum(is_p1.cast("long")).alias("p1"),
-        ).first()
-        stats = dd.dedup_index_stats(spark, idx)
+        # r16 (guide §2.6): the evidence tail — row-1 sentinel aggregate,
+        # index stats, and the three size counts — is five independent
+        # small jobs; submit them concurrently instead of serially
+        # (each was a ~0.3-0.5 s scheduling-latency floor).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            f_row1 = pool.submit(
+                kept1.agg(
+                    F.count(F.lit(1)).alias("k1"),
+                    F.sum(is_p1.cast("long")).alias("p1"),
+                ).first
+            )
+            f_stats = pool.submit(dd.dedup_index_stats, spark, idx)
+            f_nref = pool.submit(ref.count)
+            f_ns1 = pool.submit(snap1.count)
+            f_ns2 = pool.submit(snap2.count)
+            row1, stats = f_row1.result(), f_stats.result()
+            n_ref, n_s1, n_s2 = (
+                f_nref.result(), f_ns1.result(), f_ns2.result()
+            )
         # per-leg walls ride the rows-only record (VERDICT r15 item 2:
         # the cycle's evidence is its sentinels; the walls make the
         # job-count-bound legs visible without extra bench reps)
         return spark.createDataFrame(
             [
                 (
-                    ref.count(),
-                    snap1.count(),
+                    n_ref,
+                    n_s1,
                     int(row1["k1"]),
                     int(row1["p1"] or 0),
-                    snap2.count(),
+                    n_s2,
                     int(row2["k2"]),
                     int(row2["p2"] or 0),
                     int(stats["n_fingerprints"]),
@@ -571,13 +604,20 @@ def dedup_semantic_incremental_stats(
         kmeans_max_iter=8,
     )
     is_planted = F.col("vec_id") >= PLANTED_EXACT_BASE
-    n_new, n_ref = new.count(), ref.count()
-    return kept.agg(
-        F.lit(n_new).alias("n_new"),
-        F.lit(n_ref).alias("n_ref"),
-        F.count(F.lit(1)).alias("n_kept"),
-        # exact copies MUST all be gone — guaranteed-recall sentinels
-        F.sum(is_planted.cast("long")).alias("planted_exact_kept"),
+    # r16: counts fused into the one timed action (see
+    # dedup_incremental_stats — same two-jobs-saved shape)
+    counts = (
+        new.agg(F.count(F.lit(1)).cast("int").alias("n_new"))
+        .crossJoin(ref.agg(F.count(F.lit(1)).cast("int").alias("n_ref")))
+    )
+    return (
+        kept.agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            # exact copies MUST all be gone — guaranteed-recall sentinels
+            F.sum(is_planted.cast("long")).alias("planted_exact_kept"),
+        )
+        .crossJoin(F.broadcast(counts))
+        .select("n_new", "n_ref", "n_kept", "planted_exact_kept")
     )
 
 
@@ -679,18 +719,32 @@ def dedup_semantic_index_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .first()
         )
         legs["gate3"] = _time.perf_counter() - t0
-        row1 = kept1.agg(
-            F.count(F.lit(1)).alias("k1"),
-            F.sum(is_p1.cast("long")).alias("p1"),
-        ).first()
+        # r16 (guide §2.6): the untimed evidence tail runs its four
+        # independent jobs concurrently (see dedup_index_cycle)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            f_row1 = pool.submit(
+                kept1.agg(
+                    F.count(F.lit(1)).alias("k1"),
+                    F.sum(is_p1.cast("long")).alias("p1"),
+                ).first
+            )
+            f_nref = pool.submit(ref.count)
+            f_ns1 = pool.submit(snap1.count)
+            f_ns2 = pool.submit(snap2.count)
+            row1 = f_row1.result()
+            n_ref, n_s1, n_s2 = (
+                f_nref.result(), f_ns1.result(), f_ns2.result()
+            )
         return spark.createDataFrame(
             [
                 (
-                    ref.count(),
-                    snap1.count(),
+                    n_ref,
+                    n_s1,
                     int(row1["k1"]),
                     int(row1["p1"] or 0),
-                    snap2.count(),
+                    n_s2,
                     int(row2["k2"]),
                     int(row2["p2"] or 0),
                     int(stats["n_vectors"]),

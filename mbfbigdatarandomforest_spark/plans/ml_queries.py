@@ -162,11 +162,17 @@ def ml_metrics_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     def dsum(c):
         return F.sum(c.cast("decimal(28,8)")).cast("double")
 
-    b = li.agg(
+    # r16 (guide §1.5): β used to be collected to the driver with
+    # .first() — a whole extra lineitem-scan job before the timed agg.
+    # It now rides the same action as a broadcast 1-row aggregate; the
+    # per-row double math (price − b·qty) is bit-identical whether b
+    # arrives as a collected literal or a joined column, so the DuckDB
+    # hash gate is untouched (verified value-exact at sf0.001/sf0.01).
+    beta = li.agg(
         (dsum(F.col("l_extendedprice")) / dsum(F.col("l_quantity"))).alias("b")
-    ).first()["b"]
-    err = F.col("l_extendedprice") - F.lit(b) * F.col("l_quantity")
-    s = li.agg(
+    )
+    err = F.col("l_extendedprice") - F.col("b") * F.col("l_quantity")
+    s = li.crossJoin(F.broadcast(beta)).agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         dsum(err * err).alias("sse"),
         dsum(F.col("l_extendedprice") * F.col("l_extendedprice")).alias("syy"),
@@ -243,11 +249,22 @@ def ml_ols_inference_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sample_and_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
+    from concurrent.futures import ThreadPoolExecutor
+
     orders = load_table(spark, sf_dir, "orders")
-    total = orders.count()
-    tune_n = orders.sample(fraction=0.10, seed=123).count()
     train, test = orders.randomSplit([0.75, 0.25], seed=123)
-    train_n, test_n = train.count(), test.count()
+    # r16 (guide §2.6): the four invariant counts are independent jobs —
+    # submit them from a thread pool so they overlap instead of paying
+    # four serial scheduling latencies. Each count is deterministic
+    # (seeded sample/randomSplit over the file-layout-derived
+    # partitioning), so concurrency cannot change the values.
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_total = pool.submit(orders.count)
+        f_tune = pool.submit(orders.sample(fraction=0.10, seed=123).count)
+        f_train = pool.submit(train.count)
+        f_test = pool.submit(test.count)
+        total, tune_n = f_total.result(), f_tune.result()
+        train_n, test_n = f_train.result(), f_test.result()
 
     def within(n: int, frac: float) -> bool:
         sigma = math.sqrt(frac * (1 - frac) * total)

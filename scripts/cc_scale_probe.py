@@ -129,6 +129,11 @@ def planted_graph(spark, n: int):
 def main() -> None:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
+    # this probe measures the DISTRIBUTED star loop's scaling — disable
+    # the r16 small-graph driver-solve shortcut for its duration
+    import mbfbigdatarandomforest_spark.operators.dedup as _dd
+
+    _dd.CC_DRIVER_SOLVE_MAX_EDGES = -1
     out: dict[int, dict] = {}
     for k in KS:
         n = BASE_N * k

@@ -1247,16 +1247,25 @@ def test_connected_components_rounds_stay_logarithmic(spark):
     edges, want_hist = planted_graph(spark, n)
     stats: dict = {}
     docs = spark.range(n).select(F.col("id").alias("doc_id"))
-    got_hist = {
-        int(r["cluster_size"]): int(r["n"])
-        for r in dd.dedup_clusters(
-            docs, dd.connected_components(edges, stats=stats)
-            .select(F.col("node").alias("id_a"), F.col("component").alias("id_b"))
-        )
-        .groupBy("cluster_size")
-        .agg((F.count(F.lit(1)) / F.col("cluster_size")).alias("n"))
-        .collect()
-    }
+    # this test pins the DISTRIBUTED star loop's round/storage
+    # properties — force it (r16: small graphs otherwise take the
+    # value-identical driver-side union-find path)
+    orig_cap = dd.CC_DRIVER_SOLVE_MAX_EDGES
+    dd.CC_DRIVER_SOLVE_MAX_EDGES = -1
+    try:
+        comp = dd.connected_components(edges, stats=stats)
+        got_hist = {
+            int(r["cluster_size"]): int(r["n"])
+            for r in dd.dedup_clusters(
+                docs, comp
+                .select(F.col("node").alias("id_a"), F.col("component").alias("id_b"))
+            )
+            .groupBy("cluster_size")
+            .agg((F.count(F.lit(1)) / F.col("cluster_size")).alias("n"))
+            .collect()
+        }
+    finally:
+        dd.CC_DRIVER_SOLVE_MAX_EDGES = orig_cap
     assert got_hist == want_hist
     diameter = (3 * n) // 10
     assert stats["rounds"] <= math.ceil(math.log2(diameter)) + 4
@@ -2297,11 +2306,26 @@ def test_connected_components_random_graphs_vs_union_find(spark):
         edges = [(a, b) for a, b in edges if a != b]
         want = union_find_labels(edges)
         df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        # r16: small graphs take the driver-side union-find path; pin
+        # BOTH paths against the oracle (and hence each other) by
+        # forcing the distributed loop with the threshold disabled.
+        stats: dict = {}
         got = {
             r["node"]: r["component"]
-            for r in dd.connected_components(df).collect()
+            for r in dd.connected_components(df, stats=stats).collect()
         }
-        assert got == want, name
+        assert stats.get("driver_solved") is True, name
+        assert got == want, f"driver path: {name}"
+        orig = dd.CC_DRIVER_SOLVE_MAX_EDGES
+        dd.CC_DRIVER_SOLVE_MAX_EDGES = -1
+        try:
+            got_dist = {
+                r["node"]: r["component"]
+                for r in dd.connected_components(df).collect()
+            }
+        finally:
+            dd.CC_DRIVER_SOLVE_MAX_EDGES = orig
+        assert got_dist == want, f"distributed path: {name}"
 
 
 def test_global_prefix_sum_matches_window(spark):
