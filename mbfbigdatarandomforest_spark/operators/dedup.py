@@ -1786,7 +1786,11 @@ def connected_components(
                 T.StructField("component", id_type),
             ]
         )
-        return pairs.sparkSession.createDataFrame(out, schema)
+        # broadcast hint: the label table is bounded by the driver-solve
+        # cap but reaches Catalyst as a stats-less ExistingRDD, which
+        # would otherwise force a sort-merge join (and a full corpus
+        # exchange) in dedup_clusters' node join
+        return broadcast(pairs.sparkSession.createDataFrame(out, schema))
     for _ in range(max_iter):
         t0 = _time.perf_counter()
         sym = _sym(cur)
