@@ -1632,7 +1632,8 @@ def _banded_minhash_candidates(
 
 
 #: Distinct directed-edge bound below which connected_components
-#: collects the (already checkpointed) edge list once and solves with
+#: collects the edge list once (a single bounded CollectLimit probe
+#: job — no checkpoint, no separate fingerprint) and solves with
 #: a driver-side union-find instead of iterating distributed rounds —
 #: the same small-input pathology fix as linkgraph's
 #: DRIVER_SOLVE_MAX_NODES (r16, guide §1.2: at gate scale each
@@ -1741,22 +1742,33 @@ def connected_components(
         return int(row["n"]), int(row["chk"])
 
     ckpt_baseline = len(_persisted_ids())  # caller-owned persists
-    cur, cur_ckpt_ids = _ckpt(edges)
-    prev_fp = _fingerprint(cur)
-    if stats is not None:
-        stats["rounds"] = 0
-        stats["edge_counts"] = [prev_fp[0]]
-        stats["round_walls_s"] = []
-        stats["ckpt_baseline"] = ckpt_baseline
-        stats["live_ckpt_rdds"] = []
-    if prev_fp[0] <= CC_DRIVER_SOLVE_MAX_EDGES:
-        # small graph: the convergence fingerprint just told us the
-        # distinct-edge count for free — collect the checkpointed edge
-        # list once (bounded by the constant above) and union-find on
-        # the driver. Union-by-min keeps every tree's root at its
-        # component minimum, so labels ≡ the distributed fixpoint.
-        rows = cur.collect()
-        _free(cur_ckpt_ids)
+    # small-graph probe (r16, guide §1.5): one bounded CollectLimit job
+    # decides the path AND fetches the edges — the previous shape paid
+    # three serial jobs (checkpoint, convergence fingerprint, collect)
+    # before the driver solve, each a pure scheduling-latency floor at
+    # gate scale. On big graphs the probe still pays the distinct's
+    # map side (CollectLimit is incremental only over reduce
+    # partitions) — one extra edge scan in front of a ~log(n)-round
+    # loop of edge shuffles, while the result transfer stays O(cap);
+    # the distributed loop then proceeds as before from its own
+    # checkpoint.
+    probe = (
+        edges.limit(CC_DRIVER_SOLVE_MAX_EDGES + 1).collect()
+        if CC_DRIVER_SOLVE_MAX_EDGES >= 0
+        else None
+    )
+    if probe is not None and len(probe) <= CC_DRIVER_SOLVE_MAX_EDGES:
+        # small graph: every distinct directed edge is in the probe —
+        # union-find on the driver. Union-by-min keeps every tree's
+        # root at its component minimum, so labels ≡ the distributed
+        # fixpoint.
+        rows = probe
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["edge_counts"] = [len(rows)]
+            stats["round_walls_s"] = []
+            stats["ckpt_baseline"] = ckpt_baseline
+            stats["live_ckpt_rdds"] = []
         parent: dict = {}
 
         def _find(x):
@@ -1791,6 +1803,14 @@ def connected_components(
         # would otherwise force a sort-merge join (and a full corpus
         # exchange) in dedup_clusters' node join
         return broadcast(pairs.sparkSession.createDataFrame(out, schema))
+    cur, cur_ckpt_ids = _ckpt(edges)
+    prev_fp = _fingerprint(cur)
+    if stats is not None:
+        stats["rounds"] = 0
+        stats["edge_counts"] = [prev_fp[0]]
+        stats["round_walls_s"] = []
+        stats["ckpt_baseline"] = ckpt_baseline
+        stats["live_ckpt_rdds"] = []
     for _ in range(max_iter):
         t0 = _time.perf_counter()
         sym = _sym(cur)
