@@ -1391,7 +1391,15 @@ def incremental_minhash_pairs(
         sh_new = shingled_new
     else:
         sh_new = _shingle_frame(new, text_col, id_col, n).cache()
-        sh_new.count()  # eager: feeds bucket build AND the verify join
+        if index is None or meta["version"] < 2:
+            # the PAIRS lineage references sh_new twice (bucket build +
+            # verify join) inside ONE action — materialize the cache
+            # first or both subtrees compute the shingles concurrently
+            sh_new.count()
+        # v2+ index path: the eager candidate checkpoint below is the
+        # sole first materializer (single sh_new reference), so it
+        # fills the cache in-line — a separate count job here was one
+        # scheduling-latency floor per gate (r16, guide §1.5)
         caches.append(sh_new)
     b_new = _band_buckets(
         sh_new,
