@@ -56,6 +56,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -185,6 +186,12 @@ def compact_record(out: dict) -> str:
             "n_queries": out["n_queries"],
             "headline_total": out["headline_total"],
             "errors": out.get("errors", 0),
+            # r17 (r16 VERDICT items 1/2): the core count and code
+            # version ride the driver-parsed line so a scoping bug like
+            # r16's (an 8-core sweep's final line silently replaced by
+            # a 32-core banked record) is self-evident in the record.
+            "cpus": out.get("cpus"),
+            "head": out.get("head"),
             "calib_pre_s": out.get("calib_pre_s"),
             "calib_s": out.get("calib_s"),
             "calib_spread": out.get("calib_spread"),
@@ -232,6 +239,23 @@ def _query_set_key(names: list[str]) -> str:
     return hashlib.md5(",".join(sorted(names)).encode()).hexdigest()[:12]
 
 
+def _git_head() -> str | None:
+    """Short HEAD of the repo, or None outside git. Scopes the
+    best-sweep sidecar (r17, r16 VERDICT item 1): a record banked at an
+    earlier commit must never stand in for a sweep of later code."""
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=Path(__file__).resolve().parent,
+            capture_output=True,
+            text=True,
+            timeout=10,
+            check=True,
+        ).stdout.strip() or None
+    except Exception:  # noqa: BLE001 — best-effort scoping only
+        return None
+
+
 def resolve_final_line(
     out: dict,
     current_line: str,
@@ -265,6 +289,14 @@ def resolve_final_line(
         and best.get("sf") == out["sf"]
         and best.get("qkey") == qkey
         and best.get("round") == round_id
+        # r17 (r16 VERDICT item 1): a banked record from a DIFFERENT
+        # core count or commit must never substitute for this sweep —
+        # r16's 8-core scaling sweep was silently replaced by the
+        # 32-core banked line (every driver scaling ratio read exactly
+        # 1.0), and the banked "after" predated the round's last three
+        # optimization commits.
+        and best.get("cpus") == out.get("cpus")
+        and best.get("head") == out.get("head")
         and isinstance(best.get("steal"), (int, float))
     )
     eligible = (
@@ -275,6 +307,8 @@ def resolve_final_line(
             "sf": out["sf"],
             "round": round_id,
             "qkey": qkey,
+            "cpus": out.get("cpus"),
+            "head": out.get("head"),
             "steal": steal,
             "compact": json.loads(current_line),
         }
@@ -456,6 +490,10 @@ def main() -> None:
         ),
         3,
     )
+    try:
+        cpus: int | str | None = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    except ValueError:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
     out = {
         "metric": "registry_queries_total_wall",
         "value": total,
@@ -463,6 +501,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "reps": reps,
+        "cpus": cpus,
+        "head": _git_head(),
         "n_queries": len(names),
         "headline_total": headline_total,
         "excluded": EXCLUDED,

@@ -42,6 +42,8 @@ def _fake_out(n_queries: int, name_len: int = 40, with_errors: bool = True) -> d
         "calib_spread": 1.61,
         "calib_nominal_s": 1.2,
         "spread_med": 1.31,
+        "cpus": 32,
+        "head": "abc1234",
     }
     if errors:
         out["errors"] = errors
@@ -69,6 +71,10 @@ def test_compact_line_fits_driver_window(n_queries: int) -> None:
     assert parsed["calib_s"] == 1.234
     assert parsed["calib_spread"] == 1.61
     assert parsed["spread_med"] == 1.31
+    # r17 (r16 VERDICT items 1/2): core count + code version ride the
+    # driver-parsed line so bank-scoping bugs are self-evident.
+    assert parsed["cpus"] == 32
+    assert parsed["head"] == "abc1234"
     assert len(parsed["queries"]) <= 10
     # Only successful timings appear; error dicts never leak into the
     # compact map (they'd blow the budget and aren't sortable).
@@ -159,3 +165,41 @@ def test_best_sweep_sidecar_keeps_cleanest_and_masks_steal(tmp_path):
     # sweep re-banks over the corruption)
     best.write_text("{not json")
     assert resolve_final_line(noisy, noisy_line, names, False, best, 13) == noisy_line
+
+
+def test_best_sweep_sidecar_scoped_by_cpus_and_head(tmp_path):
+    """r17 (r16 VERDICT item 1): the bank key includes core count and
+    git HEAD. r16's 8-core scaling sweep had its final line silently
+    replaced by the 32-core banked record (all driver scaling ratios
+    read exactly 1.0), and the banked 'after' predated the round's last
+    three commits. A banked record from a different cpus or head must
+    never substitute; the current sweep re-banks instead."""
+    from bench import CALIB_NOMINAL_S, resolve_final_line
+
+    best = tmp_path / "BENCH_BEST.json"
+    names = [f"q{i}" for i in range(20)]
+    clean = _out_with_calib(CALIB_NOMINAL_S * 1.01)  # cpus=32 head=abc1234
+    clean_line = compact_record(clean)
+    assert resolve_final_line(clean, clean_line, names, False, best, 17) == clean_line
+    banked = json.loads(best.read_text())
+    assert banked["cpus"] == 32 and banked["head"] == "abc1234"
+
+    # same round/SF/query-set but 8 cores: the 32-core bank must NOT be
+    # borrowed — the noisy 8-core sweep emits itself and re-banks.
+    noisy8 = _out_with_calib(CALIB_NOMINAL_S * 1.4)
+    noisy8["cpus"] = 8
+    noisy8["value"] = 777.0
+    noisy8_line = compact_record(noisy8)
+    assert resolve_final_line(noisy8, noisy8_line, names, False, best, 17) == noisy8_line
+    assert json.loads(best.read_text())["cpus"] == 8
+
+    # likewise a later commit: the stale-HEAD bank never masks new code.
+    clean["value"] = 123.456
+    compact_record(clean)
+    resolve_final_line(clean, compact_record(clean), names, False, best, 17)
+    noisy_new_head = _out_with_calib(CALIB_NOMINAL_S * 1.4)
+    noisy_new_head["head"] = "def5678"
+    noisy_new_head["value"] = 888.0
+    line = compact_record(noisy_new_head)
+    assert resolve_final_line(noisy_new_head, line, names, False, best, 17) == line
+    assert json.loads(best.read_text())["head"] == "def5678"
