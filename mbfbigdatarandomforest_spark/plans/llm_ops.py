@@ -211,6 +211,10 @@ def dedup_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the single noop-sink action as broadcast 1-row aggregates —
     # branches of one job run concurrently instead of as serial
     # actions. Casts pin the pre-fusion int schema (F.lit(py_int)).
+    # int32 bound, declared (ADVICE r16): past 2^31-1 rows these
+    # wrap/null under non-ANSI eval where the old F.lit(python_int)
+    # would have widened — acceptable for a result-schema-pinned stats
+    # row; revisit the declared schema before running >2B-row snapshots.
     counts = (
         new.agg(F.count(F.lit(1)).cast("int").alias("n_new"))
         .crossJoin(ref.agg(F.count(F.lit(1)).cast("int").alias("n_ref")))
@@ -318,17 +322,26 @@ def dedup_index_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (each was a ~0.3-0.5 s scheduling-latency floor).
         from concurrent.futures import ThreadPoolExecutor
 
+        # inheritable_thread_target: pool threads keep the caller's JVM
+        # local properties (job group/description) so a harness's
+        # setJobGroup covers these concurrent jobs too (ADVICE r16)
+        from pyspark.util import inheritable_thread_target as _itt
+
         with ThreadPoolExecutor(max_workers=5) as pool:
             f_row1 = pool.submit(
-                kept1.agg(
-                    F.count(F.lit(1)).alias("k1"),
-                    F.sum(is_p1.cast("long")).alias("p1"),
-                ).first
+                _itt(
+                    kept1.agg(
+                        F.count(F.lit(1)).alias("k1"),
+                        F.sum(is_p1.cast("long")).alias("p1"),
+                    ).first
+                )
             )
-            f_stats = pool.submit(dd.dedup_index_stats, spark, idx)
-            f_nref = pool.submit(ref.count)
-            f_ns1 = pool.submit(snap1.count)
-            f_ns2 = pool.submit(snap2.count)
+            f_stats = pool.submit(
+                _itt(lambda: dd.dedup_index_stats(spark, idx))
+            )
+            f_nref = pool.submit(_itt(ref.count))
+            f_ns1 = pool.submit(_itt(snap1.count))
+            f_ns2 = pool.submit(_itt(snap2.count))
             row1, stats = f_row1.result(), f_stats.result()
             n_ref, n_s1, n_s2 = (
                 f_nref.result(), f_ns1.result(), f_ns2.result()
@@ -605,7 +618,8 @@ def dedup_semantic_incremental_stats(
     )
     is_planted = F.col("vec_id") >= PLANTED_EXACT_BASE
     # r16: counts fused into the one timed action (see
-    # dedup_incremental_stats — same two-jobs-saved shape)
+    # dedup_incremental_stats — same two-jobs-saved shape; same
+    # declared int32 bound on the casts, ADVICE r16)
     counts = (
         new.agg(F.count(F.lit(1)).cast("int").alias("n_new"))
         .crossJoin(ref.agg(F.count(F.lit(1)).cast("int").alias("n_ref")))
@@ -723,16 +737,20 @@ def dedup_semantic_index_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         # independent jobs concurrently (see dedup_index_cycle)
         from concurrent.futures import ThreadPoolExecutor
 
+        from pyspark.util import inheritable_thread_target as _itt
+
         with ThreadPoolExecutor(max_workers=4) as pool:
             f_row1 = pool.submit(
-                kept1.agg(
-                    F.count(F.lit(1)).alias("k1"),
-                    F.sum(is_p1.cast("long")).alias("p1"),
-                ).first
+                _itt(
+                    kept1.agg(
+                        F.count(F.lit(1)).alias("k1"),
+                        F.sum(is_p1.cast("long")).alias("p1"),
+                    ).first
+                )
             )
-            f_nref = pool.submit(ref.count)
-            f_ns1 = pool.submit(snap1.count)
-            f_ns2 = pool.submit(snap2.count)
+            f_nref = pool.submit(_itt(ref.count))
+            f_ns1 = pool.submit(_itt(snap1.count))
+            f_ns2 = pool.submit(_itt(snap2.count))
             row1 = f_row1.result()
             n_ref, n_s1, n_s2 = (
                 f_nref.result(), f_ns1.result(), f_ns2.result()
@@ -1508,11 +1526,29 @@ def curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage token accounting keeps its no-NULL coverage contract. At
     # gate SF the corpus has far fewer distinct words than the cap, so
     # the learned merges are bit-identical.
-    merge_rows = (
-        wc.orderBy(F.col("c").desc(), F.col("word").asc())
-        .limit(500_000)
-        .collect()
-    )
+    # r17 (guide §2.6): the BPE merge collect and the LM vocab collect
+    # (inside train_bigram_lm) are independent driver actions over
+    # corpus/target — overlap them from a 2-thread pool instead of
+    # paying two serial action floors (and, at scale, two serial corpus
+    # scans). Both are deterministic (ordered limits / seeded), so
+    # concurrency cannot change any value; probe attribution r17:
+    # wc_collect 5.8 s + lm_train 1.8 s serial at sf0.1 cold.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.util import inheritable_thread_target as _itt
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_wc = _pool.submit(
+            _itt(
+                wc.orderBy(F.col("c").desc(), F.col("word").asc())
+                .limit(500_000)
+                .collect
+            )
+        )
+        _f_lm = _pool.submit(
+            _itt(lambda: lm_ops.train_bigram_lm(target, vocab_size=50_000))
+        )
+        merge_rows, lm = _f_wc.result(), _f_lm.result()
     merges = bpe_ops.learn_bpe(
         [(r["word"], r["c"]) for r in merge_rows], num_merges=100
     )
@@ -1533,8 +1569,8 @@ def curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows are identical. The r5 Catalyst-planning lesson stands: the
     # single localCheckpoint below is what keeps later jobs' analysis
     # O(1) in pipeline depth; at cluster scale it becomes checkpoint()
-    # to reliable storage.
-    lm = lm_ops.train_bigram_lm(target, vocab_size=50_000)
+    # to reliable storage. (lm trained above, overlapped with the BPE
+    # merge collect.)
     gq = gopher_quality_filter(
         corpus, min_words=20, min_stopword_hits=1, min_alpha_word_frac=0.5
     ).select("doc_id", "text", "quality_pass")

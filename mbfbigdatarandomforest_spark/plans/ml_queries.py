@@ -258,11 +258,17 @@ def sample_and_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # four serial scheduling latencies. Each count is deterministic
     # (seeded sample/randomSplit over the file-layout-derived
     # partitioning), so concurrency cannot change the values.
+    # inheritable_thread_target: pool threads keep the caller's JVM
+    # local properties (job group/description) — ADVICE r16
+    from pyspark.util import inheritable_thread_target as _itt
+
     with ThreadPoolExecutor(max_workers=4) as pool:
-        f_total = pool.submit(orders.count)
-        f_tune = pool.submit(orders.sample(fraction=0.10, seed=123).count)
-        f_train = pool.submit(train.count)
-        f_test = pool.submit(test.count)
+        f_total = pool.submit(_itt(orders.count))
+        f_tune = pool.submit(
+            _itt(orders.sample(fraction=0.10, seed=123).count)
+        )
+        f_train = pool.submit(_itt(train.count))
+        f_test = pool.submit(_itt(test.count))
         total, tune_n = f_total.result(), f_tune.result()
         train_n, test_n = f_train.result(), f_test.result()
 

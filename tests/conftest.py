@@ -20,9 +20,16 @@ from mbfbigdatarandomforest_spark.sources.catalog import TABLES  # noqa: E402
 def spark():
     from mbfbigdatarandomforest_spark.session import get_spark
 
+    # local[8] (r17 — r16 VERDICT item 2): the driver's verify window
+    # timed out at ~44% of the suite on local[4]; the compute-bound
+    # tests (LM training, ML fits, lifecycle e2e) scale with cores on
+    # this 32-core host while shuffle.partitions stays pinned at 8 so
+    # partition-dependent fixtures keep their layout. Override with
+    # SPARK_GRAFT_TEST_CPUS if a constrained host needs fewer.
+    test_cpus = os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")
     s = get_spark(
         app_name="mbf-rf-tests",
-        master="local[4]",
+        master=f"local[{test_cpus}]",
         extra_conf={
             "spark.sql.shuffle.partitions": "8",
             "spark.driver.memory": "4g",
