@@ -1325,6 +1325,7 @@ def incremental_minhash_pairs(
     max_bucket_size: int | None = None,
     index: str | None = None,
     shingled_new: DataFrame | None = None,
+    shingled_reference: DataFrame | None = None,
     _meta: dict | None = None,
 ) -> DataFrame:
     """(new_id, ref_id, jaccard) near-duplicate pairs of a NEW corpus
@@ -1352,7 +1353,11 @@ def incremental_minhash_pairs(
     longer accumulate O(corpus) cached blocks (ADVICE r12).
     ``shingled_new``: a caller-cached (id, shingles) frame of ``new``
     (``banded_minhash_pairs``'s reuse convention) — skipped shingle
-    pass; the caller owns that cache's lifetime."""
+    pass; the caller owns that cache's lifetime. ``shingled_reference``
+    (r17): the same convention for the PAIRS-mode reference side — a
+    caller-cached AND materialized frame, letting the caller warm both
+    sides' shingle caches concurrently (guide §2.6); ignored in index
+    mode."""
     if (reference is None) == (index is None):
         raise ValueError("pass exactly one of reference / index")
     spark = new.sparkSession
@@ -1428,6 +1433,18 @@ def incremental_minhash_pairs(
                 )
         b_ref = b_ref.select(F.col("id").alias("ref_id"), "band", "bucket")
         sh_ref = None  # resolved after candidates (v2 prunes by them)
+    elif shingled_reference is not None:
+        # caller-warmed (cached + counted) — the PAIRS lineage's double
+        # reference (bucket build + verify join) hits a filled cache;
+        # the caller owns the cache's lifetime
+        sh_ref = shingled_reference
+        b_ref = _band_buckets(
+            sh_ref,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            seed=seed,
+            max_bucket_size=max_bucket_size,
+        ).select(F.col("id").alias("ref_id"), "band", "bucket")
     else:
         sh_ref = _shingle_frame(reference, text_col, id_col, n).cache()
         sh_ref.count()
@@ -1615,10 +1632,38 @@ def incremental_dedup(
     # intra pass, the caller's action). O(new) transient blocks — the
     # snapshot being gated, not the corpus.
     sh_fresh = None
+    sh_ref_warm = None
     if dedup_within_new:
-        fresh = fresh.localCheckpoint(eager=True)
-        sh_fresh = _shingle_frame(fresh, text_col, id_col, n).cache()
-        sh_fresh.count()
+
+        def _warm_fresh():
+            fr = fresh.localCheckpoint(eager=True)
+            shf = _shingle_frame(fr, text_col, id_col, n).cache()
+            shf.count()
+            return fr, shf
+
+        if reference is not None:
+            # r17 (guide §2.6): the fresh-side checkpoint+shingle warm
+            # and the reference-side shingle warm are independent
+            # lineages — overlap them instead of paying their three
+            # eager jobs serially (the reference shingle pass is the
+            # gate's largest warm at corpus scale)
+            from concurrent.futures import ThreadPoolExecutor
+
+            from pyspark.util import inheritable_thread_target as _itt
+
+            def _warm_ref():
+                shr = _shingle_frame(reference, text_col, id_col, n).cache()
+                shr.count()
+                return shr
+
+            with ThreadPoolExecutor(max_workers=2) as _pool:
+                _f_fresh = _pool.submit(_itt(_warm_fresh))
+                _f_ref = _pool.submit(_itt(_warm_ref))
+                (fresh, sh_fresh), sh_ref_warm = (
+                    _f_fresh.result(), _f_ref.result()
+                )
+        else:
+            fresh, sh_fresh = _warm_fresh()
     near = (
         incremental_minhash_pairs(
             fresh,
@@ -1633,11 +1678,16 @@ def incremental_dedup(
             max_bucket_size=max_bucket_size,
             index=index,
             shingled_new=sh_fresh,
+            shingled_reference=sh_ref_warm,
             _meta=meta,
         )
         .select(F.col("new_id").alias(id_col))
         .distinct()
     )
+    if sh_ref_warm is not None:
+        # the pairs frame was eagerly checkpointed inside the call —
+        # the reference shingle cache has no consumer left
+        sh_ref_warm.unpersist()
     kept = fresh.join(near, id_col, "left_anti")
     if dedup_within_new:
         # near internal tier over the reference-gate survivors: the

@@ -847,22 +847,46 @@ def build_semantic_index(
         reference, vec_col=vec_col, id_col=id_col, k=n_clusters,
         seed=seed, max_iter=kmeans_max_iter,
     )
-    save_ivf_index(spark, centroids, _semantic_subdir(path, "ivf"))
-    _home_routed(reference, centroids, id_col, vec_col).write.mode(
-        "error"
-    ).partitionBy("cell").parquet(_semantic_subdir(path, "vectors"))
-    # occupancy state, free at write time: the count's only read
-    # column is the partition key, so it answers from parquet footers
-    sizes = (
-        spark.read.parquet(_semantic_subdir(path, "vectors"))
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)  # feeds the write AND build_n
-    )
-    sizes.coalesce(1).write.mode("error").parquet(
-        _semantic_subdir(path, "cell_sizes")
-    )
-    build_n = sizes.agg(F.sum("n")).first()[0] or 0
+    # r17 (guide §2.6, the dedup-index build's threading applied here):
+    # once the centroids exist, the ivf write and the
+    # vectors→sizes→build_n chain are independent — overlap them
+    # instead of serializing four commit floors. The build stays
+    # all-or-retry under the lock: meta (written LAST, below) is the
+    # only completion marker, so any crash interleaving leaves an
+    # unreadable index exactly as before.
+    from .dedup import _run_subtable_writes
+
+    build_n_box: dict[str, int] = {}
+
+    def _w_ivf() -> None:
+        save_ivf_index(spark, centroids, _semantic_subdir(path, "ivf"))
+
+    def _w_vectors_sizes() -> None:
+        _home_routed(reference, centroids, id_col, vec_col).write.mode(
+            "error"
+        ).partitionBy("cell").parquet(_semantic_subdir(path, "vectors"))
+        # occupancy state, free at write time: the count's only read
+        # column is the partition key, so it answers from parquet
+        # footers
+        sizes = (
+            spark.read.parquet(_semantic_subdir(path, "vectors"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)  # feeds the write AND build_n
+        )
+
+        def _w_sizes() -> None:
+            sizes.coalesce(1).write.mode("error").parquet(
+                _semantic_subdir(path, "cell_sizes")
+            )
+
+        def _w_build_n() -> None:
+            build_n_box["n"] = sizes.agg(F.sum("n")).first()[0] or 0
+
+        _run_subtable_writes(_w_sizes, _w_build_n)
+
+    _run_subtable_writes(_w_ivf, _w_vectors_sizes)
+    build_n = build_n_box["n"]
     # meta LAST (its mode("error") is the build lock, and a crash
     # before it leaves no readable index — the build is all-or-retry)
     materialize_local(
@@ -971,12 +995,26 @@ def append_semantic_index(
         # token makes the next open recount exactly
         pending = _semantic_subdir(path, "append_pending")
         _fs_mkdirs(spark, pending)
-    routed.write.mode("append").partitionBy("cell").parquet(
-        _semantic_subdir(path, "vectors")
-    )
     if meta["version"] >= 2:
-        _append_cell_size_deltas(path, routed)
+        # r17 (guide §2.6): both appends read only the checkpointed
+        # routed frame and touch disjoint directories — overlap them.
+        # Any crash interleaving is covered by the append_pending
+        # token's exact recount at the next open, same as serial.
+        from .dedup import _run_subtable_writes
+
+        def _a_vectors() -> None:
+            routed.write.mode("append").partitionBy("cell").parquet(
+                _semantic_subdir(path, "vectors")
+            )
+
+        _run_subtable_writes(
+            _a_vectors, lambda: _append_cell_size_deltas(path, routed)
+        )
         _fs_delete(spark, pending)
+    else:
+        routed.write.mode("append").partitionBy("cell").parquet(
+            _semantic_subdir(path, "vectors")
+        )
     return semantic_index_stats(spark, path, _meta=meta)
 
 

@@ -20,13 +20,13 @@ from mbfbigdatarandomforest_spark.sources.catalog import TABLES  # noqa: E402
 def spark():
     from mbfbigdatarandomforest_spark.session import get_spark
 
-    # local[8] (r17 — r16 VERDICT item 2): the driver's verify window
-    # timed out at ~44% of the suite on local[4]; the compute-bound
-    # tests (LM training, ML fits, lifecycle e2e) scale with cores on
-    # this 32-core host while shuffle.partitions stays pinned at 8 so
-    # partition-dependent fixtures keep their layout. Override with
-    # SPARK_GRAFT_TEST_CPUS if a constrained host needs fewer.
-    test_cpus = os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")
+    # local[4] is LOAD-BEARING for the synthetic-scale goldens
+    # (test_golden_reference): randomSplit/sample draw per input
+    # partition, so the recorded values are functions of the session's
+    # core count — local[8] was measured r17 to shift the tree/OLS
+    # forecasts by ~0.08. Suite-wall work must trim tests, not cores.
+    # SPARK_GRAFT_TEST_CPUS exists for local experiments only.
+    test_cpus = os.environ.get("SPARK_GRAFT_TEST_CPUS", "4")
     s = get_spark(
         app_name="mbf-rf-tests",
         master=f"local[{test_cpus}]",
