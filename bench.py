@@ -240,9 +240,12 @@ def _query_set_key(names: list[str]) -> str:
 
 
 def _git_head() -> str | None:
-    """Short HEAD of the repo, or None outside git. Scopes the
-    best-sweep sidecar (r17, r16 VERDICT item 1): a record banked at an
-    earlier commit must never stand in for a sweep of later code."""
+    """Short HEAD of the repo, or None outside git — provenance only
+    (rides the record and the compact line). The bank's comparable
+    check uses :func:`_code_fingerprint` instead: measurement-artifact
+    commits (BENCH_*.json, logs) move HEAD without changing any code,
+    and keying on HEAD would wrongly invalidate a clean banked sweep
+    for the driver's run right after the round's artifact commits."""
     try:
         return subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"],
@@ -252,6 +255,25 @@ def _git_head() -> str | None:
             timeout=10,
             check=True,
         ).stdout.strip() or None
+    except Exception:  # noqa: BLE001 — best-effort scoping only
+        return None
+
+
+def _code_fingerprint() -> str | None:
+    """md5 over the code that determines query performance (this file,
+    the driver entry, and every engine module). Scopes the best-sweep
+    sidecar (r17, r16 VERDICT item 1): a record banked on DIFFERENT
+    CODE must never substitute for the current sweep — r16's banked
+    'after' predated the round's last three optimization commits."""
+    try:
+        root = Path(__file__).resolve().parent
+        files = [root / "bench.py", root / "__spark_entry__.py"]
+        files += sorted((root / "mbfbigdatarandomforest_spark").rglob("*.py"))
+        h = hashlib.md5()
+        for f in files:
+            h.update(str(f.relative_to(root)).encode())
+            h.update(f.read_bytes())
+        return h.hexdigest()[:12]
     except Exception:  # noqa: BLE001 — best-effort scoping only
         return None
 
@@ -290,13 +312,15 @@ def resolve_final_line(
         and best.get("qkey") == qkey
         and best.get("round") == round_id
         # r17 (r16 VERDICT item 1): a banked record from a DIFFERENT
-        # core count or commit must never substitute for this sweep —
-        # r16's 8-core scaling sweep was silently replaced by the
-        # 32-core banked line (every driver scaling ratio read exactly
-        # 1.0), and the banked "after" predated the round's last three
-        # optimization commits.
+        # core count or different code must never substitute for this
+        # sweep — r16's 8-core scaling sweep was silently replaced by
+        # the 32-core banked line (every driver scaling ratio read
+        # exactly 1.0), and the banked "after" predated the round's
+        # last three optimization commits. Code identity is the content
+        # fingerprint, not git HEAD: artifact-only commits must not
+        # invalidate a clean banked sweep.
         and best.get("cpus") == out.get("cpus")
-        and best.get("head") == out.get("head")
+        and best.get("code_fp") == out.get("code_fp")
         and isinstance(best.get("steal"), (int, float))
     )
     eligible = (
@@ -309,6 +333,7 @@ def resolve_final_line(
             "qkey": qkey,
             "cpus": out.get("cpus"),
             "head": out.get("head"),
+            "code_fp": out.get("code_fp"),
             "steal": steal,
             "compact": json.loads(current_line),
         }
@@ -503,6 +528,7 @@ def main() -> None:
         "reps": reps,
         "cpus": cpus,
         "head": _git_head(),
+        "code_fp": _code_fingerprint(),
         "n_queries": len(names),
         "headline_total": headline_total,
         "excluded": EXCLUDED,

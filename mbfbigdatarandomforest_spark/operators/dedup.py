@@ -1161,36 +1161,24 @@ def compact_dedup_index(spark, path: str) -> dict:
         df = spark.read.parquet(_index_subdir(path, sub))
         return df
 
-    for sub, dedup_cols in (
-        ("fingerprints", ("fp",)),
-        ("buckets", ("id", "band", "bucket")),
-        ("shingles", ("id",)),
-    ):
+    def _compact_one(sub: str, dedup_cols: tuple[str, ...]) -> None:
         frame = _read_sub(sub).dropDuplicates(list(dedup_cols))
         n = frame.count()
         counts[sub] = n
 
-        if v2 and sub == "fingerprints":
-            def _w(tmp, frame=frame):
-                tt = _index_table_name(path, "fingerprints") + "__compact"
+        if v2 and sub in ("fingerprints", "buckets"):
+            cluster = ("fp",) if sub == "fingerprints" else ("band", "bucket")
+
+            def _w(tmp, frame=frame, sub=sub, cluster=cluster):
+                tt = _index_table_name(path, sub) + "__compact"
                 spark.sql(f"DROP TABLE IF EXISTS {tt}")
                 _write_bucketed_sub(
-                    frame, path, "fingerprints", ("fp",),
+                    frame, path, sub, cluster,
                     meta["file_buckets"], mode="error",
                     table_name=tt, location=tmp,
                 )
                 # external table: DROP removes only the catalog entry,
                 # the bucketed files stay for the swap
-                spark.sql(f"DROP TABLE {tt}")
-        elif v2 and sub == "buckets":
-            def _w(tmp, frame=frame):
-                tt = _index_table_name(path, "buckets") + "__compact"
-                spark.sql(f"DROP TABLE IF EXISTS {tt}")
-                _write_bucketed_sub(
-                    frame, path, "buckets", ("band", "bucket"),
-                    meta["file_buckets"], mode="error",
-                    table_name=tt, location=tmp,
-                )
                 spark.sql(f"DROP TABLE {tt}")
         elif v2 and sub == "shingles":
             def _w(tmp, frame=frame):
@@ -1207,7 +1195,29 @@ def compact_dedup_index(spark, path: str) -> dict:
                 ).parquet(tmp)
 
         _swap(sub, _w)
-        if v2 and sub in ("fingerprints", "buckets"):
+
+    # r17 (guide §2.6, the build/append threading applied to the
+    # maintenance slot): the three sub-table rewrites touch disjoint
+    # directories and each keeps its internal count→write→swap order,
+    # so they run from threads. Crash interleavings are covered exactly
+    # as before: the open-time sweep repairs EVERY sub-table's dangling
+    # swap state independently, then recounts sizes from the post-repair
+    # buckets — no cross-sub ordering was ever part of the contract
+    # (pytest kills every fs-op boundary in tests/test_dedup_index.py).
+    # counts[] writes are per-key from distinct threads — safe.
+    _run_subtable_writes(
+        *[
+            (lambda s=sub, c=cols: _compact_one(s, c))
+            for sub, cols in (
+                ("fingerprints", ("fp",)),
+                ("buckets", ("id", "band", "bucket")),
+                ("shingles", ("id",)),
+            )
+        ]
+    )
+    # catalog refreshes stay single-threaded, after every swap landed
+    for sub in ("fingerprints", "buckets"):
+        if v2:
             tname = _index_table_name(path, sub)
             if spark.catalog.tableExists(tname):
                 spark.sql(f"REFRESH TABLE {tname}")

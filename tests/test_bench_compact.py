@@ -44,6 +44,7 @@ def _fake_out(n_queries: int, name_len: int = 40, with_errors: bool = True) -> d
         "spread_med": 1.31,
         "cpus": 32,
         "head": "abc1234",
+        "code_fp": "fp0000000001",
     }
     if errors:
         out["errors"] = errors
@@ -167,22 +168,25 @@ def test_best_sweep_sidecar_keeps_cleanest_and_masks_steal(tmp_path):
     assert resolve_final_line(noisy, noisy_line, names, False, best, 13) == noisy_line
 
 
-def test_best_sweep_sidecar_scoped_by_cpus_and_head(tmp_path):
+def test_best_sweep_sidecar_scoped_by_cpus_and_code(tmp_path):
     """r17 (r16 VERDICT item 1): the bank key includes core count and
-    git HEAD. r16's 8-core scaling sweep had its final line silently
-    replaced by the 32-core banked record (all driver scaling ratios
-    read exactly 1.0), and the banked 'after' predated the round's last
-    three commits. A banked record from a different cpus or head must
-    never substitute; the current sweep re-banks instead."""
+    the CODE fingerprint. r16's 8-core scaling sweep had its final line
+    silently replaced by the 32-core banked record (all driver scaling
+    ratios read exactly 1.0), and the banked 'after' predated the
+    round's last three commits. A banked record from a different cpus
+    or different code must never substitute; the current sweep re-banks
+    instead. Code identity is the content fingerprint, NOT git HEAD —
+    artifact-only commits (BENCH_*.json) must keep a clean bank valid
+    for the driver's sweep."""
     from bench import CALIB_NOMINAL_S, resolve_final_line
 
     best = tmp_path / "BENCH_BEST.json"
     names = [f"q{i}" for i in range(20)]
-    clean = _out_with_calib(CALIB_NOMINAL_S * 1.01)  # cpus=32 head=abc1234
+    clean = _out_with_calib(CALIB_NOMINAL_S * 1.01)  # cpus=32 fp...0001
     clean_line = compact_record(clean)
     assert resolve_final_line(clean, clean_line, names, False, best, 17) == clean_line
     banked = json.loads(best.read_text())
-    assert banked["cpus"] == 32 and banked["head"] == "abc1234"
+    assert banked["cpus"] == 32 and banked["code_fp"] == "fp0000000001"
 
     # same round/SF/query-set but 8 cores: the 32-core bank must NOT be
     # borrowed — the noisy 8-core sweep emits itself and re-banks.
@@ -193,13 +197,29 @@ def test_best_sweep_sidecar_scoped_by_cpus_and_head(tmp_path):
     assert resolve_final_line(noisy8, noisy8_line, names, False, best, 17) == noisy8_line
     assert json.loads(best.read_text())["cpus"] == 8
 
-    # likewise a later commit: the stale-HEAD bank never masks new code.
+    # likewise changed code: the stale-code bank never masks new code.
     clean["value"] = 123.456
-    compact_record(clean)
     resolve_final_line(clean, compact_record(clean), names, False, best, 17)
-    noisy_new_head = _out_with_calib(CALIB_NOMINAL_S * 1.4)
-    noisy_new_head["head"] = "def5678"
-    noisy_new_head["value"] = 888.0
-    line = compact_record(noisy_new_head)
-    assert resolve_final_line(noisy_new_head, line, names, False, best, 17) == line
-    assert json.loads(best.read_text())["head"] == "def5678"
+    noisy_new_code = _out_with_calib(CALIB_NOMINAL_S * 1.4)
+    noisy_new_code["code_fp"] = "fp0000000002"
+    noisy_new_code["value"] = 888.0
+    line = compact_record(noisy_new_code)
+    assert resolve_final_line(noisy_new_code, line, names, False, best, 17) == line
+    assert json.loads(best.read_text())["code_fp"] == "fp0000000002"
+
+    # a HEAD-only difference (artifact commit) still borrows the bank:
+    # head is provenance, code_fp is the key
+    clean2 = _out_with_calib(CALIB_NOMINAL_S * 1.01)
+    clean2["code_fp"] = "fp0000000002"
+    resolve_final_line(clean2, compact_record(clean2), names, False, best, 17)
+    noisy_same_code = _out_with_calib(CALIB_NOMINAL_S * 1.4)
+    noisy_same_code["code_fp"] = "fp0000000002"
+    noisy_same_code["head"] = "artifactcmt"
+    noisy_same_code["value"] = 999.0
+    got = json.loads(
+        resolve_final_line(
+            noisy_same_code, compact_record(noisy_same_code), names,
+            False, best, 17,
+        )
+    )
+    assert got["from_best_sweep"] is True and got["value"] == 123.456

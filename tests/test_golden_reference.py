@@ -113,6 +113,17 @@ def test_ols_forecast_matches_reference_golden(spark):
     assert mad < 0.05
 
 
+def _df4(spark, rows):
+    """createDataFrame with the input pinned to FOUR ordered slices —
+    the layout ``local[4]`` produced when the goldens were recorded.
+    ``randomSplit``/``sample`` draw per input partition, so the slice
+    count is part of each golden's identity; ``sc.parallelize(rows, 4)``
+    chunks the list into the same four contiguous slices regardless of
+    the session's core count (r17 — this is what lets the suite's
+    master change without re-recording goldens)."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 4))
+
+
 def _synthetic_clean(spark):
     """The deterministic synthetic election fixture, enriched and
     cleaned — shared by the OLS and tree golden tests."""
@@ -121,10 +132,10 @@ def _synthetic_clean(spark):
     from mbfbigdatarandomforest_spark.plans import election as el
     from mbfbigdatarandomforest_spark.sources import synthetic as syn
 
-    polygons = spark.createDataFrame(syn.county_polygons())
-    votes_p = spark.createDataFrame(syn.votes_precinct())
-    votes_s = spark.createDataFrame(syn.votes_state())
-    listings = spark.createDataFrame(syn.listings()).withColumn(
+    polygons = _df4(spark, syn.county_polygons())
+    votes_p = _df4(spark, syn.votes_precinct())
+    votes_s = _df4(spark, syn.votes_state())
+    listings = _df4(spark, syn.listings()).withColumn(
         "listed_date", F.col("listed_date").cast("date")
     )
     enriched = el.enrich_listings(
@@ -206,10 +217,10 @@ def test_synthetic_ols_pipeline_matches_repo_golden(spark):
     from mbfbigdatarandomforest_spark.plans import election as el
     from mbfbigdatarandomforest_spark.sources import synthetic as syn
 
-    polygons = spark.createDataFrame(syn.county_polygons())
-    votes_p = spark.createDataFrame(syn.votes_precinct())
-    votes_s = spark.createDataFrame(syn.votes_state())
-    listings = spark.createDataFrame(syn.listings()).withColumn(
+    polygons = _df4(spark, syn.county_polygons())
+    votes_p = _df4(spark, syn.votes_precinct())
+    votes_s = _df4(spark, syn.votes_state())
+    listings = _df4(spark, syn.listings()).withColumn(
         "listed_date", F.col("listed_date").cast("date")
     )
     enriched = el.enrich_listings(
