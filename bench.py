@@ -303,9 +303,20 @@ def resolve_final_line(
     steal = round(max(cals) / CALIB_NOMINAL_S, 3) if cals else None
     qkey = _query_set_key(names)
     try:
-        best = json.loads(best_path.read_text())
+        bank = json.loads(best_path.read_text())
     except Exception:  # noqa: BLE001
-        best = None
+        bank = None
+    # Bank format (r17): one record PER core count — {"32": rec,
+    # "8": rec}. Without this, the driver's lower-core scaling sweep
+    # would CLOBBER the round's clean 32-core bank (or vice versa,
+    # depending on run order), since the two sweeps are never
+    # comparable to each other. Legacy single-record files (≤ r16)
+    # are read as the record for their own cpus.
+    if isinstance(bank, dict) and "compact" in bank:
+        bank = {str(bank.get("cpus")): bank}
+    if not isinstance(bank, dict):
+        bank = {}
+    best = bank.get(str(out.get("cpus")))
     comparable = (
         isinstance(best, dict)
         and best.get("sf") == out["sf"]
@@ -337,8 +348,9 @@ def resolve_final_line(
             "steal": steal,
             "compact": json.loads(current_line),
         }
+        bank[str(out.get("cpus"))] = record
         try:
-            best_path.write_text(json.dumps(record) + "\n")
+            best_path.write_text(json.dumps(bank) + "\n")
         except OSError as exc:
             print(
                 f"bench: best-sidecar write failed (continuing): {exc}",

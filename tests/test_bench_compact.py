@@ -111,6 +111,12 @@ def _out_with_calib(calib_s: float, sf: float = 0.1, errors: int = 0) -> dict:
     return out
 
 
+def _banked(best, cpus=32):
+    """Read the per-cpus bank record (r17 format: one record per core
+    count; legacy single-record files are upgraded on write)."""
+    return json.loads(best.read_text())[str(cpus)]
+
+
 def test_best_sweep_sidecar_keeps_cleanest_and_masks_steal(tmp_path):
     """r13 (verdict item 9): a clean sweep banks into BENCH_BEST.json;
     a later steal-window sweep of the same round/SF/query-set emits the
@@ -136,7 +142,7 @@ def test_best_sweep_sidecar_keeps_cleanest_and_masks_steal(tmp_path):
     assert emitted["this_sweep_calib_s"] == noisy["calib_s"]
     assert len(got.encode()) < COMPACT_BYTE_BUDGET
     # the noisy sweep did NOT overwrite the bank
-    assert json.loads(best.read_text())["compact"]["value"] == 123.456
+    assert _banked(best)["compact"]["value"] == 123.456
 
     # mildly-noisy (<= gate) sweeps emit themselves
     mild = _out_with_calib(CALIB_NOMINAL_S * 1.1)
@@ -146,22 +152,22 @@ def test_best_sweep_sidecar_keeps_cleanest_and_masks_steal(tmp_path):
     # errored or narrowed sweeps never bank (even when cleaner)
     errored = _out_with_calib(CALIB_NOMINAL_S * 0.99, errors=2)
     resolve_final_line(errored, compact_record(errored), names, False, best, 13)
-    assert json.loads(best.read_text())["compact"]["value"] == 123.456
+    assert _banked(best)["compact"]["value"] == 123.456
     narrowed = _out_with_calib(CALIB_NOMINAL_S * 0.98)
     narrowed["value"] = 1.0
     resolve_final_line(narrowed, compact_record(narrowed), names, True, best, 13)
-    assert json.loads(best.read_text())["compact"]["value"] == 123.456
+    assert _banked(best)["compact"]["value"] == 123.456
     # a different query set never borrows the bank — it REPLACES it
     # (a gate swap makes the old bank stale; the current sweep is the
     # best known for the new registry, noisy or not)
     got = resolve_final_line(noisy, noisy_line, names + ["new_q"], False, best, 13)
     assert got == noisy_line
-    assert json.loads(best.read_text())["compact"]["value"] == 999.0
+    assert _banked(best)["compact"]["value"] == 999.0
     # same for a DIFFERENT round: the old round's bank must never mask
     # this round's real perf, so the rollover re-banks the current sweep
     got = resolve_final_line(noisy, noisy_line, names + ["new_q"], False, best, 14)
     assert got == noisy_line
-    assert json.loads(best.read_text())["round"] == 14
+    assert _banked(best)["round"] == 14
     # a corrupt sidecar is survivable: current line comes back (and the
     # sweep re-banks over the corruption)
     best.write_text("{not json")
@@ -185,7 +191,7 @@ def test_best_sweep_sidecar_scoped_by_cpus_and_code(tmp_path):
     clean = _out_with_calib(CALIB_NOMINAL_S * 1.01)  # cpus=32 fp...0001
     clean_line = compact_record(clean)
     assert resolve_final_line(clean, clean_line, names, False, best, 17) == clean_line
-    banked = json.loads(best.read_text())
+    banked = _banked(best)
     assert banked["cpus"] == 32 and banked["code_fp"] == "fp0000000001"
 
     # same round/SF/query-set but 8 cores: the 32-core bank must NOT be
@@ -195,7 +201,9 @@ def test_best_sweep_sidecar_scoped_by_cpus_and_code(tmp_path):
     noisy8["value"] = 777.0
     noisy8_line = compact_record(noisy8)
     assert resolve_final_line(noisy8, noisy8_line, names, False, best, 17) == noisy8_line
-    assert json.loads(best.read_text())["cpus"] == 8
+    # the 8-core record banks in ITS OWN slot; the 32-core bank survives
+    assert _banked(best, 8)["cpus"] == 8
+    assert _banked(best, 32)["compact"]["value"] == 123.456
 
     # likewise changed code: the stale-code bank never masks new code.
     clean["value"] = 123.456
@@ -205,7 +213,7 @@ def test_best_sweep_sidecar_scoped_by_cpus_and_code(tmp_path):
     noisy_new_code["value"] = 888.0
     line = compact_record(noisy_new_code)
     assert resolve_final_line(noisy_new_code, line, names, False, best, 17) == line
-    assert json.loads(best.read_text())["code_fp"] == "fp0000000002"
+    assert _banked(best)["code_fp"] == "fp0000000002"
 
     # a HEAD-only difference (artifact commit) still borrows the bank:
     # head is provenance, code_fp is the key
